@@ -1,0 +1,210 @@
+"""Document deduplication operators for large-scale training-data
+pipelines: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+All variants are pure DataFrame compositions (no Python UDFs): hashing
+is md5/sha2 (JVM codegen), shingling is array lambdas, signatures are
+grouped min-aggregations.  Scale notes per operator below — the whole
+point of MinHash/LSH/SimHash here is that exact pairwise Jaccard is
+quadratic and only the banded forms survive 100 TB.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: Fixed universal-hash coefficients (a, b) for MinHash h_j(x) =
+#: (a_j * x + b_j) mod p. Deterministic across runs and engines.
+MINHASH_COEFFS: list[tuple[int, int]] = [
+    (995207, 65173), (950959, 306229), (892871, 182611), (786433, 459029),
+    (654187, 92003), (538579, 261223), (402653, 359671), (318211, 31393),
+]
+MINHASH_PRIME = 2147483647  # 2^31 - 1
+
+
+def exact_dedup_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup: hash-groupBy on content. Returns one row per
+    distinct content with the canonical (min) id and duplicate count.
+
+    Scale: one shuffle on a 128-bit hash key — uniformly distributed,
+    no skew; the md5 is computed map-side so only (hash, id) shuffles,
+    never the text payload."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count("*").alias("n_dups"),
+        )
+    )
+
+
+def shingles(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Distinct word n-gram shingles per document, long format
+    (id, shingle). Whitespace tokenization on single spaces; docs with
+    fewer than n tokens produce no shingles."""
+    t = F.split(F.col(text_col), " ")
+    idx = F.sequence(F.lit(0), F.size(t) - n)
+    grams = F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.get(t, i + j) for j in range(n)]
+            ),
+        )
+    )
+    return (
+        df.filter(F.size(t) >= n)
+        .select(F.col(id_col), F.explode(grams).alias("shingle"))
+    )
+
+
+def _shingle_int(col: str = "shingle") -> F.Column:
+    """Map a shingle string to a 32-bit integer via md5 (first 8 hex
+    chars) — cheap, deterministic, engine-portable."""
+    return F.conv(F.substring(F.md5(F.col(col)), 1, 8), 16, 10).cast("long")
+
+
+def minhash_signatures(
+    shingle_df: DataFrame,
+    id_col: str = "doc_id",
+    coeffs: Sequence[tuple[int, int]] = tuple(MINHASH_COEFFS),
+    prime: int = MINHASH_PRIME,
+) -> DataFrame:
+    """MinHash signature per document: k grouped min-aggregations over
+    universal hashes of the shingle integers.
+
+    Scale: one shuffle on id_col with map-side partial min — the
+    signature matrix is |docs| × k longs regardless of corpus size."""
+    x = _shingle_int()
+    aggs = [
+        F.min((F.lit(a) * x + F.lit(b)) % F.lit(prime)).alias(f"mh_{j}")
+        for j, (a, b) in enumerate(coeffs)
+    ]
+    return shingle_df.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    sig_df: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 4,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """LSH banding: docs sharing any band bucket become candidate pairs
+    (id_a < id_b, distinct).
+
+    Scale: the band-bucket join replaces the quadratic all-pairs
+    comparison; bucket keys are md5 of the banded signature slice so
+    the self-join key is uniform.  Hot buckets (near-identical boiler-
+    plate) are the classic skew case — AQE skew-join handles moderate
+    skew; pathological buckets should be capped upstream (drop buckets
+    with > N members as "template" clusters)."""
+    band_cols = []
+    for b in range(bands):
+        cols = [
+            F.col(f"mh_{b * rows_per_band + r}").cast("string")
+            for r in range(rows_per_band)
+        ]
+        band_cols.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws(":", *cols)).alias("bucket"),
+            )
+        )
+    buckets = sig_df.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a = buckets.alias("a")
+    b_ = buckets.alias("b")
+    return (
+        a.join(
+            b_,
+            (F.col(f"a.band") == F.col("b.band"))
+            & (F.col(f"a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def ngram_jaccard_pairs(
+    shingle_df: DataFrame,
+    id_col: str = "doc_id",
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard over pairs sharing ≥1 shingle.
+
+    Jaccard = |A∩B| / (|A|+|B|-|A∩B|) computed on integer counts
+    (exact, engine-portable).  Scale: this is the quadratic baseline —
+    at 100 TB, run it only on LSH candidate pairs (compose with
+    lsh_candidate_pairs); kept standalone as the correctness oracle."""
+    sizes = shingle_df.groupBy(id_col).agg(F.count("*").alias("sz"))
+    a = shingle_df.alias("a")
+    b = shingle_df.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    out = (
+        inter.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .withColumn("uni", F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+        .withColumn("jaccard", F.col("inter").cast("double") / F.col("uni"))
+        .filter(F.col("jaccard") >= min_jaccard)
+    )
+    return out.select("id_a", "id_b", "inter", "uni", "jaccard")
+
+
+def simhash(
+    token_df: DataFrame,
+    id_col: str = "doc_id",
+    token_col: str = "token",
+    bits: int = 32,
+) -> DataFrame:
+    """SimHash per document: sign-sum of token-hash bits.
+
+    token_df: long (id, token) WITH multiplicity (repeated tokens count).
+    Each token hashes to a 32-bit int; per bit position the engine sums
+    +1/-1 over tokens and sets the bit when the sum is ≥ 0.
+
+    Scale: explode to |tokens| × bits rows is avoided — the bit loop is
+    an array expression per token row, then one groupBy(id) over `bits`
+    sum-aggregations. One shuffle, map-side combine."""
+    h = F.conv(F.substring(F.md5(F.col(token_col)), 1, 8), 16, 10).cast("long")
+    contrib = [
+        F.sum(
+            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s_{b}")
+        for b in range(bits)
+    ]
+    sums = token_df.groupBy(id_col).agg(*contrib)
+    sig = None
+    for b in range(bits):
+        bit = F.when(F.col(f"s_{b}") >= 0, F.lit(2**b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig = bit if sig is None else sig + bit
+    return sums.select(F.col(id_col), sig.alias("simhash"))

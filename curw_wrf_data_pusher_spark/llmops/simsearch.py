@@ -1,0 +1,137 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine_topk``      : brute-force cosine top-k — the exact baseline.
+  Dot products are array-fold expressions (JVM codegen, no UDF); the
+  query side is broadcast so the corpus never shuffles.
+- ``lsh_bucket_topk``  : random-hyperplane LSH — the scale path.  Each
+  vector gets a b-bit sign signature from fixed pseudo-random
+  hyperplanes (deterministic, derived from md5 of (plane, dim) — no RNG
+  state to ship); candidates share a bucket, then exact cosine re-ranks
+  within buckets.  At 100 TB the bucket join replaces the |Q|×|C|
+  cross product; recall is tuned by bits/tables.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Order-stable left-fold dot product in double precision."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    score_scale: int = 9,
+) -> DataFrame:
+    """Exact top-k cosine neighbours of each query vector.
+
+    Returns (q_id, n_id, rank, cos).  Ranking uses the score rounded to
+    ``score_scale`` decimals with an id tie-break so results are
+    deterministic.  The (small) query side is broadcast: the plan is a
+    single pass over the corpus, no shuffle of corpus vectors."""
+    q = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+    ).withColumn("q_norm", _norm(F.col("q_vec")))
+    c = corpus.select(
+        F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec")
+    ).withColumn("n_norm", _norm(F.col("n_vec")))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("n_id") != F.col("q_id"))
+        .withColumn(
+            "cos",
+            F.round(
+                _dot(F.col("q_vec"), F.col("n_vec"))
+                / (F.col("q_norm") * F.col("n_norm")),
+                score_scale,
+            ),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", "rank", "cos")
+    )
+
+
+def _hyperplanes(dim: int, bits: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes: component (p, d) is a
+    signed unit value derived from md5 — reproducible everywhere with
+    no RNG state."""
+    planes = []
+    for p in range(bits):
+        row = []
+        for d in range(dim):
+            h = hashlib.md5(f"plane:{p}:{d}".encode()).hexdigest()
+            v = (int(h[:8], 16) / 0xFFFFFFFF) * 2.0 - 1.0
+            row.append(v)
+        planes.append(row)
+    return planes
+
+
+def lsh_bucket_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    bits: int = 8,
+) -> DataFrame:
+    """Approximate top-k: random-hyperplane signature bucketing + exact
+    re-rank within buckets. Returns (q_id, n_id, rank, cos)."""
+    planes = _hyperplanes(dim, bits)
+
+    def signature(vec: Column) -> Column:
+        sig = F.lit(0).cast("long")
+        for p, row in enumerate(planes):
+            plane = F.array(*[F.lit(v) for v in row])
+            sig = sig + F.when(_dot(vec, plane) >= 0, F.lit(2**p)).otherwise(0)
+        return sig
+
+    c = corpus.select(
+        F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec")
+    ).withColumn("bucket", signature(F.col("n_vec"))).withColumn(
+        "n_norm", _norm(F.col("n_vec"))
+    )
+    q = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+    ).withColumn("bucket", signature(F.col("q_vec"))).withColumn(
+        "q_norm", _norm(F.col("q_vec"))
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("n_id") != F.col("q_id"))
+        .withColumn(
+            "cos",
+            F.round(
+                _dot(F.col("q_vec"), F.col("n_vec"))
+                / (F.col("q_norm") * F.col("n_norm")),
+                9,
+            ),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", "rank", "cos")
+    )

@@ -1,0 +1,94 @@
+"""Text analysis operators: token counting, quality scoring, language
+identification (n-gram/stopword heuristic), document fingerprinting.
+
+All pure Catalyst expressions (split / array lambdas / regexp) — the
+hot path stays inside whole-stage codegen; no Python executes per row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Tiny stopword inventories for the heuristic language scorer.
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es"],
+    "de": ["der", "die", "das", "und", "ist", "von", "ein", "zu"],
+    "fr": ["le", "la", "de", "et", "est", "un", "une", "dans"],
+}
+LANG_ORDER = ["en", "es", "de", "fr"]  # deterministic tie-break order
+
+
+def _tokens(text_col: str) -> Column:
+    return F.split(F.trim(F.col(text_col)), " ")
+
+
+def quality_features(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Length / token / punctuation / stopword features + a composite
+    quality score.  Ratios divide exact integer counts, so values are
+    bit-identical across engines."""
+    t = _tokens(text_col)
+    n_tok = F.size(t)
+    n_char = F.length(F.col(text_col))
+    n_punct = F.length(F.col(text_col)) - F.length(
+        F.regexp_replace(F.col(text_col), r"[.!?,;:]", "")
+    )
+    sw = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    n_stop = F.size(F.filter(t, lambda x: F.array_contains(sw, x)))
+    avg_tok_len = (n_char - (n_tok - 1)).cast("double") / n_tok
+    stop_ratio = n_stop.cast("double") / n_tok
+    punct_ratio = n_punct.cast("double") / n_char
+    score = (
+        F.lit(0.4) * F.least(n_tok.cast("double") / 100.0, F.lit(1.0))
+        + F.lit(0.4) * stop_ratio
+        + F.lit(0.2) * (F.lit(1.0) - punct_ratio)
+    )
+    return df.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        n_char.alias("n_chars_calc"),
+        n_punct.alias("n_punct"),
+        n_stop.alias("n_stopwords"),
+        avg_tok_len.alias("avg_token_len"),
+        stop_ratio.alias("stopword_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+def language_id(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Stopword-hit heuristic language id: score = #tokens in each
+    language's stopword list; argmax with fixed tie-break order."""
+    t = _tokens(text_col)
+    scores = {}
+    for lang in LANG_ORDER:
+        sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+        scores[lang] = F.size(F.filter(t, lambda x: F.array_contains(sw, x)))
+    pred = F.lit(LANG_ORDER[-1])
+    for lang in reversed(LANG_ORDER[:-1]):
+        later = [scores[l2] for l2 in LANG_ORDER[LANG_ORDER.index(lang) + 1:]]
+        cond = scores[lang] >= F.greatest(*later) if len(later) > 1 else (
+            scores[lang] >= later[0]
+        )
+        pred = F.when(cond, F.lit(lang)).otherwise(pred)
+    out = df.select(
+        F.col(id_col),
+        *[scores[lang].alias(f"score_{lang}") for lang in LANG_ORDER],
+        pred.alias("lang_pred"),
+    )
+    return out
+
+
+def fingerprint(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Normalized content fingerprint: lowercase, collapse whitespace,
+    md5. The canonical cheap near-exact-dup key."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    return df.select(
+        F.col(id_col), F.md5(norm).alias("fingerprint")
+    )

@@ -1,0 +1,635 @@
+"""Generic relational operators from SURVEY §2, exercised on the
+driver's TPC-H-ish testdata with DuckDB oracles.
+
+Each query name carries its SURVEY §2 operator id.  Numeric-stability
+rules (see registry.py): double aggregates go through DECIMAL and back
+to DOUBLE so both engines produce bit-identical values regardless of
+summation order; ratios divide two already-identical values; window
+ranks always carry a unique tie-break column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.keys import parse_grid_key, series_hash_id, station_name
+from ..functions.timeutils import format_minute, truncate_minute, utc_to_lk
+from ..operators.dedup import latest_per_series, latest_per_series_join
+from ..operators.diff import adjacent_diff
+from ..operators.joins import get_or_create, nearest_neighbor_map
+from ..operators.pivot import pivot_by_source, unpivot
+from ..sources.lake import load_table
+from .registry import register
+
+DEC = "decimal(18,2)"
+
+
+def _dsum(col: str):
+    """Order-insensitive exact double sum: sum in DECIMAL, cast back."""
+    return F.sum(F.col(col).cast(DEC)).cast("double")
+
+
+# ---------------------------------------------------------------------------
+# P2/P3 — conjunctive range predicate (bounding box form)
+# Reference: np.where bbox slice wrf_data_pusher.py:181-189;
+# Kelani extent filter gen_rfields.py:188-194.
+@register(
+    "p2_bbox_filter",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
+    FROM lineitem
+    WHERE l_quantity >= 10 AND l_quantity <= 20
+      AND l_discount >= 0.05 AND l_discount <= 0.07
+    """,
+)
+def p2_bbox_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        F.col("l_quantity").between(10, 20) & F.col("l_discount").between(0.05, 0.07)
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount")
+
+
+# P4 — SQL-string-expression filter (pandas .query analogue,
+# gen_active_stations_rfields.py:97-102).
+@register(
+    "p4_sql_string_filter",
+    oracle="""
+    SELECT event_id, user_id, event_type, value
+    FROM events
+    WHERE value >= 100.0 AND event_type = 'purchase'
+    """,
+)
+def p4_sql_string_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.filter("value >= 100.0 AND event_type = 'purchase'").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+
+
+# P5/P6/P8 — projection + numeric formatting + key construction
+# (to_csv column projection gen_rfields.py:198-208; 6-dp coords
+# wrf_data_pusher.py:214-215; 'wrf_{lat}_{lon}' names :220).
+@register(
+    "p6_station_names",
+    oracle="""
+    SELECT c_custkey,
+           concat_ws('_', 'wrf', printf('%.6f', c_acctbal),
+                     printf('%.6f', CAST(c_custkey AS DOUBLE))) AS station,
+           printf('%.3f', c_acctbal) AS val_3dp
+    FROM customer
+    """,
+)
+def p6_station_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        station_name(F.col("c_acctbal"), F.col("c_custkey").cast("double")).alias(
+            "station"
+        ),
+        F.format_string("%.3f", F.col("c_acctbal")).alias("val_3dp"),
+    )
+
+
+# P7 — timestamp decode/shift/truncate pipeline (UTC → +05:30 LK,
+# minute truncation; wrf_data_pusher.py:75-76,268).
+@register(
+    "p7_timestamp_shift",
+    oracle="""
+    SELECT event_id,
+           strftime(date_trunc('minute', ts + INTERVAL '5 hours 30 minutes'),
+                    '%Y-%m-%d %H:%M:%S') AS time_lk
+    FROM events
+    """,
+)
+def p7_timestamp_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.date_format(
+            truncate_minute(utc_to_lk(F.col("ts"))), "yyyy-MM-dd HH:mm:ss"
+        ).alias("time_lk"),
+    )
+
+
+# P9 — grid-key parse: split('_'), arity guard, extract obs id
+# (gen_active_stations_rfields.py:149-154).
+@register(
+    "p9_key_parse",
+    oracle="""
+    WITH keyed AS (
+      SELECT concat_ws('_', 'rainfall', CAST(c_custkey AS VARCHAR),
+                       'MDPA', c_mktsegment) AS grid_key
+      FROM customer
+    )
+    SELECT grid_key, split_part(grid_key, '_', 2) AS obs_id
+    FROM keyed
+    WHERE len(string_split(grid_key, '_')) = 4
+    """,
+)
+def p9_key_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    keyed = c.select(
+        F.concat_ws(
+            "_", F.lit("rainfall"), F.col("c_custkey").cast("string"),
+            F.lit("MDPA"), F.col("c_mktsegment"),
+        ).alias("grid_key")
+    )
+    return keyed.select(
+        "grid_key", parse_grid_key(F.col("grid_key")).alias("obs_id")
+    ).filter(F.col("obs_id").isNotNull())
+
+
+# series-id hashing (§1.1): sha256 over ':'-joined tms metadata
+# (generate_timeseries_id semantics, wrf_data_pusher.py:230-248).
+@register(
+    "hash_series_id",
+    oracle="""
+    SELECT c_custkey,
+           sha256(concat_ws(':', 'evening_18:00', printf('%.6f', c_acctbal),
+                            printf('%.6f', CAST(c_custkey AS DOUBLE)),
+                            'WRF_A', 'v4', 'Precipitation', 'mm',
+                            'Accumulative')) AS tms_id
+    FROM customer
+    """,
+)
+def hash_series_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        series_hash_id(
+            F.lit("evening_18:00"),
+            F.format_string("%.6f", F.col("c_acctbal")),
+            F.format_string("%.6f", F.col("c_custkey").cast("double")),
+            F.lit("WRF_A"), F.lit("v4"), F.lit("Precipitation"),
+            F.lit("mm"), F.lit("Accumulative"),
+        ).alias("tms_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A1/W1 — adjacent difference over time per series (wrf_data_pusher.py:63-65).
+@register(
+    "w1_lag_diff",
+    oracle="""
+    SELECT user_id, event_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS t,
+           value - lag(value) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS diff
+    FROM events
+    QUALIFY diff IS NOT NULL
+    """,
+)
+def w1_lag_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    out = adjacent_diff(
+        ev.withColumn("__ord", F.struct("ts", "event_id")),
+        series_cols=["user_id"],
+        order_col="__ord",
+        value_col="value",
+        out_col="diff",
+    )
+    return out.select(
+        "user_id", "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("t"), "diff",
+    )
+
+
+# A6/W2 — latest row per series, window form
+# (get_latest_timeseries, gen_active_stations_rfields.py:191-193).
+@register(
+    "w2_latest_per_series",
+    oracle="""
+    SELECT user_id, event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS t, value
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def w2_latest_per_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return latest_per_series(
+        ev, series_cols=["user_id"], version_cols=["ts", "event_id"]
+    ).select(
+        "user_id", "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("t"), "value",
+    )
+
+
+# A6 join-form — semi-join against max(version) per series.
+@register(
+    "a6_latest_fgt_join",
+    oracle="""
+    SELECT e.user_id, e.event_type, e.event_id,
+           strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS t, e.value
+    FROM events e
+    JOIN (SELECT user_id, event_type, max(ts) AS ts
+          FROM events GROUP BY user_id, event_type) m
+      ON e.user_id = m.user_id AND e.event_type = m.event_type
+         AND e.ts = m.ts
+    """,
+)
+def a6_latest_fgt_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return latest_per_series_join(
+        ev, series_cols=["user_id", "event_type"], version_col="ts"
+    ).select(
+        "user_id", "event_type", "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("t"), "value",
+    )
+
+
+# W2 top-k per group — top 3 orders by totalprice per customer.
+@register(
+    "w2_topk_per_group",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rn AS rank
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def w2_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rank")
+    )
+
+
+# W3/J4 — nearest-neighbour mapping by rank-over-distance
+# (obs→d03 grid mapping, gen_active_stations_rfields.py:141-154).
+# Generic form: nearest supplier per customer within the same nation,
+# distance = |acctbal delta|.
+@register(
+    "w3_nearest_neighbor",
+    oracle="""
+    SELECT c_custkey, s_suppkey, rank, dist
+    FROM (
+      SELECT c.c_custkey, s.s_suppkey,
+             abs(c.c_acctbal - s.s_acctbal) AS dist,
+             row_number() OVER (PARTITION BY c.c_custkey
+                                ORDER BY abs(c.c_acctbal - s.s_acctbal),
+                                         s.s_suppkey) AS rank
+      FROM customer c JOIN supplier s ON c.c_nationkey = s.s_nationkey
+    ) WHERE rank <= 2
+    """,
+)
+def w3_nearest_neighbor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").withColumnRenamed(
+        "c_nationkey", "nationkey"
+    )
+    s = load_table(spark, sf_dir, "supplier").withColumnRenamed(
+        "s_nationkey", "nationkey"
+    )
+    return nearest_neighbor_map(
+        c, s,
+        left_key="c_custkey", right_key="s_suppkey",
+        distance=F.abs(F.col("c_acctbal") - F.col("s_acctbal")),
+        k=2, partition_cols=["nationkey"], tie_break=["s_suppkey"],
+    )
+
+
+# ---------------------------------------------------------------------------
+# A2..A5 — grouped aggregation surface (TPC-H Q1 shape). The reference's
+# only aggregations are mean/min/count (SURVEY §2.4); the engine exposes
+# the full built-in agg surface. DECIMAL-summed for cross-engine
+# bit-stability.
+@register(
+    "a1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                    (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def a1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice").cast(DEC) * (
+        F.lit(1) - F.col("l_discount").cast(DEC)
+    )
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum("l_quantity").alias("sum_qty"),
+            _dsum("l_extendedprice").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            (_dsum("l_quantity") / F.count("*")).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# A3 — min-reduction then interval shift: obs window start =
+# min(time) - 10 minutes (gen_active_stations_rfields.py:203).
+@register(
+    "a3_obs_window_start",
+    oracle="""
+    SELECT user_id,
+           strftime(min(ts) - INTERVAL '10 minutes',
+                    '%Y-%m-%d %H:%M:%S') AS obs_start,
+           count(*) AS n
+    FROM events GROUP BY user_id
+    """,
+)
+def a3_obs_window_start(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.date_format(
+            F.min("ts") - F.expr("INTERVAL 10 MINUTES"), "yyyy-MM-dd HH:mm:ss"
+        ).alias("obs_start"),
+        F.count("*").alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# J1/R2 — iterated outer-merge becomes a single pivot: per (user, day),
+# one column per event_type (gen_active_stations_rfields.py:195-213).
+@register(
+    "j1_pivot_sources",
+    oracle="""
+    SELECT user_id, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           CAST(sum(CASE WHEN event_type = 'click'
+                    THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS click,
+           CAST(sum(CASE WHEN event_type = 'purchase'
+                    THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS purchase,
+           CAST(sum(CASE WHEN event_type = 'view'
+                    THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS "view"
+    FROM events
+    GROUP BY user_id, day
+    """,
+)
+def j1_pivot_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        "event_type",
+        F.col("value").cast(DEC).alias("value"),
+    )
+    wide = pivot_by_source(
+        ev,
+        key_cols=["user_id", "day"],
+        pivot_col="event_type",
+        pivot_values=["click", "purchase", "view"],
+        value_col="value",
+        agg="sum",
+    )
+    return wide.select(
+        "user_id", "day",
+        F.col("click").cast("double").alias("click"),
+        F.col("purchase").cast("double").alias("purchase"),
+        F.col("view").cast("double").alias("view"),
+    )
+
+
+# J2 — left outer equi-join (forecast ⟕ obs on time,
+# gen_active_stations_rfields.py:209).
+@register(
+    "j2_left_join",
+    oracle="""
+    SELECT o.o_orderkey, o.o_totalprice, c.c_name, c.c_mktsegment
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def j2_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey, "left").select(
+        "o_orderkey", "o_totalprice", "c_name", "c_mktsegment"
+    )
+
+
+# J3 — broadcast map-side lookup join (16k station dict,
+# wrf_data_pusher.py:222,447): dim explicitly broadcast.
+@register(
+    "j3_broadcast_lookup",
+    oracle="""
+    SELECT p.p_brand,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+                    (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+           count(*) AS n_items
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+    """,
+)
+def j3_broadcast_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice").cast(DEC) * (F.lit(1) - F.col("l_discount").cast(DEC))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+# J5 — get-or-create dim MERGE: left-anti missing keys + deterministic
+# dense id assignment (wrf_data_pusher.py:222-260).
+@register(
+    "j5_get_or_create",
+    oracle="""
+    WITH dim AS (
+      SELECT DISTINCT CAST(s_nationkey AS BIGINT) AS id,
+             s_nationkey AS nationkey FROM supplier
+    ),
+    incoming AS (SELECT DISTINCT c_nationkey AS nationkey FROM customer),
+    missing AS (
+      SELECT nationkey FROM incoming
+      WHERE nationkey NOT IN (SELECT nationkey FROM dim)
+    ),
+    mx AS (SELECT coalesce(max(id), 0) AS m FROM dim),
+    created AS (
+      SELECT CAST(m + row_number() OVER (ORDER BY nationkey) AS BIGINT) AS id,
+             nationkey
+      FROM missing, mx
+    )
+    SELECT id, nationkey FROM dim
+    UNION ALL SELECT id, nationkey FROM created
+    """,
+)
+def j5_get_or_create(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    dim = s.select(
+        F.col("s_nationkey").cast("long").alias("id"),
+        F.col("s_nationkey").alias("nationkey"),
+    ).dropDuplicates(["nationkey"])
+    incoming = c.select(F.col("c_nationkey").alias("nationkey"))
+    return get_or_create(dim, incoming, key_cols=["nationkey"], id_col="id")
+
+
+# full-outer join path (J1's physical form before the pivot rewrite).
+@register(
+    "j1_full_outer_join",
+    oracle="""
+    WITH a AS (SELECT user_id,
+                      CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS click_v
+               FROM events WHERE event_type = 'click' GROUP BY user_id),
+         b AS (SELECT user_id,
+                      CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS purchase_v
+               FROM events WHERE event_type = 'purchase' GROUP BY user_id)
+    SELECT coalesce(a.user_id, b.user_id) AS user_id, a.click_v, b.purchase_v
+    FROM a FULL OUTER JOIN b ON a.user_id = b.user_id
+    """,
+)
+def j1_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    a = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id").agg(_dsum("value").alias("click_v"))
+    )
+    b = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id").agg(_dsum("value").alias("purchase_v"))
+    )
+    return a.join(b, "user_id", "full_outer").select(
+        F.coalesce(a.user_id, b.user_id).alias("user_id"), "click_v", "purchase_v"
+    )
+
+
+# U2 — dropna after outer join ≡ "instants covered by every source"
+# (gen_active_stations_rfields.py:214). Kept literal, not rewritten to
+# inner join, to preserve reference semantics.
+@register(
+    "u2_dropna_outer",
+    oracle="""
+    WITH a AS (SELECT user_id,
+                      CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS click_v
+               FROM events WHERE event_type = 'click' GROUP BY user_id),
+         b AS (SELECT user_id,
+                      CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS purchase_v
+               FROM events WHERE event_type = 'purchase' GROUP BY user_id)
+    SELECT coalesce(a.user_id, b.user_id) AS user_id, a.click_v, b.purchase_v
+    FROM a FULL OUTER JOIN b ON a.user_id = b.user_id
+    WHERE a.click_v IS NOT NULL AND b.purchase_v IS NOT NULL
+    """,
+)
+def u2_dropna_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return j1_full_outer_join(spark, sf_dir).na.drop("any")
+
+
+# U1 — union-all of per-slice frames (dataframe.append loop,
+# gen_active_stations_rfields.py:216-220).
+@register(
+    "u1_union_all",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, 'high' AS bucket
+    FROM orders WHERE o_totalprice >= 200000
+    UNION ALL
+    SELECT o_orderkey, o_totalprice, 'low' AS bucket
+    FROM orders WHERE o_totalprice < 50000
+    """,
+)
+def u1_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    hi = o.filter(F.col("o_totalprice") >= 200000).select(
+        "o_orderkey", "o_totalprice", F.lit("high").alias("bucket")
+    )
+    lo = o.filter(F.col("o_totalprice") < 50000).select(
+        "o_orderkey", "o_totalprice", F.lit("low").alias("bucket")
+    )
+    return hi.unionByName(lo)
+
+
+# R1 — unpivot/melt via stack (grid wide→long, wrf_data_pusher.py:211-268).
+@register(
+    "r1_unpivot",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, 'quantity' AS measure, l_quantity AS value
+    FROM lineitem WHERE l_orderkey <= 1000
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'extendedprice', l_extendedprice
+    FROM lineitem WHERE l_orderkey <= 1000
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'discount', l_discount
+    FROM lineitem WHERE l_orderkey <= 1000
+    """,
+)
+def r1_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 1000)
+    return unpivot(
+        li,
+        id_cols=["l_orderkey", "l_linenumber"],
+        value_cols=["l_quantity", "l_extendedprice", "l_discount"],
+        var_name="measure",
+        value_name="value",
+    ).withColumn(
+        "measure", F.regexp_replace("measure", "^l_", "")
+    )
+
+
+# O1/O2 — total-order contract: global row_number encodes the sort so
+# the hash actually checks ordering (xy.csv alignment, gen_rfields.py:186).
+@register(
+    "o1_total_order",
+    oracle="""
+    SELECT row_number() OVER (ORDER BY p_retailprice, p_partkey) AS rn,
+           p_partkey, p_retailprice
+    FROM part
+    """,
+)
+def o1_total_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    w = Window.orderBy("p_retailprice", "p_partkey")
+    return p.select(
+        F.row_number().over(w).alias("rn"), "p_partkey", "p_retailprice"
+    )
+
+
+# Q3-style join+agg+rank (exercises join reordering & partial aggs).
+@register(
+    "q3_shipping_priority",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                    (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+    FROM customer, orders, lineitem
+    WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+      AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15 00:00:00").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15 00:00:00").cast("timestamp")
+    )
+    rev = F.col("l_extendedprice").cast(DEC) * (F.lit(1) - F.col("l_discount").cast(DEC))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .select(
+            "l_orderkey", "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+    )

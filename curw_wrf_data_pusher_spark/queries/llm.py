@@ -1,0 +1,294 @@
+"""Training-data-pipeline queries over `documents` / `embeddings`,
+each hash-checked against a DuckDB oracle.
+
+Oracle-design notes: MinHash/SimHash use md5-derived integer hashes
+(identical hex→int path in both engines, verified), so signatures are
+exact integer matches; cosine scores use the identical left-fold double
+dot product (Spark array aggregate ≡ DuckDB list_inner_product on
+DOUBLE[] — verified bit-equal) rounded at 9 dp with id tie-breaks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..llmops.dedup import (
+    MINHASH_COEFFS,
+    MINHASH_PRIME,
+    exact_dedup_groups,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    shingles,
+    simhash,
+)
+from ..llmops.multimodal import binary_metadata
+from ..llmops.simsearch import cosine_topk
+from ..llmops.textstats import (
+    LANG_ORDER,
+    STOPWORDS,
+    fingerprint,
+    language_id,
+    quality_features,
+)
+from ..sources.lake import load_table
+from .registry import register
+
+# ---------------------------------------------------------------------------
+# Exact dedup: hash-groupBy on content (canonical id + dup count).
+@register(
+    "llm_dedup_exact",
+    oracle="""
+    SELECT md5(text) AS content_hash, min(doc_id) AS canonical_id,
+           count(*) AS n_dups
+    FROM documents GROUP BY content_hash
+    """,
+)
+def llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup_groups(load_table(spark, sf_dir, "documents"))
+
+
+# Fingerprint: normalized md5 (lower + collapse whitespace).
+@register(
+    "llm_fingerprint",
+    oracle="""
+    SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+           AS fingerprint
+    FROM documents
+    """,
+)
+def llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# MinHash signatures (k=8 universal hashes over 3-gram shingles).
+_MH_TERMS = ",\n           ".join(
+    f"min(({a} * x + {b}) % {MINHASH_PRIME}) AS mh_{j}"
+    for j, (a, b) in enumerate(MINHASH_COEFFS)
+)
+_SHINGLE_CTE = """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, len(t) - 1),
+                    i -> concat_ws(' ', t[i], t[i+1], t[i+2])))) AS shingle
+      FROM toks WHERE len(t) >= 3
+    )
+"""
+
+@register(
+    "llm_minhash_signatures",
+    oracle=f"""
+    {_SHINGLE_CTE},
+    hashed AS (
+      SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS x
+      FROM sh
+    )
+    SELECT doc_id,
+           {_MH_TERMS}
+    FROM hashed GROUP BY doc_id
+    """,
+)
+def llm_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_signatures(shingles(docs))
+
+
+# LSH banding over the signatures → candidate pairs (4 bands × 2 rows).
+_BAND_BUCKETS = " UNION ALL ".join(
+    f"""SELECT doc_id, {b} AS band,
+        md5(concat_ws(':', CAST(mh_{2*b} AS VARCHAR),
+                           CAST(mh_{2*b+1} AS VARCHAR))) AS bucket FROM sig"""
+    for b in range(4)
+)
+
+@register(
+    "llm_minhash_lsh_pairs",
+    oracle=f"""
+    {_SHINGLE_CTE},
+    hashed AS (
+      SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS x
+      FROM sh
+    ),
+    sig AS (
+      SELECT doc_id, {_MH_TERMS}
+      FROM hashed GROUP BY doc_id
+    ),
+    buckets AS ({_BAND_BUCKETS})
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM buckets a JOIN buckets b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    """,
+)
+def llm_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sig = minhash_signatures(shingles(docs))
+    return lsh_candidate_pairs(sig, bands=4, rows_per_band=2)
+
+
+# Exact n-gram Jaccard (the quadratic baseline the LSH approximates).
+@register(
+    "llm_ngram_jaccard",
+    oracle=f"""
+    {_SHINGLE_CTE},
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      FROM sh a JOIN sh b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY id_a, id_b
+    )
+    SELECT id_a, id_b, inter,
+           sa.sz + sb.sz - inter AS uni,
+           CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5
+    """,
+)
+def llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(shingles(docs), min_jaccard=0.5)
+
+
+# SimHash (32-bit sign-sum over token hashes, with multiplicity).
+_SIMHASH_BITS = " + ".join(
+    f"""(CASE WHEN sum(CASE WHEN (x >> {b}) & 1 = 1 THEN 1 ELSE -1 END) >= 0
+         THEN CAST({2**b} AS BIGINT) ELSE 0 END)"""
+    for b in range(32)
+)
+
+@register(
+    "llm_simhash",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    hashed AS (
+      SELECT doc_id, ('0x' || substr(md5(token), 1, 8))::BIGINT AS x
+      FROM toks
+    )
+    SELECT doc_id, {_SIMHASH_BITS} AS simhash
+    FROM hashed GROUP BY doc_id
+    """,
+)
+def llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    return simhash(tokens)
+
+
+# ---------------------------------------------------------------------------
+# Brute-force cosine top-k over embeddings (exact ANN baseline).
+@register(
+    "llm_cosine_topk",
+    oracle="""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    q AS (SELECT vec_id AS q_id, e AS q_e,
+                 sqrt(list_inner_product(e, e)) AS q_norm
+          FROM v WHERE vec_id < 10),
+    c AS (SELECT vec_id AS n_id, e AS n_e,
+                 sqrt(list_inner_product(e, e)) AS n_norm FROM v),
+    scored AS (
+      SELECT q_id, n_id,
+             round(list_inner_product(q_e, n_e) / (q_norm * n_norm), 9) AS cos
+      FROM q, c WHERE n_id <> q_id
+    )
+    SELECT q_id, n_id, rank, cos FROM (
+      SELECT q_id, n_id, cos,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY cos DESC, n_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def llm_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+# ---------------------------------------------------------------------------
+# Text quality features.
+_EN = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+
+@register(
+    "llm_quality_features",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, text, string_split(trim(text), ' ') AS toks
+               FROM documents)
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           length(text) AS n_chars_calc,
+           length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g'))
+             AS n_punct,
+           len(list_filter(toks, x -> x IN ({_EN}))) AS n_stopwords,
+           CAST(length(text) - (len(toks) - 1) AS DOUBLE) / len(toks)
+             AS avg_token_len,
+           CAST(len(list_filter(toks, x -> x IN ({_EN}))) AS DOUBLE)
+             / len(toks) AS stopword_ratio,
+           0.4 * least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0)
+             + 0.4 * (CAST(len(list_filter(toks, x -> x IN ({_EN}))) AS DOUBLE)
+                      / len(toks))
+             + 0.2 * (1.0 - CAST(length(text) -
+                       length(regexp_replace(text, '[.!?,;:]', '', 'g'))
+                       AS DOUBLE) / length(text)) AS quality_score
+    FROM t
+    """,
+)
+def llm_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_features(load_table(spark, sf_dir, "documents"))
+
+
+# Heuristic language id (stopword-hit argmax, fixed tie order).
+_LANG_SCORES = ",\n           ".join(
+    "len(list_filter(toks, x -> x IN ({}))) AS score_{}".format(
+        ", ".join(f"'{w}'" for w in STOPWORDS[lang]), lang
+    )
+    for lang in LANG_ORDER
+)
+
+@register(
+    "llm_language_id",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
+               FROM documents),
+    s AS (
+      SELECT doc_id,
+           {_LANG_SCORES}
+      FROM t
+    )
+    SELECT doc_id, score_en, score_es, score_de, score_fr,
+           CASE WHEN score_en >= greatest(score_es, score_de, score_fr)
+                  THEN 'en'
+                WHEN score_es >= greatest(score_de, score_fr) THEN 'es'
+                WHEN score_de >= score_fr THEN 'de'
+                ELSE 'fr' END AS lang_pred
+    FROM s
+    """,
+)
+def llm_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return language_id(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Multimodal: pure-Catalyst binary metadata pass (decode fan-out is the
+# mapInPandas path, tested in tests/test_llmops.py; this query checks
+# the binary-column plumbing end-to-end against DuckDB).
+@register(
+    "llm_binary_metadata",
+    oracle="""
+    SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+           sha256(text) AS content_sha256
+    FROM documents
+    """,
+)
+def llm_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("blob")
+    )
+    return binary_metadata(docs, id_col="doc_id", binary_col="blob")

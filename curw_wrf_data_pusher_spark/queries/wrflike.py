@@ -1,0 +1,143 @@
+"""WRF-pipeline-shaped queries — the reference's end-to-end dataflows
+(SURVEY §3 E1/E2/E3) exercised generically on the driver's `events`
+table, with DuckDB oracles.
+
+Mapping of the WRF domain onto `events`:
+- grid cell / station  → user_id
+- XTIME instant        → ts
+- cumulative RAINNC    → running sum of value per user (synthesised
+  cumulative series; the lag-diff then recovers per-interval values,
+  the A1 ∘ cumsum = identity property)
+- ensemble member      → event_type
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.keys import series_hash_id
+from ..functions.numeric import round_value
+from ..functions.timeutils import format_minute, utc_to_lk
+from ..operators.diff import adjacent_diff
+from ..sources.lake import load_table
+from .registry import register
+
+DEC = "decimal(18,2)"
+
+
+# E1 — the flagship: cumulative grid → lag-diff → long upsert rows
+# [tms_id, time_lk, value] (wrf_data_pusher.py:143-279 re-expressed).
+# The running sum is computed in DECIMAL so both engines accumulate
+# exactly; the diff then recovers each interval's rainfall.
+@register(
+    "wrf_e1_push_rows",
+    oracle="""
+    WITH cum AS (
+      SELECT user_id, event_id, ts,
+             CAST(sum(CAST(value AS DECIMAL(18,2)))
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS DOUBLE) AS cum_value
+      FROM events
+    ),
+    diffed AS (
+      SELECT user_id, event_id, ts,
+             round(cum_value - lag(cum_value)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id), 3) AS value
+      FROM cum
+      QUALIFY lag(cum_value) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) IS NOT NULL
+    )
+    SELECT sha256(concat_ws(':', 'evening_18:00',
+                            CAST(user_id AS VARCHAR), 'WRF_A', 'v4',
+                            'Precipitation', 'mm', 'Accumulative')) AS tms_id,
+           strftime(date_trunc('minute', ts + INTERVAL '5 hours 30 minutes'),
+                    '%Y-%m-%d %H:%M:00') AS time_lk,
+           value
+    FROM diffed
+    """,
+)
+def wrf_e1_push_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = ev.select(
+        "user_id", "event_id", "ts",
+        F.sum(F.col("value").cast(DEC)).over(w).cast("double").alias("cum_value"),
+    )
+    diffed = adjacent_diff(
+        cum.withColumn("__ord", F.struct("ts", "event_id")),
+        series_cols=["user_id"],
+        order_col="__ord",
+        value_col="cum_value",
+        out_col="diff",
+    ).withColumn("value", round_value(F.col("diff")))
+    return diffed.select(
+        series_hash_id(
+            F.lit("evening_18:00"), F.col("user_id").cast("string"),
+            F.lit("WRF_A"), F.lit("v4"), F.lit("Precipitation"),
+            F.lit("mm"), F.lit("Accumulative"),
+        ).alias("tms_id"),
+        format_minute(utc_to_lk(F.col("ts"))).alias("time_lk"),
+        "value",
+    )
+
+
+# E3 — hybrid obs+forecast comparison frame: long (station, source,
+# time, value) → per-source mean → pivot → dropna
+# (gen_active_stations_rfields.py:161-251 + mean variant
+# gen_active_stations_mean_rfields.py:196-216, loop-free).
+@register(
+    "wrf_e3_hybrid_frame",
+    oracle="""
+    WITH long AS (
+      SELECT user_id % 5 AS station_id,
+             date_trunc('hour', ts) AS t,
+             event_type AS source,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+               / count(*) AS mean_v
+      FROM events
+      WHERE event_type IN ('click', 'view', 'purchase')
+      GROUP BY station_id, t, source
+    ),
+    wide AS (
+      SELECT station_id, strftime(t, '%Y-%m-%d %H:%M:%S') AS time_h,
+             max(CASE WHEN source = 'click' THEN mean_v END) AS wrf_a,
+             max(CASE WHEN source = 'view' THEN mean_v END) AS wrf_c,
+             max(CASE WHEN source = 'purchase' THEN mean_v END) AS obs
+      FROM long GROUP BY station_id, time_h
+    )
+    SELECT * FROM wide
+    WHERE wrf_a IS NOT NULL AND wrf_c IS NOT NULL AND obs IS NOT NULL
+    """,
+)
+def wrf_e3_hybrid_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    long_df = (
+        ev.filter(F.col("event_type").isin("click", "view", "purchase"))
+        .groupBy(
+            (F.col("user_id") % 5).alias("station_id"),
+            F.date_trunc("hour", "ts").alias("t"),
+            F.col("event_type").alias("source"),
+        )
+        .agg((_dsum_value() / F.count("*")).alias("mean_v"))
+    )
+    wide = (
+        long_df.groupBy(
+            "station_id", F.date_format("t", "yyyy-MM-dd HH:mm:ss").alias("time_h")
+        )
+        .pivot("source", ["click", "view", "purchase"])
+        .agg(F.max("mean_v"))
+        .withColumnRenamed("click", "wrf_a")
+        .withColumnRenamed("view", "wrf_c")
+        .withColumnRenamed("purchase", "obs")
+    )
+    return wide.na.drop("any", subset=["wrf_a", "wrf_c", "obs"])
+
+
+def _dsum_value():
+    return F.sum(F.col("value").cast(DEC)).cast("double")

@@ -1,0 +1,51 @@
+"""Parquet lake scans.
+
+The reference's "lake" is a date-partitioned NetCDF directory tree
+(wrf_data_pusher.py:321-327); the generic engine reads Hive-partitioned
+parquet.  Catalyst gives predicate pushdown / column pruning / partition
+pruning for free on these scans — the per-query ``.explain`` tests in
+tests/test_plans.py assert PushedFilters reach the scan.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one lake table. Single parquet file per table in testdata;
+    at 100 TB this is a directory of many files + partition columns —
+    same call."""
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    # TIMESTAMP(NANOS) columns surface as long under
+    # spark.sql.legacy.parquet.nanosAsLong; convert to timestamps by
+    # ns→µs floor-division — the same truncation DuckDB applies, so
+    # oracle comparisons stay exact.
+    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
+        # integer DIV, not /: ns values (~1.7e18) exceed double's 2^53
+        # exact-integer range.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:
+    """Register lake tables as temp views so queries can use spark.sql."""
+    for name in tables:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
