@@ -1,0 +1,79 @@
+#!/usr/bin/env python
+"""Benchmark the engine's headline queries.
+
+Runs at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec",
+ "queries": {name: sec, ...}, "sf": ...}
+
+Each query is forced end-to-end with the noop sink (full computation,
+no driver collect). The headline set spans the engine's surface: scans
++filters, shuffle aggs, broadcast joins, window functions, pivots, the
+WRF pipelines, and the LLM data-pipeline operators.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from curw_wrf_data_pusher_spark.queries import QUERIES  # noqa: E402
+from curw_wrf_data_pusher_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "a1_pricing_summary",
+    "q3_shipping_priority",
+    "j3_broadcast_lookup",
+    "j1_pivot_sources",
+    "w1_lag_diff",
+    "w2_latest_per_series",
+    "w3_nearest_neighbor",
+    "o1_total_order",
+    "wrf_e1_push_rows",
+    "wrf_e3_hybrid_frame",
+    "llm_dedup_exact",
+    "llm_quality_features",
+    "llm_simhash",
+    "llm_minhash_lsh_pairs",
+    "llm_cosine_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("bench")
+
+    # untimed warmup: JVM/codegen/parquet-reader init shouldn't be
+    # attributed to whichever query happens to run first.
+    QUERIES["a1_pricing_summary"](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        df = QUERIES[name](spark, sf_dir)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline-query wall time (noop sink, local)",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -176,7 +176,9 @@ _SIMHASH_BITS = " + ".join(
     """,
 )
 def llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    from ..sources.lake import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
     tokens = docs.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
     )

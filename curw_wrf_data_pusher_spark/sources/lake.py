@@ -45,6 +45,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Ensure a DataFrame has at least the cluster's default parallelism.
+
+    Small single-file scans arrive as ONE partition; any explode-heavy
+    operator downstream (shingling, tokenization) would then serialize
+    on a single core.  The repartition shuffles only the small input
+    rows — cheap — and the exploded work parallelizes.  No-op when the
+    input is already wide (the 100 TB case: thousands of file splits)."""
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:
     """Register lake tables as temp views so queries can use spark.sql."""
     for name in tables:
