@@ -31,24 +31,22 @@ def hybrid_wide_frame(
     source_col: str = "source",
     value_col: str = "value",
     dropna: bool = True,
-    mean_over: Sequence[str] | None = None,
+    mean: bool = False,
 ) -> DataFrame:
     """Long (station, source, time, value) → wide time×sources frame.
 
-    ``mean_over``: when set (the *_mean_* variants,
-    gen_active_stations_mean_rfields.py:196-216), values are first
-    averaged over these columns (e.g. the mapped d03 grid points per obs
-    station) — NaN-skipping pandas mean ≡ Spark avg ignoring nulls —
-    and only then pivoted + dropna'd, preserving the reference's
-    mean-before-dropna ordering.
+    ``mean=True`` (the *_mean_* variants,
+    gen_active_stations_mean_rfields.py:196-216): values are first
+    averaged per (station, time, source) — pooling e.g. all mapped d03
+    grid points of an obs station; NaN-skipping pandas mean ≡ Spark avg
+    ignoring nulls — and only then pivoted + dropna'd, preserving the
+    reference's mean-before-dropna ordering.
     """
     df = long_df
-    if mean_over:
-        keep = [c for c in station_cols if c not in mean_over]
-        df = df.groupBy(*keep, time_col, source_col).agg(
+    if mean:
+        df = df.groupBy(*station_cols, time_col, source_col).agg(
             F.avg(value_col).alias(value_col)
         )
-        station_cols = keep
     wide = pivot_by_source(
         df,
         key_cols=[*station_cols, time_col],

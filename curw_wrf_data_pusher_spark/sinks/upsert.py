@@ -1,0 +1,137 @@
+"""Keyed upsert sinks (SURVEY §2.9 K1-K3; §4 custom work #2).
+
+Reference: batched ``INSERT ... ON DUPLICATE KEY UPDATE`` of
+``[tms_id, time, fgt, value]`` with a retry-once-after-5s wrapper
+(wrf_data_pusher.py:119-140), run-metadata insert (:239-260) and a
+latest-fgt pointer update (:103-116) per successful push.
+
+Two sinks:
+- ``upsert_parquet``: lake-native MERGE emulation — new rows win on the
+  key; everything else is carried over.  Used for all local testing and
+  as the scale path when the store is the lake itself (at 100 TB the
+  anti-join is partition-pruned by the key's partition columns).
+- ``upsert_jdbc``: ``foreachPartition`` batched MySQL upsert with retry,
+  matching the reference's sink exactly.  Import-gated (no MySQL driver
+  or server in this container); the SQL builder is pure and unit-tested.
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def upsert_parquet(
+    spark: SparkSession,
+    new_rows: DataFrame,
+    store_path: str,
+    keys: Sequence[str],
+) -> int:
+    """Idempotent MERGE into a parquet store: rows whose key matches an
+    incoming row are replaced; others survive.  Returns the post-merge
+    row count.
+
+    Write is staged (``<path>.staging``) then swapped, so a failed job
+    never leaves a half-written store."""
+    try:
+        existing = spark.read.parquet(store_path)
+        has_existing = True
+    except Exception:
+        has_existing = False
+
+    if has_existing:
+        kept = existing.join(
+            new_rows.select(*keys).dropDuplicates(list(keys)),
+            on=list(keys),
+            how="left_anti",
+        )
+        merged = kept.unionByName(new_rows)
+    else:
+        merged = new_rows
+
+    staging = store_path.rstrip("/") + ".staging"
+    merged.write.mode("overwrite").parquet(staging)
+    out = spark.read.parquet(staging)
+    out.write.mode("overwrite").parquet(store_path)
+    n = spark.read.parquet(store_path).count()
+
+    # clean the staging copy via Hadoop FS (works on any scheme)
+    jvm = spark.sparkContext._jvm
+    jsc = spark.sparkContext._jsc
+    path = jvm.org.apache.hadoop.fs.Path(staging)
+    path.getFileSystem(jsc.hadoopConfiguration()).delete(path, True)
+    return n
+
+
+def build_mysql_upsert_sql(table: str, columns: Sequence[str],
+                           update_columns: Sequence[str]) -> str:
+    """``INSERT ... ON DUPLICATE KEY UPDATE`` text for executemany —
+    the statement shape the reference's adapter emits for
+    ``insert_formatted_data(..., True)`` (wrf_data_pusher.py:127)."""
+    collist = ", ".join(columns)
+    placeholders = ", ".join(["%s"] * len(columns))
+    updates = ", ".join(f"{c}=VALUES({c})" for c in update_columns)
+    return (
+        f"INSERT INTO {table} ({collist}) VALUES ({placeholders}) "
+        f"ON DUPLICATE KEY UPDATE {updates}"
+    )
+
+
+def upsert_jdbc(
+    df: DataFrame,
+    connect: "callable",
+    table: str,
+    key_columns: Sequence[str],
+    batch_size: int = 1000,
+    retries: int = 1,
+    retry_wait_s: float = 5.0,
+) -> None:
+    """Batched keyed upsert via foreachPartition.
+
+    ``connect`` is a zero-arg callable returning a DB-API connection
+    (created INSIDE each task — connections don't serialize).  Retry
+    semantics mirror the reference: one retry after a fixed sleep
+    (wrf_data_pusher.py:126-140)."""
+    columns = df.columns
+    update_cols = [c for c in columns if c not in key_columns]
+    sql = build_mysql_upsert_sql(table, columns, update_cols)
+
+    def push_partition(rows) -> None:
+        conn = connect()
+        try:
+            cur = conn.cursor()
+            batch = []
+            for row in rows:
+                batch.append(tuple(row[c] for c in columns))
+                if len(batch) >= batch_size:
+                    _execute_with_retry(
+                        conn, cur, sql, batch, retries, retry_wait_s
+                    )
+                    batch = []
+            if batch:
+                _execute_with_retry(conn, cur, sql, batch, retries, retry_wait_s)
+            conn.commit()
+        finally:
+            conn.close()
+
+    df.foreachPartition(push_partition)
+
+
+def _execute_with_retry(conn, cur, sql, batch, retries, wait_s):
+    for attempt in range(retries + 1):
+        try:
+            cur.executemany(sql, batch)
+            return
+        except Exception:
+            if attempt == retries:
+                raise
+            time.sleep(wait_s)
+
+
+def update_latest_fgt(runs: DataFrame, run_store_path: str) -> DataFrame:
+    """K3: latest-fgt pointer per series — in lake form the run table
+    merge keeps the max fgt per tms_id (wrf_data_pusher.py:103-116)."""
+    return runs.groupBy("tms_id").agg(F.max("fgt").alias("fgt"))

@@ -1,0 +1,99 @@
+"""Structured-Streaming view of the pipeline (SURVEY §2.10).
+
+The reference is cron-driven batch: a daily file lands, the whole file
+is (re)pushed as an upsert keyed by (tms_id, time) with a new fgt.
+Streaming mapping:
+- source discovery → file-source stream on the partitioned grid dir
+  (replaces the path-probe `is_netcdf_ready.sh` gate);
+- whole-file semantics → ``foreachBatch``: each micro-batch runs the
+  SAME batch plan (push_wrf_grid) and upserts idempotently — late or
+  re-delivered files simply re-upsert with a newer fgt, exactly the
+  reference's behavior;
+- "latest" reads stay dedup-on-read (A6) against the store.
+
+``windowed_obs_resample`` is the in-engine form of the reference's
+external 15-min obs resampling (extract_obs_rain_15_min_ts,
+gen_active_stations_rfields.py:205): tumbling event-time windows with
+a watermark for late gauge readings.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..plans.config import WrfConfig
+from ..plans.wrf_push import push_wrf_grid
+from ..sources.netcdf import GRID_SCHEMA
+
+
+def stream_wrf_push(
+    spark: SparkSession,
+    watch_dir: str,
+    cfg: WrfConfig,
+    sink: Callable[[DataFrame, DataFrame], None],
+    checkpoint_dir: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Watch ``watch_dir`` for F1-shaped parquet grid drops and push
+    each arrival through the E1 plan into ``sink(fact, runs)``.
+
+    ``available_now=True`` = process the backlog then stop — the
+    cron-equivalent trigger; False = continuous micro-batches.
+
+    Whole-file semantics: the lag-diff needs each grid cell's full time
+    series in one batch, so a drop must be a single file (like its .nc
+    original).  ``maxFilesPerTrigger=1`` then makes every micro-batch
+    exactly one complete grid — the reference's unit of work."""
+    stream = (
+        spark.readStream.schema(GRID_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        # each grid drop is a directory of parquet parts
+        .option("recursiveFileLookup", "true")
+        .parquet(watch_dir)
+    )
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        fact, runs = push_wrf_grid(batch_df, cfg)
+        sink(fact, runs)
+
+    writer = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_obs_resample(
+    obs_stream: DataFrame,
+    window: str = "15 minutes",
+    watermark: str = "30 minutes",
+    time_col: str = "time",
+    key_col: str = "hash_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Tumbling-window resample of gauge readings to the model cadence,
+    tolerating ``watermark`` of lateness. Works on both streaming and
+    batch DataFrames (same plan)."""
+    df = obs_stream
+    if df.isStreaming:
+        df = df.withWatermark(time_col, watermark)
+    return (
+        df.groupBy(
+            F.col(key_col),
+            F.window(F.col(time_col), window).alias("w"),
+        )
+        .agg(F.sum(value_col).alias(value_col))
+        .select(
+            key_col,
+            F.col("w.end").alias(time_col),
+            value_col,
+        )
+    )

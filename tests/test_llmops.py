@@ -1,0 +1,88 @@
+"""LLM-data-pipeline operator tests beyond the oracle gate: LSH recall
+vs brute force, multimodal mapInPandas plumbing, NetCDF reader gating."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from curw_wrf_data_pusher_spark.llmops.multimodal import (
+    DECODERS,
+    extract_media_metadata,
+)
+from curw_wrf_data_pusher_spark.llmops.simsearch import (
+    cosine_topk,
+    lsh_bucket_topk,
+)
+from curw_wrf_data_pusher_spark.sources.lake import load_table
+from curw_wrf_data_pusher_spark.sources.netcdf import read_wrf_grid
+
+
+def test_lsh_topk_scores_match_bruteforce(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = cosine_topk(emb, queries, k=5).toPandas()
+    approx = lsh_bucket_topk(emb, queries, dim=64, k=5, bits=6).toPandas()
+    assert not approx.empty
+    # every approx hit's score equals the exact score for that pair
+    exact_scores = {
+        (r.q_id, r.n_id): r.cos for r in exact.itertuples()
+    }
+    agree = disagree = 0
+    for r in approx.itertuples():
+        if (r.q_id, r.n_id) in exact_scores:
+            assert abs(exact_scores[(r.q_id, r.n_id)] - r.cos) < 1e-9
+            agree += 1
+        else:
+            disagree += 1
+    # recall sanity: buckets should recover a nonzero share of true
+    # neighbours on 500 vectors
+    assert agree > 0
+
+
+def test_multimodal_metadata_plumbing(spark):
+    rows = [
+        (1, "image", b"\x89PNG fake image bytes"),
+        (2, "audio", b"RIFF fake wav"),
+        (3, "hologram", b"unsupported modality"),
+        (4, "image", None),
+    ]
+    df = spark.createDataFrame(rows, "id long, modality string, content binary")
+    out = extract_media_metadata(df).toPandas().set_index("id")
+
+    assert bool(out.loc[1, "ok"]) and out.loc[1, "n_bytes"] == 21
+    assert out.loc[1, "width"] is not None
+    # deterministic fake decode: same payload → same dims
+    out2 = extract_media_metadata(df).toPandas().set_index("id")
+    assert out.loc[1, "width"] == out2.loc[1, "width"]
+    # unknown modality: captured per-row, job does not die
+    assert not bool(out.loc[3, "ok"])
+    assert "NotImplementedError" in out.loc[3, "error"]
+    # null payload: hashed as empty, decoded ok by the fake decoder
+    assert out.loc[4, "n_bytes"] == 0
+
+
+def test_netcdf_reader_is_import_gated(spark, tmp_path):
+    with pytest.raises(RuntimeError, match="netCDF4 is not installed"):
+        read_wrf_grid(spark, str(tmp_path))
+
+
+def test_decoder_registry_is_pluggable(spark):
+    calls = []
+
+    def custom(payload, modality):
+        calls.append(modality)
+        return {"width": 7, "height": 9, "n_frames": 3}
+
+    DECODERS["video"] = custom
+    try:
+        df = spark.createDataFrame(
+            [(1, "video", b"fake mp4")], "id long, modality string, content binary"
+        )
+        out = extract_media_metadata(df).toPandas()
+        assert int(out.loc[0, "width"]) == 7
+        assert int(out.loc[0, "n_frames"]) == 3
+    finally:
+        from curw_wrf_data_pusher_spark.llmops.multimodal import _fake_decode
+
+        DECODERS["video"] = _fake_decode

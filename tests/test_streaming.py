@@ -1,0 +1,94 @@
+"""Structured-Streaming view tests (SURVEY §2.10): file-drop →
+foreachBatch E1 push → idempotent upsert store; windowed obs resample."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from curw_wrf_data_pusher_spark.sinks.upsert import upsert_parquet
+from curw_wrf_data_pusher_spark.streaming.file_stream import (
+    stream_wrf_push,
+    windowed_obs_resample,
+)
+
+from .test_wrf_pipeline import CFG
+from .wrf_fixture import EPOCH_STR, FGT_UTC, make_grid_pdf
+
+
+def _write_grid_drop(spark, pdf, path, fgt):
+    (
+        spark.createDataFrame(pdf)
+        .withColumn("source_file", F.lit(path))
+        .withColumn("fgt_utc", F.lit(fgt).cast("timestamp"))
+        .withColumn("epoch_str", F.lit(EPOCH_STR))
+        .select(
+            "wrf_system", "source_file", "fgt_utc", "epoch_str",
+            F.col("t_idx").cast("int").alias("t_idx"),
+            F.col("xtime_min").cast("long").alias("xtime_min"),
+            F.col("y").cast("int").alias("y"),
+            F.col("x").cast("int").alias("x"),
+            "latitude", "longitude", "rainnc_cum",
+        )
+        # one file per drop: a drop models a complete .nc grid and must
+        # be processed atomically (whole-file semantics)
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def test_stream_push_and_idempotent_redelivery(spark, tmp_path):
+    watch = str(tmp_path / "watch")
+    store = str(tmp_path / "store")
+    os.makedirs(watch)
+    pdf = make_grid_pdf()
+
+    def sink(fact, runs):
+        upsert_parquet(spark, fact, store, keys=["tms_id", "time"])
+
+    # first drop
+    _write_grid_drop(spark, pdf[pdf.wrf_system == "A"],
+                     os.path.join(watch, "drop1"), FGT_UTC)
+    q = stream_wrf_push(
+        spark, watch, CFG, sink, str(tmp_path / "ckpt"), available_now=True
+    )
+    q.awaitTermination()
+    n1 = spark.read.parquet(store).count()
+    assert n1 == 12 * 6 * 5  # one system
+
+    # second drop: system C + a RE-DELIVERY of system A with newer fgt
+    _write_grid_drop(spark, pdf, os.path.join(watch, "drop2"),
+                     "2024-06-03 03:17:45")
+    q = stream_wrf_push(
+        spark, watch, CFG, sink, str(tmp_path / "ckpt"), available_now=True
+    )
+    q.awaitTermination()
+    out = spark.read.parquet(store)
+    assert out.count() == 2 * 12 * 6 * 5  # no duplicates from re-delivery
+    # the re-delivered A series carries the NEW fgt (upsert semantics)
+    fgts = set(
+        r["fgt"] for r in out.select("fgt").distinct().collect()
+    )
+    assert fgts == {"2024-06-03 08:47:00"}
+
+
+def test_windowed_obs_resample_batch_parity(spark):
+    rows = [
+        ("h1", "2024-06-01 00:03:00", 1.0),
+        ("h1", "2024-06-01 00:07:00", 2.0),   # same 15-min window
+        ("h1", "2024-06-01 00:16:00", 4.0),   # next window
+        ("h2", "2024-06-01 00:01:00", 8.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "hash_id string, time string, value double"
+    ).withColumn("time", F.col("time").cast("timestamp"))
+    out = windowed_obs_resample(df).toPandas()
+    got = {
+        (r.hash_id, str(r.time)): r.value for r in out.itertuples()
+    }
+    assert got[("h1", "2024-06-01 00:15:00")] == 3.0
+    assert got[("h1", "2024-06-01 00:30:00")] == 4.0
+    assert got[("h2", "2024-06-01 00:15:00")] == 8.0

@@ -1,0 +1,130 @@
+"""E1 golden test vs the independent pandas oracle + property tests
+(SURVEY §5): diff∘cumsum identity, upsert idempotence, get-or-create
+stability."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from curw_wrf_data_pusher_spark.operators.diff import adjacent_diff
+from curw_wrf_data_pusher_spark.operators.joins import get_or_create
+from curw_wrf_data_pusher_spark.plans.config import WrfConfig
+from curw_wrf_data_pusher_spark.plans.wrf_push import push_wrf_grid
+from curw_wrf_data_pusher_spark.sinks.upsert import upsert_parquet
+
+from .wrf_fixture import EPOCH_STR, FGT_UTC, SYSTEMS, make_grid_pdf, oracle_push_rows
+
+CFG = WrfConfig.from_dict(
+    {
+        "model": "WRF", "version": "v4", "wrf_type": "dwrf",
+        "gfs_run": "d0", "gfs_data_hour": "18",
+        "wrf_systems": "A,C", "unit": "mm",
+        "unit_type": "Accumulative", "variable": "Precipitation",
+        "sim_tag": "evening_18:00",
+    }
+)
+
+
+@pytest.fixture(scope="module")
+def grid(spark):
+    pdf = make_grid_pdf()
+    sdf = spark.createDataFrame(pdf)
+    return (
+        sdf.withColumn("source_file", F.lit("fixture.nc"))
+        .withColumn("fgt_utc", F.lit(FGT_UTC).cast("timestamp"))
+        .withColumn("epoch_str", F.lit(EPOCH_STR))
+    )
+
+
+def _canon(pdf: pd.DataFrame) -> pd.DataFrame:
+    cols = sorted(pdf.columns)
+    return (
+        pdf[cols].sort_values(cols).reset_index(drop=True)
+    )
+
+
+def test_e1_fact_rows_match_pandas_oracle(spark, grid):
+    fact, _ = push_wrf_grid(grid, CFG)
+    got = _canon(fact.toPandas())
+    want = _canon(
+        oracle_push_rows(
+            make_grid_pdf(), CFG.effective_sim_tag, CFG.model,
+            CFG.version, CFG.variable, CFG.unit, CFG.unit_type,
+        )
+    )
+    assert len(got) == len(want) == 2 * 12 * 6 * 5
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_e1_run_metadata(spark, grid):
+    _, runs = push_wrf_grid(grid, CFG)
+    rpdf = runs.toPandas()
+    assert len(rpdf) == 2 * 6 * 5  # one run per (system, cell)
+    assert set(rpdf["source"]) == {f"WRF_{s}" for s in SYSTEMS}
+    assert (rpdf["sim_tag"] == "evening_18:00").all()
+    assert rpdf["tms_id"].is_unique
+    # fgt = file mtime + 5:30, minute-truncated
+    assert (rpdf["fgt"] == "2024-06-02 08:47:00").all()
+
+
+def test_diff_cumsum_identity(spark):
+    # A1 inverse property: diff of a running sum recovers the increments
+    pdf = pd.DataFrame(
+        {
+            "k": ["a"] * 50 + ["b"] * 50,
+            "t": list(range(50)) * 2,
+            "inc": [round(0.001 * i, 3) for i in range(100)],
+        }
+    )
+    sdf = spark.createDataFrame(pdf)
+    from pyspark.sql import Window
+
+    cum = sdf.withColumn(
+        "cum",
+        F.sum("inc").over(
+            Window.partitionBy("k").orderBy("t")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    back = adjacent_diff(
+        cum, series_cols=["k"], order_col="t", value_col="cum",
+        out_col="rec",
+    ).withColumn("rec", F.round("rec", 3))
+    bad = back.filter(F.abs(F.col("rec") - F.col("inc")) > 1e-9).count()
+    assert bad == 0
+    assert back.count() == 98  # first row of each series consumed
+
+
+def test_upsert_idempotent(spark, grid, tmp_path):
+    fact, _ = push_wrf_grid(grid, CFG)
+    store = str(tmp_path / "fcst_store")
+    n1 = upsert_parquet(spark, fact, store, keys=["tms_id", "time"])
+    n2 = upsert_parquet(spark, fact, store, keys=["tms_id", "time"])
+    assert n1 == n2 == fact.count()
+    # re-push with a newer fgt: same rows, fgt advances (reference
+    # semantics: whole file re-pushed ⇒ upsert with new fgt)
+    fact2 = fact.withColumn("fgt", F.lit("2024-06-03 08:47:00"))
+    n3 = upsert_parquet(spark, fact2, store, keys=["tms_id", "time"])
+    assert n3 == n1
+    fgts = (
+        spark.read.parquet(store).select("fgt").distinct().toPandas()["fgt"]
+    )
+    assert list(fgts) == ["2024-06-03 08:47:00"]
+
+
+def test_get_or_create_idempotent_and_dense(spark):
+    dim = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, k string"
+    )
+    incoming = spark.createDataFrame(
+        [("b",), ("c",), ("d",), ("c",)], "k string"
+    )
+    out1 = get_or_create(dim, incoming, key_cols=["k"], id_col="id")
+    pdf = out1.toPandas().sort_values("k").reset_index(drop=True)
+    assert list(pdf["k"]) == ["a", "b", "c", "d"]
+    assert list(pdf["id"]) == [1, 2, 3, 4]
+    # idempotent: re-merging the same keys changes nothing
+    out2 = get_or_create(out1, incoming, key_cols=["k"], id_col="id")
+    assert _canon(out2.toPandas()).equals(_canon(pdf))
