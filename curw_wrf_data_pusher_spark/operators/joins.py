@@ -52,6 +52,77 @@ def get_or_create(
     )
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_time: str,
+    right_time: str,
+    value_cols: Sequence[str],
+    tolerance: str | None = None,
+) -> DataFrame:
+    """As-of (backward) join: for each left row, attach the value
+    columns of the latest right row with ``right_time <= left_time``
+    (inclusive), matched on the ``on`` equi-keys.
+
+    Spark has no native as-of join; the classic implementations are a
+    range cross-join (quadratic blowup) or per-group ``merge_asof`` in
+    pandas (Python in the hot path).  This uses the union-tag-window
+    form instead: tag both sides, union, one window sorted by (time,
+    side) per key carrying ``last(value, ignorenulls)`` forward, keep
+    left rows.  Exactly ONE shuffle + sort on the join key, all
+    JVM-side — survives any scale the key distribution allows.
+
+    ``tolerance`` (e.g. ``'INTERVAL 1 HOUR'``): matches older than
+    left_time − tolerance are nulled, like pandas merge_asof.
+    Right-side (key, time) pairs should be unique (pre-dedupe) for
+    deterministic results.
+    """
+    lt, rt = F.col(left_time), F.col(right_time)
+    l_tag = left.withColumn("__t", lt).withColumn("__side", F.lit(1))
+    for c in value_cols:
+        l_tag = l_tag.withColumn(f"__v_{c}", F.lit(None))
+    r_tag = right.select(
+        *[F.col(c) for c in on],
+        rt.alias("__t"),
+        F.lit(0).alias("__side"),
+        *[F.col(c).alias(f"__v_{c}") for c in value_cols],
+    )
+    l_cols = [c for c in l_tag.columns if c in left.columns]
+    unioned = l_tag.select(
+        *l_cols, "__t", "__side", *[f"__v_{c}" for c in value_cols]
+    ).unionByName(r_tag, allowMissingColumns=True)
+
+    w = (
+        Window.partitionBy(*on)
+        .orderBy("__t", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned
+    for c in value_cols:
+        carried = carried.withColumn(
+            f"__c_{c}", F.last(f"__v_{c}", ignorenulls=True).over(w)
+        )
+    carried = carried.withColumn(
+        "__c_t", F.last(F.when(F.col("__side") == 0, F.col("__t")),
+                        ignorenulls=True).over(w)
+    )
+    out = carried.filter(F.col("__side") == 1)
+    if tolerance is not None:
+        in_window = F.col("__c_t") >= F.col("__t") - F.expr(tolerance)
+        for c in value_cols:
+            out = out.withColumn(
+                f"__c_{c}", F.when(in_window, F.col(f"__c_{c}"))
+            )
+        out = out.withColumn("__c_t", F.when(in_window, F.col("__c_t")))
+    keep = [c for c in left.columns]
+    return out.select(
+        *keep,
+        *[F.col(f"__c_{c}").alias(f"asof_{c}") for c in value_cols],
+        F.col("__c_t").alias("asof_time"),
+    )
+
+
 def nearest_neighbor_map(
     left: DataFrame,
     right: DataFrame,

@@ -633,3 +633,183 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# As-of join — the canonical timeseries operator Spark lacks natively
+# (see operators.joins.asof_join: union-tag-window form, one shuffle).
+# For each purchase, the user's latest click at-or-before it.
+@register(
+    "j6_asof_join",
+    oracle="""
+    WITH clicks AS (
+      SELECT user_id, ts, value FROM (
+        SELECT user_id, ts, value,
+               row_number() OVER (PARTITION BY user_id, ts
+                                  ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type = 'click'
+      ) WHERE rn = 1
+    ),
+    purchases AS (
+      SELECT event_id, user_id, ts, value FROM events
+      WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS t, p.value,
+           c.value AS asof_value,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS asof_t
+    FROM purchases p ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def j6_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.joins import asof_join
+    from ..operators.dedup import latest_per_series
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = latest_per_series(
+        ev.filter(F.col("event_type") == "click"),
+        series_cols=["user_id", "ts"], version_cols=["event_id"],
+    ).select("user_id", "ts", "value")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    out = asof_join(
+        purchases, clicks, on=["user_id"], left_time="ts",
+        right_time="ts", value_cols=["value"],
+    )
+    return out.select(
+        "event_id", "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("t"),
+        "value", "asof_value",
+        F.date_format("asof_time", "yyyy-MM-dd HH:mm:ss").alias("asof_t"),
+    )
+
+
+# Rollup / grouping sets (absent in the reference; engine exposes
+# Spark's built-ins — SURVEY §2.4 note).
+@register(
+    "a8_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+)
+def a8_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        _dsum("l_quantity").alias("sum_qty"), F.count("*").alias("n")
+    )
+
+
+# Distinct aggregation surface.
+@register(
+    "a7_distinct_agg",
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS n_parts,
+           count(DISTINCT l_suppkey) AS n_supps,
+           count(*) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def a7_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+# Set ops beyond union (absent in reference; exposed anyway).
+@register(
+    "u3_intersect",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders
+    INTERSECT
+    SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+    """,
+)
+def u3_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 5000)
+        .select(F.col("c_custkey").alias("custkey"))
+    )
+    return o.intersect(c)
+
+
+@register(
+    "u4_except",
+    oracle="""
+    SELECT c_custkey AS custkey FROM customer
+    EXCEPT
+    SELECT o_custkey FROM orders
+    """,
+)
+def u4_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return c.exceptAll(o).distinct()
+
+
+# §2.10 windows — tumbling 15-minute resample (the obs 15-min cadence,
+# extract_obs_rain_15_min_ts): same plan batch or streaming.
+@register(
+    "s10_window_resample",
+    oracle="""
+    SELECT user_id,
+           strftime(time_bucket(INTERVAL '15 minutes', ts)
+                    + INTERVAL '15 minutes', '%Y-%m-%d %H:%M:%S') AS wend,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v,
+           count(*) AS n
+    FROM events GROUP BY user_id, wend
+    """,
+)
+def s10_window_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.window("ts", "15 minutes").alias("w"))
+        .agg(
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("v"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            "user_id",
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("wend"),
+            "v", "n",
+        )
+    )
+
+
+# P10 — file-metadata scalar (fgt from file mtime,
+# wrf_data_pusher.py:68-72): genuinely not expressible through the
+# oracle's pre-registered views → rows-only check.
+@register("p10_file_metadata")
+def p10_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.select(
+            F.col("_metadata.file_name").alias("file_name"),
+            F.col("_metadata.file_modification_time").alias("mtime"),
+        )
+        .groupBy("file_name")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.date_format(
+                F.from_utc_timestamp(F.max("mtime"), "Asia/Colombo"),
+                "yyyy-MM-dd HH:mm:ss",
+            ).alias("fgt_lk"),
+        )
+    )

@@ -44,5 +44,7 @@ def test_all_queries_have_oracles():
     missing = set(QUERIES) - set(ORACLES)
     # non-SQL-expressible ops may legitimately omit oracles; keep the
     # list explicit so additions are deliberate.
-    allowed_missing = set()
+    # p10: file-metadata columns can't be expressed through the
+    # oracle's pre-registered views → driver records a rows-only check
+    allowed_missing = {"p10_file_metadata"}
     assert missing <= allowed_missing, f"queries without oracles: {missing}"
