@@ -1,0 +1,105 @@
+"""Physical-plan quality gates (SURVEY §4): predicate pushdown reaches
+the parquet scan, column pruning holds, small dims broadcast, the hot
+path stays in whole-stage codegen, and the §1.4 partition layout prunes.
+
+These tests read .explain("formatted") output — if a future change
+regresses a plan (filter stops pushing, join degrades to sort-merge,
+codegen breaks), they fail even though results stay correct.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from curw_wrf_data_pusher_spark.queries import QUERIES
+from curw_wrf_data_pusher_spark.sources.lake import load_table
+
+
+import re
+
+
+def plan_of(df, execute: bool = False) -> str:
+    if execute:
+        # AQE only annotates WholeStageCodegen spans on the final plan,
+        # and only this DataFrame's own queryExecution carries it
+        df.collect()
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def count_nodes(plan: str, node: str) -> int:
+    # formatted plans list every operator once as "(N) NodeName"
+    return len(re.findall(rf"^\(\d+\) {node}", plan, flags=re.M))
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    df = QUERIES["p2_bbox_filter"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "PushedFilters:" in plan
+    # the range predicate must appear in the scan's pushed filters
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln][0]
+    assert "l_quantity" in pushed and "l_discount" in pushed
+
+
+def test_column_pruning(spark, sf_dir):
+    # 2-column projection must not read the other 9 lineitem columns
+    li = load_table(spark, sf_dir, "lineitem")
+    df = li.select("l_orderkey", "l_quantity")
+    plan = plan_of(df)
+    schema_line = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "l_orderkey" in schema_line and "l_quantity" in schema_line
+    assert "l_extendedprice" not in schema_line
+    assert "l_shipdate" not in schema_line
+
+
+def test_broadcast_join_chosen_for_small_dim(spark, sf_dir):
+    plan = plan_of(QUERIES["j3_broadcast_lookup"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_hot_path_in_wholestage_codegen(spark, sf_dir):
+    plan = plan_of(QUERIES["a1_pricing_summary"](spark, sf_dir), execute=True)
+    # '*' prefixes in the final adaptive plan mark whole-stage-codegen
+    # spans: filter, project and both aggregate sides must be inside
+    assert "* Filter" in plan and "* Project" in plan
+    assert "* HashAggregate" in plan
+    # no Python evaluation anywhere in the aggregation pipeline
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    # map-side partial aggregation before the shuffle
+    assert "partial_sum" in plan
+
+
+def test_lag_diff_single_shuffle(spark, sf_dir):
+    plan = plan_of(QUERIES["w1_lag_diff"](spark, sf_dir))
+    # one exchange for the window partitioning, nothing else
+    assert count_nodes(plan, "Exchange") == 1
+
+
+def test_partition_layout_prunes(spark, tmp_path):
+    # §1.4: the reference's path convention becomes Hive partition
+    # columns; a filter on them must prune at planning time.
+    df = spark.range(0, 1000).select(
+        F.col("id"),
+        (F.col("id") % 4).cast("string").alias("wrf_system"),
+        F.lit("2024-06-01").alias("run_date"),
+    )
+    lake = str(tmp_path / "lake")
+    df.write.partitionBy("run_date", "wrf_system").parquet(lake)
+
+    scan = spark.read.parquet(lake).filter(
+        (F.col("wrf_system") == "1") & (F.col("run_date") == "2024-06-01")
+    )
+    plan = plan_of(scan)
+    assert "PartitionFilters" in plan
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln][0]
+    assert "wrf_system" in pf
+    assert scan.count() == 250
+
+
+def test_latest_dedup_join_form_broadcasts(spark, sf_dir):
+    plan = plan_of(QUERIES["a6_latest_fgt_join"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
