@@ -46,12 +46,16 @@ def cosine_topk(
     ``score_scale`` decimals with an id tie-break so results are
     deterministic.  The (small) query side is broadcast: the plan is a
     single pass over the corpus, no shuffle of corpus vectors."""
+    from ..sources.lake import spread
+
     q = queries.select(
         F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
     ).withColumn("q_norm", _norm(F.col("q_vec")))
-    c = corpus.select(
+    # spread: a single-file corpus scan must not serialize 50k dot
+    # products on one core
+    c = spread(corpus.select(
         F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec")
-    ).withColumn("n_norm", _norm(F.col("n_vec")))
+    )).withColumn("n_norm", _norm(F.col("n_vec")))
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("n_id") != F.col("q_id"))

@@ -1,0 +1,99 @@
+"""Unit tests for JDBC option/SQL construction, maintenance sinks, and
+the orchestration runner."""
+
+from __future__ import annotations
+
+import os
+import tarfile
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from curw_wrf_data_pusher_spark.plans.runner import RunReport, run_wrf_push
+from curw_wrf_data_pusher_spark.sinks.maintenance import (
+    archive_dir,
+    retention_delete,
+)
+from curw_wrf_data_pusher_spark.sinks.upsert import build_mysql_upsert_sql
+from curw_wrf_data_pusher_spark.sources.jdbc import (
+    active_stations_query,
+    jdbc_options,
+)
+
+from .test_wrf_pipeline import CFG
+from .wrf_fixture import EPOCH_STR, FGT_UTC, make_grid_pdf
+
+
+def test_mysql_upsert_sql_shape():
+    sql = build_mysql_upsert_sql(
+        "fcst_data", ["tms_id", "time", "fgt", "value"], ["fgt", "value"]
+    )
+    assert sql == (
+        "INSERT INTO fcst_data (tms_id, time, fgt, value) "
+        "VALUES (%s, %s, %s, %s) "
+        "ON DUPLICATE KEY UPDATE fgt=VALUES(fgt), value=VALUES(value)"
+    )
+
+
+def test_jdbc_options_partitioned_scan():
+    opts = jdbc_options(
+        "jdbc:mysql://host/db", "fcst_data", "u", "p",
+        partition={"column": "station_id", "lowerBound": 0,
+                   "upperBound": 16038, "numPartitions": 32},
+    )
+    assert opts["dbtable"] == "fcst_data"
+    assert opts["partitionColumn"] == "station_id"
+    assert opts["numPartitions"] == "32"
+    q = jdbc_options("u", "SELECT 1", "u", "p", is_query=True)
+    assert "query" in q and "dbtable" not in q
+
+
+def test_active_stations_query_is_filter_pushdown():
+    q = active_stations_query(days=7)
+    assert "INTERVAL 7 DAY" in q and "stored" not in q.lower()
+
+
+def test_archive_and_retention(tmp_path):
+    src = tmp_path / "rfields"
+    src.mkdir()
+    (src / "a.txt").write_text("1\n")
+    tar_path = archive_dir(str(src), str(tmp_path / "out" / "rfields.tar.gz"))
+    with tarfile.open(tar_path) as t:
+        assert "rfields/a.txt" in t.getnames()
+
+    old = tmp_path / "lake" / "old.nc"
+    new = tmp_path / "lake" / "new.nc"
+    old.parent.mkdir()
+    old.write_text("x")
+    new.write_text("y")
+    os.utime(old, (time.time() - 100 * 86400,) * 2)
+    removed = retention_delete(str(tmp_path / "lake"), max_age_days=90)
+    assert [os.path.basename(p) for p in removed] == ["old.nc"]
+    assert new.exists() and not old.exists()
+
+
+def test_runner_end_to_end_and_error_capture(spark, tmp_path):
+    grid = (
+        spark.createDataFrame(make_grid_pdf())
+        .withColumn("source_file", F.lit("fixture.nc"))
+        .withColumn("fgt_utc", F.lit(FGT_UTC).cast("timestamp"))
+        .withColumn("epoch_str", F.lit(EPOCH_STR))
+    )
+    report = run_wrf_push(
+        spark, CFG, grid, str(tmp_path / "store"),
+        rfield_dir=str(tmp_path / "rf"),
+    )
+    assert report.ok
+    steps = {s["step"]: s for s in report.steps}
+    assert steps["push"]["rows"] == 2 * 12 * 6 * 5
+    assert steps["push"]["series"] == 2 * 6 * 5
+    assert steps["rfields"]["files"] == 2 * (2 * 12)  # d03 + kelani
+
+    # error capture: a grid missing required columns must produce a
+    # failed step, not an unhandled exception
+    bad = spark.range(3)
+    report2 = run_wrf_push(spark, CFG, bad, str(tmp_path / "store2"))
+    assert not report2.ok
+    assert "push" == report2.steps[0]["step"]
+    assert report2.steps[0]["detail"]
