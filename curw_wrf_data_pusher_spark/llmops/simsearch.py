@@ -76,6 +76,47 @@ def cosine_topk(
     )
 
 
+def neardup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    score_scale: int = 9,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a < id_b, cos) for
+    every pair clearing the threshold.
+
+    This is the exact all-pairs form — the correctness baseline.  At
+    scale, bucket by the random-hyperplane signature first (see
+    ``lsh_bucket_topk``) so only in-bucket pairs are scored; the
+    comparison itself is unchanged."""
+    from ..sources.lake import spread
+
+    n = spread(corpus.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+    )).withColumn("nrm", _norm(F.col("vec")))
+    a = n.select(
+        F.col("id").alias("id_a"), F.col("vec").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = n.select(
+        F.col("id").alias("id_b"), F.col("vec").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    scored = (
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cos",
+            F.round(
+                _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
+                score_scale,
+            ),
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+    return scored.select("id_a", "id_b", "cos")
+
+
 def _hyperplanes(dim: int, bits: int) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes: component (p, d) is a
     signed unit value derived from md5 — reproducible everywhere with

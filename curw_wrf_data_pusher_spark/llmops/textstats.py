@@ -92,3 +92,26 @@ def fingerprint(
     return df.select(
         F.col(id_col), F.md5(norm).alias("fingerprint")
     )
+
+
+#: BPE-ish pre-tokenizer: letter runs, digit runs, punctuation runs —
+#: the shape GPT-style byte-pair pre-tokenization produces, minus
+#: byte-level escapes (kept engine-portable: same regex semantics in
+#: Spark's Java regex and DuckDB's RE2).
+BPE_TOKEN_PATTERN = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+"
+
+
+def token_counts(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Token counting two ways (the training-data-pipeline staple):
+    whitespace tokens and BPE-ish regex tokens, plus their ratio (a
+    cheap fertility/quality signal)."""
+    ws = F.size(_tokens(text_col))
+    bpe = F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_TOKEN_PATTERN), 0))
+    return df.select(
+        F.col(id_col),
+        ws.alias("n_ws_tokens"),
+        bpe.alias("n_bpe_tokens"),
+        (bpe.cast("double") / ws).alias("bpe_per_ws"),
+    )

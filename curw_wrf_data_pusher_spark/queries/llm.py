@@ -294,3 +294,47 @@ def llm_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("text").cast("binary").alias("blob")
     )
     return binary_metadata(docs, id_col="doc_id", binary_col="blob")
+
+
+# Token counting: whitespace + BPE-ish regex (pre-tokenizer shape).
+@register(
+    "llm_token_counts",
+    oracle=r"""
+    WITH t AS (SELECT doc_id, text, string_split(trim(text), ' ') AS toks
+               FROM documents)
+    SELECT doc_id,
+           len(toks) AS n_ws_tokens,
+           len(regexp_extract_all(text,
+               '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+')) AS n_bpe_tokens,
+           CAST(len(regexp_extract_all(text,
+               '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+')) AS DOUBLE)
+             / len(toks) AS bpe_per_ws
+    FROM t
+    """,
+)
+def llm_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llmops.textstats import token_counts
+
+    return token_counts(load_table(spark, sf_dir, "documents"))
+
+
+# Embedding-cosine near-duplicate pairs: vectors whose cosine clears a
+# high threshold are near-dups (the embedding-space analogue of
+# MinHash). Exact form = all-pairs; the scale path buckets by the
+# LSH signature first (llmops.simsearch.lsh_bucket_topk).
+@register(
+    "llm_embedding_neardup",
+    oracle="""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    n AS (SELECT vec_id, e, sqrt(list_inner_product(e, e)) AS nrm FROM v)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_inner_product(a.e, b.e) / (a.nrm * b.nrm), 9) AS cos
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE round(list_inner_product(a.e, b.e) / (a.nrm * b.nrm), 9) >= 0.35
+    """,
+)
+def llm_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llmops.simsearch import neardup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return neardup_pairs(emb, threshold=0.35)
