@@ -338,3 +338,50 @@ def llm_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return neardup_pairs(emb, threshold=0.35)
+
+
+# Dedup-cluster resolution: connected components over the LSH candidate
+# pairs — min doc_id per component is the canonical representative.
+# Oracle: recursive CTE enumerating reachability (terminates because
+# UNION deduplicates visited (node, root) pairs).
+_SHINGLE_CTE_RECURSIVE = _SHINGLE_CTE.replace("WITH toks", "WITH RECURSIVE toks", 1)
+
+
+@register(
+    "llm_dedup_clusters",
+    oracle=f"""
+    {_SHINGLE_CTE_RECURSIVE},
+    hashed AS (
+      SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS x
+      FROM sh
+    ),
+    sig AS (
+      SELECT doc_id, {_MH_TERMS}
+      FROM hashed GROUP BY doc_id
+    ),
+    buckets AS ({_BAND_BUCKETS}),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM buckets a JOIN buckets b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach AS (
+      SELECT a AS node, a AS root FROM edges
+      UNION
+      SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.node
+    )
+    SELECT node AS doc_id, min(root) AS cluster_id
+    FROM reach GROUP BY node
+    """,
+)
+def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llmops.clusters import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    sig = minhash_signatures(shingles(docs))
+    pairs = lsh_candidate_pairs(sig, bands=4, rows_per_band=2)
+    return connected_components(pairs)

@@ -53,4 +53,32 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    _ship_package(spark)
     return spark
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Ship this package to executor Python workers via addPyFile.
+
+    Any cloudpickled function defined in this package (stateful
+    streaming UDFs, mapInPandas readers) must be importable on the
+    worker side; on a real cluster — or a driver launched from a CWD
+    outside the repo — the package isn't on the workers' sys.path.
+    A zip added once per session fixes both."""
+    import zipfile
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pkg = os.path.join(root, "curw_wrf_data_pusher_spark")
+    zip_path = os.path.join(
+        spark._jvm.System.getProperty("java.io.tmpdir") or "/tmp",
+        f"curw_wrf_data_pusher_spark-{os.getpid()}.zip",
+    )
+    if not os.path.exists(zip_path):
+        with zipfile.ZipFile(zip_path, "w") as zf:
+            for dirpath, _, names in os.walk(pkg):
+                for name in names:
+                    if not name.endswith(".py"):
+                        continue
+                    full = os.path.join(dirpath, name)
+                    zf.write(full, os.path.relpath(full, root))
+    spark.sparkContext.addPyFile(zip_path)
