@@ -59,6 +59,28 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     return df
 
 
+#: The reference's filesystem layout as Hive partition columns
+#: (SURVEY §1.4: {version}/{gfs_run}/{gfs_data_hour}/{date}/{wrf_type}/
+#: {wrf_system}) — filters on any prefix prune at planning time.
+WRF_PARTITION_COLS = (
+    "version", "gfs_run", "gfs_data_hour", "run_date", "wrf_type",
+    "wrf_system",
+)
+
+
+def write_lake_table(
+    df: DataFrame,
+    path: str,
+    partition_cols=WRF_PARTITION_COLS,
+    mode: str = "append",
+) -> None:
+    """Write a lake table in the §1.4 partition layout.  At 100 TB the
+    daily append touches only its own partition directories; readers
+    filtering on run metadata never list the rest."""
+    present = [c for c in partition_cols if c in df.columns]
+    df.write.mode(mode).partitionBy(*present).parquet(path)
+
+
 def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:
     """Register lake tables as temp views so queries can use spark.sql."""
     for name in tables:
