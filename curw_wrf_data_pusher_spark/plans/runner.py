@@ -49,12 +49,19 @@ def run_wrf_push(
     store_dir: str,
     stations: DataFrame | None = None,
     rfield_dir: str | None = None,
+    systems: list[str] | None = None,
 ) -> RunReport:
     """E1 (+E2 when rfield_dir given) for one run, all systems at once.
 
     ``grid``: long-format grid rows (from read_wrf_grid /
-    read_wrf_grid_parquet), possibly many systems/files."""
+    read_wrf_grid_parquet), possibly many systems/files.
+    ``systems``: restrict to these WRF systems — the sequential
+    single-system variant (wrf_data_pusher_seq.py) is just this filter,
+    which prunes the lake partition when wrf_system is a partition
+    column."""
     report = RunReport()
+    if systems is not None:
+        grid = grid.filter(F.col("wrf_system").isin(list(systems)))
     try:
         fact, runs = push_wrf_grid(grid, cfg, stations=stations)
         n_fact = upsert_parquet(
@@ -64,6 +71,12 @@ def run_wrf_push(
         n_runs = upsert_parquet(
             spark, runs, os.path.join(store_dir, "run"), keys=["tms_id"]
         )
+        # A4 emptiness guard: the reference aborts with "timeseries is
+        # empty" (wrf_data_pusher.py:200-204) — an empty push is a
+        # failed step, not a silent success
+        if n_fact == 0:
+            report.record("push", False, detail="timeseries is empty")
+            return report
         report.record("push", True, rows=n_fact, series=n_runs)
     except Exception as exc:
         report.record("push", False, detail=f"{type(exc).__name__}: {exc}")

@@ -813,3 +813,26 @@ def p10_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("fgt_lk"),
         )
     )
+
+
+# Exact interpolated quantiles (engine exposes both exact percentile
+# and approx_percentile; only the exact form is oracle-comparable —
+# both engines use the standard (n-1)*p linear interpolation).
+@register(
+    "a9_percentiles",
+    oracle="""
+    SELECT event_type,
+           quantile_cont(value, 0.5) AS p50,
+           quantile_cont(value, 0.9) AS p90,
+           min(value) AS vmin, max(value) AS vmax
+    FROM events GROUP BY event_type
+    """,
+)
+def a9_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("p50"),
+        F.expr("percentile(value, 0.9)").alias("p90"),
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+    )

@@ -97,3 +97,17 @@ def test_runner_end_to_end_and_error_capture(spark, tmp_path):
     assert not report2.ok
     assert "push" == report2.steps[0]["step"]
     assert report2.steps[0]["detail"]
+
+
+def test_runner_seq_variant_single_system(spark, tmp_path):
+    grid = (
+        spark.createDataFrame(make_grid_pdf())
+        .withColumn("source_file", F.lit("fixture.nc"))
+        .withColumn("fgt_utc", F.lit(FGT_UTC).cast("timestamp"))
+        .withColumn("epoch_str", F.lit(EPOCH_STR))
+    )
+    report = run_wrf_push(
+        spark, CFG, grid, str(tmp_path / "store"), systems=["A"]
+    )
+    assert report.ok
+    assert report.steps[0]["rows"] == 12 * 6 * 5  # one system only
