@@ -836,3 +836,57 @@ def a9_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("value").alias("vmin"),
         F.max("value").alias("vmax"),
     )
+
+
+# Sessionization: split each user's event stream into sessions at
+# >30-minute gaps (lag + flag + running count), then aggregate per
+# session — the canonical event-analytics window composition.
+@register(
+    "w4_sessionize",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN ts - lag(ts) OVER w <= INTERVAL '30 minutes'
+                  THEN 0 ELSE 1 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+      SELECT user_id, ts, event_id, value,
+             CAST(sum(new_session) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS session_no
+      FROM flagged
+    )
+    SELECT user_id, session_no,
+           count(*) AS n_events,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+    FROM sessions GROUP BY user_id, session_no
+    """,
+)
+def w4_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(
+            F.col("ts").cast("long")
+            - F.lag(F.col("ts").cast("long")).over(w) <= 30 * 60,
+            0,
+        ).otherwise(1),
+    )
+    sessions = flagged.withColumn(
+        "session_no",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return sessions.groupBy("user_id", "session_no").agg(
+        F.count("*").alias("n_events"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        F.sum(F.col("value").cast(DEC)).cast("double").alias("session_value"),
+    )

@@ -385,3 +385,45 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = minhash_signatures(shingles(docs))
     pairs = lsh_candidate_pairs(sig, bands=4, rows_per_band=2)
     return connected_components(pairs)
+
+
+# SimHash near-dup pairs: hamming distance over the 32-bit signatures
+# (xor + bit_count — verified identical in both engines). Complements
+# MinHash: SimHash catches small edits, MinHash catches shared
+# shingles.
+@register(
+    "llm_simhash_neardup",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    hashed AS (
+      SELECT doc_id, ('0x' || substr(md5(token), 1, 8))::BIGINT AS x
+      FROM toks
+    ),
+    sig AS (
+      SELECT doc_id, {_SIMHASH_BITS} AS simhash
+      FROM hashed GROUP BY doc_id
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+    """,
+)
+def llm_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.lake import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    tokens = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    sig = simhash(tokens)
+    a = sig.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("ha"))
+    b = sig.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("hb"))
+    return (
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
+        .filter(F.col("hamming") <= 6)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -80,6 +80,34 @@ def build_mysql_upsert_sql(table: str, columns: Sequence[str],
     )
 
 
+def build_upsert_sql(
+    table: str,
+    columns: Sequence[str],
+    key_columns: Sequence[str],
+    dialect: str = "mysql",
+) -> str:
+    """Keyed-upsert statement per dialect.
+
+    mysql  : INSERT ... ON DUPLICATE KEY UPDATE (paramstyle %s) —
+             production target, matching the reference's adapter.
+    sqlite : INSERT ... ON CONFLICT(keys) DO UPDATE (paramstyle ?) —
+             lets the integration tests run the real foreachPartition
+             sink against an actual database in this container."""
+    update_cols = [c for c in columns if c not in key_columns]
+    if dialect == "mysql":
+        return build_mysql_upsert_sql(table, columns, update_cols)
+    if dialect == "sqlite":
+        collist = ", ".join(columns)
+        placeholders = ", ".join(["?"] * len(columns))
+        keys = ", ".join(key_columns)
+        updates = ", ".join(f"{c}=excluded.{c}" for c in update_cols)
+        return (
+            f"INSERT INTO {table} ({collist}) VALUES ({placeholders}) "
+            f"ON CONFLICT({keys}) DO UPDATE SET {updates}"
+        )
+    raise ValueError(f"unknown dialect: {dialect}")
+
+
 def upsert_jdbc(
     df: DataFrame,
     connect: "callable",
@@ -88,6 +116,7 @@ def upsert_jdbc(
     batch_size: int = 1000,
     retries: int = 1,
     retry_wait_s: float = 5.0,
+    dialect: str = "mysql",
 ) -> None:
     """Batched keyed upsert via foreachPartition.
 
@@ -96,8 +125,7 @@ def upsert_jdbc(
     semantics mirror the reference: one retry after a fixed sleep
     (wrf_data_pusher.py:126-140)."""
     columns = df.columns
-    update_cols = [c for c in columns if c not in key_columns]
-    sql = build_mysql_upsert_sql(table, columns, update_cols)
+    sql = build_upsert_sql(table, columns, key_columns, dialect)
 
     def push_partition(rows) -> None:
         conn = connect()

@@ -71,6 +71,22 @@ def stream_wrf_push(
     return writer.start()
 
 
+def dedup_within_watermark(
+    stream: DataFrame,
+    keys: list[str],
+    time_col: str = "time",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Streaming re-delivery dedup (§2.10 "Late/updated data"): drop
+    duplicate (keys) arriving within the watermark window — the
+    streaming analogue of the reference's idempotent re-push, with
+    bounded state (entries expire past the watermark instead of
+    accumulating forever)."""
+    return stream.withWatermark(time_col, watermark).dropDuplicatesWithinWatermark(
+        keys
+    )
+
+
 def windowed_obs_resample(
     obs_stream: DataFrame,
     window: str = "15 minutes",

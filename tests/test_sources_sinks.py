@@ -111,3 +111,58 @@ def test_runner_seq_variant_single_system(spark, tmp_path):
     )
     assert report.ok
     assert report.steps[0]["rows"] == 12 * 6 * 5  # one system only
+
+
+def test_upsert_jdbc_real_database_roundtrip(spark, tmp_path):
+    """Run the actual foreachPartition sink against a real database
+    (SQLite dialect): insert, then re-push with changed values — the
+    conflict path must update, concurrent partitions must serialize
+    via the retry wrapper."""
+    import sqlite3
+
+    from curw_wrf_data_pusher_spark.sinks.upsert import upsert_jdbc
+
+    db = str(tmp_path / "store.db")
+    with sqlite3.connect(db) as c:
+        c.execute(
+            "CREATE TABLE fcst_data (tms_id TEXT, time TEXT, fgt TEXT, "
+            "value REAL, PRIMARY KEY (tms_id, time))"
+        )
+
+    rows1 = [(f"s{i % 5}", f"t{i}", "f1", float(i)) for i in range(200)]
+    df1 = spark.createDataFrame(
+        rows1, "tms_id string, time string, fgt string, value double"
+    ).repartition(8)
+
+    def connect():
+        import sqlite3 as sq
+
+        return sq.connect(db, timeout=60)
+
+    upsert_jdbc(
+        df1, connect, "fcst_data", key_columns=["tms_id", "time"],
+        batch_size=32, retries=3, retry_wait_s=0.2, dialect="sqlite",
+    )
+    with sqlite3.connect(db) as c:
+        n, fgts = c.execute(
+            "SELECT count(*), group_concat(DISTINCT fgt) FROM fcst_data"
+        ).fetchone()
+    assert n == 200 and fgts == "f1"
+
+    # re-push same keys with new fgt and shifted values → updated, not
+    # duplicated (the reference's whole-file re-push)
+    rows2 = [(k, t, "f2", v + 0.5) for k, t, _, v in rows1]
+    df2 = spark.createDataFrame(
+        rows2, "tms_id string, time string, fgt string, value double"
+    ).repartition(8)
+    upsert_jdbc(
+        df2, connect, "fcst_data", key_columns=["tms_id", "time"],
+        batch_size=32, retries=3, retry_wait_s=0.2, dialect="sqlite",
+    )
+    with sqlite3.connect(db) as c:
+        n, fgts, v = c.execute(
+            "SELECT count(*), group_concat(DISTINCT fgt), sum(value) "
+            "FROM fcst_data"
+        ).fetchone()
+    assert n == 200 and fgts == "f2"
+    assert v == sum(r[3] for r in rows2)

@@ -92,3 +92,44 @@ def test_windowed_obs_resample_batch_parity(spark):
     assert got[("h1", "2024-06-01 00:15:00")] == 3.0
     assert got[("h1", "2024-06-01 00:30:00")] == 4.0
     assert got[("h2", "2024-06-01 00:15:00")] == 8.0
+
+
+def test_dedup_within_watermark(spark, tmp_path):
+    from curw_wrf_data_pusher_spark.streaming.file_stream import (
+        dedup_within_watermark,
+    )
+
+    watch = str(tmp_path / "w")
+    out = str(tmp_path / "out")
+    os.makedirs(watch)
+    rows = [
+        ("g1", "2024-06-01 00:00:00", 1.0),
+        ("g1", "2024-06-01 00:00:00", 1.0),   # duplicate delivery
+        ("g1", "2024-06-01 00:15:00", 2.0),
+        ("g2", "2024-06-01 00:00:00", 3.0),
+    ]
+    (
+        spark.createDataFrame(rows, "hash_id string, time string, value double")
+        .withColumn("time", F.col("time").cast("timestamp"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(os.path.join(watch, "b1"))
+    )
+    stream = (
+        spark.readStream.schema("hash_id string, time timestamp, value double")
+        .option("recursiveFileLookup", "true")
+        .parquet(watch)
+    )
+    q = (
+        dedup_within_watermark(stream, keys=["hash_id", "time"])
+        .writeStream.foreachBatch(
+            lambda df, _eid: df.write.mode("append").parquet(out)
+        )
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(out)
+    assert got.count() == 3  # duplicate dropped
+    assert got.dropDuplicates(["hash_id", "time"]).count() == 3
