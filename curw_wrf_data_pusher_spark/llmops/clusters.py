@@ -42,7 +42,7 @@ def connected_components(
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
-    for _ in range(max_iterations):
+    for it in range(max_iterations):
         neighbor_min = (
             edges.join(
                 labels.withColumnRenamed("node", "b"), on="b"
@@ -60,16 +60,20 @@ def connected_components(
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), on="node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
+        old_labels, labels = labels, new_labels
+        # convergence check is an extra job per round; rounds 0-1 almost
+        # never converge (diameter ≥ 2 whenever any edge exists), so
+        # only start checking from round 2
+        if it >= 2:
+            changed = (
+                labels.alias("n")
+                .join(old_labels.alias("o"), on="node")
+                .filter(F.col("n.label") != F.col("o.label"))
+                .limit(1)
+                .count()
+            )
+            if changed == 0:
+                break
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )

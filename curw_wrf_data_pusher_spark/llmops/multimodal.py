@@ -120,3 +120,56 @@ def binary_metadata(
         F.length(F.col(binary_col)).alias("n_bytes"),
         F.sha2(F.col(binary_col), 256).alias("content_sha256"),
     )
+
+
+FEATURES_SCHEMA = (
+    "id long, modality string, feature array<float>, feat_dim int, ok boolean"
+)
+
+
+def _fake_features(payload: bytes, modality: str, dim: int) -> list[float]:
+    """Deterministic stand-in for decode→resize→embed: derives a
+    unit-norm feature vector from the payload hash. Replaces cleanly
+    with a real (PIL/ffmpeg + model) pipeline; the Spark-side contract
+    — Arrow batches in, fixed-dim float vectors out — is identical."""
+    import hashlib
+    import math
+
+    h = hashlib.sha256(payload + modality.encode()).digest()
+    vals = [((h[i % 32] / 255.0) * 2.0 - 1.0) for i in range(dim)]
+    nrm = math.sqrt(sum(v * v for v in vals)) or 1.0
+    return [v / nrm for v in vals]
+
+
+def extract_media_features(
+    df: DataFrame,
+    dim: int = 16,
+    id_col: str = "id",
+    content_col: str = "content",
+    modality_col: str = "modality",
+) -> DataFrame:
+    """Decode + feature-extract media blobs into fixed-dim vectors via
+    mapInPandas — the fan-out stage feeding similarity search
+    (llmops.simsearch) on multimodal corpora.
+
+    Batch-shape contract: every output row carries a feat_dim-length
+    array<float>; failures yield ok=false with a null feature, never a
+    task failure."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                payload = bytes(r[content_col]) if r[content_col] is not None else b""
+                try:
+                    feat = _fake_features(payload, r[modality_col], dim)
+                    rows.append((r[id_col], r[modality_col], feat, dim, True))
+                except Exception:
+                    rows.append((r[id_col], r[modality_col], None, dim, False))
+            yield pd.DataFrame(
+                rows, columns=["id", "modality", "feature", "feat_dim", "ok"]
+            )
+
+    return df.select(id_col, modality_col, content_col).mapInPandas(
+        run, schema=FEATURES_SCHEMA
+    )

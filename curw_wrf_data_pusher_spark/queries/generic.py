@@ -890,3 +890,17 @@ def w4_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
         F.sum(F.col("value").cast(DEC)).cast("double").alias("session_value"),
     )
+
+
+# Approximate aggregates (HLL / t-digest sketches). Sketch internals
+# differ across engines, so no value-level oracle exists by design —
+# rows-only check; the exact counterparts (a7_distinct_agg,
+# a9_percentiles) ARE hash-gated, which bounds these.
+@register("a10_approx_aggs")
+def a10_approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.expr("approx_percentile(l_extendedprice, 0.5)").alias("approx_p50"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )

@@ -65,12 +65,14 @@ def read_wrf_grid(
     bbox: dict | None = None,
     variable: str = "RAINNC",
     system_from_path: bool = True,
+    t_slice: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Scan ``*.nc`` files under ``path`` into the long grid schema.
 
-    ``bbox`` (lat/lon min/max) is pushed into the reader: the hyperslab
-    slice happens before any data leaves the C library, exactly like
-    the reference's index-first read.
+    ``bbox`` (lat/lon min/max) and ``t_slice`` (start/end time index,
+    end-exclusive) are pushed into the reader: the hyperslab slice
+    happens before any data leaves the C library, exactly like the
+    reference's index-first read.
     """
     if not _netcdf_available():
         raise RuntimeError(
@@ -110,11 +112,12 @@ def read_wrf_grid(
                     lon_idx = np.where(
                         (lons >= bbox["lon_min"]) & (lons <= bbox["lon_max"])
                     )[0]
+                    t0, t1 = t_slice or (0, xtime.shape[0])
                     var = ds.variables[variable][
-                        :, lat_idx[0]: lat_idx[-1] + 1,
+                        t0:t1, lat_idx[0]: lat_idx[-1] + 1,
                         lon_idx[0]: lon_idx[-1] + 1,
                     ]
-                    times = np.asarray(xtime[:]).astype("int64")
+                    times = np.asarray(xtime[t0:t1]).astype("int64")
                     system = (
                         row["path"].rstrip("/").split("/")[-2]
                         if system_from_path
@@ -131,7 +134,7 @@ def read_wrf_grid(
                             "source_file": row["path"],
                             "fgt_utc": row["modificationTime"],
                             "epoch_str": epoch_str,
-                            "t_idx": tt.ravel().astype("int32"),
+                            "t_idx": (tt.ravel() + t0).astype("int32"),
                             "xtime_min": times[tt.ravel()],
                             "y": yy.ravel().astype("int32"),
                             "x": xx.ravel().astype("int32"),

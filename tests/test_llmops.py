@@ -86,3 +86,28 @@ def test_decoder_registry_is_pluggable(spark):
         from curw_wrf_data_pusher_spark.llmops.multimodal import _fake_decode
 
         DECODERS["video"] = _fake_decode
+
+
+def test_media_features_feed_similarity_search(spark):
+    """Multimodal fan-out → similarity search composition: features
+    from the media UDF must plug straight into cosine_topk."""
+    from curw_wrf_data_pusher_spark.llmops.multimodal import (
+        extract_media_features,
+    )
+
+    rows = [(i, "image", f"payload-{i % 4}".encode()) for i in range(12)]
+    df = spark.createDataFrame(rows, "id long, modality string, content binary")
+    feats = extract_media_features(df, dim=16)
+    pdf = feats.toPandas()
+    assert (pdf["feat_dim"] == 16).all() and pdf["ok"].all()
+    assert all(len(f) == 16 for f in pdf["feature"])
+
+    # identical payloads → identical vectors → cosine 1.0 neighbours
+    emb = feats.select(
+        F.col("id").alias("vec_id"), F.col("feature").alias("embedding")
+    )
+    top = cosine_topk(emb, emb.filter(F.col("vec_id") < 4), k=2).toPandas()
+    best = top[top["rank"] == 1].set_index("q_id")
+    for q in range(4):
+        assert best.loc[q, "cos"] == 1.0  # its payload-twin
+        assert best.loc[q, "n_id"] % 4 == q % 4
