@@ -227,3 +227,49 @@ def simhash(
         )
         sig = bit if sig is None else sig + bit
     return sums.select(F.col(id_col), sig.alias("simhash"))
+
+
+def verify_candidates(
+    shingle_df: DataFrame,
+    candidates: DataFrame,
+    id_col: str = "doc_id",
+    min_jaccard: float = 0.8,
+) -> DataFrame:
+    """Exact Jaccard verification restricted to candidate pairs — the
+    second half of the LSH dedup pipeline.  The shingle join fans out
+    only over |candidates| (near-linear after banding), never all
+    pairs; shingle sets ride broadcast-joined aggregates."""
+    sizes = shingle_df.groupBy(id_col).agg(F.count("*").alias("sz"))
+    a = shingle_df.select(
+        F.col(id_col).alias("id_a"), F.col("shingle").alias("sh_a")
+    )
+    b = shingle_df.select(
+        F.col(id_col).alias("__rid"), F.col("shingle").alias("sh_b")
+    )
+    inter = (
+        candidates.join(a, on="id_a")
+        .join(
+            b,
+            (F.col("id_b") == F.col("__rid"))
+            & (F.col("sh_a") == F.col("sh_b")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    out = (
+        inter.join(
+            F.broadcast(sizes.select(F.col(id_col).alias("id_a"),
+                                     F.col("sz").alias("sz_a"))), "id_a"
+        )
+        .join(
+            F.broadcast(sizes.select(F.col(id_col).alias("id_b"),
+                                     F.col("sz").alias("sz_b"))), "id_b"
+        )
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+    )
+    return out.select("id_a", "id_b", "jaccard")

@@ -427,3 +427,51 @@ def llm_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= 6)
         .select("id_a", "id_b", "hamming")
     )
+
+
+# THE production dedup pipeline, composed: LSH candidates → exact
+# Jaccard verification on candidates only (never all pairs) → keep
+# confirmed near-dups. This is the shape that survives 100 TB: the
+# quadratic step runs on |candidates|, which banding keeps near-linear.
+@register(
+    "llm_dedup_pipeline",
+    oracle=f"""
+    {_SHINGLE_CTE},
+    hashed AS (
+      SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS x
+      FROM sh
+    ),
+    sig AS (
+      SELECT doc_id, {_MH_TERMS}
+      FROM hashed GROUP BY doc_id
+    ),
+    buckets AS ({_BAND_BUCKETS}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM buckets a JOIN buckets b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.id_a, c.id_b, count(*) AS inter
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.id_a
+      JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+      GROUP BY c.id_a, c.id_b
+    )
+    SELECT i.id_a, i.id_b,
+           CAST(i.inter AS DOUBLE)
+             / (sa.sz + sb.sz - i.inter) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.id_a
+    JOIN sizes sb ON sb.doc_id = i.id_b
+    WHERE CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter) >= 0.7
+    """,
+)
+def llm_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llmops.dedup import verify_candidates
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingles(docs)
+    cand = lsh_candidate_pairs(minhash_signatures(sh), bands=4, rows_per_band=2)
+    return verify_candidates(sh, cand, min_jaccard=0.7)

@@ -116,25 +116,31 @@ def wrf_e1_push_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def wrf_e3_hybrid_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # SINGLE-shuffle form: the per-source mean + pivot collapse into one
+    # groupBy with conditional partial aggregates (sum, count per
+    # source), so the plan is scan → partial agg → exchange → final agg
+    # — no second exchange for the pivot. (The generic two-step
+    # pivot_by_source path is exercised by j1_pivot_sources.)
     ev = load_table(spark, sf_dir, "events")
-    long_df = (
+
+    def mean_of(source: str):
+        m = F.col("event_type") == source
+        s = F.sum(F.when(m, F.col("value").cast(DEC))).cast("double")
+        n = F.count(F.when(m, F.lit(1)))
+        return (s / n)
+
+    wide = (
         ev.filter(F.col("event_type").isin("click", "view", "purchase"))
         .groupBy(
             (F.col("user_id") % 5).alias("station_id"),
-            F.date_trunc("hour", "ts").alias("t"),
-            F.col("event_type").alias("source"),
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss")
+            .alias("time_h"),
         )
-        .agg((_dsum_value() / F.count("*")).alias("mean_v"))
-    )
-    wide = (
-        long_df.groupBy(
-            "station_id", F.date_format("t", "yyyy-MM-dd HH:mm:ss").alias("time_h")
+        .agg(
+            mean_of("click").alias("wrf_a"),
+            mean_of("view").alias("wrf_c"),
+            mean_of("purchase").alias("obs"),
         )
-        .pivot("source", ["click", "view", "purchase"])
-        .agg(F.max("mean_v"))
-        .withColumnRenamed("click", "wrf_a")
-        .withColumnRenamed("view", "wrf_c")
-        .withColumnRenamed("purchase", "obs")
     )
     return wide.na.drop("any", subset=["wrf_a", "wrf_c", "obs"])
 
