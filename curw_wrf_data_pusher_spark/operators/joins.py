@@ -123,6 +123,66 @@ def asof_join(
     )
 
 
+def range_join(
+    points: DataFrame,
+    ranges: DataFrame,
+    point_col: str,
+    lower_col: str,
+    upper_col: str,
+    on: Sequence[str] | None = None,
+    bucket_width: int | None = None,
+) -> DataFrame:
+    """Interval join: pair each ``ranges`` row with every ``points`` row
+    whose ``point_col`` lies in [lower, upper] (inclusive).
+
+    With ``on`` equi-keys, Catalyst already plans an equi-join with the
+    range as a post-filter — cheap.  WITHOUT equi-keys a naive join is
+    a cross product; pass ``bucket_width`` (same units as the columns,
+    ≥ max interval length) to bucketize: each range lands in the
+    buckets its interval overlaps, each point in exactly one, and the
+    join runs on the bucket key — the standard bucketized interval-join
+    that keeps the fan-out proportional to matches, not |P|×|R|."""
+    if bucket_width is None:
+        cond = [
+            *([points[c] == ranges[c] for c in on] if on else []),
+            points[point_col] >= ranges[lower_col],
+            points[point_col] <= ranges[upper_col],
+        ]
+        out = points.join(ranges, cond)
+        if on:
+            for c in on:
+                out = out.drop(ranges[c])
+        return out
+
+    p = points.withColumn(
+        "__bucket", (F.col(point_col) / F.lit(bucket_width)).cast("long")
+    )
+    r = ranges.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                (F.col(lower_col) / F.lit(bucket_width)).cast("long"),
+                (F.col(upper_col) / F.lit(bucket_width)).cast("long"),
+            )
+        ),
+    )
+    cond = [p["__bucket"] == r["__bucket"]]
+    if on:
+        cond += [p[c] == r[c] for c in on]
+    out = (
+        p.join(r, cond)
+        .filter(
+            (p[point_col] >= r[lower_col]) & (p[point_col] <= r[upper_col])
+        )
+        .drop(p["__bucket"])
+        .drop(r["__bucket"])
+    )
+    if on:
+        for c in on:
+            out = out.drop(r[c])
+    return out
+
+
 def nearest_neighbor_map(
     left: DataFrame,
     right: DataFrame,

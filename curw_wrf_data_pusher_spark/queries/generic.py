@@ -904,3 +904,60 @@ def a10_approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("approx_percentile(l_extendedprice, 0.5)").alias("approx_p50"),
         F.countDistinct("l_partkey").alias("exact_parts"),
     )
+
+
+# Range/interval join (bucketized form — no equi-key needed at scale):
+# for each purchase, clicks by ANY user in the preceding hour.
+@register(
+    "j7_range_join",
+    oracle="""
+    WITH purchases AS (
+      SELECT event_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    clicks AS (SELECT ts, value FROM events WHERE event_type = 'click')
+    SELECT p.event_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS t,
+           count(c.ts) AS n_clicks,
+           CAST(sum(CAST(c.value AS DECIMAL(18,2))) AS DOUBLE) AS click_value
+    FROM purchases p
+    LEFT JOIN clicks c
+      ON c.ts >= p.ts - INTERVAL '1 hour' AND c.ts <= p.ts
+    GROUP BY p.event_id, t
+    """,
+)
+def j7_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.joins import range_join
+
+    ev = load_table(spark, sf_dir, "events")
+    # microsecond precision: the event timestamps carry sub-second
+    # parts, so boundary membership must not truncate to seconds
+    us = lambda c: F.unix_micros(F.col(c))
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        us("ts").alias("t_end"),
+        (us("ts") - 3600 * 1_000_000).alias("t_start"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("t"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        us("ts").alias("click_ts"),
+        F.col("value").cast(DEC).alias("click_v"),
+    )
+    joined = range_join(
+        clicks, purchases,
+        point_col="click_ts", lower_col="t_start", upper_col="t_end",
+        bucket_width=3600 * 1_000_000,
+    )
+    counts = joined.groupBy("event_id", "t").agg(
+        F.count("click_ts").alias("n_clicks"),
+        F.sum("click_v").cast("double").alias("click_value"),
+    )
+    # left semantics: purchases with zero clicks in window still appear
+    return (
+        purchases.select("event_id", "t")
+        .join(counts, ["event_id", "t"], "left")
+        .select(
+            "event_id", "t",
+            F.coalesce(F.col("n_clicks"), F.lit(0)).alias("n_clicks"),
+            "click_value",
+        )
+    )
