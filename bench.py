@@ -59,12 +59,18 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        # time construction + execution: iterative operators (e.g.
-        # connected components) do real work eagerly while building
-        t0 = time.perf_counter()
-        df = QUERIES[name](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        # best-of-2: local scheduler noise dominates sub-second queries.
+        # Each run times construction + execution — iterative operators
+        # (e.g. connected components) do real work eagerly while
+        # building.
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df = QUERIES[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -961,3 +961,28 @@ def j7_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "click_value",
         )
     )
+
+
+# Cube + GROUPING() ids — the full grouping-sets surface next to
+# a8_rollup. grouping_id bit order matches CUBE column order in both
+# engines.
+@register(
+    "a11_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(grouping(l_returnflag) AS BIGINT) AS g_rf,
+           CAST(grouping(l_linestatus) AS BIGINT) AS g_ls,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY CUBE(l_returnflag, l_linestatus)
+    """,
+)
+def a11_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").cast("long").alias("g_rf"),
+        F.grouping("l_linestatus").cast("long").alias("g_ls"),
+        _dsum("l_quantity").alias("sum_qty"),
+        F.count("*").alias("n"),
+    )

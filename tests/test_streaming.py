@@ -133,3 +133,47 @@ def test_dedup_within_watermark(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == 3  # duplicate dropped
     assert got.dropDuplicates(["hash_id", "time"]).count() == 3
+
+
+def test_streaming_e1_equals_batch_e1(spark, tmp_path):
+    """availableNow streaming over file drops must produce exactly the
+    batch plan's results (same drops, same upsert store)."""
+    from curw_wrf_data_pusher_spark.plans.wrf_push import push_wrf_grid
+    from curw_wrf_data_pusher_spark.sinks.upsert import upsert_parquet
+    from curw_wrf_data_pusher_spark.streaming.file_stream import stream_wrf_push
+
+    from .test_wrf_pipeline import CFG
+    from .wrf_fixture import make_grid_pdf
+
+    pdf = make_grid_pdf()
+    watch = str(tmp_path / "watch")
+    os.makedirs(watch)
+    _write_grid_drop(spark, pdf[pdf.wrf_system == "A"],
+                     os.path.join(watch, "d1"), FGT_UTC)
+    _write_grid_drop(spark, pdf[pdf.wrf_system == "C"],
+                     os.path.join(watch, "d2"), FGT_UTC)
+
+    stream_store = str(tmp_path / "s_store")
+
+    def sink(fact, runs):
+        upsert_parquet(spark, fact, stream_store, keys=["tms_id", "time"])
+
+    q = stream_wrf_push(
+        spark, watch, CFG, sink, str(tmp_path / "ck"), available_now=True
+    )
+    q.awaitTermination()
+
+    batch_grid = spark.read.option("recursiveFileLookup", "true").parquet(watch)
+    batch_fact, _ = push_wrf_grid(batch_grid, CFG)
+
+    got = (
+        spark.read.parquet(stream_store)
+        .toPandas().sort_values(["tms_id", "time"]).reset_index(drop=True)
+    )
+    want = (
+        batch_fact.toPandas()
+        .sort_values(["tms_id", "time"]).reset_index(drop=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(got[want.columns], want, check_dtype=False)
