@@ -8,7 +8,8 @@ from .dedup import (
     shingles,
     simhash,
 )
-from .simsearch import cosine_topk, lsh_bucket_topk
+from .clusters import connected_components
+from .simsearch import cosine_topk, ivf_topk, lsh_bucket_topk, neardup_pairs
 from .textstats import fingerprint, language_id, quality_features
 
 __all__ = [
@@ -20,8 +21,11 @@ __all__ = [
     "ngram_jaccard_pairs",
     "shingles",
     "simhash",
+    "connected_components",
     "cosine_topk",
+    "ivf_topk",
     "lsh_bucket_topk",
+    "neardup_pairs",
     "fingerprint",
     "language_id",
     "quality_features",

@@ -111,3 +111,28 @@ def test_media_features_feed_similarity_search(spark):
     for q in range(4):
         assert best.loc[q, "cos"] == 1.0  # its payload-twin
         assert best.loc[q, "n_id"] % 4 == q % 4
+
+
+def test_ivf_topk_recall_and_exactness(spark, sf_dir):
+    from curw_wrf_data_pusher_spark.llmops.simsearch import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = cosine_topk(emb, queries, k=5).toPandas()
+    exact_pairs = set(zip(exact.q_id, exact.n_id))
+    exact_scores = {(r.q_id, r.n_id): r.cos for r in exact.itertuples()}
+
+    approx = ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=4).toPandas()
+    assert not approx.empty
+    # every IVF score equals the exact score for that pair
+    for r in approx.itertuples():
+        if (r.q_id, r.n_id) in exact_scores:
+            assert exact_scores[(r.q_id, r.n_id)] == r.cos
+    # modest recall on unstructured synthetic vectors (~n_probe/n_cent
+    # of the corpus probed)
+    hit = len(set(zip(approx.q_id, approx.n_id)) & exact_pairs)
+    assert hit / len(exact_pairs) > 0.15
+
+    # probing EVERY centroid must reproduce brute force exactly
+    full = ivf_topk(emb, queries, k=5, n_centroids=8, n_probe=8).toPandas()
+    assert set(zip(full.q_id, full.n_id)) == exact_pairs
