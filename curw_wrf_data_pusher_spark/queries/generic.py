@@ -986,3 +986,116 @@ def a11_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         _dsum("l_quantity").alias("sum_qty"),
         F.count("*").alias("n"),
     )
+
+
+# Q5-shape: 6-table join chain — the join-reordering workout. Catalyst
+# reorders + broadcasts the dims; only lineitem⋈orders shuffles.
+@register(
+    "q5_local_supplier_volume",
+    oracle="""
+    SELECT n_name,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                    (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+             AS revenue
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    rev = F.col("l_extendedprice").cast(DEC) * (F.lit(1) - F.col("l_discount").cast(DEC))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, (li.l_suppkey == s.s_suppkey)
+              & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+# Q18-shape: aggregate subquery driving a semi-join filter.
+@register(
+    "q18_large_orders",
+    oracle="""
+    SELECT c_custkey, o_orderkey,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+    FROM customer, orders, lineitem
+    WHERE o_orderkey IN (
+            SELECT l_orderkey FROM lineitem
+            GROUP BY l_orderkey
+            HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 150
+          )
+      AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+    GROUP BY c_custkey, o_orderkey
+    """,
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast(DEC)).alias("q"))
+        .filter(F.col("q") > 150)
+        .select("l_orderkey")
+    )
+    return (
+        li.join(big, "l_orderkey", "left_semi")
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "o_orderkey")
+        .agg(_dsum("l_quantity").alias("total_qty"))
+    )
+
+
+# Null-safe equality (<=> / IS NOT DISTINCT FROM) — null-handling
+# semantics the outer-join pipelines depend on.
+@register(
+    "p11_null_safe_eq",
+    oracle="""
+    WITH a AS (
+      SELECT user_id,
+             CASE WHEN user_id % 10 = 0 THEN NULL
+                  ELSE user_id % 3 END AS grp
+      FROM events WHERE event_type = 'signup'
+    ),
+    b AS (SELECT DISTINCT
+             CASE WHEN user_id % 10 = 0 THEN NULL
+                  ELSE user_id % 3 END AS grp
+          FROM events WHERE event_type = 'error')
+    SELECT a.user_id, a.grp
+    FROM a JOIN b ON a.grp IS NOT DISTINCT FROM b.grp
+    """,
+)
+def p11_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    grp = F.when(F.col("user_id") % 10 == 0, F.lit(None)).otherwise(
+        F.col("user_id") % 3
+    )
+    a = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", grp.alias("grp")
+    )
+    b = (
+        ev.filter(F.col("event_type") == "error")
+        .select(grp.alias("grp"))
+        .distinct()
+        .withColumnRenamed("grp", "bgrp")
+    )
+    return a.join(b, a.grp.eqNullSafe(b.bgrp)).select("user_id", "grp")
