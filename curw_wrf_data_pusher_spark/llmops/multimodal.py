@@ -117,7 +117,7 @@ def binary_metadata(
     + sha256. The cheap first pass before any decode fan-out."""
     return df.select(
         F.col(id_col),
-        F.length(F.col(binary_col)).alias("n_bytes"),
+        F.length(F.col(binary_col)).cast("long").alias("n_bytes"),
         F.sha2(F.col(binary_col), 256).alias("content_sha256"),
     )
 

@@ -70,7 +70,7 @@ def cosine_topk(
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("q_id", "n_id", "rank", "cos")
     )
@@ -157,7 +157,7 @@ def ivf_topk(
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("q_id", "n_id", "rank", "cos")
         .dropDuplicates(["q_id", "n_id"])
@@ -264,7 +264,7 @@ def lsh_bucket_topk(
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("q_id", "n_id", "rank", "cos")
     )

@@ -31,13 +31,14 @@ def quality_features(
     quality score.  Ratios divide exact integer counts, so values are
     bit-identical across engines."""
     t = _tokens(text_col)
-    n_tok = F.size(t)
-    n_char = F.length(F.col(text_col))
-    n_punct = F.length(F.col(text_col)) - F.length(
-        F.regexp_replace(F.col(text_col), r"[.!?,;:]", "")
-    )
+    n_tok = F.size(t).cast("long")
+    n_char = F.length(F.col(text_col)).cast("long")
+    n_punct = (
+        F.length(F.col(text_col))
+        - F.length(F.regexp_replace(F.col(text_col), r"[.!?,;:]", ""))
+    ).cast("long")
     sw = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
-    n_stop = F.size(F.filter(t, lambda x: F.array_contains(sw, x)))
+    n_stop = F.size(F.filter(t, lambda x: F.array_contains(sw, x))).cast("long")
     avg_tok_len = (n_char - (n_tok - 1)).cast("double") / n_tok
     stop_ratio = n_stop.cast("double") / n_tok
     punct_ratio = n_punct.cast("double") / n_char
@@ -67,7 +68,7 @@ def language_id(
     scores = {}
     for lang in LANG_ORDER:
         sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
-        scores[lang] = F.size(F.filter(t, lambda x: F.array_contains(sw, x)))
+        scores[lang] = F.size(F.filter(t, lambda x: F.array_contains(sw, x))).cast("long")
     pred = F.lit(LANG_ORDER[-1])
     for lang in reversed(LANG_ORDER[:-1]):
         later = [scores[l2] for l2 in LANG_ORDER[LANG_ORDER.index(lang) + 1:]]
@@ -107,8 +108,10 @@ def token_counts(
     """Token counting two ways (the training-data-pipeline staple):
     whitespace tokens and BPE-ish regex tokens, plus their ratio (a
     cheap fertility/quality signal)."""
-    ws = F.size(_tokens(text_col))
-    bpe = F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_TOKEN_PATTERN), 0))
+    ws = F.size(_tokens(text_col)).cast("long")
+    bpe = F.size(
+        F.regexp_extract_all(F.col(text_col), F.lit(BPE_TOKEN_PATTERN), 0)
+    ).cast("long")
     return df.select(
         F.col(id_col),
         ws.alias("n_ws_tokens"),

@@ -154,15 +154,17 @@ def range_join(
                 out = out.drop(ranges[c])
         return out
 
+    # integer DIV, not float division: epoch-microsecond longs exceed
+    # double's 2^53 exact range
     p = points.withColumn(
-        "__bucket", (F.col(point_col) / F.lit(bucket_width)).cast("long")
+        "__bucket", F.expr(f"`{point_col}` div {int(bucket_width)}")
     )
     r = ranges.withColumn(
         "__bucket",
         F.explode(
             F.sequence(
-                (F.col(lower_col) / F.lit(bucket_width)).cast("long"),
-                (F.col(upper_col) / F.lit(bucket_width)).cast("long"),
+                F.expr(f"`{lower_col}` div {int(bucket_width)}"),
+                F.expr(f"`{upper_col}` div {int(bucket_width)}"),
             )
         ),
     )
@@ -209,7 +211,7 @@ def nearest_neighbor_map(
     w = Window.partitionBy(left_key).orderBy(*order)
     return (
         joined.withColumn("dist", distance)
-        .withColumn("rank", F.row_number().over(w))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select(left_key, right_key, "rank", "dist")
     )

@@ -260,7 +260,7 @@ def w2_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").desc(), F.col("o_orderkey")
     )
     return (
-        o.withColumn("rank", F.row_number().over(w))
+        o.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= 3)
         .select("o_custkey", "o_orderkey", "o_totalprice", "rank")
     )
@@ -592,7 +592,7 @@ def o1_total_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part")
     w = Window.orderBy("p_retailprice", "p_partkey")
     return p.select(
-        F.row_number().over(w).alias("rn"), "p_partkey", "p_retailprice"
+        F.row_number().over(w).cast("long").alias("rn"), "p_partkey", "p_retailprice"
     )
 
 
@@ -1099,3 +1099,82 @@ def p11_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnRenamed("grp", "bgrp")
     )
     return a.join(b, a.grp.eqNullSafe(b.bgrp)).select("user_id", "grp")
+
+
+# String-function surface (P8-adjacent): case, substring, pad,
+# replace, edit distance.
+@register(
+    "p12_string_funcs",
+    oracle="""
+    SELECT c_custkey,
+           upper(c_name) AS uname,
+           substring(c_name, 3, 8) AS mid,
+           lpad(CAST(c_custkey AS VARCHAR), 12, '0') AS padded,
+           replace(c_name, '#', '-') AS repl,
+           levenshtein(c_mktsegment, 'BUILDING') AS lev,
+           length(c_name) AS nlen
+    FROM customer
+    """,
+)
+def p12_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("uname"),
+        F.substring("c_name", 3, 8).alias("mid"),
+        F.lpad(F.col("c_custkey").cast("string"), 12, "0").alias("padded"),
+        F.replace(F.col("c_name"), F.lit("#"), F.lit("-")).alias("repl"),
+        F.levenshtein("c_mktsegment", F.lit("BUILDING")).cast("long").alias("lev"),
+        F.length("c_name").cast("long").alias("nlen"),
+    )
+
+
+# Semi-structured JSON column extraction (events.props).
+@register(
+    "p14_json_extract",
+    oracle="""
+    SELECT event_id,
+           json_extract_string(props, '$.k')::BIGINT AS k,
+           count(*) OVER (PARTITION BY json_extract_string(props, '$.k')::BIGINT)
+             AS k_freq
+    FROM events
+    """,
+)
+def p14_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.select(
+        "event_id",
+        k.alias("k"),
+        F.count("*").over(Window.partitionBy(k)).alias("k_freq"),
+    )
+
+
+# Datetime-part extraction surface. Day-of-week conventions differ
+# (Spark: 1=Sunday; DuckDB: 0=Sunday) — normalized to ISO (1=Monday)
+# on both sides.
+@register(
+    "p15_datetime_parts",
+    oracle="""
+    SELECT event_id,
+           year(ts) AS y, month(ts) AS m, day(ts) AS d,
+           hour(ts) AS h, minute(ts) AS mi,
+           isodow(ts) AS iso_dow,
+           week(ts) AS iso_week,
+           dayofyear(ts) AS doy
+    FROM events
+    """,
+)
+def p15_datetime_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.year("ts").cast("long").alias("y"),
+        F.month("ts").cast("long").alias("m"),
+        F.dayofmonth("ts").cast("long").alias("d"),
+        F.hour("ts").cast("long").alias("h"),
+        F.minute("ts").cast("long").alias("mi"),
+        F.expr("extract(DAYOFWEEK_ISO FROM ts)").cast("long").alias("iso_dow"),
+        F.weekofyear("ts").cast("long").alias("iso_week"),
+        F.dayofyear("ts").cast("long").alias("doy"),
+    )

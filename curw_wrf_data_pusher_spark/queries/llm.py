@@ -406,7 +406,7 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM hashed GROUP BY doc_id
     )
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           bit_count(xor(a.simhash, b.simhash)) AS hamming
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
     FROM sig a JOIN sig b ON a.doc_id < b.doc_id
     WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
     """,
@@ -423,7 +423,10 @@ def llm_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = sig.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("hb"))
     return (
         a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
-        .withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("long"),
+        )
         .filter(F.col("hamming") <= 6)
         .select("id_a", "id_b", "hamming")
     )

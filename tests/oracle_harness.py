@@ -59,6 +59,11 @@ def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> dict:
     du = con.execute(sql).df()
     n_sp, cols_sp, h_sp = canonical_hash(sp)
     n_du, cols_du, h_du = canonical_hash(du)
+    dtype_mismatches = [
+        (c, str(sp[c].dtype), str(du[c].dtype))
+        for c in cols_sp
+        if c in du.columns and str(sp[c].dtype) != str(du[c].dtype)
+    ]
     return {
         "rows": (n_sp, n_du),
         "cols": (cols_sp, cols_du),
@@ -66,6 +71,7 @@ def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> dict:
         "rows_match": n_sp == n_du,
         "cols_match": cols_sp == cols_du,
         "hash_match": h_sp == h_du,
+        "dtype_mismatches": dtype_mismatches,
         "spark_pdf": sp,
         "duck_pdf": du,
     }

@@ -25,6 +25,9 @@ def test_query_matches_oracle(spark, sf_dir, name):
     res = compare(QUERIES[name](spark, sf_dir), _get_con(sf_dir), ORACLES[name])
     assert res["cols_match"], f"{name}: columns {res['cols']}"
     assert res["rows_match"], f"{name}: row counts {res['rows']}"
+    # the driver's schema check may be type-strict: require identical
+    # pandas dtypes on both sides
+    assert not res["dtype_mismatches"], f"{name}: dtypes {res['dtype_mismatches']}"
     if not res["hash_match"]:
         sp, du = res["spark_pdf"], res["duck_pdf"]
         cols = sorted(sp.columns)
