@@ -478,3 +478,65 @@ def llm_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = shingles(docs)
     cand = lsh_candidate_pairs(minhash_signatures(sh), bands=4, rows_per_band=2)
     return verify_candidates(sh, cand, min_jaccard=0.7)
+
+
+# Dedup survivors: the cleaned corpus — exactly one document (min id)
+# per distinct content, metadata intact. The "apply" form of
+# llm_dedup_exact.
+@register(
+    "llm_dedup_survivors",
+    oracle="""
+    SELECT doc_id, lang, source, n_chars
+    FROM (
+      SELECT doc_id, lang, source, n_chars,
+             row_number() OVER (PARTITION BY md5(text)
+                                ORDER BY doc_id) AS rn
+      FROM documents
+    ) WHERE rn = 1
+    """,
+)
+def llm_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "source", "n_chars")
+    )
+
+
+# Corpus report: per (lang, source) document/token/char totals and mean
+# quality — the dataset-card numbers a training-data pipeline publishes.
+@register(
+    "llm_corpus_stats",
+    oracle="""
+    WITH t AS (
+      SELECT lang, source,
+             len(string_split(trim(text), ' ')) AS n_tok,
+             length(text) AS n_chr
+      FROM documents
+    )
+    SELECT lang, source,
+           count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+           CAST(sum(n_chr) AS BIGINT) AS total_chars,
+           CAST(sum(n_tok) AS DOUBLE) / count(*) AS mean_tokens
+    FROM t GROUP BY lang, source
+    """,
+)
+def llm_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.trim(F.col("text")), " ")).cast("long")
+    n_chr = F.length("text").cast("long")
+    return (
+        docs.select("lang", "source", n_tok.alias("n_tok"), n_chr.alias("n_chr"))
+        .groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.sum("n_chr").alias("total_chars"),
+            (F.sum("n_tok").cast("double") / F.count("*")).alias("mean_tokens"),
+        )
+    )
