@@ -1178,3 +1178,54 @@ def p15_datetime_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.weekofyear("ts").cast("long").alias("iso_week"),
         F.dayofyear("ts").cast("long").alias("doy"),
     )
+
+
+# UNION with distinct semantics (vs u1's UNION ALL).
+@register(
+    "u5_union_distinct",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def u5_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return c.unionByName(s).distinct()
+
+
+# Conditional-expression surface: CASE, nullif, coalesce, least,
+# greatest — the scalar kernel the NULL-heavy pipelines lean on.
+@register(
+    "p16_conditional_exprs",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice >= 200000 THEN 'high'
+                WHEN o_totalprice >= 100000 THEN 'mid'
+                ELSE 'low' END AS bucket,
+           nullif(o_orderstatus, 'O') AS status_or_null,
+           coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_label,
+           least(o_totalprice, 150000.0) AS capped,
+           greatest(o_totalprice - 100000.0, 0.0) AS excess
+    FROM orders
+    """,
+)
+def p16_conditional_exprs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    status_or_null = F.nullif(F.col("o_orderstatus"), F.lit("O"))
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") >= 200000, "high")
+        .when(F.col("o_totalprice") >= 100000, "mid")
+        .otherwise("low")
+        .alias("bucket"),
+        status_or_null.alias("status_or_null"),
+        F.coalesce(status_or_null, F.lit("OPEN")).alias("status_label"),
+        F.least(F.col("o_totalprice"), F.lit(150000.0)).alias("capped"),
+        F.greatest(F.col("o_totalprice") - 100000.0, F.lit(0.0)).alias("excess"),
+    )
