@@ -33,6 +33,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one lake table. Single parquet file per table in testdata;
     at 100 TB this is a directory of many files + partition columns —
     same call."""
+    # Self-sufficient on ANY session (the external harness builds its
+    # own vanilla SparkSession): nanosAsLong is runtime-settable and
+    # required to scan events.parquet's TIMESTAMP(NANOS,false) column
+    # at all — without it the read throws PARQUET_TYPE_ILLEGAL.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     # TIMESTAMP(NANOS) columns surface as long under
     # spark.sql.legacy.parquet.nanosAsLong; convert to timestamps by
@@ -52,11 +57,18 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     operator downstream (shingling, tokenization) would then serialize
     on a single core.  The repartition shuffles only the small input
     rows — cheap — and the exploded work parallelizes.  No-op when the
-    input is already wide (the 100 TB case: thousands of file splits)."""
+    input is already wide (the 100 TB case: thousands of file splits).
+
+    The wide-input check uses ``inputFiles()`` (plan metadata — no RDD
+    materialization, unlike ``df.rdd.getNumPartitions()`` which builds
+    the whole Python RDD lineage per call)."""
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    try:
+        if len(df.inputFiles()) >= target:
+            return df
+    except Exception:
+        pass  # non-file-backed plan: fall through and repartition
+    return df.repartition(target)
 
 
 #: The reference's filesystem layout as Hive partition columns
