@@ -725,43 +725,42 @@ def a7_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Set ops beyond union (absent in reference; exposed anyway).
+# Set ops beyond union (absent in reference; exposed anyway).  Both
+# INTERSECT and EXCEPT verified through one driver row (a `setop` tag
+# column distinguishes them) to stay inside the driver's query budget.
 @register(
-    "u3_intersect",
+    "u3_u4_intersect_except",
     oracle="""
-    SELECT o_custkey AS custkey FROM orders
-    INTERSECT
-    SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+    SELECT 'intersect' AS setop, custkey FROM (
+      SELECT o_custkey AS custkey FROM orders
+      INTERSECT
+      SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+    UNION ALL
+    SELECT 'except' AS setop, custkey FROM (
+      SELECT c_custkey AS custkey FROM customer
+      EXCEPT
+      SELECT o_custkey FROM orders)
     """,
 )
-def u3_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+def u3_u4_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").select(
         F.col("o_custkey").alias("custkey")
     )
-    c = (
+    c_rich = (
         load_table(spark, sf_dir, "customer")
         .filter(F.col("c_acctbal") > 5000)
         .select(F.col("c_custkey").alias("custkey"))
     )
-    return o.intersect(c)
-
-
-@register(
-    "u4_except",
-    oracle="""
-    SELECT c_custkey AS custkey FROM customer
-    EXCEPT
-    SELECT o_custkey FROM orders
-    """,
-)
-def u4_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = load_table(spark, sf_dir, "customer").select(
+    c_all = load_table(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("custkey")
     )
-    o = load_table(spark, sf_dir, "orders").select(
-        F.col("o_custkey").alias("custkey")
+    inter = o.intersect(c_rich).select(
+        F.lit("intersect").alias("setop"), "custkey"
     )
-    return c.exceptAll(o).distinct()
+    exc = c_all.exceptAll(o).distinct().select(
+        F.lit("except").alias("setop"), "custkey"
+    )
+    return inter.unionByName(exc)
 
 
 # §2.10 windows — tumbling 15-minute resample (the obs 15-min cadence,
@@ -1129,34 +1128,18 @@ def p12_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Semi-structured JSON column extraction (events.props).
+# Semi-structured JSON extraction + datetime-part surface (one driver
+# row for both, to stay inside the driver's query budget; both operate
+# per-event on events).  Day-of-week conventions differ (Spark:
+# 1=Sunday; DuckDB: 0=Sunday) — normalized to ISO (1=Monday) on both
+# sides.
 @register(
-    "p14_json_extract",
+    "p14_p15_json_datetime",
     oracle="""
     SELECT event_id,
            json_extract_string(props, '$.k')::BIGINT AS k,
            count(*) OVER (PARTITION BY json_extract_string(props, '$.k')::BIGINT)
-             AS k_freq
-    FROM events
-    """,
-)
-def p14_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("long")
-    return ev.select(
-        "event_id",
-        k.alias("k"),
-        F.count("*").over(Window.partitionBy(k)).alias("k_freq"),
-    )
-
-
-# Datetime-part extraction surface. Day-of-week conventions differ
-# (Spark: 1=Sunday; DuckDB: 0=Sunday) — normalized to ISO (1=Monday)
-# on both sides.
-@register(
-    "p15_datetime_parts",
-    oracle="""
-    SELECT event_id,
+             AS k_freq,
            year(ts) AS y, month(ts) AS m, day(ts) AS d,
            hour(ts) AS h, minute(ts) AS mi,
            isodow(ts) AS iso_dow,
@@ -1165,10 +1148,13 @@ def p14_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events
     """,
 )
-def p15_datetime_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+def p14_p15_json_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
     return ev.select(
         "event_id",
+        k.alias("k"),
+        F.count("*").over(Window.partitionBy(k)).alias("k_freq"),
         F.year("ts").cast("long").alias("y"),
         F.month("ts").cast("long").alias("m"),
         F.dayofmonth("ts").cast("long").alias("d"),
