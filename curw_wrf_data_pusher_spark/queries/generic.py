@@ -892,16 +892,45 @@ def w4_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Approximate aggregates (HLL / t-digest sketches). Sketch internals
-# differ across engines, so no value-level oracle exists by design —
-# rows-only check; the exact counterparts (a7_distinct_agg,
-# a9_percentiles) ARE hash-gated, which bounds these.
-@register("a10_approx_aggs")
+# differ across engines, so the sketch VALUES cannot be hash-compared;
+# instead each sketch is verified against its accuracy contract: the
+# exact twin is computed alongside (hash-gated against DuckDB) and the
+# sketch must land within tolerance of it — emitted as a boolean whose
+# oracle form is literal TRUE. HLL merge is commutative max-of-registers
+# (partition-order independent), and the within-tolerance predicate
+# absorbs approx_percentile's merge-order sensitivity, so the booleans
+# are stable across plans.
+@register(
+    "a10_approx_aggs",
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS exact_parts,
+           round(quantile_cont(l_extendedprice, 0.5), 2) AS exact_p50,
+           TRUE AS approx_parts_ok,
+           TRUE AS approx_p50_ok
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def a10_approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.expr("approx_percentile(l_extendedprice, 0.5)").alias("approx_p50"),
+    agg = li.groupBy("l_returnflag").agg(
         F.countDistinct("l_partkey").alias("exact_parts"),
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 2).alias("exact_p50"),
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.expr("approx_percentile(l_extendedprice, 0.5, 10000)").alias(
+            "approx_p50"
+        ),
+    )
+    return agg.select(
+        "l_returnflag", "exact_parts", "exact_p50",
+        (
+            F.abs(F.col("approx_parts") - F.col("exact_parts"))
+            <= 0.10 * F.col("exact_parts")
+        ).alias("approx_parts_ok"),
+        (
+            F.abs(F.col("approx_p50") - F.col("exact_p50"))
+            <= 0.05 * F.abs(F.col("exact_p50"))
+        ).alias("approx_p50_ok"),
     )
 
 
@@ -980,6 +1009,36 @@ def j7_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def a11_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return li.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").cast("long").alias("g_rf"),
+        F.grouping("l_linestatus").cast("long").alias("g_ls"),
+        _dsum("l_quantity").alias("sum_qty"),
+        F.count("*").alias("n"),
+    )
+
+
+# Explicit GROUPING SETS (the general form rollup/cube specialize) with
+# GROUPING() ids — the set list here is NOT a rollup prefix chain:
+# {(rf,ls), (ls), ()} skips the (rf) level, which only GROUPING SETS
+# can express.  One shuffle: Spark expands the sets map-side (Expand
+# node) and aggregates once.
+@register(
+    "a12_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(grouping(l_returnflag) AS BIGINT) AS g_rf,
+           CAST(grouping(l_linestatus) AS BIGINT) AS g_ls,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+    """,
+)
+def a12_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupingSets(
+        [["l_returnflag", "l_linestatus"], ["l_linestatus"], []],
+        "l_returnflag", "l_linestatus",
+    ).agg(
         F.grouping("l_returnflag").cast("long").alias("g_rf"),
         F.grouping("l_linestatus").cast("long").alias("g_ls"),
         _dsum("l_quantity").alias("sum_qty"),

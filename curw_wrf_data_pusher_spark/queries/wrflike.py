@@ -145,5 +145,94 @@ def wrf_e3_hybrid_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.na.drop("any", subset=["wrf_a", "wrf_c", "obs"])
 
 
+# E2 — the rfield FILE contract as data (gen_rfields.py:177-208): one
+# values file per timestep, every file sharing the exact (lon, lat)
+# row order of the single xy.csv manifest, so line N of any file is
+# the value at coordinate line N.  Encoded row-wise as
+# (file_key, line_no, longitude, latitude, value) where line_no is the
+# per-file rank AND xy_line is the manifest rank — the hash gate then
+# checks ordering, density (every file carries the full grid) and
+# alignment (line_no == xy_line for every row) in one query.  The
+# byte-level file emission itself stays pytest-verified
+# (tests/test_rfield_files.py); this is its in-gate logical twin.
+@register(
+    "e2_rfield_contract",
+    oracle="""
+    WITH cells AS (
+      SELECT DISTINCT user_id % 100 AS cell,
+             CAST(79.5 AS DOUBLE) + CAST(0.1 AS DOUBLE)
+               * CAST(user_id % 100 % 10 AS DOUBLE) AS longitude,
+             CAST(6.5 AS DOUBLE) + CAST(0.1 AS DOUBLE)
+               * CAST((user_id % 100) // 10 AS DOUBLE) AS latitude
+      FROM events
+    ),
+    hours AS (
+      SELECT DISTINCT date_trunc('hour', ts) AS t FROM events
+    ),
+    vals AS (
+      SELECT user_id % 100 AS cell, date_trunc('hour', ts) AS t,
+             round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                   / count(*), 3) AS mean_v
+      FROM events GROUP BY cell, t
+    ),
+    dense AS (
+      SELECT strftime(h.t, '%Y-%m-%d %H:%M:%S') AS file_key,
+             c.longitude, c.latitude,
+             coalesce(v.mean_v, 0.0) AS value
+      FROM hours h CROSS JOIN cells c
+      LEFT JOIN vals v ON v.t = h.t AND v.cell = c.cell
+    )
+    SELECT file_key,
+           row_number() OVER (PARTITION BY file_key
+                              ORDER BY longitude, latitude) AS line_no,
+           dense_rank() OVER (ORDER BY longitude, latitude) AS xy_line,
+           longitude, latitude, value
+    FROM dense
+    """,
+)
+def e2_rfield_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    # synthetic 10×10 grid from user_id — both engines evaluate the
+    # identical IEEE-double expressions, so coordinates are bit-equal
+    cell = (F.col("user_id") % 100).alias("cell")
+    lon = (F.lit(79.5) + F.lit(0.1) * (F.col("cell") % 10)).alias("longitude")
+    lat = (
+        F.lit(6.5) + F.lit(0.1) * F.floor(F.col("cell") / 10).cast("long")
+    ).alias("latitude")
+    cells = ev.select(cell).distinct().select("cell", lon, lat)
+    hours = ev.select(F.date_trunc("hour", "ts").alias("t")).distinct()
+    vals = (
+        ev.groupBy(
+            (F.col("user_id") % 100).alias("cell"),
+            F.date_trunc("hour", "ts").alias("t"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("value").cast(DEC)).cast("double") / F.count("*"), 3
+            ).alias("mean_v")
+        )
+    )
+    # dense frame: timesteps × full grid (the reference emits every grid
+    # point per file).  The grid manifest is tiny (16k rows for d03) →
+    # broadcast; the per-timestep value join keys on (t, cell).
+    dense = (
+        hours.crossJoin(F.broadcast(cells))
+        .join(F.broadcast(vals), ["t", "cell"], "left")
+        .select(
+            F.date_format("t", "yyyy-MM-dd HH:mm:ss").alias("file_key"),
+            "longitude", "latitude",
+            F.coalesce(F.col("mean_v"), F.lit(0.0)).alias("value"),
+        )
+    )
+    w_file = Window.partitionBy("file_key").orderBy("longitude", "latitude")
+    w_xy = Window.orderBy("longitude", "latitude")
+    return dense.select(
+        "file_key",
+        F.row_number().over(w_file).cast("long").alias("line_no"),
+        F.dense_rank().over(w_xy).cast("long").alias("xy_line"),
+        "longitude", "latitude", "value",
+    )
+
+
 def _dsum_value():
     return F.sum(F.col("value").cast(DEC)).cast("double")

@@ -49,5 +49,5 @@ def test_all_queries_have_oracles():
     # list explicit so additions are deliberate.
     # p10: file-metadata columns can't be expressed through the
     # oracle's pre-registered views → driver records a rows-only check
-    allowed_missing = {"p10_file_metadata", "a10_approx_aggs"}
+    allowed_missing = {"p10_file_metadata"}
     assert missing <= allowed_missing, f"queries without oracles: {missing}"
