@@ -64,9 +64,15 @@ def run_wrf_push(
         grid = grid.filter(F.col("wrf_system").isin(list(systems)))
     try:
         fact, runs = push_wrf_grid(grid, cfg, stations=stations)
+        # Partition the fact store by the date prefix of `time`: a pure
+        # function of the (tms_id, time) key, so the partition-scoped
+        # merge is sound — each daily push touches only its own date
+        # directories, untouched dates are never read or rewritten.
+        fact = fact.withColumn("time_date", F.substring("time", 1, 10))
         n_fact = upsert_parquet(
             spark, fact, os.path.join(store_dir, "fcst_data"),
             keys=["tms_id", "time"],
+            partition_cols=["time_date"],
         )
         n_runs = upsert_parquet(
             spark, runs, os.path.join(store_dir, "run"), keys=["tms_id"]

@@ -17,6 +17,7 @@ Two sinks:
 
 from __future__ import annotations
 
+import functools
 import time
 from collections.abc import Sequence
 
@@ -24,23 +25,53 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _hadoop_fs(spark: SparkSession, path_str: str):
+    jvm = spark.sparkContext._jvm
+    jsc = spark.sparkContext._jsc
+    path = jvm.org.apache.hadoop.fs.Path(path_str)
+    return path.getFileSystem(jsc.hadoopConfiguration()), path, jvm
+
+
 def upsert_parquet(
     spark: SparkSession,
     new_rows: DataFrame,
     store_path: str,
     keys: Sequence[str],
+    partition_cols: Sequence[str] | None = None,
 ) -> int:
     """Idempotent MERGE into a parquet store: rows whose key matches an
-    incoming row are replaced; others survive.  Returns the post-merge
-    row count.
+    incoming row are replaced; others survive.  Returns the number of
+    rows written (for the unpartitioned full-store form this equals the
+    post-merge row count).
 
-    Write is staged (``<path>.staging``) then swapped, so a failed job
-    never leaves a half-written store."""
+    Two physical forms:
+
+    - ``partition_cols`` given (the 100 TB path): the merge touches ONLY
+      the partitions present in ``new_rows``.  The touched-partition
+      predicate is collected driver-side (bounded by partitions-per-push,
+      not store size) so Catalyst prunes the scan at planning time; the
+      write uses dynamic partition overwrite, replacing exactly the
+      touched partition directories and never listing, reading, or
+      rewriting the rest.  REQUIRES the partition columns to be a
+      function of the key (a key's row always lives in one partition) —
+      true for the reference's layout where fgt/date derive from the
+      series key + run (SURVEY §1.4, wrf_data_pusher.py:119-140).
+    - no ``partition_cols``: full-store merge.  The merged result is
+      staged to ``<path>.staging`` and swapped in by filesystem RENAME
+      (store → .old, staging → store, delete .old), so a failure at any
+      point leaves either the old or the new store fully intact — never
+      the half-deleted state a second overwrite-write would risk.
+    """
     try:
         existing = spark.read.parquet(store_path)
         has_existing = True
     except Exception:
         has_existing = False
+
+    if has_existing and partition_cols:
+        return _upsert_partitioned(
+            spark, new_rows, store_path, keys, list(partition_cols)
+        )
 
     if has_existing:
         kept = existing.join(
@@ -53,16 +84,88 @@ def upsert_parquet(
         merged = new_rows
 
     staging = store_path.rstrip("/") + ".staging"
-    merged.write.mode("overwrite").parquet(staging)
-    out = spark.read.parquet(staging)
-    out.write.mode("overwrite").parquet(store_path)
-    n = spark.read.parquet(store_path).count()
+    if partition_cols:
+        merged.write.mode("overwrite").partitionBy(*partition_cols).parquet(
+            staging
+        )
+    else:
+        merged.write.mode("overwrite").parquet(staging)
+    n = spark.read.parquet(staging).count()
 
-    # clean the staging copy via Hadoop FS (works on any scheme)
-    jvm = spark.sparkContext._jvm
-    jsc = spark.sparkContext._jsc
-    path = jvm.org.apache.hadoop.fs.Path(staging)
-    path.getFileSystem(jsc.hadoopConfiguration()).delete(path, True)
+    fs, store_p, jvm = _hadoop_fs(spark, store_path)
+    staging_p = jvm.org.apache.hadoop.fs.Path(staging)
+    old_p = jvm.org.apache.hadoop.fs.Path(store_path.rstrip("/") + ".old")
+    if fs.exists(old_p):
+        fs.delete(old_p, True)
+    if has_existing:
+        fs.rename(store_p, old_p)
+    fs.rename(staging_p, store_p)
+    if has_existing:
+        fs.delete(old_p, True)
+    return n
+
+
+def _upsert_partitioned(
+    spark: SparkSession,
+    new_rows: DataFrame,
+    store_path: str,
+    keys: Sequence[str],
+    partition_cols: list[str],
+) -> int:
+    """Partition-scoped merge: read only touched partitions, anti-join
+    on the key, dynamic-partition-overwrite only those partitions."""
+    # Touched-partition predicate, collected driver-side.  The row count
+    # here is the number of distinct partition tuples in one push — tiny
+    # (one per day/run in the reference), never the store's partition
+    # count.
+    touched = new_rows.select(*partition_cols).distinct().collect()
+    if not touched:
+        return 0
+    pred = functools.reduce(
+        lambda a, b: a | b,
+        (
+            functools.reduce(
+                lambda a, b: a & b,
+                (F.col(c).eqNullSafe(F.lit(row[c])) for c in partition_cols),
+            )
+            for row in touched
+        ),
+    )
+    # Partition-pruned scan: only the touched directories are listed/read.
+    # Explicit schema: partition-column TYPES come from the incoming
+    # frame, not directory-name inference (a string partition value that
+    # looks like a timestamp must stay a string for the key anti-join).
+    existing_touched = (
+        spark.read.schema(new_rows.schema).parquet(store_path).filter(pred)
+    )
+    kept = existing_touched.join(
+        new_rows.select(*keys).dropDuplicates(list(keys)),
+        on=list(keys),
+        how="left_anti",
+    )
+    merged = kept.unionByName(new_rows)
+
+    # Stage the merged touched data (new files — no self-overwrite
+    # hazard while the plan still reads the store), then re-read and
+    # dynamic-overwrite into the store: only directories for partition
+    # values present in the staged data are replaced.  Both writes are
+    # proportional to the TOUCHED data, not the store.
+    staging = store_path.rstrip("/") + ".staging"
+    merged.write.mode("overwrite").partitionBy(*partition_cols).parquet(
+        staging
+    )
+    staged = spark.read.schema(merged.schema).parquet(staging)
+    n = staged.count()
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        staged.write.mode("overwrite").partitionBy(*partition_cols).parquet(
+            store_path
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    fs, staging_p, _ = _hadoop_fs(spark, staging)
+    fs.delete(staging_p, True)
     return n
 
 

@@ -166,3 +166,86 @@ def test_upsert_jdbc_real_database_roundtrip(spark, tmp_path):
         ).fetchone()
     assert n == 200 and fgts == "f2"
     assert v == sum(r[3] for r in rows2)
+
+
+def _partition_state(store: str, part: str) -> dict[str, bytes]:
+    """filename → bytes for every data file under one partition dir."""
+    d = os.path.join(store, part)
+    out = {}
+    for f in sorted(os.listdir(d)):
+        if f.startswith(("part-", ".part-")) and not f.endswith(".crc"):
+            with open(os.path.join(d, f), "rb") as fh:
+                out[f] = fh.read()
+    return out
+
+
+def test_upsert_parquet_partition_scoped(spark, tmp_path):
+    """The 100 TB merge path: an upsert touching partition d1 must leave
+    partition d2's files byte-identical (never read, never rewritten)."""
+    from curw_wrf_data_pusher_spark.sinks.upsert import upsert_parquet
+
+    store = str(tmp_path / "store")
+    base = spark.createDataFrame(
+        [("s1", "t1", "d1", 1.0), ("s1", "t2", "d1", 2.0),
+         ("s2", "t1", "d2", 3.0), ("s2", "t2", "d2", 4.0)],
+        "tms_id string, time string, run_date string, value double",
+    )
+    n0 = upsert_parquet(
+        spark, base, store, keys=["tms_id", "time"],
+        partition_cols=["run_date"],
+    )
+    assert n0 == 4
+    before_d2 = _partition_state(store, "run_date=d2")
+    assert before_d2  # the partition exists and has data files
+
+    # touch ONLY d1: replace (s1,t1) and add (s3,t9)
+    push = spark.createDataFrame(
+        [("s1", "t1", "d1", 10.0), ("s3", "t9", "d1", 9.0)],
+        "tms_id string, time string, run_date string, value double",
+    )
+    n1 = upsert_parquet(
+        spark, push, store, keys=["tms_id", "time"],
+        partition_cols=["run_date"],
+    )
+    assert n1 == 3  # kept (s1,t2) + two incoming rows
+
+    after_d2 = _partition_state(store, "run_date=d2")
+    assert after_d2 == before_d2  # untouched partition: bytes unchanged
+
+    got = {
+        (r["tms_id"], r["time"]): (r["run_date"], r["value"])
+        for r in spark.read.parquet(store).collect()
+    }
+    assert got == {
+        ("s1", "t1"): ("d1", 10.0), ("s1", "t2"): ("d1", 2.0),
+        ("s3", "t9"): ("d1", 9.0),
+        ("s2", "t1"): ("d2", 3.0), ("s2", "t2"): ("d2", 4.0),
+    }
+
+    # idempotence: re-pushing the same rows changes nothing
+    n2 = upsert_parquet(
+        spark, push, store, keys=["tms_id", "time"],
+        partition_cols=["run_date"],
+    )
+    assert n2 == n1
+    assert spark.read.parquet(store).count() == 5
+
+
+def test_upsert_parquet_swap_is_rename(spark, tmp_path):
+    """Unpartitioned form: the staging swap must not leave .staging or
+    .old residue and must preserve merge semantics."""
+    from curw_wrf_data_pusher_spark.sinks.upsert import upsert_parquet
+
+    store = str(tmp_path / "swap_store")
+    df1 = spark.createDataFrame(
+        [("a", 1.0), ("b", 2.0)], "k string, v double"
+    )
+    df2 = spark.createDataFrame(
+        [("b", 20.0), ("c", 3.0)], "k string, v double"
+    )
+    assert upsert_parquet(spark, df1, store, keys=["k"]) == 2
+    assert upsert_parquet(spark, df2, store, keys=["k"]) == 3
+    got = {r["k"]: r["v"] for r in spark.read.parquet(store).collect()}
+    assert got == {"a": 1.0, "b": 20.0, "c": 3.0}
+    assert not os.path.exists(store + ".staging")
+    assert not os.path.exists(store + ".old")
