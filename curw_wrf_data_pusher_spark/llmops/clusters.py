@@ -2,13 +2,27 @@
 pairs (the step after LSH/near-dup pair generation — every document in
 a component shares a canonical representative).
 
-Algorithm: iterative min-label propagation on DataFrames.  Each node
-starts labeled with its own id; every round each node takes the min of
-its label and its neighbours' labels; converged when no label changes.
-Rounds needed = graph diameter (dedup clusters are small and dense, so
-typically 2-4).  Each round is one shuffle; lineage is cut with
-localCheckpoint so the plan doesn't grow unboundedly — the standard
-iterative-algorithm pattern on Spark.
+Three implementations, one semantics ((doc_id, cluster_id = min id in
+component)); pick by pair-set size:
+
+- ``connected_components_local`` — single-task union-find over the
+  edge list.  LSH candidate PAIRS are sparse (orders of magnitude
+  smaller than the corpus — that is the point of banding), so up to
+  ~10^8 pairs fit one task; one shuffle, zero iterations.  Measured
+  fastest by a wide margin at bench scale and the right default even
+  at 100 TB corpus scale, because the operand is the pair list, not
+  the corpus.
+- ``connected_components_star`` — alternating large-star/small-star
+  (Kiveris et al., "Connected Components in MapReduce and Beyond",
+  SoCC'14): O(log diameter) rounds, fully distributed.  The fallback
+  when the pair list itself outgrows a task.
+- ``connected_components`` — min-label propagation, rounds = graph
+  diameter.  Simplest; kept as the semantics oracle for the other two
+  (tests/test_llmops.py asserts three-way agreement).
+
+``resolve_clusters`` picks local vs star by a pair-count threshold.
+The iterative forms cut lineage with localCheckpoint per round — the
+standard iterative-algorithm pattern on Spark.
 """
 
 from __future__ import annotations
@@ -77,3 +91,153 @@ def connected_components(
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """For each node u: link every strictly-larger neighbour to
+    m = min(u, N(u)).  Pure joins/aggs — no per-node list collection, so
+    a high-degree hub never materializes its neighbourhood in one task."""
+    nbrs = edges.unionByName(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    mins = nbrs.groupBy("a").agg(
+        F.least(F.min("b"), F.first("a")).alias("m")
+    )
+    return (
+        nbrs.join(mins, "a")
+        .filter(F.col("b") > F.col("a"))
+        .select(F.col("b").alias("a"), F.col("m").alias("b"))
+        .dropDuplicates(["a", "b"])
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Orient edges toward the smaller id; for each node u link every
+    smaller-or-equal neighbour (and u itself) to m = min(N≤(u))."""
+    oriented = edges.select(
+        F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
+    )
+    mins = oriented.groupBy("a").agg(F.min("b").alias("m"))
+    relinked = (
+        oriented.join(mins, "a")
+        .filter(F.col("b") != F.col("m"))
+        .select(F.col("b").alias("a"), F.col("m").alias("b"))
+    )
+    self_links = mins.select(F.col("a"), F.col("m").alias("b"))
+    return relinked.unionByName(self_links).dropDuplicates(["a", "b"])
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 12,
+) -> DataFrame:
+    """(id_a, id_b) undirected edges → (doc_id, cluster_id = component
+    min) via alternating large-star/small-star; converges in
+    O(log diameter) rounds.
+
+    Convergence test: the edge multiset is a fixed point exactly when
+    (count, xor-of-row-hashes) is unchanged — one lightweight agg job
+    per round, no join against the previous round."""
+
+    def _sig(e: DataFrame):
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64("a", "b")).alias("h"),
+        ).collect()[0]
+        return row["n"], row["h"]
+
+    edges = (
+        pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .dropDuplicates(["a", "b"])
+        .localCheckpoint()
+    )
+    prev = _sig(edges)
+    for _ in range(max_iterations):
+        edges = _small_star(_large_star(edges)).localCheckpoint()
+        cur = _sig(edges)
+        if cur == prev:
+            break
+        prev = cur
+    # fixed point: every edge is (non-root node → its component min).
+    # The roots themselves never appear on the left (they have no
+    # smaller neighbour), so add their self-rows from the right side.
+    members = edges.select(
+        F.col("a").alias("doc_id"), F.col("b").alias("cluster_id")
+    )
+    roots = edges.select(
+        F.col("b").alias("doc_id"), F.col("b").alias("cluster_id")
+    ).dropDuplicates(["doc_id"])
+    return members.unionByName(roots).dropDuplicates(["doc_id"])
+
+
+def connected_components_local(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Union-find over the whole pair list in ONE task.
+
+    Sound at scale because the operand is the LSH candidate-pair list,
+    not the corpus: banding exists precisely to make this list sparse.
+    At 16 bytes/edge, 10^8 pairs ≈ 1.6 GB — one executor core.  A pair
+    list beyond that means the LSH parameters are admitting far too
+    many candidates; fix the banding (or fall back to
+    ``connected_components_star``) rather than scaling this up."""
+    a_t = pairs.schema[id_a].dataType.simpleString()
+    out_schema = f"doc_id {a_t}, cluster_id {a_t}"
+
+    def unite(batches):
+        import pandas as pd
+
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for pdf in batches:
+            for a, b in zip(pdf[id_a].values, pdf[id_b].values):
+                if a not in parent:
+                    parent[a] = a
+                if b not in parent:
+                    parent[b] = b
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[ra] = rb
+        # canonical label = min member id per component
+        label: dict = {}
+        for node in parent:
+            r = find(node)
+            if r not in label or node < label[r]:
+                label[r] = node
+        yield pd.DataFrame(
+            {
+                "doc_id": list(parent.keys()),
+                "cluster_id": [label[find(n)] for n in parent],
+            }
+        )
+
+    return pairs.select(id_a, id_b).coalesce(1).mapInPandas(
+        unite, schema=out_schema
+    )
+
+
+def resolve_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    local_max_pairs: int = 100_000_000,
+) -> DataFrame:
+    """Cluster resolution with the physical form picked by pair count:
+    single-task union-find while the edge list fits one task (the
+    overwhelmingly common case), distributed star rounds beyond."""
+    if pairs.count() <= local_max_pairs:
+        return connected_components_local(pairs, id_a, id_b)
+    return connected_components_star(pairs, id_a, id_b)

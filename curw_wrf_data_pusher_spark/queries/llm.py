@@ -379,12 +379,17 @@ _SHINGLE_CTE_RECURSIVE = _SHINGLE_CTE.replace("WITH toks", "WITH RECURSIVE toks"
     """,
 )
 def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..llmops.clusters import connected_components
+    # Single-task union-find over the candidate pairs: the pair list is
+    # sparse by construction (that is what banding buys), so this is one
+    # shuffle + one task instead of diameter-many iterative rounds.
+    # Distributed fallbacks (min-label, large-star/small-star) live in
+    # llmops.clusters with a three-way agreement test.
+    from ..llmops.clusters import connected_components_local
 
     docs = load_table(spark, sf_dir, "documents")
     sig = minhash_signatures(shingles(docs))
     pairs = lsh_candidate_pairs(sig, bands=4, rows_per_band=2)
-    return connected_components(pairs)
+    return connected_components_local(pairs)
 
 
 # SimHash near-dup pairs: hamming distance over the 32-bit signatures

@@ -136,3 +136,45 @@ def test_ivf_topk_recall_and_exactness(spark, sf_dir):
     # probing EVERY centroid must reproduce brute force exactly
     full = ivf_topk(emb, queries, k=5, n_centroids=8, n_probe=8).toPandas()
     assert set(zip(full.q_id, full.n_id)) == exact_pairs
+
+
+def test_cc_three_way_agreement(spark):
+    """Union-find, large-star/small-star, and min-label propagation
+    must produce the identical (doc_id, cluster_id=component-min) map —
+    including on a long chain (min-label's worst case: diameter rounds;
+    star: O(log diameter); union-find: one pass)."""
+    import random
+
+    from curw_wrf_data_pusher_spark.llmops.clusters import (
+        connected_components,
+        connected_components_local,
+        connected_components_star,
+    )
+
+    rng = random.Random(7)
+    # chain 0-1-2-...-19 (diameter 19), a dense clique, some random
+    # edges, an isolated pair, self-contained duplicates
+    edges = [(i, i + 1) for i in range(19)]
+    edges += [(100 + i, 100 + j) for i in range(5) for j in range(i + 1, 5)]
+    edges += [(rng.randrange(200, 230), rng.randrange(200, 230))
+              for _ in range(40)]
+    edges += [(500, 501), (1, 0), (3, 2)]
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in edges if a != b], "id_a long, id_b long"
+    )
+    ml = {
+        (r["doc_id"], r["cluster_id"])
+        for r in connected_components(pairs).collect()
+    }
+    st = {
+        (r["doc_id"], r["cluster_id"])
+        for r in connected_components_star(pairs).collect()
+    }
+    uf = {
+        (r["doc_id"], r["cluster_id"])
+        for r in connected_components_local(pairs).collect()
+    }
+    assert st == ml
+    assert uf == ml
+    # chain collapses to one component rooted at 0
+    assert all(c == 0 for d, c in st if d < 20)
