@@ -76,6 +76,85 @@ def cosine_topk(
     )
 
 
+def kmeans_refine(
+    corpus: DataFrame,
+    seed_centroids: list[list[float]],
+    vec_col: str = "embedding",
+    iterations: int = 2,
+) -> list[list[float]]:
+    """Lloyd refinement of IVF centroids as pure DataFrame aggregates.
+
+    SPHERICAL k-means — assignment is by cosine, so the update averages
+    UNIT vectors (directions): a handful of large-magnitude vectors
+    must not drag a centroid's direction.  Per iteration: assign every
+    vector to its nearest centroid (JVM expression over broadcast
+    centroid literals — map-side only), then recompute each centroid as
+    the element-wise mean of normalized vectors via posexplode + avg.
+    Two shuffles per iteration: (centroid, dim) partial-agg (map-side
+    combine makes the exchange k×dim rows), then the k-row reassembly.
+    Only k×dim floats ever reach the driver.  Seeding stays the
+    deterministic hash-sample, so results are reproducible with no RNG
+    state."""
+    centroids = seed_centroids
+    for _ in range(iterations):
+        assign = (
+            corpus.select(F.col(vec_col).alias("raw"))
+            .withColumn(
+                "c", _nearest_centroid_expr(F.col("raw"), centroids, 1)[0]
+            )
+            .withColumn(
+                "v",
+                F.transform(
+                    "raw", lambda x: x.cast("double") / _norm(F.col("raw"))
+                ),
+            )
+        )
+        dim_means = (
+            assign.select("c", F.posexplode("v").alias("pos", "x"))
+            .groupBy("c", "pos")
+            .agg(F.avg(F.col("x").cast("double")).alias("m"))
+        )
+        rows = (
+            dim_means.groupBy("c")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "m"))
+                ).alias("dims")
+            )
+            .collect()
+        )
+        new = {
+            row["c"]: [d["m"] for d in row["dims"]] for row in rows
+        }
+        # a centroid that attracted no vectors keeps its previous
+        # position (standard empty-cluster handling)
+        centroids = [
+            new.get(i, centroids[i]) for i in range(len(centroids))
+        ]
+    return centroids
+
+
+def _nearest_centroid_expr(
+    vec: Column, centroids: list[list[float]], n: int
+) -> Column:
+    """array of the n centroid indexes closest (cosine) to vec —
+    centroids enter the plan as broadcast literals."""
+    scored = F.array(
+        *[
+            F.struct(
+                (
+                    _dot(vec, F.array(*[F.lit(v) for v in c]))
+                    / _norm(F.array(*[F.lit(v) for v in c]))
+                ).alias("score"),
+                F.lit(i).alias("idx"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    top = F.slice(F.reverse(F.array_sort(scored)), 1, n)
+    return F.transform(top, lambda s: s["idx"])
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -84,20 +163,22 @@ def ivf_topk(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    refine_iterations: int = 0,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: corpus vectors are
     assigned to their nearest centroid; each query probes only the
     ``n_probe`` nearest centroid lists and re-ranks exactly within
     them.
 
-    Centroids are chosen deterministically (the ``n_centroids`` corpus
+    Centroids are seeded deterministically (the ``n_centroids`` corpus
     vectors with the smallest xxhash64(id) — a reproducible pseudo-
-    random sample; swap in k-means centroids for better recall without
-    touching the plan).  They are collected once to the driver (k ×
-    dim floats — trivially small) and broadcast as literal arrays, so
-    assignment is a pure JVM expression: the corpus is scanned once,
-    shuffled once on centroid id.  Search cost drops from |Q|×|C| to
-    |Q| × (n_probe/n_centroids) × |C| on average.
+    random sample), optionally tightened by ``refine_iterations``
+    rounds of Lloyd k-means (``kmeans_refine`` — pure DataFrame aggs,
+    same deterministic outcome).  They are collected once to the
+    driver (k × dim floats — trivially small) and broadcast as literal
+    arrays, so assignment is a pure JVM expression: the corpus is
+    scanned once, shuffled once on centroid id.  Search cost drops
+    from |Q|×|C| to |Q| × (n_probe/n_centroids) × |C| on average.
 
     Returns (q_id, n_id, rank, cos)."""
     from ..sources.lake import spread
@@ -111,36 +192,23 @@ def ivf_topk(
     centroids = [
         [float(v) for v in row[vec_col]] for row in cent_rows
     ]
-
-    def nearest_centroids(vec: Column, n: int) -> Column:
-        """array of the n centroid indexes closest (cosine) to vec."""
-        scored = F.array(
-            *[
-                F.struct(
-                    (
-                        _dot(vec, F.array(*[F.lit(v) for v in c]))
-                        / _norm(F.array(*[F.lit(v) for v in c]))
-                    ).alias("score"),
-                    F.lit(i).alias("idx"),
-                )
-                for i, c in enumerate(centroids)
-            ]
+    if refine_iterations > 0:
+        centroids = kmeans_refine(
+            corpus, centroids, vec_col=vec_col,
+            iterations=refine_iterations,
         )
-        top = F.slice(
-            F.reverse(F.array_sort(scored)), 1, n
-        )
-        return F.transform(top, lambda s: s["idx"])
 
     c = spread(corpus.select(
         F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec")
     )).withColumn(
-        "centroid", nearest_centroids(F.col("n_vec"), 1)[0]
+        "centroid", _nearest_centroid_expr(F.col("n_vec"), centroids, 1)[0]
     ).withColumn("n_norm", _norm(F.col("n_vec")))
 
     q = queries.select(
         F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
     ).withColumn(
-        "centroid", F.explode(nearest_centroids(F.col("q_vec"), n_probe))
+        "centroid",
+        F.explode(_nearest_centroid_expr(F.col("q_vec"), centroids, n_probe)),
     ).withColumn("q_norm", _norm(F.col("q_vec")))
 
     scored = (

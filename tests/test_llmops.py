@@ -178,3 +178,71 @@ def test_cc_three_way_agreement(spark):
     assert uf == ml
     # chain collapses to one component rooted at 0
     assert all(c == 0 for d, c in st if d < 20)
+
+
+def test_kmeans_refinement_improves_quantization(spark, sf_dir):
+    """Lloyd refinement must improve the spherical k-means objective
+    (mean cosine of each vector to its assigned centroid) and balance
+    the inverted lists; full-probe IVF must stay exactly brute force.
+
+    Recall at fixed n_probe is deliberately NOT asserted to rise: the
+    synthetic embeddings are uniform (clusterless), where balancing
+    lists spreads true neighbours across them — on real clustered
+    embeddings the aligned lists are what buys recall."""
+    import statistics
+
+    from curw_wrf_data_pusher_spark.llmops.simsearch import (
+        _nearest_centroid_expr,
+        ivf_topk,
+        kmeans_refine,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    seed_rows = (
+        emb.select("vec_id", "embedding")
+        .orderBy(F.xxhash64(F.col("vec_id")), F.col("vec_id"))
+        .limit(16)
+        .collect()
+    )
+    seed = [[float(v) for v in r["embedding"]] for r in seed_rows]
+    refined = kmeans_refine(emb, seed, iterations=2)
+
+    def objective_and_sizes(cents):
+        from curw_wrf_data_pusher_spark.llmops.simsearch import _dot, _norm
+
+        best = F.array_max(
+            F.array(
+                *[
+                    _dot(F.col("embedding"), F.array(*map(F.lit, c)))
+                    / (
+                        _norm(F.col("embedding"))
+                        * _norm(F.array(*map(F.lit, c)))
+                    )
+                    for c in cents
+                ]
+            )
+        )
+        obj = emb.agg(F.avg(best)).collect()[0][0]
+        sizes = [
+            r["count"]
+            for r in emb.withColumn(
+                "c", _nearest_centroid_expr(F.col("embedding"), cents, 1)[0]
+            )
+            .groupBy("c")
+            .count()
+            .collect()
+        ]
+        return obj, statistics.pstdev(sizes)
+
+    obj_seed, spread_seed = objective_and_sizes(seed)
+    obj_ref, spread_ref = objective_and_sizes(refined)
+    assert obj_ref > obj_seed  # Lloyd monotonically improves the objective
+    assert spread_ref <= spread_seed  # lists get more balanced
+
+    # probing every centroid reproduces brute force, refined or not
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = cosine_topk(emb, queries, k=5).toPandas()
+    full = ivf_topk(
+        emb, queries, k=5, n_centroids=8, n_probe=8, refine_iterations=2
+    ).toPandas()
+    assert set(zip(full.q_id, full.n_id)) == set(zip(exact.q_id, exact.n_id))
