@@ -11,9 +11,14 @@ without touching the Spark plan.
 Scale notes: binary payloads ride the exchange only when selected —
 metadata extraction projects (id, modality, content) and nothing else;
 ``mapInPandas`` streams Arrow batches so one executor never holds more
-than ``spark.sql.execution.arrow.maxRecordsPerBatch`` blobs; for 100 MB+
-media files switch ingestion to ``binaryFile`` + path pointers and feed
-the UDF paths, not payloads.
+than ``spark.sql.execution.arrow.maxRecordsPerBatch`` blobs.  For
+100 MB+ media, ingest POINTERS instead of payloads:
+``read_media_pointers`` lists files through the ``binaryFile`` source
+with the content column pruned away (only path/size/mtime are ever
+read), and the extractors take ``from_paths=True`` to open each file
+inside the task — the blob then never rides a shuffle or the Arrow
+channel at all, and a repartition of the pointer table costs bytes of
+path string per row, not the media.
 """
 
 from __future__ import annotations
@@ -60,16 +65,69 @@ DECODERS: dict[str, Callable[[bytes, str], dict]] = {
 }
 
 
+#: Extension → modality map used by ``read_media_pointers``.
+_MODALITY_BY_EXT = {
+    "image": ("jpg", "jpeg", "png", "gif", "bmp", "webp", "tiff"),
+    "audio": ("wav", "mp3", "flac", "ogg", "m4a", "opus"),
+    "video": ("mp4", "mkv", "avi", "mov", "webm"),
+}
+
+
+def read_media_pointers(
+    spark,
+    path: str,
+    pattern: str | None = None,
+    recursive: bool = True,
+) -> DataFrame:
+    """Pointer ingestion for large media: list files via the
+    ``binaryFile`` source but select only (path, length, mtime) — the
+    source prunes the content column, so no payload bytes are read.
+    Modality is inferred from the file extension.
+
+    Returns (media_path, n_bytes, mtime, modality).  Feed to the
+    extractors with ``from_paths=True``."""
+    reader = (
+        spark.read.format("binaryFile")
+        .option("recursiveFileLookup", str(recursive).lower())
+    )
+    if pattern is not None:
+        reader = reader.option("pathGlobFilter", pattern)
+    df = reader.load(path).select(
+        F.col("path").alias("media_path"),
+        F.col("length").alias("n_bytes"),
+        F.col("modificationTime").alias("mtime"),
+    )
+    ext = F.lower(F.element_at(F.split("media_path", r"\."), -1))
+    modality = F.lit("unknown")
+    for m, exts in _MODALITY_BY_EXT.items():
+        modality = F.when(ext.isin(*exts), m).otherwise(modality)
+    return df.withColumn("modality", modality)
+
+
+def _load_path(p: str) -> bytes:
+    """Open one media file inside the task (executor-local read).
+    ``binaryFile`` emits file: URIs; strip the scheme for local paths —
+    object-store schemes would dispatch to their client here."""
+    local = p[len("file:"):] if p.startswith("file:") else p
+    with open(local, "rb") as fh:
+        return fh.read()
+
+
 def extract_media_metadata(
     df: DataFrame,
     id_col: str = "id",
     content_col: str = "content",
     modality_col: str = "modality",
+    from_paths: bool = False,
 ) -> DataFrame:
     """Decode opaque binary media columns into typed metadata rows via
     Arrow-batched ``mapInPandas``. Decode failures are captured per row
     (ok=false, error) instead of failing the task — at scale a single
-    corrupt blob must not kill a 10k-partition job."""
+    corrupt blob must not kill a 10k-partition job.
+
+    ``from_paths=True``: ``content_col`` holds file paths (from
+    ``read_media_pointers``); each task opens its own files and the
+    payload never crosses the Arrow channel or a shuffle."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
@@ -77,24 +135,33 @@ def extract_media_metadata(
         for pdf in batches:
             rows = []
             for _, r in pdf.iterrows():
-                payload = bytes(r[content_col]) if r[content_col] is not None else b""
                 modality = r[modality_col]
                 base = {
                     "id": r[id_col],
                     "modality": modality,
-                    "n_bytes": len(payload),
-                    "content_hash": hashlib.sha256(payload).hexdigest(),
+                    "n_bytes": None,
+                    "content_hash": None,
                     "width": None,
                     "height": None,
                     "n_frames": None,
                     "ok": False,
                     "error": None,
                 }
-                try:
+                try:  # per-row failure isolation: load AND decode
+                    if from_paths:
+                        payload = _load_path(r[content_col])
+                    else:
+                        payload = (
+                            bytes(r[content_col])
+                            if r[content_col] is not None
+                            else b""
+                        )
+                    base["n_bytes"] = len(payload)
+                    base["content_hash"] = hashlib.sha256(payload).hexdigest()
                     decoder = DECODERS.get(modality, _unavailable_decode)
                     base.update(decoder(payload, modality))
                     base["ok"] = True
-                except Exception as exc:  # per-row failure isolation
+                except Exception as exc:
                     base["error"] = f"{type(exc).__name__}: {exc}"
                 rows.append(base)
             yield pd.DataFrame(
@@ -147,6 +214,7 @@ def extract_media_features(
     id_col: str = "id",
     content_col: str = "content",
     modality_col: str = "modality",
+    from_paths: bool = False,
 ) -> DataFrame:
     """Decode + feature-extract media blobs into fixed-dim vectors via
     mapInPandas — the fan-out stage feeding similarity search
@@ -154,14 +222,22 @@ def extract_media_features(
 
     Batch-shape contract: every output row carries a feat_dim-length
     array<float>; failures yield ok=false with a null feature, never a
-    task failure."""
+    task failure.  ``from_paths=True``: ``content_col`` holds file
+    paths (``read_media_pointers``); payloads are opened in-task."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for _, r in pdf.iterrows():
-                payload = bytes(r[content_col]) if r[content_col] is not None else b""
                 try:
+                    if from_paths:
+                        payload = _load_path(r[content_col])
+                    else:
+                        payload = (
+                            bytes(r[content_col])
+                            if r[content_col] is not None
+                            else b""
+                        )
                     feat = _fake_features(payload, r[modality_col], dim)
                     rows.append((r[id_col], r[modality_col], feat, dim, True))
                 except Exception:

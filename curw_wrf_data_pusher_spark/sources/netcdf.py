@@ -112,6 +112,21 @@ def read_wrf_grid(
                     lon_idx = np.where(
                         (lons >= bbox["lon_min"]) & (lons <= bbox["lon_max"])
                     )[0]
+                    # bbox outside this file's grid → zero rows, not an
+                    # executor IndexError on lat_idx[0]/[-1]
+                    if lat_idx.size == 0 or lon_idx.size == 0:
+                        continue
+                    # first:last slicing below assumes the matched index
+                    # set is contiguous, i.e. monotonic axes (true for
+                    # WRF grids; guard so a malformed file fails loudly)
+                    if not (
+                        np.all(np.diff(lats) >= 0) or np.all(np.diff(lats) <= 0)
+                    ) or not (
+                        np.all(np.diff(lons) >= 0) or np.all(np.diff(lons) <= 0)
+                    ):
+                        raise ValueError(
+                            f"non-monotonic XLAT/XLONG axes in {row['path']}"
+                        )
                     t0, t1 = t_slice or (0, xtime.shape[0])
                     var = ds.variables[variable][
                         t0:t1, lat_idx[0]: lat_idx[-1] + 1,

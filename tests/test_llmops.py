@@ -246,3 +246,66 @@ def test_kmeans_refinement_improves_quantization(spark, sf_dir):
         emb, queries, k=5, n_centroids=8, n_probe=8, refine_iterations=2
     ).toPandas()
     assert set(zip(full.q_id, full.n_id)) == set(zip(exact.q_id, exact.n_id))
+
+
+def test_media_pointer_ingestion_path_mode(spark, tmp_path):
+    """binaryFile pointer listing + path-mode extraction must produce
+    the same metadata as payload-mode, without content ever entering
+    the pointer table; missing files degrade to ok=false rows."""
+    from curw_wrf_data_pusher_spark.llmops.multimodal import (
+        extract_media_metadata,
+        read_media_pointers,
+    )
+
+    media = tmp_path / "media"
+    media.mkdir()
+    blobs = {
+        "a.jpg": b"\xff\xd8jpegish-bytes",
+        "b.wav": b"RIFFwavish-bytes-123",
+        "c.mp4": b"\x00\x00ftypmp4-bytes-xyz",
+    }
+    for name, data in blobs.items():
+        (media / name).write_bytes(data)
+
+    ptr = read_media_pointers(spark, str(media))
+    rows = {r["media_path"].split("/")[-1]: r for r in ptr.collect()}
+    assert rows["a.jpg"]["modality"] == "image"
+    assert rows["b.wav"]["modality"] == "audio"
+    assert rows["c.mp4"]["modality"] == "video"
+    assert rows["a.jpg"]["n_bytes"] == len(blobs["a.jpg"])
+    assert "content" not in ptr.columns  # payloads pruned at the source
+
+    with_ids = ptr.withColumn(
+        "id", F.xxhash64("media_path")
+    )
+    path_meta = extract_media_metadata(
+        with_ids, id_col="id", content_col="media_path",
+        modality_col="modality", from_paths=True,
+    ).toPandas().set_index("id")
+
+    # payload-mode twin over the same bytes
+    payload_df = spark.createDataFrame(
+        [
+            (r["id"], rows_m, blobs[name])
+            for name, r in rows.items()
+            for r, rows_m in [(with_ids.filter(
+                F.col("media_path") == r["media_path"]).first(), r["modality"])]
+        ],
+        "id long, modality string, content binary",
+    )
+    pay_meta = extract_media_metadata(payload_df).toPandas().set_index("id")
+    for i in path_meta.index:
+        assert path_meta.loc[i, "content_hash"] == pay_meta.loc[i, "content_hash"]
+        assert path_meta.loc[i, "ok"] and pay_meta.loc[i, "ok"]
+        assert path_meta.loc[i, "width"] == pay_meta.loc[i, "width"]
+
+    # a dangling pointer must not kill the task
+    dangling = spark.createDataFrame(
+        [(1, "image", str(media / "gone.jpg"))],
+        "id long, modality string, media_path string",
+    )
+    bad = extract_media_metadata(
+        dangling, id_col="id", content_col="media_path",
+        modality_col="modality", from_paths=True,
+    ).collect()[0]
+    assert bad["ok"] is False and "FileNotFoundError" in bad["error"]
