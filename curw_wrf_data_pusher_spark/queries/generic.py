@@ -839,13 +839,19 @@ def a9_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Sessionization: split each user's event stream into sessions at
 # >30-minute gaps (lag + flag + running count), then aggregate per
-# session — the canonical event-analytics window composition.
+# session — the canonical event-analytics window composition.  The gap
+# condition is an integer microsecond comparison in BOTH engines
+# (events carry sub-second precision; a seconds-floor on one side and
+# an exact interval on the other could split a session differently
+# within ~1 s of the boundary).
 @register(
     "w4_sessionize",
     oracle="""
     WITH flagged AS (
       SELECT user_id, ts, event_id, value,
-             CASE WHEN ts - lag(ts) OVER w <= INTERVAL '30 minutes'
+             CASE WHEN epoch_us(ts::TIMESTAMP)
+                    - lag(epoch_us(ts::TIMESTAMP)) OVER w
+                    <= 1800 * 1000000
                   THEN 0 ELSE 1 END AS new_session
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -872,8 +878,8 @@ def w4_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     flagged = ev.withColumn(
         "new_session",
         F.when(
-            F.col("ts").cast("long")
-            - F.lag(F.col("ts").cast("long")).over(w) <= 30 * 60,
+            F.unix_micros("ts")
+            - F.lag(F.unix_micros("ts")).over(w) <= 1800 * 1_000_000,
             0,
         ).otherwise(1),
     )
