@@ -197,3 +197,120 @@ def read_wrf_grid_parquet(
             & F.col("longitude").between(bbox["lon_min"], bbox["lon_max"])
         )
     return out
+
+
+def assemble_grid_cube(pdf: pd.DataFrame, value_col: str = "rainnc_cum"):
+    """Reassemble one file's long rows into the (time, lat, lon) cube +
+    axis vectors — the inverse of the reader's meshgrid flatten.
+
+    Pure pandas/numpy (no netCDF dependency) so the reassembly logic is
+    testable in this container; ``write_netcdf_grid`` feeds its output
+    to the codec.  Returns (times, lats, lons, cube) with cube shape
+    (n_t, n_y, n_x); cells absent from the input (e.g. a bbox-filtered
+    grid) are NaN."""
+    import numpy as np
+
+    t_vals = np.sort(pdf["t_idx"].unique())
+    y_vals = np.sort(pdf["y"].unique())
+    x_vals = np.sort(pdf["x"].unique())
+    t_pos = {v: i for i, v in enumerate(t_vals)}
+    y_pos = {v: i for i, v in enumerate(y_vals)}
+    x_pos = {v: i for i, v in enumerate(x_vals)}
+    cube = np.full((len(t_vals), len(y_vals), len(x_vals)), np.nan)
+    cube[
+        pdf["t_idx"].map(t_pos).to_numpy(),
+        pdf["y"].map(y_pos).to_numpy(),
+        pdf["x"].map(x_pos).to_numpy(),
+    ] = pdf[value_col].to_numpy()
+    # axis coordinate vectors: latitude varies along y, longitude along x
+    lats = (
+        pdf.drop_duplicates("y").set_index("y")["latitude"]
+        .reindex(y_vals).to_numpy()
+    )
+    lons = (
+        pdf.drop_duplicates("x").set_index("x")["longitude"]
+        .reindex(x_vals).to_numpy()
+    )
+    times = (
+        pdf.drop_duplicates("t_idx").set_index("t_idx")["xtime_min"]
+        .reindex(t_vals).to_numpy()
+    )
+    return times, lats, lons, cube
+
+
+#: Manifest row per written file.
+EXPORT_SCHEMA = (
+    "wrf_system string, source_file string, out_path string, "
+    "n_t int, n_y int, n_x int"
+)
+
+
+def write_netcdf_grid(
+    grid: DataFrame,
+    out_dir: str,
+    variable: str = "RAINNC",
+    value_col: str = "rainnc_cum",
+) -> DataFrame:
+    """S2/K8 — re-export a (projected, possibly bbox-sliced) grid as
+    one NetCDF file per source file, reproducing the reference's
+    single-variable export (mwrf/extract_n_export_mwrf.py:42-45:
+    ``ds.RAINNC.to_netcdf(...)``) as a distributed write: one task per
+    (wrf_system, source_file) group — the same file-level parallelism
+    as the reader, so thousands of daily files export concurrently.
+
+    Import-gated like ``read_wrf_grid``: the container lacks netCDF4;
+    the cube reassembly (``assemble_grid_cube``) is tested without it.
+    Returns the manifest DataFrame (one row per written file)."""
+    if not _netcdf_available():
+        raise RuntimeError(
+            "netCDF4 is not installed in this environment; "
+            "write_netcdf_grid needs it for the encode step "
+            "(assemble_grid_cube is testable without it)"
+        )
+    import os
+
+    def export(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        from netCDF4 import Dataset  # noqa: import inside task
+
+        system, source = key
+        times, lats, lons, cube = assemble_grid_cube(pdf, value_col)
+        base = os.path.basename(str(source).rstrip("/")) or "grid"
+        out_path = os.path.join(out_dir, f"{system}_{base}_{variable}.nc")
+        os.makedirs(out_dir, exist_ok=True)
+        ds = Dataset(out_path, "w")
+        try:
+            ds.createDimension("Time", len(times))
+            ds.createDimension("south_north", len(lats))
+            ds.createDimension("west_east", len(lons))
+            xtime = ds.createVariable("XTIME", "i8", ("Time",))
+            xtime[:] = times
+            xtime.description = (
+                f"minutes since {pdf['epoch_str'].iloc[0]}"
+            )
+            xlat = ds.createVariable("XLAT", "f8", ("south_north",))
+            xlat[:] = lats
+            xlong = ds.createVariable("XLONG", "f8", ("west_east",))
+            xlong[:] = lons
+            var = ds.createVariable(
+                variable, "f8", ("Time", "south_north", "west_east"),
+                fill_value=float("nan"),
+            )
+            var[:] = cube
+        finally:
+            ds.close()
+        return pd.DataFrame(
+            [
+                {
+                    "wrf_system": system,
+                    "source_file": source,
+                    "out_path": out_path,
+                    "n_t": len(times),
+                    "n_y": len(lats),
+                    "n_x": len(lons),
+                }
+            ]
+        )
+
+    return grid.groupBy("wrf_system", "source_file").applyInPandas(
+        export, schema=EXPORT_SCHEMA
+    )

@@ -309,3 +309,50 @@ def test_media_pointer_ingestion_path_mode(spark, tmp_path):
         modality_col="modality", from_paths=True,
     ).collect()[0]
     assert bad["ok"] is False and "FileNotFoundError" in bad["error"]
+
+
+def test_netcdf_writer_gated_and_cube_assembly(spark, tmp_path):
+    """write_netcdf_grid is import-gated (no netCDF4 here), but the
+    cube reassembly — the writer's actual logic — must invert the
+    reader's meshgrid flatten exactly, including bbox-sliced grids."""
+    import numpy as np
+
+    from curw_wrf_data_pusher_spark.sources.netcdf import (
+        assemble_grid_cube,
+        write_netcdf_grid,
+    )
+    from tests.wrf_fixture import make_grid_pdf
+
+    with pytest.raises(RuntimeError, match="netCDF4 is not installed"):
+        write_netcdf_grid(
+            spark.createDataFrame(make_grid_pdf()).withColumn(
+                "source_file", F.lit("f.nc")
+            ),
+            str(tmp_path),
+        )
+
+    # one (wrf_system, source_file) group — the writer's per-task unit
+    pdf = make_grid_pdf()
+    pdf = pdf[pdf["wrf_system"] == "A"].reset_index(drop=True)
+    times, lats, lons, cube = assemble_grid_cube(pdf)
+    n_t = pdf["t_idx"].nunique()
+    n_y = pdf["y"].nunique()
+    n_x = pdf["x"].nunique()
+    assert cube.shape == (n_t, n_y, n_x)
+    assert not np.isnan(cube).any()  # dense input → dense cube
+    # spot-check the inverse mapping row-by-row on a sample
+    sample = pdf.sample(n=25, random_state=1)
+    t_pos = {v: i for i, v in enumerate(np.sort(pdf["t_idx"].unique()))}
+    y_pos = {v: i for i, v in enumerate(np.sort(pdf["y"].unique()))}
+    x_pos = {v: i for i, v in enumerate(np.sort(pdf["x"].unique()))}
+    for _, r in sample.iterrows():
+        assert cube[t_pos[r["t_idx"]], y_pos[r["y"]], x_pos[r["x"]]] == (
+            r["rainnc_cum"]
+        )
+        assert lats[y_pos[r["y"]]] == r["latitude"]
+        assert lons[x_pos[r["x"]]] == r["longitude"]
+
+    # bbox-sliced (sparse) input: absent cells become NaN, axes shrink
+    sliced = pdf[pdf["y"] > pdf["y"].min()]
+    _, lats2, _, cube2 = assemble_grid_cube(sliced)
+    assert len(lats2) == n_y - 1 and cube2.shape[1] == n_y - 1
