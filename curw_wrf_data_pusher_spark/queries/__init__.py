@@ -35,6 +35,8 @@ _TAIL = [
     "q5_local_supplier_volume",
     "q18_large_orders",
     "u5_union_distinct",       # U1: u1_union_all; distinct: u3_u4_intersect_except
+    "llm_dedup_survivors",     # composition of llm_dedup_exact + w2 pattern
+    "llm_corpus_stats",        # composition of llm_quality_features + token_counts
 ]
 
 

@@ -545,3 +545,64 @@ def llm_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("n_tok").cast("double") / F.count("*")).alias("mean_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark-contamination detection: for each held-out document (the
+# deterministic doc_id % 20 == 0 split), the share of its 3-gram
+# shingles appearing in ANY training document — the n-gram-overlap
+# decontamination check every pretraining pipeline runs (13-grams in
+# GPT-3/PaLM practice; n parameterized).
+@register(
+    "llm_contamination",
+    oracle=f"""
+    {_SHINGLE_CTE},
+    test_sh AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 20 = 0),
+    train_sh AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 20 <> 0)
+    SELECT t.doc_id,
+           count(*) AS n_shingles,
+           count(tr.shingle) AS n_contaminated,
+           round(CAST(count(tr.shingle) AS DOUBLE) / count(*), 6)
+             AS contamination
+    FROM test_sh t LEFT JOIN train_sh tr ON t.shingle = tr.shingle
+    GROUP BY t.doc_id
+    """,
+)
+def llm_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llmops.curation import shingle_contamination
+
+    docs = load_table(spark, sf_dir, "documents")
+    return shingle_contamination(docs, is_test=F.col("doc_id") % 20 == 0)
+
+
+# Sequence packing (concat-and-chunk): per source, the ordered token
+# stream chunked into 256-token training examples; each document maps
+# to its chunk range. Pure window functions partitioned by source — no
+# global sort anywhere.
+@register(
+    "llm_seq_packing",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, source AS grp,
+             CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, grp, n_tokens,
+             CAST(sum(n_tokens) OVER (PARTITION BY grp ORDER BY doc_id
+                                      ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS cum
+      FROM t
+    )
+    SELECT doc_id, grp, n_tokens,
+           cum - n_tokens AS start_offset,
+           CAST((cum - n_tokens) // 256 AS BIGINT) AS bin_start,
+           CAST((cum - 1) // 256 AS BIGINT) AS bin_end
+    FROM c
+    """,
+)
+def llm_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llmops.curation import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_sequences(docs, capacity=256, group_col="source")
