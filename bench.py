@@ -43,6 +43,9 @@ HEADLINE = [
     "j6_asof_join",
     "s10_window_resample",
     "llm_dedup_clusters",
+    "e2_rfield_contract",
+    "llm_contamination",
+    "llm_seq_packing",
 ]
 
 

@@ -224,13 +224,23 @@ def e2_rfield_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("mean_v"), F.lit(0.0)).alias("value"),
         )
     )
+    # per-file rank partitions by file_key (parallel across files); the
+    # manifest rank is computed on the TINY cells dim and broadcast back
+    # — no global window over the dense frame (which would single-thread
+    # the whole fact-scale sort).
     w_file = Window.partitionBy("file_key").orderBy("longitude", "latitude")
-    w_xy = Window.orderBy("longitude", "latitude")
-    return dense.select(
-        "file_key",
-        F.row_number().over(w_file).cast("long").alias("line_no"),
-        F.dense_rank().over(w_xy).cast("long").alias("xy_line"),
-        "longitude", "latitude", "value",
+    w_manifest = Window.orderBy("longitude", "latitude")
+    xy = cells.select(
+        "longitude", "latitude",
+        F.row_number().over(w_manifest).cast("long").alias("xy_line"),
+    )
+    return (
+        dense.join(F.broadcast(xy), ["longitude", "latitude"])
+        .select(
+            "file_key",
+            F.row_number().over(w_file).cast("long").alias("line_no"),
+            "xy_line", "longitude", "latitude", "value",
+        )
     )
 
 
