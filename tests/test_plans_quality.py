@@ -103,3 +103,35 @@ def test_partition_layout_prunes(spark, tmp_path):
 def test_latest_dedup_join_form_broadcasts(spark, sf_dir):
     plan = plan_of(QUERIES["a6_latest_fgt_join"](spark, sf_dir))
     assert "BroadcastHashJoin" in plan
+
+
+def test_grouping_sets_single_expand_single_shuffle(spark, sf_dir):
+    plan = plan_of(QUERIES["a12_grouping_sets"](spark, sf_dir))
+    # grouping sets compile to one map-side Expand + one agg exchange —
+    # not one scan/shuffle per set
+    assert count_nodes(plan, "Expand") == 1
+    assert count_nodes(plan, "Exchange") == 1
+    assert count_nodes(plan, "Scan parquet") == 1
+
+
+def test_e2_contract_broadcasts_manifest(spark, sf_dir):
+    plan = plan_of(QUERIES["e2_rfield_contract"](spark, sf_dir))
+    # cells manifest + per-timestep values join broadcast; the only
+    # window partitioning is per file_key (no global empty-partition
+    # Window over the dense frame)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_contamination_no_cartesian(spark, sf_dir):
+    plan = plan_of(QUERIES["llm_contamination"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_seq_packing_partitions_by_group(spark, sf_dir):
+    plan = plan_of(QUERIES["llm_seq_packing"](spark, sf_dir))
+    # the running sum partitions by grp — a global (empty-partition)
+    # window would log "No Partition Defined" and single-thread
+    assert count_nodes(plan, "Window") == 1
+    assert "windowspecdefinition(grp" in plan
