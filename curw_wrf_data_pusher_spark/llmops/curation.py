@@ -100,3 +100,34 @@ def pack_sequences(
             "bin_end"
         ),
     )
+
+
+def stratified_sample(
+    docs: DataFrame,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "sample:v1",
+) -> DataFrame:
+    """Deterministic per-group sampling — the corpus-mixing step that
+    up/down-weights sources when assembling a training mix.
+
+    A document is kept iff its 32-bit hash (first 8 hex digits of
+    md5(salt:id) — the engine's portable hash, identical in any SQL
+    engine for oracle checks; swap xxhash64 in for raw speed at scale)
+    falls under rate × 2^32: reproducible across runs and cluster
+    sizes (no RNG state, no sampleBy seed drift), stable under
+    repartitioning, and a pure map-side filter — no shuffle at any
+    scale.  Changing ``salt`` draws an independent sample."""
+    h32 = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string"))),
+            1, 8,
+        ),
+        16, 10,
+    ).cast("long")
+    rate = F.lit(float(default_rate))
+    for g, r in sorted(rates.items()):
+        rate = F.when(F.col(group_col) == g, F.lit(float(r))).otherwise(rate)
+    return docs.filter(h32 < rate * F.lit(float(2**32)))

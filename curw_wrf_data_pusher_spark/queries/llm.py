@@ -606,3 +606,27 @@ def llm_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return pack_sequences(docs, capacity=256, group_col="source")
+
+
+# Deterministic stratified sampling: the corpus-mixing step that
+# up/down-weights sources in a training mix. Keep iff the md5-derived
+# 32-bit hash of (salt:doc_id) falls under the source's rate — stable
+# across runs, cluster sizes and repartitioning; pure map-side filter.
+@register(
+    "llm_stratified_sample",
+    oracle="""
+    SELECT doc_id, source
+    FROM documents
+    WHERE ('0x' || substr(md5('sample:v1:' || CAST(doc_id AS VARCHAR)),
+                          1, 8))::BIGINT
+          < (CASE source WHEN 'src0' THEN 0.25 WHEN 'src1' THEN 0.75
+             ELSE 1.0 END) * 4294967296.0
+    """,
+)
+def llm_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llmops.curation import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_sample(
+        docs, rates={"src0": 0.25, "src1": 0.75}, default_rate=1.0
+    ).select("doc_id", "source")
