@@ -132,3 +132,61 @@ def test_asof_join_matches_pandas_merge_asof(spark, left, right):
         on="t", by="k", direction="backward",
     ).sort_values(["k", "t"]).reset_index(drop=True)
     assert list(got["asof_v"].fillna(-1)) == list(want["v"].fillna(-1))
+
+
+@given(
+    toks=st.lists(st.integers(1, 400), min_size=1, max_size=40),
+    capacity=st.integers(min_value=8, max_value=512),
+)
+@SETTINGS
+def test_pack_sequences_invariants(spark, toks, capacity):
+    """Concat-and-chunk packing invariants for arbitrary token counts:
+    offsets tile the group's token stream with no gaps or overlaps, and
+    every doc's bin range is exactly the chunks its span touches."""
+    from curw_wrf_data_pusher_spark.llmops.curation import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, "g", " ".join(["w"] * n)) for i, n in enumerate(toks)],
+        "doc_id long, source string, text string",
+    )
+    out = (
+        pack_sequences(docs, capacity=capacity)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(out["n_tokens"]) == toks
+    # offsets are the exclusive prefix sums — contiguous, no overlap
+    expect_off = [sum(toks[:i]) for i in range(len(toks))]
+    assert list(out["start_offset"]) == expect_off
+    for _, r in out.iterrows():
+        assert r["bin_start"] == r["start_offset"] // capacity
+        assert r["bin_end"] == (r["start_offset"] + r["n_tokens"] - 1) // capacity
+        assert r["bin_start"] <= r["bin_end"]
+
+
+@given(rate_pct=st.integers(0, 100))
+@SETTINGS
+def test_stratified_sample_deterministic_and_monotone(spark, rate_pct):
+    """Hash-threshold sampling: the kept set at rate r is EXACTLY the
+    docs whose hash clears the threshold (re-running gives the same
+    set), and raising the rate only ever ADDS documents."""
+    from curw_wrf_data_pusher_spark.llmops.curation import stratified_sample
+
+    docs = spark.createDataFrame(
+        [(i, "s", "t") for i in range(200)],
+        "doc_id long, source string, text string",
+    )
+    r = rate_pct / 100.0
+    kept1 = {x["doc_id"] for x in stratified_sample(
+        docs, rates={"s": r}).select("doc_id").collect()}
+    kept2 = {x["doc_id"] for x in stratified_sample(
+        docs, rates={"s": r}).select("doc_id").collect()}
+    assert kept1 == kept2  # deterministic
+    bigger = {x["doc_id"] for x in stratified_sample(
+        docs, rates={"s": min(1.0, r + 0.25)}).select("doc_id").collect()}
+    assert kept1 <= bigger  # monotone in the rate
+    if rate_pct == 0:
+        assert kept1 == set()
+    if rate_pct == 100:
+        assert len(kept1) == 200

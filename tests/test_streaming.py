@@ -47,7 +47,13 @@ def test_stream_push_and_idempotent_redelivery(spark, tmp_path):
     pdf = make_grid_pdf()
 
     def sink(fact, runs):
-        upsert_parquet(spark, fact, store, keys=["tms_id", "time"])
+        # the scale path end-to-end: each micro-batch merges through the
+        # partition-scoped dynamic overwrite (date derived from the key)
+        fact = fact.withColumn("time_date", F.substring("time", 1, 10))
+        upsert_parquet(
+            spark, fact, store, keys=["tms_id", "time"],
+            partition_cols=["time_date"],
+        )
 
     # first drop
     _write_grid_drop(spark, pdf[pdf.wrf_system == "A"],
