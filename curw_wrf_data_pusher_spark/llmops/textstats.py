@@ -118,3 +118,61 @@ def token_counts(
         bpe.alias("n_bpe_tokens"),
         (bpe.cast("double") / ws).alias("bpe_per_ws"),
     )
+
+
+def text_features(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The full per-document text-analysis projection in ONE pass:
+    quality features + BPE-ish token counts + language id.  A single
+    select over one scan — the production shape (running the three
+    operators separately would scan the corpus three times; at 100 TB
+    that difference is the whole game).  Column set is the union of
+    ``quality_features`` / ``token_counts`` / ``language_id`` (the
+    whitespace token count appears once, as ``n_tokens``)."""
+    t = _tokens(text_col)
+    n_tok = F.size(t).cast("long")
+    n_char = F.length(F.col(text_col)).cast("long")
+    n_punct = (
+        F.length(F.col(text_col))
+        - F.length(F.regexp_replace(F.col(text_col), r"[.!?,;:]", ""))
+    ).cast("long")
+    sw_en = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    n_stop = F.size(F.filter(t, lambda x: F.array_contains(sw_en, x))).cast("long")
+    stop_ratio = n_stop.cast("double") / n_tok
+    punct_ratio = n_punct.cast("double") / n_char
+    score = (
+        F.lit(0.4) * F.least(n_tok.cast("double") / 100.0, F.lit(1.0))
+        + F.lit(0.4) * stop_ratio
+        + F.lit(0.2) * (F.lit(1.0) - punct_ratio)
+    )
+    bpe = F.size(
+        F.regexp_extract_all(F.col(text_col), F.lit(BPE_TOKEN_PATTERN), 0)
+    ).cast("long")
+    lang_scores = {}
+    for lang in LANG_ORDER:
+        sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+        lang_scores[lang] = F.size(
+            F.filter(t, lambda x: F.array_contains(sw, x))
+        ).cast("long")
+    pred = F.lit(LANG_ORDER[-1])
+    for lang in reversed(LANG_ORDER[:-1]):
+        later = [lang_scores[l2] for l2 in LANG_ORDER[LANG_ORDER.index(lang) + 1:]]
+        cond = lang_scores[lang] >= F.greatest(*later) if len(later) > 1 else (
+            lang_scores[lang] >= later[0]
+        )
+        pred = F.when(cond, F.lit(lang)).otherwise(pred)
+    return df.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        n_char.alias("n_chars_calc"),
+        n_punct.alias("n_punct"),
+        n_stop.alias("n_stopwords"),
+        ((n_char - (n_tok - 1)).cast("double") / n_tok).alias("avg_token_len"),
+        stop_ratio.alias("stopword_ratio"),
+        score.alias("quality_score"),
+        bpe.alias("n_bpe_tokens"),
+        (bpe.cast("double") / n_tok).alias("bpe_per_ws"),
+        *[lang_scores[lang].alias(f"score_{lang}") for lang in LANG_ORDER],
+        pred.alias("lang_pred"),
+    )

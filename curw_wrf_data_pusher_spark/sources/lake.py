@@ -59,15 +59,24 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     rows — cheap — and the exploded work parallelizes.  No-op when the
     input is already wide (the 100 TB case: thousands of file splits).
 
-    The wide-input check uses ``inputFiles()`` (plan metadata — no RDD
-    materialization, unlike ``df.rdd.getNumPartitions()`` which builds
-    the whole Python RDD lineage per call)."""
+    Wide-input checks, cheapest first: ``inputFiles()`` (pure plan
+    metadata) catches the many-files case; the JVM-side
+    ``rdd().getNumPartitions()`` (physical planning only, no job, no
+    Python RDD lineage) catches plans inputFiles can't see — a few
+    LARGE splittable parquet files, or any post-shuffle/in-memory plan
+    where ``inputFiles()`` is empty.  Only when both say "narrow" do we
+    pay the repartition shuffle."""
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
     try:
         if len(df.inputFiles()) >= target:
             return df
     except Exception:
-        pass  # non-file-backed plan: fall through and repartition
+        pass  # non-file-backed plan: try the partition count
+    try:
+        if df._jdf.rdd().getNumPartitions() >= target:
+            return df
+    except Exception:
+        pass
     return df.repartition(target)
 
 

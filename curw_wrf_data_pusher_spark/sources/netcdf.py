@@ -66,6 +66,7 @@ def read_wrf_grid(
     variable: str = "RAINNC",
     system_from_path: bool = True,
     t_slice: tuple[int, int] | None = None,
+    open_dataset=None,
 ) -> DataFrame:
     """Scan ``*.nc`` files under ``path`` into the long grid schema.
 
@@ -73,17 +74,36 @@ def read_wrf_grid(
     end-exclusive) are pushed into the reader: the hyperslab slice
     happens before any data leaves the C library, exactly like the
     reference's index-first read.
-    """
-    if not _netcdf_available():
-        raise RuntimeError(
-            "netCDF4 is not installed in this environment; use "
-            "read_wrf_grid_parquet on an F1-shaped lake table, or install "
-            "netCDF4 for raw .nc ingestion"
-        )
 
+    ``open_dataset``: injectable ``bytes -> dataset`` callable (default:
+    in-memory ``netCDF4.Dataset``).  The dataset only needs the surface
+    the decode uses — ``.variables`` with WRF-style slicing, attribute
+    access, ``.close()`` — so the whole decode logic (axis slicing, both
+    epoch encodings, bbox index contiguity, empty-bbox guard, mask fill)
+    is executable and tested against a stub dataset in this container;
+    only the C-library call itself stays environment-gated.
+    """
+    if open_dataset is None:
+        if not _netcdf_available():
+            raise RuntimeError(
+                "netCDF4 is not installed in this environment; use "
+                "read_wrf_grid_parquet on an F1-shaped lake table, pass "
+                "open_dataset=, or install netCDF4 for raw .nc ingestion"
+            )
+
+        def open_dataset(content: bytes):
+            from netCDF4 import Dataset
+
+            return Dataset("inmem", memory=content)
+
+    # recursiveFileLookup: the reference's lake nests files under
+    # {version}/{run}/{date}/{system}/ (wrf_data_pusher.py:321-327) —
+    # without it a nested .nc is silently skipped (caught by
+    # tests/test_netcdf_stub.py)
     files = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "*.nc")
+        .option("recursiveFileLookup", "true")
         .load(path)
         .select("path", "modificationTime", "content")
     )
@@ -91,11 +111,10 @@ def read_wrf_grid(
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
-        from netCDF4 import Dataset
 
         for pdf in batches:
             for _, row in pdf.iterrows():
-                ds = Dataset("inmem", memory=bytes(row["content"]))
+                ds = open_dataset(bytes(row["content"]))
                 try:
                     lats = ds.variables["XLAT"][0, :, 0]
                     lons = ds.variables["XLONG"][0, 0, :]
@@ -250,6 +269,7 @@ def write_netcdf_grid(
     out_dir: str,
     variable: str = "RAINNC",
     value_col: str = "rainnc_cum",
+    create_dataset=None,
 ) -> DataFrame:
     """S2/K8 — re-export a (projected, possibly bbox-sliced) grid as
     one NetCDF file per source file, reproducing the reference's
@@ -258,42 +278,64 @@ def write_netcdf_grid(
     (wrf_system, source_file) group — the same file-level parallelism
     as the reader, so thousands of daily files export concurrently.
 
-    Import-gated like ``read_wrf_grid``: the container lacks netCDF4;
-    the cube reassembly (``assemble_grid_cube``) is tested without it.
-    Returns the manifest DataFrame (one row per written file)."""
-    if not _netcdf_available():
-        raise RuntimeError(
-            "netCDF4 is not installed in this environment; "
-            "write_netcdf_grid needs it for the encode step "
-            "(assemble_grid_cube is testable without it)"
-        )
+    XLAT/XLONG are written WRF-style 3-D ``(Time, south_north,
+    west_east)`` so files exported here re-ingest through
+    ``read_wrf_grid`` (which indexes ``XLAT[0,:,0]`` / ``XLONG[0,0,:]``)
+    — the round trip is closed and stub-tested.
+
+    ``create_dataset``: injectable ``path -> dataset`` callable
+    (default: ``netCDF4.Dataset(path, "w")``) so the encode logic runs
+    against a recording stub in this container; only the C-library call
+    stays environment-gated.  Returns the manifest DataFrame (one row
+    per written file)."""
+    if create_dataset is None:
+        if not _netcdf_available():
+            raise RuntimeError(
+                "netCDF4 is not installed in this environment; "
+                "write_netcdf_grid needs it for the encode step, or pass "
+                "create_dataset= (assemble_grid_cube is testable without it)"
+            )
+
+        def create_dataset(out_path: str):
+            from netCDF4 import Dataset
+
+            return Dataset(out_path, "w")
+
     import os
 
     def export(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        from netCDF4 import Dataset  # noqa: import inside task
+        import numpy as np
 
         system, source = key
         times, lats, lons, cube = assemble_grid_cube(pdf, value_col)
+        n_t, n_y, n_x = len(times), len(lats), len(lons)
         base = os.path.basename(str(source).rstrip("/")) or "grid"
         out_path = os.path.join(out_dir, f"{system}_{base}_{variable}.nc")
         os.makedirs(out_dir, exist_ok=True)
-        ds = Dataset(out_path, "w")
+        ds = create_dataset(out_path)
         try:
-            ds.createDimension("Time", len(times))
-            ds.createDimension("south_north", len(lats))
-            ds.createDimension("west_east", len(lons))
+            ds.createDimension("Time", n_t)
+            ds.createDimension("south_north", n_y)
+            ds.createDimension("west_east", n_x)
             xtime = ds.createVariable("XTIME", "i8", ("Time",))
             xtime[:] = times
             xtime.description = (
                 f"minutes since {pdf['epoch_str'].iloc[0]}"
             )
-            xlat = ds.createVariable("XLAT", "f8", ("south_north",))
-            xlat[:] = lats
-            xlong = ds.createVariable("XLONG", "f8", ("west_east",))
-            xlong[:] = lons
+            # WRF-style 3-D coordinate variables (constant over the
+            # dimensions they do not vary along) — the reader's
+            # XLAT[0,:,0] / XLONG[0,0,:] indexing round-trips
+            dims3 = ("Time", "south_north", "west_east")
+            xlat = ds.createVariable("XLAT", "f8", dims3)
+            xlat[:] = np.broadcast_to(
+                np.asarray(lats)[None, :, None], (n_t, n_y, n_x)
+            )
+            xlong = ds.createVariable("XLONG", "f8", dims3)
+            xlong[:] = np.broadcast_to(
+                np.asarray(lons)[None, None, :], (n_t, n_y, n_x)
+            )
             var = ds.createVariable(
-                variable, "f8", ("Time", "south_north", "west_east"),
-                fill_value=float("nan"),
+                variable, "f8", dims3, fill_value=float("nan"),
             )
             var[:] = cube
         finally:
@@ -304,9 +346,9 @@ def write_netcdf_grid(
                     "wrf_system": system,
                     "source_file": source,
                     "out_path": out_path,
-                    "n_t": len(times),
-                    "n_y": len(lats),
-                    "n_x": len(lons),
+                    "n_t": n_t,
+                    "n_y": n_y,
+                    "n_x": n_x,
                 }
             ]
         )

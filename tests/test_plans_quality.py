@@ -106,7 +106,11 @@ def test_latest_dedup_join_form_broadcasts(spark, sf_dir):
 
 
 def test_grouping_sets_single_expand_single_shuffle(spark, sf_dir):
-    plan = plan_of(QUERIES["a12_grouping_sets"](spark, sf_dir))
+    # the standalone grouping-sets form (driver-gated through the
+    # a11_a12_cube_gsets compound, which unions two aggregations)
+    from curw_wrf_data_pusher_spark.queries.generic import a12_grouping_sets
+
+    plan = plan_of(a12_grouping_sets(spark, sf_dir))
     # grouping sets compile to one map-side Expand + one agg exchange —
     # not one scan/shuffle per set
     assert count_nodes(plan, "Expand") == 1
@@ -116,11 +120,17 @@ def test_grouping_sets_single_expand_single_shuffle(spark, sf_dir):
 
 def test_e2_contract_broadcasts_manifest(spark, sf_dir):
     plan = plan_of(QUERIES["e2_rfield_contract"](spark, sf_dir))
-    # cells manifest + per-timestep values join broadcast; the only
-    # window partitioning is per file_key (no global empty-partition
-    # Window over the dense frame)
+    # the tiny grid manifest (cells / xy) broadcasts; the fact-scale
+    # per-timestep values must NOT carry a broadcast hint (cell ×
+    # timestep grows without bound — the hint would pin a
+    # scale-breaking plan and forbid AQE from adapting), so the values
+    # join is free to shuffle (SortMergeJoin acceptable there)
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
-    assert "SortMergeJoin" not in plan
+    assert "ResolvedHint" not in plan  # no leftover unresolved hints
+    # the dense-frame (t, cell) join side: ensure the broadcast that
+    # exists is the manifest one — cells enters via a nested-loop
+    # cross join, xy via a broadcast hash join
+    assert "BroadcastNestedLoopJoin" in plan
 
 
 def test_contamination_no_cartesian(spark, sf_dir):
