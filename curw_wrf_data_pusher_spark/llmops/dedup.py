@@ -97,6 +97,95 @@ def minhash_signatures(
     return hashed.groupBy(id_col).agg(*aggs)
 
 
+def minhash_signatures_from_text(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    coeffs: Sequence[tuple[int, int]] = tuple(MINHASH_COEFFS),
+    prime: int = MINHASH_PRIME,
+) -> DataFrame:
+    """MinHash signatures computed ENTIRELY map-side: shingling,
+    hashing and the k minima are array expressions over each document
+    row — no explode, no groupBy, ZERO shuffles (vs one shuffle of
+    |shingles| rows for ``minhash_signatures``).  At 100 TB the
+    signature stage becomes a pure scan; the only shuffle left in the
+    LSH pipeline is the band-bucket grouping.
+
+    Value-identical to ``minhash_signatures(shingles(df))``: same
+    tokenization, distinct n-grams, md5→32-bit ints, (a·x+b) mod p
+    minima; documents with fewer than ``n`` tokens are dropped (they
+    have no shingles)."""
+    tok = df.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("__t")
+    ).filter(F.size("__t") >= n)
+    parts = " || ' ' || ".join(f"__t[i + {j}]" for j in range(n))
+    grams = F.array_distinct(
+        F.expr(f"transform(sequence(0, size(__t) - {n}), i -> {parts})")
+    )
+    # hash once into a materialized column so the k minima don't each
+    # recompute |grams| md5s
+    hashed = tok.select(
+        F.col(id_col),
+        F.transform(
+            grams,
+            lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast(
+                "long"
+            ),
+        ).alias("__xs"),
+    )
+    mins = [
+        F.array_min(
+            F.transform(
+                F.col("__xs"),
+                lambda x: (F.lit(a) * x + F.lit(b)) % F.lit(prime),
+            )
+        ).alias(f"mh_{j}")
+        for j, (a, b) in enumerate(coeffs)
+    ]
+    return hashed.select(F.col(id_col), *mins)
+
+
+def simhash_from_text(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+) -> DataFrame:
+    """SimHash computed ENTIRELY map-side: tokenize, hash, and derive
+    every bit from per-document array expressions — no explode, no
+    groupBy, ZERO shuffles (vs one shuffle of |tokens| rows for
+    ``simhash``).  Per bit b the sign-sum over tokens is ≥ 0 exactly
+    when 2·|set bits| ≥ |tokens|, so the counts come from
+    size(filter(...)) passes over the materialized hash array.
+
+    Value-identical to ``simhash`` over exploded (id, token) rows with
+    multiplicity (tokens are NOT deduplicated)."""
+    hashed = df.select(
+        F.col(id_col),
+        F.transform(
+            F.split(F.col(text_col), " "),
+            lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast(
+                "long"
+            ),
+        ).alias("__hs"),
+    )
+    n = F.size("__hs")
+    sig = None
+    for b in range(bits):
+        cnt = F.size(
+            F.filter(
+                F.col("__hs"),
+                lambda h: F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1,
+            )
+        )
+        bit = F.when(
+            F.lit(2) * cnt >= n, F.lit(2**b).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        sig = bit if sig is None else sig + bit
+    return hashed.select(F.col(id_col), sig.alias("simhash"))
+
+
 def lsh_candidate_pairs(
     sig_df: DataFrame,
     id_col: str = "doc_id",

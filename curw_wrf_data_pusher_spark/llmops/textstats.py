@@ -162,6 +162,23 @@ def text_features(
             lang_scores[lang] >= later[0]
         )
         pred = F.when(cond, F.lit(lang)).otherwise(pred)
+    def dup_ngram_ratio(k: int):
+        # Gopher-style repetition signal: 1 − |distinct k-grams| /
+        # |k-grams| (0 = no repetition).  NULL for docs too short to
+        # have a k-gram.
+        grams = F.transform(
+            F.sequence(F.lit(1), F.size(t) - (k - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(t, i + j) for j in range(k)]
+            ),
+        )
+        return F.when(
+            F.size(t) >= k,
+            F.lit(1.0)
+            - F.size(F.array_distinct(grams)).cast("double")
+            / F.size(grams),
+        )
+
     return df.select(
         F.col(id_col),
         n_tok.alias("n_tokens"),
@@ -173,6 +190,8 @@ def text_features(
         score.alias("quality_score"),
         bpe.alias("n_bpe_tokens"),
         (bpe.cast("double") / n_tok).alias("bpe_per_ws"),
+        dup_ngram_ratio(2).alias("dup_2gram_ratio"),
+        dup_ngram_ratio(3).alias("dup_3gram_ratio"),
         *[lang_scores[lang].alias(f"score_{lang}") for lang in LANG_ORDER],
         pred.alias("lang_pred"),
     )

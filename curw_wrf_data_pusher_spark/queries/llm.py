@@ -18,10 +18,10 @@ from ..llmops.dedup import (
     MINHASH_PRIME,
     exact_dedup_groups,
     lsh_candidate_pairs,
-    minhash_signatures,
+    minhash_signatures_from_text,
     ngram_jaccard_pairs,
     shingles,
-    simhash,
+    simhash_from_text,
 )
 from ..llmops.multimodal import binary_metadata
 from ..llmops.simsearch import cosine_topk
@@ -113,8 +113,13 @@ _SHINGLE_CTE = """
     """,
 )
 def llm_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return minhash_signatures(shingles(docs))
+    from ..sources.lake import spread
+
+    # map-only array form: zero shuffles after the input spread
+    # (minhash_signatures over exploded shingles is the long-format
+    # twin — same values, one extra |shingles|-row shuffle)
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return minhash_signatures_from_text(docs)
 
 
 # LSH banding over the signatures → candidate pairs (4 bands × 2 rows).
@@ -144,8 +149,10 @@ _BAND_BUCKETS = " UNION ALL ".join(
     """,
 )
 def llm_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    sig = minhash_signatures(shingles(docs))
+    from ..sources.lake import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    sig = minhash_signatures_from_text(docs)
     return lsh_candidate_pairs(sig, bands=4, rows_per_band=2)
 
 
@@ -167,11 +174,10 @@ _SIMHASH_BITS = " + ".join(
 def llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.lake import spread
 
+    # map-only array form: zero shuffles after the input spread (the
+    # exploded-token ``simhash`` is the long-format twin)
     docs = spread(load_table(spark, sf_dir, "documents"))
-    tokens = docs.select(
-        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
-    )
-    return simhash(tokens)
+    return simhash_from_text(docs)
 
 
 # ---------------------------------------------------------------------------
@@ -277,6 +283,19 @@ def llm_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(len(regexp_extract_all(text,
                '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+')) AS DOUBLE)
              / len(toks) AS bpe_per_ws,
+           CASE WHEN len(toks) >= 2 THEN
+             1.0 - CAST(len(list_distinct(list_transform(
+                     range(1, len(toks)),
+                     i -> toks[i] || ' ' || toks[i+1]))) AS DOUBLE)
+                 / (len(toks) - 1)
+           END AS dup_2gram_ratio,
+           CASE WHEN len(toks) >= 3 THEN
+             1.0 - CAST(len(list_distinct(list_transform(
+                     range(1, len(toks) - 1),
+                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])))
+                   AS DOUBLE)
+                 / (len(toks) - 2)
+           END AS dup_3gram_ratio,
            score_en, score_es, score_de, score_fr,
            CASE WHEN score_en >= greatest(score_es, score_de, score_fr)
                   THEN 'en'
@@ -421,9 +440,10 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Distributed fallbacks (min-label, large-star/small-star) live in
     # llmops.clusters with a three-way agreement test.
     from ..llmops.clusters import connected_components_local
+    from ..sources.lake import spread
 
-    docs = load_table(spark, sf_dir, "documents")
-    sig = minhash_signatures(shingles(docs))
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    sig = minhash_signatures_from_text(docs)
     pairs = lsh_candidate_pairs(sig, bands=4, rows_per_band=2)
     return connected_components_local(pairs)
 
@@ -436,10 +456,7 @@ def llm_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.lake import spread
 
     docs = spread(load_table(spark, sf_dir, "documents"))
-    tokens = docs.select(
-        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
-    )
-    sig = simhash(tokens)
+    sig = simhash_from_text(docs)
     a = sig.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("ha"))
     b = sig.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("hb"))
     return (
@@ -507,10 +524,13 @@ def llm_simhash_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Driver-gated through llm_jaccard_verify (compound row).
 def llm_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..llmops.dedup import verify_candidates
+    from ..sources.lake import spread
 
     docs = load_table(spark, sf_dir, "documents")
-    sh = shingles(docs)
-    cand = lsh_candidate_pairs(minhash_signatures(sh), bands=4, rows_per_band=2)
+    sh = shingles(docs)  # long format needed by the exact verify join
+    cand = lsh_candidate_pairs(
+        minhash_signatures_from_text(spread(docs)), bands=4, rows_per_band=2
+    )
     return verify_candidates(sh, cand, min_jaccard=0.7)
 
 

@@ -61,12 +61,23 @@ def active_stations_query(days: int = 7) -> str:
 
 
 def read_dim(
-    spark: SparkSession, url: str, table: str, user: str, password: str
+    spark: SparkSession,
+    url: str,
+    table: str,
+    user: str,
+    password: str,
+    partition: dict | None = None,
 ) -> DataFrame:
-    """Scan a small dimension table; callers wrap in F.broadcast at the
-    join (S3/S4 pattern: one scan per run, never per-row lookups)."""
+    """Scan a dimension table; callers wrap in F.broadcast at the join
+    (S3/S4 pattern: one scan per run, never per-row lookups).
+
+    ``partition`` (see ``jdbc_options``) splits the scan into
+    ``numPartitions`` range-predicate queries — required for any table
+    too big for a single-task scan.  Integration-tested against an
+    embedded Derby database (tests/test_sources_sinks.py)."""
     return (
         spark.read.format("jdbc")
-        .options(**jdbc_options(url, table, user, password))
+        .options(**jdbc_options(url, table, user, password,
+                                partition=partition))
         .load()
     )

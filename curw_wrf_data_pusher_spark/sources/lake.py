@@ -59,21 +59,33 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     rows — cheap — and the exploded work parallelizes.  No-op when the
     input is already wide (the 100 TB case: thousands of file splits).
 
-    Wide-input checks, cheapest first: ``inputFiles()`` (pure plan
-    metadata) catches the many-files case; the JVM-side
+    Wide-input checks: ``inputFiles()`` (pure plan metadata) catches
+    the many-files case.  For plans that already contain a wide node
+    (repartition/join/aggregate/window/sort), the JVM-side
     ``rdd().getNumPartitions()`` (physical planning only, no job, no
-    Python RDD lineage) catches plans inputFiles can't see — a few
-    LARGE splittable parquet files, or any post-shuffle/in-memory plan
-    where ``inputFiles()`` is empty.  Only when both say "narrow" do we
-    pay the repartition shuffle."""
+    Python RDD lineage) is trustworthy — those partitions hold real
+    rows — so an already-wide plan is never re-shuffled.
+
+    A PURE few-file scan is always repartitioned even though Spark
+    reports ~defaultParallelism byte-range splits for it: parquet only
+    splits at row-group boundaries, so a single-row-group file yields
+    one non-empty split and N-1 empty ones — trusting the split count
+    serialized the explode-heavy operators on one core (measured 2.6×
+    on llm_simhash at sf0.1)."""
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
     try:
         if len(df.inputFiles()) >= target:
             return df
     except Exception:
-        pass  # non-file-backed plan: try the partition count
+        pass
     try:
-        if df._jdf.rdd().getNumPartitions() >= target:
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        has_wide_node = any(
+            node in plan
+            for node in ("Repartition", "Join", "Aggregate", "Window",
+                         "Sort", "Deduplicate")
+        )
+        if has_wide_node and df._jdf.rdd().getNumPartitions() >= target:
             return df
     except Exception:
         pass

@@ -356,3 +356,80 @@ def test_netcdf_writer_gated_and_cube_assembly(spark, tmp_path):
     sliced = pdf[pdf["y"] > pdf["y"].min()]
     _, lats2, _, cube2 = assemble_grid_cube(sliced)
     assert len(lats2) == n_y - 1 and cube2.shape[1] == n_y - 1
+
+
+def test_map_only_signature_twins_match_long_forms(spark, sf_dir):
+    """The zero-shuffle array forms must be value-identical to their
+    exploded long-format twins (same tokenization, hashing, minima /
+    sign-sums) — the oracle gate runs against the array forms, so this
+    pins the equivalence both directions."""
+    from curw_wrf_data_pusher_spark.llmops.dedup import (
+        minhash_signatures,
+        minhash_signatures_from_text,
+        shingles,
+        simhash,
+        simhash_from_text,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    sig_long = simhash(
+        docs.select(
+            "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+        )
+    )
+    sig_arr = simhash_from_text(docs)
+    assert sig_long.exceptAll(sig_arr).count() == 0
+    assert sig_arr.exceptAll(sig_long).count() == 0
+
+    mh_long = minhash_signatures(shingles(docs))
+    mh_arr = minhash_signatures_from_text(docs)
+    assert mh_long.exceptAll(mh_arr).count() == 0
+    assert mh_arr.exceptAll(mh_long).count() == 0
+
+
+def test_map_only_signatures_have_no_aggregate_exchange(spark, sf_dir):
+    """Plan gate: the array signature forms must contain NO exchange at
+    all once the input is wide — the signature stage is a pure scan."""
+    from curw_wrf_data_pusher_spark.llmops.dedup import (
+        minhash_signatures_from_text,
+        simhash_from_text,
+    )
+    from .test_plans_quality import count_nodes, plan_of
+
+    docs = load_table(spark, sf_dir, "documents").repartition(8)
+    for df in (simhash_from_text(docs), minhash_signatures_from_text(docs)):
+        plan = plan_of(df)
+        # the only exchange permitted is the caller's input repartition
+        assert count_nodes(plan, "Exchange") <= 1
+        assert "HashAggregate" not in plan
+
+
+def test_star_cc_raises_on_nonconvergence(spark):
+    """A chain graph cannot reach its edge fixed point in one round —
+    the star fallback must fail loudly rather than return
+    partially-merged clusters."""
+    from curw_wrf_data_pusher_spark.llmops.clusters import (
+        connected_components_star,
+    )
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="not a fixed point"):
+        connected_components_star(chain, max_iterations=1)
+
+
+def test_spread_skips_wide_plans_and_widens_narrow_scans(spark, sf_dir):
+    from curw_wrf_data_pusher_spark.sources.lake import spread
+
+    target = spark.sparkContext.defaultParallelism
+    # post-shuffle plan already at/above target: spread is a no-op
+    wide = load_table(spark, sf_dir, "lineitem").repartition(target)
+    assert spread(wide) is wide
+    # single-file scan: parquet row-group splits are not real
+    # parallelism — spread must repartition
+    narrow = load_table(spark, sf_dir, "documents")
+    out = spread(narrow)
+    assert out is not narrow
+    assert out.rdd.getNumPartitions() >= target

@@ -145,3 +145,20 @@ def test_seq_packing_partitions_by_group(spark, sf_dir):
     # window would log "No Partition Defined" and single-thread
     assert count_nodes(plan, "Window") == 1
     assert "windowspecdefinition(grp" in plan
+
+
+def test_salted_agg_is_two_phase(spark, sf_dir):
+    plan = plan_of(QUERIES["a13_salted_agg"](spark, sf_dir))
+    # phase 1 shuffles on (key, salt), phase 2 on the key — exactly two
+    # exchanges, both fed by map-side partial aggregation
+    assert count_nodes(plan, "Exchange") == 2
+    assert "partial_" in plan
+
+
+def test_ivf_topk_probed_lists_join_broadcasts_queries(spark, sf_dir):
+    plan = plan_of(QUERIES["llm_ivf_topk"](spark, sf_dir))
+    # the (tiny, exploded-by-probe) query side broadcasts into the
+    # centroid-assigned corpus scan — the corpus never shuffles for
+    # the candidate join
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

@@ -19,6 +19,7 @@ from curw_wrf_data_pusher_spark.sinks.upsert import build_mysql_upsert_sql
 from curw_wrf_data_pusher_spark.sources.jdbc import (
     active_stations_query,
     jdbc_options,
+    read_dim,
 )
 
 from .test_wrf_pipeline import CFG
@@ -47,6 +48,35 @@ def test_jdbc_options_partitioned_scan():
     assert opts["numPartitions"] == "32"
     q = jdbc_options("u", "SELECT 1", "u", "p", is_query=True)
     assert "query" in q and "dbtable" not in q
+
+
+def test_jdbc_partitioned_read_roundtrip(spark, tmp_path):
+    """REAL JDBC integration: write a dim to an embedded Derby database
+    (the JDBC engine Spark ships), then read it back through read_dim
+    with a 4-way range partitioning — the scan must split into 4 input
+    partitions (one range-predicate query each) and return identical
+    rows.  This is the S3/S4 scale path: a big dim scan must never be a
+    single JDBC task."""
+    import pandas as pd
+
+    url = f"jdbc:derby:{tmp_path}/dimdb;create=true"
+    pdf = pd.DataFrame(
+        {"id": list(range(100)), "name": [f"s{i}" for i in range(100)]}
+    )
+    # Derby folds unquoted identifiers to upper case and scopes tables
+    # by a schema named after the user — write unqualified (default APP
+    # schema), read back as user APP.
+    spark.createDataFrame(pdf).write.format("jdbc").option(
+        "url", url
+    ).option("dbtable", "STATIONS").save()
+    out = read_dim(
+        spark, url, "STATIONS", "APP", "",
+        partition={"column": "id", "lowerBound": 0,
+                   "upperBound": 100, "numPartitions": 4},
+    )
+    assert out.rdd.getNumPartitions() == 4
+    got = sorted((r["id"], r["name"]) for r in out.collect())
+    assert got == sorted(zip(pdf["id"], pdf["name"]))
 
 
 def test_active_stations_query_is_filter_pushdown():
@@ -229,6 +259,49 @@ def test_upsert_parquet_partition_scoped(spark, tmp_path):
     )
     assert n2 == n1
     assert spark.read.parquet(store).count() == 5
+
+
+def test_upsert_parquet_flat_store_migrates_not_corrupts(spark, tmp_path):
+    """A partition-scoped upsert against a store written FLAT (by the
+    earlier unpartitioned path) must NOT dynamic-overwrite partition
+    dirs beside the flat files (duplicate keys, silent corruption).
+    The layout probe routes it to the full-store merge, which also
+    migrates the store to the partitioned layout."""
+    from curw_wrf_data_pusher_spark.sinks.upsert import upsert_parquet
+
+    store = str(tmp_path / "flat_store")
+    base = spark.createDataFrame(
+        [("s1", "t1", "d1", 1.0), ("s2", "t1", "d2", 3.0)],
+        "tms_id string, time string, run_date string, value double",
+    )
+    # flat write: no partition columns
+    assert upsert_parquet(spark, base, store, keys=["tms_id", "time"]) == 2
+    assert any(
+        f.startswith("part-") for f in os.listdir(store)
+    )  # flat data files at the root
+
+    push = spark.createDataFrame(
+        [("s1", "t1", "d1", 10.0), ("s3", "t9", "d1", 9.0)],
+        "tms_id string, time string, run_date string, value double",
+    )
+    upsert_parquet(
+        spark, push, store, keys=["tms_id", "time"],
+        partition_cols=["run_date"],
+    )
+    got = {
+        (r["tms_id"], r["time"]): (r["run_date"], r["value"])
+        for r in spark.read.parquet(store).collect()
+    }
+    # no duplicate keys, replaced row replaced, unrelated row kept
+    assert got == {
+        ("s1", "t1"): ("d1", 10.0),
+        ("s3", "t9"): ("d1", 9.0),
+        ("s2", "t1"): ("d2", 3.0),
+    }
+    # store migrated to the partitioned layout: subsequent pushes take
+    # the scoped path
+    assert any(f.startswith("run_date=") for f in os.listdir(store))
+    assert not any(f.startswith("part-") for f in os.listdir(store))
 
 
 def test_upsert_parquet_swap_is_rename(spark, tmp_path):
