@@ -32,17 +32,18 @@ def shingle_contamination(
     (GPT-3/PaLM style, n=13 there; n is a parameter).
 
     Returns (doc_id, n_shingles, n_contaminated, contamination) for
-    test docs with ≥1 shingle.  Plan: shingle once, split by the
-    predicate, distinct train shingles, one equi-join on the shingle —
+    test docs with ≥1 shingle.  Plan: shingle once with the test flag
+    carried map-side onto every shingle row (NOT joined back on id —
+    that would shuffle the whole shingle table a second time), split by
+    the flag, distinct train shingles, one equi-join on the shingle —
     the corpus-side heavy lifting is distinct partial aggregation
     (map-side combine), and nothing ever collects."""
     from .dedup import shingles
 
-    sh = shingles(docs, n=n, id_col=id_col, text_col=text_col)
-    flagged = docs.select(
-        F.col(id_col), is_test.alias("__is_test")
+    sh = shingles(
+        docs.withColumn("__is_test", is_test),
+        n=n, id_col=id_col, text_col=text_col, carry=("__is_test",),
     )
-    sh = sh.join(flagged, id_col)
     test_sh = sh.filter(F.col("__is_test")).select(id_col, "shingle")
     train_sh = (
         sh.filter(~F.col("__is_test")).select("shingle").distinct()

@@ -48,10 +48,17 @@ def shingles(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
+    carry: Sequence[str] = (),
 ) -> DataFrame:
     """Distinct word n-gram shingles per document, long format
-    (id, shingle). Whitespace tokenization on single spaces; docs with
-    fewer than n tokens produce no shingles."""
+    (id, *carry, shingle). Whitespace tokenization on single spaces;
+    docs with fewer than n tokens produce no shingles.
+
+    ``carry``: extra per-document columns replicated onto every shingle
+    row map-side — callers that need a doc attribute alongside shingles
+    (e.g. a test/train flag) carry it here instead of joining it back
+    on id afterwards (which would cost a full shuffle join of the
+    shingle table)."""
     from ..sources.lake import spread
 
     # tokens are materialized once (not re-split per element access) and
@@ -59,14 +66,18 @@ def shingles(
     # than F.get() inside the lambda.
     tok = (
         spread(df)
-        .select(F.col(id_col), F.split(F.col(text_col), " ").alias("__t"))
+        .select(F.col(id_col), *[F.col(c) for c in carry],
+                F.split(F.col(text_col), " ").alias("__t"))
         .filter(F.size("__t") >= n)
     )
     parts = " || ' ' || ".join(f"__t[i + {j}]" for j in range(n))
     grams = F.array_distinct(
         F.expr(f"transform(sequence(0, size(__t) - {n}), i -> {parts})")
     )
-    return tok.select(F.col(id_col), F.explode(grams).alias("shingle"))
+    return tok.select(
+        F.col(id_col), *[F.col(c) for c in carry],
+        F.explode(grams).alias("shingle"),
+    )
 
 
 def _shingle_int(col: str = "shingle") -> F.Column:
