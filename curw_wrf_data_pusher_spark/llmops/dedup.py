@@ -152,7 +152,9 @@ def minhash_signatures_from_text(
         f" as mh_{j}"
         for j, (a, b) in enumerate(coeffs)
     ]
-    return hashed.selectExpr(id_col, *mins)
+    # backtick-quoted: selectExpr parses id_col as SQL — an identifier
+    # with spaces/dots/reserved words must not break or mis-resolve
+    return hashed.selectExpr(f"`{id_col}`", *mins)
 
 
 def simhash_from_text(
@@ -179,8 +181,10 @@ def simhash_from_text(
     array ``bits`` times."""
     hashed = df.select(
         F.col(id_col),
+        # backtick-quoted: a text_col with spaces/dots/reserved words
+        # must parse as one identifier, matching the F.col-based twins
         F.expr(
-            f"transform(split({text_col}, ' '),"
+            f"transform(split(`{text_col}`, ' '),"
             " t -> cast(conv(substring(md5(t), 1, 8), 16, 10) as bigint))"
         ).alias("__hs"),
     )
@@ -196,27 +200,15 @@ def simhash_from_text(
         "    (c, b) -> IF(2 * c >= size(__hs), shiftleft(1L, b), 0L)),"
         "  0L, (s, v) -> s + v)"
     )
-    return hashed.selectExpr(id_col, f"{sig} as simhash")
+    return hashed.selectExpr(f"`{id_col}`", f"{sig} as simhash")
 
 
-def lsh_candidate_pairs(
-    sig_df: DataFrame,
-    id_col: str = "doc_id",
-    bands: int = 4,
-    rows_per_band: int = 2,
+def _lsh_band_groups(
+    sig_df: DataFrame, id_col: str, bands: int, rows_per_band: int
 ) -> DataFrame:
-    """LSH banding: docs sharing any band bucket become candidate pairs
-    (id_a < id_b, distinct).
-
-    Scale: the band-bucket grouping replaces the quadratic all-pairs
-    comparison.  Pairs are expanded with an in-bucket combination
-    (groupBy bucket → sorted id list → pairwise array expansion), NOT
-    a bucket self-join: the self-join would duplicate the whole
-    shingle→signature subtree in the plan and shuffle twice.  This
-    form computes signatures once and shuffles once.  Hot buckets
-    (near-identical boilerplate) make |bucket|² pairs — the classic
-    skew case; cap upstream by dropping buckets with > N members as
-    "template" clusters."""
+    """Shared band-bucket grouping: (band, bucket, ids sorted).  One
+    shuffle on the (band, bucket) key; the id list per bucket is the
+    only state carried."""
     band_cols = []
     for b in range(bands):
         cols = [
@@ -233,7 +225,38 @@ def lsh_candidate_pairs(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")
     ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     ids = F.sort_array(F.collect_list(id_col))
-    grouped = buckets.groupBy("band", "bucket").agg(ids.alias("ids"))
+    return buckets.groupBy("band", "bucket").agg(ids.alias("ids"))
+
+
+def lsh_candidate_pairs(
+    sig_df: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 4,
+    rows_per_band: int = 2,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """LSH banding: docs sharing any band bucket become candidate pairs
+    (id_a < id_b, distinct).
+
+    Scale: the band-bucket grouping replaces the quadratic all-pairs
+    comparison.  Pairs are expanded with an in-bucket combination
+    (groupBy bucket → sorted id list → pairwise array expansion), NOT
+    a bucket self-join: the self-join would duplicate the whole
+    shingle→signature subtree in the plan and shuffle twice.  This
+    form computes signatures once and shuffles once.
+
+    Hot buckets (near-identical boilerplate/template text) make
+    |bucket|² pairs — the classic skew case: one 10^5-member bucket
+    emits 5×10^9 pairs from a single task's explode.
+    ``max_bucket_size`` drops buckets with more members before the
+    pair expansion; such buckets are near-certain duplicate
+    "template" clusters better handled by exact dedup than pairwise
+    verification.  Use ``lsh_dropped_buckets`` with the same
+    arguments to account for what was dropped (count + members).
+    Default ``None`` expands every bucket (exact LSH semantics)."""
+    grouped = _lsh_band_groups(sig_df, id_col, bands, rows_per_band)
+    if max_bucket_size is not None:
+        grouped = grouped.filter(F.size("ids") <= max_bucket_size)
     # single F.expr: nested-lambda Column construction costs py4j round
     # trips per node; the string parses JVM-side in one call
     pair_expr = F.expr(
@@ -246,6 +269,27 @@ def lsh_candidate_pairs(
         .select(F.explode(pair_expr).alias("p"))
         .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def lsh_dropped_buckets(
+    sig_df: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 4,
+    rows_per_band: int = 2,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Accounting companion to ``lsh_candidate_pairs(max_bucket_size=N)``:
+    the buckets the capped run dropped, as (band, bucket, n_members).
+    ``.count()`` it (or aggregate n_members) for the drop metric a
+    production dedup job should log next to its pair count."""
+    grouped = _lsh_band_groups(sig_df, id_col, bands, rows_per_band)
+    if max_bucket_size is None:
+        return grouped.filter(F.lit(False)).select(
+            "band", "bucket", F.size("ids").alias("n_members")
+        )
+    return grouped.filter(F.size("ids") > max_bucket_size).select(
+        "band", "bucket", F.size("ids").alias("n_members")
     )
 
 
@@ -325,6 +369,87 @@ def simhash(
         )
         sig = bit if sig is None else sig + bit
     return sums.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash_neighbors_banded(
+    sig_df: DataFrame,
+    id_col: str = "doc_id",
+    sig_col: str = "simhash",
+    radius: int = 6,
+    bits: int = 32,
+    max_block_size: int | None = None,
+) -> DataFrame:
+    """All pairs within hamming distance ``radius`` of each other, via
+    pigeonhole banding — the scale path that replaces the O(n²)
+    broadcast inequality self-join.
+
+    Split each ``bits``-bit signature into ``radius + 1`` contiguous
+    blocks.  A pair within hamming ≤ radius has at most ``radius``
+    differing bits across ``radius + 1`` blocks, so by pigeonhole at
+    least one block is bit-identical — an equi-match.  Candidates are
+    therefore generated by an exact-block grouping (one shuffle on
+    (block, value)) and verified with the exact ``bit_count(xor)``
+    inside the in-block expansion; results are identical to the
+    broadcast all-pairs form (pinned by tests/test_llmops.py).
+
+    Pair expansion mirrors ``lsh_candidate_pairs``: groupBy block value
+    → sorted (id, sig) list → pairwise array expansion with the hamming
+    filter applied INSIDE the expansion lambda, so only verified
+    neighbours are ever materialized as rows — not an (id × id)
+    self-join, which would duplicate the signature subtree and shuffle
+    twice.  ``max_block_size`` is the same hot-bucket cap as LSH's
+    (identical signatures all share every block; a template cluster of
+    10^5 copies would otherwise expand |block|² pairs).
+
+    Returns (id_a, id_b, hamming) with id_a < id_b, distinct."""
+    blocks = radius + 1
+    if blocks > bits:
+        raise ValueError(
+            f"radius + 1 = {blocks} blocks over a {bits}-bit signature "
+            "leaves empty blocks; lower radius or raise bits"
+        )
+    base, rem = divmod(bits, blocks)
+    widths = [base + (1 if i < rem else 0) for i in range(blocks)]
+    starts = [sum(widths[:i]) for i in range(blocks)]
+    block_cols = [
+        F.struct(
+            F.lit(i).alias("blk"),
+            F.shiftrightunsigned(F.col(sig_col), starts[i])
+            .bitwiseAND(F.lit((1 << widths[i]) - 1))
+            .alias("val"),
+        )
+        for i in range(blocks)
+    ]
+    exploded = sig_df.select(
+        F.struct(F.col(id_col).alias("id"), F.col(sig_col).alias("sig")).alias(
+            "m"
+        ),
+        F.explode(F.array(*block_cols)).alias("bb"),
+    ).select("m", F.col("bb.blk").alias("blk"), F.col("bb.val").alias("val"))
+    # sort_array over (id, sig) structs orders by id first, so i < j in
+    # the expansion implies id_a < id_b with no extra filter
+    grouped = exploded.groupBy("blk", "val").agg(
+        F.sort_array(F.collect_list("m")).alias("ms")
+    )
+    if max_block_size is not None:
+        grouped = grouped.filter(F.size("ms") <= max_block_size)
+    pair_expr = F.expr(
+        "filter(flatten(transform(sequence(0, size(ms) - 2),"
+        " i -> transform(sequence(i + 1, size(ms) - 1),"
+        " j -> struct(ms[i].id as id_a, ms[j].id as id_b,"
+        " cast(bit_count(ms[i].sig ^ ms[j].sig) as bigint) as hamming)))),"
+        f" p -> p.hamming <= {int(radius)})"
+    )
+    return (
+        grouped.filter(F.size("ms") >= 2)
+        .select(F.explode(pair_expr).alias("p"))
+        .select(
+            F.col("p.id_a").alias("id_a"),
+            F.col("p.id_b").alias("id_b"),
+            F.col("p.hamming").alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
 
 
 def verify_candidates(

@@ -437,15 +437,21 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Single-task union-find over the candidate pairs: the pair list is
     # sparse by construction (that is what banding buys), so this is one
     # shuffle + one task instead of diameter-many iterative rounds.
-    # Distributed fallbacks (min-label, large-star/small-star) live in
-    # llmops.clusters with a three-way agreement test.
-    from ..llmops.clusters import connected_components_local
+    # Routed through resolve_clusters, which localCheckpoints the pairs
+    # FIRST: the LSH pipeline (and its final pair dedup) runs 32-way and
+    # only the materialized edge list enters the coalesce(1) union-find
+    # task.  Calling connected_components_local directly here would pull
+    # the whole pair-dedup aggregation into that single task (measured
+    # +23% at sf0.1; a scale-killer at corpus size).  Distributed
+    # fallbacks (min-label, large-star/small-star) live in llmops.clusters
+    # with a three-way agreement test.
+    from ..llmops.clusters import resolve_clusters
     from ..sources.lake import spread
 
     docs = spread(load_table(spark, sf_dir, "documents"))
     sig = minhash_signatures_from_text(docs)
     pairs = lsh_candidate_pairs(sig, bands=4, rows_per_band=2)
-    return connected_components_local(pairs)
+    return resolve_clusters(pairs)
 
 
 # SimHash near-dup pairs: hamming distance over the 32-bit signatures
@@ -473,8 +479,13 @@ def llm_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # SimHash compound driver row: EVERY document's 32-bit signature
 # (stronger than pair-only visibility — all signature values enter the
 # hash) plus its near-dup neighbourhood stats (count and minimum
-# hamming within the <=6 radius; NULL min for isolated docs).  One
-# signature aggregation, one broadcast self-join.
+# hamming within the <=6 radius; NULL min for isolated docs).
+# Production plan: pigeonhole-banded candidate generation
+# (llmops.dedup.simhash_neighbors_banded — equi-shuffle on signature
+# blocks, NOT the O(n²) broadcast inequality self-join; that form
+# survives as the test oracle in llm_simhash_neardup), then symmetrize
+# pairs → per-doc stats → left join back onto the signatures so
+# isolated docs keep their row.
 @register(
     "llm_simhash_neighbors",
     oracle=f"""
@@ -500,20 +511,23 @@ def llm_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def llm_simhash_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llmops.dedup import simhash_neighbors_banded
+
     sig = llm_simhash(spark, sf_dir)
-    o = sig.select(F.col("doc_id").alias("o_id"), F.col("simhash").alias("oh"))
-    hamming = F.bit_count(F.col("simhash").bitwiseXOR(F.col("oh"))).cast("long")
-    return (
-        sig.join(
-            F.broadcast(o),
-            (F.col("doc_id") != F.col("o_id")) & (hamming <= 6),
-            "left",
-        )
-        .groupBy("doc_id", "simhash")
-        .agg(
-            F.count("o_id").alias("n_near"),
-            F.min(hamming).alias("min_hamming"),
-        )
+    pairs = simhash_neighbors_banded(sig, radius=6)
+    # near-dup relation is symmetric: each (a, b) pair contributes to
+    # both endpoints' neighbourhood stats
+    sym = pairs.select(F.col("id_a").alias("doc_id"), "hamming").unionByName(
+        pairs.select(F.col("id_b").alias("doc_id"), "hamming")
+    )
+    stats = sym.groupBy("doc_id").agg(
+        F.count("*").alias("n_near"), F.min("hamming").alias("min_hamming")
+    )
+    return sig.join(stats, "doc_id", "left").select(
+        "doc_id",
+        "simhash",
+        F.coalesce(F.col("n_near"), F.lit(0).cast("long")).alias("n_near"),
+        "min_hamming",
     )
 
 

@@ -433,3 +433,114 @@ def test_spread_skips_wide_plans_and_widens_narrow_scans(spark, sf_dir):
     out = spread(narrow)
     assert out is not narrow
     assert out.rdd.getNumPartitions() >= target
+
+
+def test_simhash_banded_equals_broadcast_allpairs(spark, sf_dir):
+    """Pigeonhole guarantee: the banded equi-join candidate generation
+    plus exact bit_count verify must reproduce the O(n²) broadcast
+    inequality self-join EXACTLY (every pair within the radius, their
+    hamming values, nothing else)."""
+    from curw_wrf_data_pusher_spark.llmops.dedup import (
+        simhash_from_text,
+        simhash_neighbors_banded,
+    )
+
+    sig = simhash_from_text(
+        load_table(spark, sf_dir, "documents").repartition(8)
+    ).localCheckpoint()
+    banded = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_neighbors_banded(sig, radius=6).collect()
+    }
+    a = sig.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("ha"))
+    b = sig.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("hb"))
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("long")
+    brute = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= 6)
+        .collect()
+    }
+    assert banded == brute
+    assert len(banded) > 0  # non-vacuous: sf corpus has near-dups
+
+
+def test_simhash_banded_radius_validation(spark):
+    from curw_wrf_data_pusher_spark.llmops.dedup import (
+        simhash_neighbors_banded,
+    )
+
+    sig = spark.createDataFrame([(1, 3)], "doc_id long, simhash long")
+    with pytest.raises(ValueError, match="empty blocks"):
+        simhash_neighbors_banded(sig, radius=32, bits=32)
+
+
+def test_simhash_neighbors_query_has_no_nested_loop_join(spark, sf_dir):
+    """The registered neighbour query must run on the banded scale path:
+    no BroadcastNestedLoopJoin (the O(n²) form is kept only as the
+    llm_dedup test oracle)."""
+    from curw_wrf_data_pusher_spark.queries import QUERIES
+
+    from .test_plans_quality import plan_of
+
+    plan = plan_of(QUERIES["llm_simhash_neighbors"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_lsh_hot_bucket_cap(spark):
+    """A template-heavy corpus (many identical docs → one hot bucket)
+    must have its |bucket|² pair explosion capped by max_bucket_size,
+    with the dropped buckets reported by the accounting companion.
+    Default None keeps exact LSH semantics."""
+    from curw_wrf_data_pusher_spark.llmops.dedup import (
+        lsh_candidate_pairs,
+        lsh_dropped_buckets,
+        minhash_signatures_from_text,
+    )
+
+    template = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, template) for i in range(40)]
+    rows += [(100 + i, f"unique document number {i} with its own words here")
+             for i in range(6)]
+    # two near-dup docs that share shingles with each other only
+    rows += [(200, "alpha beta gamma delta epsilon zeta"),
+             (201, "alpha beta gamma delta epsilon eta")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sig = minhash_signatures_from_text(docs).localCheckpoint()
+
+    uncapped = lsh_candidate_pairs(sig)
+    capped = lsh_candidate_pairs(sig, max_bucket_size=10)
+    n_uncapped, n_capped = uncapped.count(), capped.count()
+    # uncapped: the 40-doc template bucket alone emits 780 pairs
+    assert n_uncapped >= 780
+    # capped: template bucket dropped; the small clusters survive
+    assert 0 < n_capped < 100
+    capped_pairs = {(r.id_a, r.id_b) for r in capped.collect()}
+    assert (200, 201) in capped_pairs
+    assert all(p in {(r.id_a, r.id_b) for r in uncapped.collect()}
+               for p in capped_pairs)
+    # accounting: every band's template bucket is reported with its size
+    dropped = lsh_dropped_buckets(sig, max_bucket_size=10).collect()
+    assert len(dropped) == 4  # one hot bucket per band
+    assert all(r.n_members == 40 for r in dropped)
+    # None → no drops, identical pair set
+    assert lsh_dropped_buckets(sig, max_bucket_size=None).count() == 0
+
+
+def test_dedup_clusters_query_not_single_task(spark, sf_dir):
+    """The registered cluster query must materialize the LSH pairs
+    (localCheckpoint) BEFORE the single-task union-find: its plan reads
+    the checkpointed RDD, and the pair-dedup aggregation must NOT sit
+    under the coalesce(1) (which would serialize it into one task)."""
+    from curw_wrf_data_pusher_spark.queries import QUERIES
+
+    from .test_plans_quality import plan_of
+
+    df = QUERIES["llm_dedup_clusters"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "ExistingRDD" in plan or "LocalTableScan" in plan
+    assert "HashAggregate" not in plan
+    assert "ObjectHashAggregate" not in plan
+    assert "SortAggregate" not in plan
