@@ -117,23 +117,41 @@ def upsert_parquet(
 def _store_is_partitioned_by(
     spark: SparkSession, store_path: str, partition_cols: list[str]
 ) -> bool:
-    """True iff the store root is Hive-partitioned by the FIRST of
-    ``partition_cols`` (``<col>=...`` directories) with no stray data
-    files beside them.  One filesystem listStatus of the root — cheap
-    regardless of store size."""
+    """True iff the store is Hive-partitioned by EVERY column of
+    ``partition_cols``, in order: level k under the root must consist
+    of ``<partition_cols[k]>=...`` directories with no stray data files
+    or differently-named partition directories beside them.  Probes one
+    sample directory per level — len(partition_cols) listStatus calls,
+    cheap regardless of store size.
+
+    Checking only the root level is not enough: a store previously
+    written with partition_cols=["run_date"] and later upserted with
+    ["run_date","wrf_system"] has the right FIRST level but flat data
+    files one level down — dynamic overwrite would then write
+    wrf_system=... dirs beside them inside each run_date directory,
+    the same mixed-layout duplicate-key corruption this guard exists
+    to prevent, one level deeper."""
     fs, root, _ = _hadoop_fs(spark, store_path)
-    prefix = partition_cols[0] + "="
-    has_partition_dir = False
-    for status in fs.listStatus(root):
-        name = status.getPath().getName()
-        if status.isDirectory() and name.startswith(prefix):
-            has_partition_dir = True
-        elif status.isFile() and not (
-            name.startswith("_") or name.startswith(".")
-        ):
-            # a data file at the root means flat (or mixed) layout
+    current = root
+    for col in partition_cols:
+        prefix = col + "="
+        sample = None
+        for status in fs.listStatus(current):
+            name = status.getPath().getName()
+            if status.isDirectory() and name.startswith(prefix):
+                sample = status.getPath()
+            elif status.isDirectory() and "=" in name:
+                # partitioned by a DIFFERENT column at this level
+                return False
+            elif status.isFile() and not (
+                name.startswith("_") or name.startswith(".")
+            ):
+                # a data file where partition dirs belong: flat or mixed
+                return False
+        if sample is None:
             return False
-    return has_partition_dir
+        current = sample
+    return True
 
 
 def _upsert_partitioned(

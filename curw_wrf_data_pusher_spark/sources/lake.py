@@ -79,12 +79,26 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     except Exception:
         pass
     try:
-        plan = df._jdf.queryExecution().optimizedPlan().toString()
-        has_wide_node = any(
-            node in plan
-            for node in ("Repartition", "Join", "Aggregate", "Window",
-                         "Sort", "Deduplicate")
-        )
+        # walk the logical node CLASSES, not the rendered plan string: a
+        # file path, relation name, or literal containing "Join"/"Sort"
+        # must not classify a narrow scan as wide (which would skip the
+        # repartition and serialize explode-heavy downstream work)
+        wide = {
+            "Join", "Aggregate", "Window", "Sort", "Deduplicate",
+            "DeduplicateWithinWatermark", "Repartition",
+            "RepartitionByExpression", "RebalancePartitions",
+            "Intersect", "Except",
+        }
+        has_wide_node = False
+        stack = [df._jdf.queryExecution().optimizedPlan()]
+        while stack:
+            node = stack.pop()
+            if node.getClass().getSimpleName() in wide:
+                has_wide_node = True
+                break
+            children = node.children()
+            for i in range(children.size()):
+                stack.append(children.apply(i))
         if has_wide_node and df._jdf.rdd().getNumPartitions() >= target:
             return df
     except Exception:
