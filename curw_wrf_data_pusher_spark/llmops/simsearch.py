@@ -273,6 +273,126 @@ def neardup_pairs(
     return scored.select("id_a", "id_b", "cos")
 
 
+def banded_neardup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.9,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    score_scale: int = 9,
+    n_pivots: int = 4,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via EXACT pivot-angle
+    banding — the scale path that replaces ``neardup_pairs``'s O(n²)
+    broadcast inequality self-join, with identical results.
+
+    Metric-space pruning (triangle inequality on the sphere): for any
+    pivot direction p, ``angle(a,b) >= |angle(a,p) - angle(b,p)|``, so
+    every pair with ``cos(a,b) >= threshold`` (i.e. angle <= theta_T =
+    arccos(threshold)) satisfies ``|angle(a,p) - angle(b,p)| <=
+    theta_T`` for EVERY pivot.  Quantizing pivot angles into bands of
+    width theta_T therefore puts a qualifying pair in the same or
+    adjacent bands — recall is 1.0 by construction, not probabilistic
+    (unlike hyperplane LSH, which can miss pairs).  The exact cosine
+    filter inside the join keeps precision exact too.
+
+    Plan shape: each vector is replicated to its 2x2 adjacent band cells
+    over two pivots and equi-joined on (band1, band2) — a shuffled hash/
+    sort-merge join, never BroadcastNestedLoopJoin.  The remaining
+    pivots prune candidates with cheap precomputed-angle comparisons
+    BEFORE the full ``dim``-element dot product.  Each qualifying pair
+    is emitted exactly once: only in the cell ``(greatest(h1),
+    greatest(h2))`` of the two members' home bands.  At 100 TB the join
+    partitions by band cell; tight thresholds (0.9 → ~7 bands/pivot,
+    ~49 cells) prune hard, loose thresholds degrade gracefully toward
+    partitioned all-pairs — the problem's intrinsic cost, but shuffled
+    across the cluster instead of broadcast-nested-looped.
+
+    Pivots are the deterministic md5-derived directions of
+    ``_hyperplanes`` — no RNG state, reproducible everywhere.
+
+    Returns (id_a < id_b, cos) — same schema and rows as
+    ``neardup_pairs`` (pinned by tests/test_llmops.py)."""
+    import math
+
+    from ..sources.lake import spread
+
+    if dim is None:
+        dim = corpus.select(
+            F.size(F.col(vec_col)).alias("d")
+        ).first()["d"]
+    if n_pivots < 2:
+        raise ValueError("banded_neardup_pairs needs >= 2 pivots")
+    theta_t = math.acos(max(-1.0, min(1.0, threshold))) + eps
+    pivots = _hyperplanes(dim, n_pivots)
+    pnorms = [math.sqrt(sum(v * v for v in p)) for p in pivots]
+
+    base = spread(corpus.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+    )).withColumn("nrm", _norm(F.col("vec")))
+    for i, (p, pn) in enumerate(zip(pivots, pnorms)):
+        plane = F.array(*[F.lit(v) for v in p])
+        cosv = _dot(F.col("vec"), plane) / (F.col("nrm") * F.lit(pn))
+        base = base.withColumn(
+            f"ang{i}",
+            F.acos(F.least(F.lit(1.0), F.greatest(F.lit(-1.0), cosv))),
+        )
+    base = base.withColumn(
+        "h1", F.floor(F.col("ang0") / F.lit(theta_t))
+    ).withColumn("h2", F.floor(F.col("ang1") / F.lit(theta_t)))
+    # replicate to the 2x2 adjacent cells; a qualifying pair's home
+    # bands differ by <= 1 per pivot, so it meets in cell
+    # (max(h1), max(h2)) — the emission filter below keeps exactly that
+    # one meeting
+    cells = F.array(*[
+        F.struct(
+            (F.col("h1") + d1).alias("b1"), (F.col("h2") + d2).alias("b2")
+        )
+        for d1 in (0, 1) for d2 in (0, 1)
+    ])
+    repl = base.select(
+        "id", "vec", "nrm", "h1", "h2",
+        *[f"ang{i}" for i in range(n_pivots)],
+        F.explode(cells).alias("cell"),
+    ).select("*", F.col("cell.b1").alias("b1"), F.col("cell.b2").alias("b2"))
+
+    a = repl.select(
+        F.col("id").alias("id_a"), F.col("vec").alias("va"),
+        F.col("nrm").alias("na"), F.col("h1").alias("h1a"),
+        F.col("h2").alias("h2a"),
+        *[F.col(f"ang{i}").alias(f"aa{i}") for i in range(n_pivots)],
+        "b1", "b2",
+    )
+    b = repl.select(
+        F.col("id").alias("id_b"), F.col("vec").alias("vb"),
+        F.col("nrm").alias("nb"), F.col("h1").alias("h1b"),
+        F.col("h2").alias("h2b"),
+        *[F.col(f"ang{i}").alias(f"ab{i}") for i in range(n_pivots)],
+        "b1", "b2",
+    )
+    pivot_filters = [
+        F.abs(F.col(f"aa{i}") - F.col(f"ab{i}")) <= F.lit(theta_t)
+        for i in range(n_pivots)
+    ]
+    joined = (
+        a.join(b, ["b1", "b2"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.col("b1") == F.greatest("h1a", "h1b"))
+        .filter(F.col("b2") == F.greatest("h2a", "h2b"))
+    )
+    for flt in pivot_filters:
+        joined = joined.filter(flt)
+    scored = joined.withColumn(
+        "cos",
+        F.round(
+            _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
+            score_scale,
+        ),
+    ).filter(F.col("cos") >= threshold)
+    return scored.select("id_a", "id_b", "cos")
+
+
 def _hyperplanes(dim: int, bits: int) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes: component (p, d) is a
     signed unit value derived from md5 — reproducible everywhere with

@@ -340,14 +340,16 @@ def llm_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Embedding-cosine near-duplicate pairs: vectors whose cosine clears a
 # high threshold are near-dups (the embedding-space analogue of
-# MinHash). Exact form = all-pairs; the scale path buckets by the
-# LSH signature first (llmops.simsearch.lsh_bucket_topk).
+# MinHash). The REGISTERED plan is the pivot-angle-banded equi-join
+# (exact by the triangle inequality — identical rows to all-pairs,
+# pinned by tests/test_llmops.py); neardup_pairs keeps the O(n²)
+# broadcast form as the unregistered test oracle.
 # Driver-gated through llm_cosine_topk_neardup (compound row).
 def llm_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..llmops.simsearch import neardup_pairs
+    from ..llmops.simsearch import banded_neardup_pairs
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return neardup_pairs(emb, threshold=0.35)
+    return banded_neardup_pairs(emb, threshold=0.35, dim=64)
 
 
 # Cosine compound driver row: exact top-k search and threshold

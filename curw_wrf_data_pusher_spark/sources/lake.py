@@ -47,6 +47,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # integer DIV, not /: ns values (~1.7e18) exceed double's 2^53
         # exact-integer range.
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    elif name == "events" and isinstance(
+        df.schema["ts"].dataType, T.TimestampNTZType
+    ):
+        # Newer Spark reads TIMESTAMP(NANOS) natively as TIMESTAMP_NTZ
+        # (micro-truncated) instead of honouring nanosAsLong.  Cast to
+        # the session type under the pinned UTC zone — wall-clock
+        # identical to the ns→µs long path above, and restores the
+        # TIMESTAMP type that unix_micros/window functions expect.
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -544,3 +544,45 @@ def test_dedup_clusters_query_not_single_task(spark, sf_dir):
     assert "HashAggregate" not in plan
     assert "ObjectHashAggregate" not in plan
     assert "SortAggregate" not in plan
+
+
+def test_banded_neardup_equals_allpairs(spark, sf_dir):
+    """Pivot-angle banding is EXACT (triangle inequality on the
+    sphere): the banded equi-join must reproduce the O(n²) broadcast
+    inequality self-join pair-for-pair, cos values included — at the
+    registered driver threshold and a tighter one."""
+    from curw_wrf_data_pusher_spark.llmops.simsearch import (
+        banded_neardup_pairs,
+        neardup_pairs,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    for thr in (0.35, 0.5):
+        brute = {
+            (r.id_a, r.id_b, r.cos)
+            for r in neardup_pairs(emb, threshold=thr).collect()
+        }
+        banded = {
+            (r.id_a, r.id_b, r.cos)
+            for r in banded_neardup_pairs(emb, threshold=thr, dim=64).collect()
+        }
+        assert banded == brute
+    # non-vacuous at the registered threshold: the corpus has near-dups
+    assert len(
+        banded_neardup_pairs(emb, threshold=0.35, dim=64).take(1)
+    ) == 1
+
+
+def test_embedding_neardup_query_has_no_nested_loop_join(spark, sf_dir):
+    """The registered embedding near-dup plan must be the banded
+    equi-join — no BroadcastNestedLoopJoin / CartesianProduct (the
+    all-pairs form survives only as the unregistered test oracle).
+    The compound row's topk branch deliberately broadcasts the tiny
+    query side, so the gate targets the neardup branch."""
+    from curw_wrf_data_pusher_spark.queries.llm import llm_embedding_neardup
+
+    from .test_plans_quality import plan_of
+
+    plan = plan_of(llm_embedding_neardup(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
