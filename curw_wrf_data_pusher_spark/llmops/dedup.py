@@ -371,6 +371,71 @@ def simhash(
     return sums.select(F.col(id_col), sig.alias("simhash"))
 
 
+def _simhash_block_groups(
+    sig_df: DataFrame,
+    id_col: str,
+    sig_col: str,
+    radius: int,
+    bits: int,
+) -> DataFrame:
+    """Shared pigeonhole block grouping for the banded neighbour search
+    and its drop-accounting companion: (blk, val, ms) where ``ms`` is
+    the sorted (id, sig) member list of one signature-block bucket.
+    One shuffle on (blk, val)."""
+    blocks = radius + 1
+    if blocks > bits:
+        raise ValueError(
+            f"radius + 1 = {blocks} blocks over a {bits}-bit signature "
+            "leaves empty blocks; lower radius or raise bits"
+        )
+    base, rem = divmod(bits, blocks)
+    widths = [base + (1 if i < rem else 0) for i in range(blocks)]
+    starts = [sum(widths[:i]) for i in range(blocks)]
+    block_cols = [
+        F.struct(
+            F.lit(i).alias("blk"),
+            F.shiftrightunsigned(F.col(sig_col), starts[i])
+            .bitwiseAND(F.lit((1 << widths[i]) - 1))
+            .alias("val"),
+        )
+        for i in range(blocks)
+    ]
+    exploded = sig_df.select(
+        F.struct(F.col(id_col).alias("id"), F.col(sig_col).alias("sig")).alias(
+            "m"
+        ),
+        F.explode(F.array(*block_cols)).alias("bb"),
+    ).select("m", F.col("bb.blk").alias("blk"), F.col("bb.val").alias("val"))
+    # sort_array over (id, sig) structs orders by id first, so i < j in
+    # the expansion implies id_a < id_b with no extra filter
+    return exploded.groupBy("blk", "val").agg(
+        F.sort_array(F.collect_list("m")).alias("ms")
+    )
+
+
+def simhash_dropped_blocks(
+    sig_df: DataFrame,
+    id_col: str = "doc_id",
+    sig_col: str = "simhash",
+    radius: int = 6,
+    bits: int = 32,
+    max_block_size: int | None = None,
+) -> DataFrame:
+    """Accounting companion to
+    ``simhash_neighbors_banded(max_block_size=N)`` — the signature
+    blocks the capped run skipped, as (blk, val, n_members).  Mirrors
+    ``lsh_dropped_buckets``: a production dedup job logs the aggregate
+    next to its pair count so capped drops are visible, not silent."""
+    grouped = _simhash_block_groups(sig_df, id_col, sig_col, radius, bits)
+    if max_block_size is None:
+        return grouped.filter(F.lit(False)).select(
+            "blk", "val", F.size("ms").alias("n_members")
+        )
+    return grouped.filter(F.size("ms") > max_block_size).select(
+        "blk", "val", F.size("ms").alias("n_members")
+    )
+
+
 def simhash_neighbors_banded(
     sig_df: DataFrame,
     id_col: str = "doc_id",
@@ -399,38 +464,12 @@ def simhash_neighbors_banded(
     self-join, which would duplicate the signature subtree and shuffle
     twice.  ``max_block_size`` is the same hot-bucket cap as LSH's
     (identical signatures all share every block; a template cluster of
-    10^5 copies would otherwise expand |block|² pairs).
+    10^5 copies would otherwise expand |block|² pairs) —
+    ``simhash_dropped_blocks`` is the accounting companion reporting
+    what a capped run skipped.
 
     Returns (id_a, id_b, hamming) with id_a < id_b, distinct."""
-    blocks = radius + 1
-    if blocks > bits:
-        raise ValueError(
-            f"radius + 1 = {blocks} blocks over a {bits}-bit signature "
-            "leaves empty blocks; lower radius or raise bits"
-        )
-    base, rem = divmod(bits, blocks)
-    widths = [base + (1 if i < rem else 0) for i in range(blocks)]
-    starts = [sum(widths[:i]) for i in range(blocks)]
-    block_cols = [
-        F.struct(
-            F.lit(i).alias("blk"),
-            F.shiftrightunsigned(F.col(sig_col), starts[i])
-            .bitwiseAND(F.lit((1 << widths[i]) - 1))
-            .alias("val"),
-        )
-        for i in range(blocks)
-    ]
-    exploded = sig_df.select(
-        F.struct(F.col(id_col).alias("id"), F.col(sig_col).alias("sig")).alias(
-            "m"
-        ),
-        F.explode(F.array(*block_cols)).alias("bb"),
-    ).select("m", F.col("bb.blk").alias("blk"), F.col("bb.val").alias("val"))
-    # sort_array over (id, sig) structs orders by id first, so i < j in
-    # the expansion implies id_a < id_b with no extra filter
-    grouped = exploded.groupBy("blk", "val").agg(
-        F.sort_array(F.collect_list("m")).alias("ms")
-    )
+    grouped = _simhash_block_groups(sig_df, id_col, sig_col, radius, bits)
     if max_block_size is not None:
         grouped = grouped.filter(F.size("ms") <= max_block_size)
     pair_expr = F.expr(

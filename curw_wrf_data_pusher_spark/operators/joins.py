@@ -43,6 +43,8 @@ def get_or_create(
         missing = missing.crossJoin(F.broadcast(base))
     else:
         missing = missing.withColumn("m", F.lit(id_offset))
+    # bounded: input is the NEW dim keys only (dim-scale, never the
+    # fact table) — CI-gated allowlist entry in test_plans_quality
     w = Window.orderBy(*key_cols)
     created = missing.withColumn(
         id_col, (F.col("m") + F.row_number().over(w)).cast("long")

@@ -622,6 +622,8 @@ def r1_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Driver-gated through a9_o1_percentiles_ranked (compound row).
 def o1_total_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part")
+    # bounded: total-order contract IS the semantics; gated by
+    # tests/test_plans_quality.py::test_no_unbounded_global_windows...
     w = Window.orderBy("p_retailprice", "p_partkey")
     return p.select(
         F.row_number().over(w).cast("long").alias("rn"), "p_partkey", "p_retailprice"
@@ -874,6 +876,8 @@ def a9_o1_percentiles_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("value").alias("vmin"),
         F.max("value").alias("vmax"),
     )
+    # bounded: one row per user AFTER aggregation; global rank is the
+    # query's total-order contract (CI-gated allowlist entry)
     w = Window.orderBy("p50", "user_id")
     return pct.select(
         F.row_number().over(w).cast("long").alias("rn"),

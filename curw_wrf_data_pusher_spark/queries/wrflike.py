@@ -232,6 +232,8 @@ def e2_rfield_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     # — no global window over the dense frame (which would single-thread
     # the whole fact-scale sort).
     w_file = Window.partitionBy("file_key").orderBy("longitude", "latitude")
+    # bounded: cells is the fixed grid dim (~10^4 rows) — CI-gated
+    # allowlist entry in test_plans_quality
     w_manifest = Window.orderBy("longitude", "latitude")
     xy = cells.select(
         "longitude", "latitude",

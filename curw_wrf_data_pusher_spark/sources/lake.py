@@ -9,6 +9,7 @@ tests/test_plans.py assert PushedFilters reach the scan.
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -98,16 +99,17 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
             "RepartitionByExpression", "RebalancePartitions",
             "Intersect", "Except",
         }
-        has_wide_node = False
-        stack = [df._jdf.queryExecution().optimizedPlan()]
-        while stack:
-            node = stack.pop()
-            if node.getClass().getSimpleName() in wide:
-                has_wide_node = True
-                break
-            children = node.children()
-            for i in range(children.size()):
-                stack.append(children.apply(i))
+        # ONE py4j round trip: toJSON() flattens the whole tree to a
+        # JSON array with a "class" field per node — vs a
+        # getClass()/children() JVM call pair per node, which showed up
+        # as driver-side build latency on every spread-using query
+        plan_nodes = json.loads(
+            df._jdf.queryExecution().optimizedPlan().toJSON()
+        )
+        has_wide_node = any(
+            node.get("class", "").rsplit(".", 1)[-1] in wide
+            for node in plan_nodes
+        )
         if has_wide_node and df._jdf.rdd().getNumPartitions() >= target:
             return df
     except Exception:

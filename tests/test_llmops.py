@@ -586,3 +586,47 @@ def test_embedding_neardup_query_has_no_nested_loop_join(spark, sf_dir):
     plan = plan_of(llm_embedding_neardup(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_simhash_hot_block_cap(spark):
+    """A template-heavy corpus (identical signatures share EVERY
+    pigeonhole block) must have its |block|² pair explosion capped by
+    max_block_size, with the skipped blocks reported by
+    simhash_dropped_blocks.  Default None keeps exact semantics."""
+    from curw_wrf_data_pusher_spark.llmops.dedup import (
+        simhash_dropped_blocks,
+        simhash_neighbors_banded,
+    )
+
+    rows = [(i, 0) for i in range(40)]  # 40-copy template, sig 0
+    # near-dup pair at hamming 1, far (>= 16) from everything else
+    rows += [(200, 0xFFFFFFFF), (201, 0xFFFFFFFE)]
+    # well-separated uniques whose blocks never collide with val 0
+    rows += [(300, 0x55555555), (301, 0xAAAAAAAA), (302, 0x33333333)]
+    sig = spark.createDataFrame(rows, "doc_id long, simhash long")
+
+    uncapped = {
+        (r.id_a, r.id_b)
+        for r in simhash_neighbors_banded(sig, radius=6).collect()
+    }
+    # template expands C(40,2) pairs + the one near-dup pair
+    assert len(uncapped) == 780 + 1 and (200, 201) in uncapped
+
+    capped = {
+        (r.id_a, r.id_b)
+        for r in simhash_neighbors_banded(
+            sig, radius=6, max_block_size=10
+        ).collect()
+    }
+    assert capped == {(200, 201)}  # template dropped, small pair kept
+
+    # accounting: the template's 7 blocks (radius+1) reported with size
+    dropped = simhash_dropped_blocks(
+        sig, radius=6, max_block_size=10
+    ).collect()
+    assert len(dropped) == 7
+    assert all(r.n_members == 40 for r in dropped)
+    # None → nothing dropped
+    assert simhash_dropped_blocks(
+        sig, radius=6, max_block_size=None
+    ).count() == 0

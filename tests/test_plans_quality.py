@@ -162,3 +162,51 @@ def test_ivf_topk_probed_lists_join_broadcasts_queries(spark, sf_dir):
     # the candidate join
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_no_unbounded_global_windows_in_registered_queries(spark, sf_dir):
+    """CI gate for fact-scale partition-less windows: a Window with an
+    empty partitionSpec moves ALL rows to one partition — acceptable
+    only on bounded-cardinality inputs.  Every registered query's
+    optimized plan is walked; any query outside the allowlist that
+    grows a global window fails here instead of surfacing as a
+    WindowExec warning in the bench tail.
+
+    Allowlisted sites (each carries a `# bounded:` comment):
+    - a9_o1_percentiles_ranked: global rank over the per-user aggregate
+      (generic.py) — the total-order contract is the query's semantics;
+      input is one row per user AFTER aggregation.
+    - e2_rfield_contract: xy.csv manifest rank over the grid-cell dim
+      (wrflike.py) — grid cells are a fixed ~10^4 set; the fact-scale
+      frame joins the broadcast manifest instead of sorting globally.
+    - j5_get_or_create: id assignment for NEW dim keys (joins.py) —
+      dim-scale input (stations/sources), never the fact table.
+    """
+    import json
+
+    bounded_ok = {
+        "a9_o1_percentiles_ranked",
+        "e2_rfield_contract",
+        "j5_get_or_create",
+    }
+    offenders = {}
+    for name, fn in sorted(QUERIES.items()):
+        nodes = json.loads(
+            fn(spark, sf_dir)._jdf.queryExecution().optimizedPlan().toJSON()
+        )
+        n_global = sum(
+            1
+            for n in nodes
+            if n.get("class", "").endswith(".Window")
+            and not n.get("partitionSpec")
+        )
+        if n_global:
+            offenders[name] = n_global
+    assert set(offenders) <= bounded_ok, (
+        "unreviewed partition-less Window(s) — these move all rows to "
+        f"one partition at fact scale: "
+        f"{ {k: v for k, v in offenders.items() if k not in bounded_ok} }"
+    )
+    # the allowlist itself stays honest: drop entries that no longer
+    # have a global window
+    assert set(offenders) == bounded_ok
