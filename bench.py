@@ -10,6 +10,14 @@ Each query is forced end-to-end with the noop sink (full computation,
 no driver collect). The headline set spans the engine's surface: scans
 +filters, shuffle aggs, broadcast joins, window functions, pivots, the
 WRF pipelines, and the LLM data-pipeline operators.
+
+NOISE FLOOR (measured round 5, identical code, consecutive runs):
+totals spanned 11.9-15.4 s before the load_table memo and 9.1-12.3 s
+after it — i.e. shared-machine load swings single-run totals by ±20%
+and individual sub-second queries by 2x. Round 4's broad "+2.6% drift"
+(15 of 21 queries slower with no code change) was this noise, not a
+regression. Compare rounds on the best of several runs, and treat
+per-query deltas under ~25% as unresolvable without n >= 6.
 """
 
 from __future__ import annotations

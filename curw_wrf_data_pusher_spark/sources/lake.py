@@ -30,10 +30,31 @@ TABLES = (
 )
 
 
+#: Per-session memo of lake-table DataFrames.  Building a scan costs a
+#: file listing + parquet footer schema read (75-260 ms measured) and
+#: every query build repeats it; DataFrames are immutable plan handles,
+#: so reusing one is free.  The 100 TB analogue is catalog/file-index
+#: metadata caching — re-listing a million-file table per query build
+#: is the same waste at larger stakes.  WeakKeyDictionary: entries die
+#: with their SparkSession, so a stopped-and-rebuilt session (tests)
+#: can never serve a stale plan handle.
+_TABLE_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict]" = None  # type: ignore[assignment]
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one lake table. Single parquet file per table in testdata;
     at 100 TB this is a directory of many files + partition columns —
     same call."""
+    global _TABLE_MEMO
+    if _TABLE_MEMO is None:
+        import weakref
+
+        _TABLE_MEMO = weakref.WeakKeyDictionary()
+    per_session = _TABLE_MEMO.setdefault(spark, {})
+    key = (os.path.abspath(sf_dir), name)
+    cached = per_session.get(key)
+    if cached is not None:
+        return cached
     # Self-sufficient on ANY session (the external harness builds its
     # own vanilla SparkSession): nanosAsLong is runtime-settable and
     # required to scan events.parquet's TIMESTAMP(NANOS,false) column
@@ -57,6 +78,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # identical to the ns→µs long path above, and restores the
         # TIMESTAMP type that unix_micros/window functions expect.
         df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    per_session[key] = df
     return df
 
 
