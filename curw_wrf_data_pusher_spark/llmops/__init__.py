@@ -1,6 +1,7 @@
 from .dedup import (
     MINHASH_COEFFS,
     MINHASH_PRIME,
+    estimated_jaccard_pairs,
     exact_dedup_groups,
     lsh_candidate_pairs,
     minhash_signatures,
@@ -9,7 +10,13 @@ from .dedup import (
     simhash,
 )
 from .clusters import connected_components
-from .simsearch import cosine_topk, ivf_topk, lsh_bucket_topk, neardup_pairs
+from .simsearch import (
+    banded_neardup_pairs,
+    cosine_topk,
+    ivf_topk,
+    lsh_bucket_topk,
+    neardup_pairs,
+)
 from .textstats import fingerprint, language_id, quality_features
 
 __all__ = [
@@ -21,8 +28,10 @@ __all__ = [
     "ngram_jaccard_pairs",
     "shingles",
     "simhash",
+    "banded_neardup_pairs",
     "connected_components",
     "cosine_topk",
+    "estimated_jaccard_pairs",
     "ivf_topk",
     "lsh_bucket_topk",
     "neardup_pairs",

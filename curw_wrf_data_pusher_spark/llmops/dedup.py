@@ -535,3 +535,46 @@ def verify_candidates(
         .filter(F.col("jaccard") >= min_jaccard)
     )
     return out.select("id_a", "id_b", "jaccard")
+
+
+def estimated_jaccard_pairs(
+    sig_df: DataFrame,
+    candidates: DataFrame,
+    id_col: str = "doc_id",
+    n: int = len(MINHASH_COEFFS),
+) -> DataFrame:
+    """Signature-ESTIMATED Jaccard for candidate pairs: the fraction of
+    agreeing MinHash components is an unbiased estimator of the true
+    Jaccard (P[min-hash collision] = J for a universal hash family).
+
+    The cheap middle ground between banding (boolean candidate / not)
+    and ``verify_candidates`` (exact, but re-joins the full shingle
+    fan-out): at 100 TB the signatures are k longs per doc — two
+    equi-joins on doc id against the candidate list, no shingle rows
+    touched.  Use it to pre-rank/threshold candidates so the exact
+    verify runs on a fraction of them, or accept the estimate outright
+    when k gives enough resolution (stderr ~= sqrt(J(1-J)/k)).
+
+    Returns (id_a, id_b, est_jaccard), deterministic (fixed coeffs,
+    no RNG)."""
+    agree = sum(
+        F.when(F.col(f"a_mh_{j}") == F.col(f"b_mh_{j}"), 1).otherwise(0)
+        for j in range(n)
+    )
+    a = sig_df.select(
+        F.col(id_col).alias("id_a"),
+        *[F.col(f"mh_{j}").alias(f"a_mh_{j}") for j in range(n)],
+    )
+    b = sig_df.select(
+        F.col(id_col).alias("id_b"),
+        *[F.col(f"mh_{j}").alias(f"b_mh_{j}") for j in range(n)],
+    )
+    return (
+        candidates.select("id_a", "id_b")
+        .join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn(
+            "est_jaccard", agree.cast("double") / F.lit(float(n))
+        )
+        .select("id_a", "id_b", "est_jaccard")
+    )

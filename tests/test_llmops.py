@@ -630,3 +630,88 @@ def test_simhash_hot_block_cap(spark):
     assert simhash_dropped_blocks(
         sig, radius=6, max_block_size=None
     ).count() == 0
+
+
+def test_estimated_jaccard_from_signatures(spark):
+    """Signature-estimated Jaccard: identical docs estimate 1.0,
+    disjoint docs 0.0, overlapping docs land strictly between; the
+    estimate needs only the k-long signatures (no shingle re-join)."""
+    from curw_wrf_data_pusher_spark.llmops.dedup import (
+        estimated_jaccard_pairs,
+        minhash_signatures_from_text,
+        ngram_jaccard_pairs,
+        shingles,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "alpha beta gamma delta epsilon zeta eta theta"),  # = 1
+            (3, "alpha beta gamma delta epsilon zeta eta iota"),   # ~ 1
+            (4, "one two three four five six seven eight"),        # disjoint
+        ],
+        "doc_id long, text string",
+    )
+    sig = minhash_signatures_from_text(docs).localCheckpoint()
+    cands = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4)], "id_a long, id_b long"
+    )
+    est = {
+        (r.id_a, r.id_b): r.est_jaccard
+        for r in estimated_jaccard_pairs(sig, cands).collect()
+    }
+    assert est[(1, 2)] == 1.0
+    assert est[(1, 4)] == 0.0
+    assert 0.0 < est[(1, 3)] <= 1.0
+    # deterministic estimator, deterministic corpus: the estimate of a
+    # true-Jaccard ~0.45 pair must carry signal (not collapse to 0/1)
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(
+            shingles(docs), min_jaccard=0.0
+        ).collect()
+    }
+    assert abs(est[(1, 3)] - exact[(1, 3)]) <= 0.45  # k=8 resolution
+
+
+def test_banded_neardup_property_random_vectors(spark):
+    """Property check on adversarial-ish inputs: random-signed vectors,
+    negative components, near-parallel and antipodal pairs, thresholds
+    spanning negative to extreme — banded must equal all-pairs on every
+    combination (exactness is structural, not data-dependent)."""
+    import math
+    import random
+
+    from curw_wrf_data_pusher_spark.llmops.simsearch import (
+        banded_neardup_pairs,
+        neardup_pairs,
+    )
+
+    rng = random.Random(7)
+    dim = 8
+    rows = []
+    for i in range(60):
+        rows.append((i, [rng.uniform(-1, 1) for _ in range(dim)]))
+    # planted structure: exact duplicate, antipodal pair, tiny-angle pair
+    rows.append((100, rows[0][1][:]))
+    rows.append((101, [-v for v in rows[1][1]]))
+    rows.append((102, [v + 1e-4 for v in rows[2][1]]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    for thr in (-0.5, 0.0, 0.7, 0.999999):
+        brute = {
+            (r.id_a, r.id_b, r.cos)
+            for r in neardup_pairs(emb, threshold=thr).collect()
+        }
+        banded = {
+            (r.id_a, r.id_b, r.cos)
+            for r in banded_neardup_pairs(
+                emb, threshold=thr, dim=dim
+            ).collect()
+        }
+        assert banded == brute, f"mismatch at threshold {thr}"
+    # the planted pairs actually show up where they should
+    high = {
+        (r.id_a, r.id_b)
+        for r in banded_neardup_pairs(emb, threshold=0.999, dim=dim).collect()
+    }
+    assert (0, 100) in high and (2, 102) in high and (1, 101) not in high
