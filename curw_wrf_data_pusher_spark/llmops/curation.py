@@ -132,3 +132,129 @@ def stratified_sample(
     for g, r in sorted(rates.items()):
         rate = F.when(F.col(group_col) == g, F.lit(float(r))).otherwise(rate)
     return docs.filter(h32 < rate * F.lit(float(2**32)))
+
+
+def duplicated_line_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_line_chars: int = 8,
+    min_dup_count: int = 2,
+) -> DataFrame:
+    """CCNet/Gopher-style corpus-level duplicated-line report: per
+    document, the fraction of its (non-trivial) lines that occur in
+    MORE THAN ONE document across the corpus — boilerplate headers,
+    navigation, license blurbs.  Curation filters typically drop or
+    trim documents whose dup_line_frac clears a threshold.
+
+    Plan shape at 100 TB: explode to lines map-side, md5 the line so
+    only (hash, id) shuffles (never the text), ONE hash-groupBy to
+    count cross-corpus occurrences, join the hot-line set back (it is
+    the small side — lines appearing >= min_dup_count — so AQE can
+    broadcast it), then a per-document aggregate.  No UDFs, no skew:
+    line-hash keys are uniform.
+
+    Lines shorter than ``min_line_chars`` are ignored entirely
+    (ubiquitous short fragments — '', '---' — would otherwise mark
+    every document duplicated).
+
+    Returns (id, n_lines, n_dup_lines, dup_line_frac)."""
+    lines = (
+        docs.select(
+            F.col(id_col),
+            F.explode(F.split(F.col(text_col), "\n")).alias("__line"),
+        )
+        .filter(F.length(F.trim(F.col("__line"))) >= min_line_chars)
+        .select(F.col(id_col), F.md5(F.trim(F.col("__line"))).alias("__lh"))
+    )
+    # distinct per doc BEFORE counting docs-per-line: a line repeated
+    # inside one document is intra-doc repetition (textstats covers
+    # it), not cross-corpus boilerplate
+    doc_lines = lines.distinct()
+    hot = (
+        doc_lines.groupBy("__lh")
+        .agg(F.count("*").alias("__docs"))
+        .filter(F.col("__docs") >= min_dup_count)
+        .select("__lh")
+    )
+    flagged = doc_lines.join(hot, "__lh", "left_semi").groupBy(id_col).agg(
+        F.count("*").alias("n_dup_lines")
+    )
+    per_doc = doc_lines.groupBy(id_col).agg(F.count("*").alias("n_lines"))
+    return (
+        per_doc.join(flagged, id_col, "left")
+        .na.fill({"n_dup_lines": 0})
+        .select(
+            F.col(id_col),
+            F.col("n_lines"),
+            F.col("n_dup_lines"),
+            F.round(
+                F.col("n_dup_lines") / F.col("n_lines"), 9
+            ).alias("dup_line_frac"),
+        )
+    )
+
+
+#: Deterministic redaction patterns: (name, java-regex, replacement).
+#: ORDER MATTERS: emails first (their local/domain parts must not be
+#: chewed up by later patterns), then IPv4 BEFORE phone — a dotted
+#: octet run like 192.168.1.254 also matches the digits-with-
+#: separators phone shape, so phones only fire on what survives IP
+#: redaction.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4",
+     r"(?<![0-9.])(?:(?:25[0-5]|2[0-4][0-9]|1?[0-9]{1,2})\.){3}"
+     r"(?:25[0-5]|2[0-4][0-9]|1?[0-9]{1,2})(?![0-9.])",
+     "<IP>"),
+    # the digit./.digit lookarounds keep the pattern out of dotted
+    # numeric runs (malformed IPs, version strings) while still
+    # matching 555.123.4567-style phones
+    ("phone",
+     r"(?<![0-9])(?<![0-9][.])(?:\+?[0-9]{1,3}[ .-]?)?"
+     r"(?:\([0-9]{2,4}\)[ .-]?)?"
+     r"[0-9]{3}[ .-][0-9]{3,4}(?:[ .-][0-9]{3,4})?(?![0-9])(?![.][0-9])",
+     "<PHONE>"),
+]
+
+
+def redact_pii(
+    docs: DataFrame,
+    text_col: str = "text",
+    patterns: list[tuple[str, str, str]] | None = None,
+    count_matches: bool = True,
+) -> DataFrame:
+    """Deterministic PII redaction for training corpora: replace
+    emails / phone numbers / IPv4 addresses with typed placeholder
+    tokens, keeping everything else byte-identical.
+
+    Pure Catalyst (chained ``regexp_replace`` — JVM regex, whole-stage
+    codegen, map-only: ZERO shuffles at any scale).  With
+    ``count_matches`` each pattern also reports how many times it fired
+    per document (``n_<name>``): the count runs against the text AS
+    THAT PATTERN SAW IT (after the preceding redactions), so a dotted
+    run consumed by the IPv4 pass is not double-counted as a phone.
+
+    This is the regex tier of a PII pipeline — the recall/precision
+    ceiling of pattern matching is well known; an NER-model tier would
+    ride the same mapInPandas plumbing as ``llmops.multimodal`` codecs.
+    Returns the input columns with ``text_col`` redacted (original
+    preserved as ``<text_col>_raw``) plus the per-pattern counts."""
+    pats = PII_PATTERNS if patterns is None else patterns
+    cur = F.col(text_col)
+    counts = []
+    for name, regex, replacement in pats:
+        if count_matches:
+            counts.append(
+                F.regexp_count(cur, F.lit(regex))
+                .cast("long")
+                .alias(f"n_{name}")
+            )
+        cur = F.regexp_replace(cur, regex, replacement)
+    others = [F.col(c) for c in docs.columns if c != text_col]
+    return docs.select(
+        *others,
+        cur.alias(text_col),
+        F.col(text_col).alias(f"{text_col}_raw"),
+        *counts,
+    )

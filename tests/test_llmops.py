@@ -715,3 +715,65 @@ def test_banded_neardup_property_random_vectors(spark):
         for r in banded_neardup_pairs(emb, threshold=0.999, dim=dim).collect()
     }
     assert (0, 100) in high and (2, 102) in high and (1, 101) not in high
+
+
+def test_duplicated_line_stats(spark):
+    """Cross-corpus duplicated lines are counted per document; intra-doc
+    repetition alone does not flag a line, and short fragments are
+    ignored."""
+    from curw_wrf_data_pusher_spark.llmops.curation import (
+        duplicated_line_stats,
+    )
+
+    boiler = "subscribe to our newsletter today"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{boiler}\nunique alpha content line one\nshort"),
+            (2, f"{boiler}\nunique beta content line two"),
+            (3, "totally original document body here\n"
+                "totally original document body here"),  # intra-doc dup only
+            (4, "another fully unique document body"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in duplicated_line_stats(docs, min_line_chars=8).collect()
+    }
+    # the boilerplate line is shared by docs 1 and 2
+    assert out[1].n_dup_lines == 1 and out[2].n_dup_lines == 1
+    assert out[1].n_lines == 2  # 'short' dropped by min_line_chars
+    assert out[1].dup_line_frac == 0.5
+    assert out[2].dup_line_frac == 0.5
+    # intra-doc repetition: line appears in ONE doc → not cross-corpus
+    assert out[3].n_dup_lines == 0 and out[3].n_lines == 1
+    assert out[4].n_dup_lines == 0 and out[4].dup_line_frac == 0.0
+
+
+def test_redact_pii(spark):
+    """Regex-tier PII redaction: typed placeholders, original text
+    preserved, per-pattern counts; map-only plan (no shuffle)."""
+    from curw_wrf_data_pusher_spark.llmops.curation import redact_pii
+
+    docs = spark.createDataFrame(
+        [
+            (1, "contact jane.doe+test@example.co.uk or call 077 123 4567"),
+            (2, "server at 192.168.1.254 responded; also 999.999.1.1 is"
+                " not an ip"),
+            (3, "clean document, nothing to redact"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in redact_pii(docs).collect()}
+    assert "<EMAIL>" in out[1].text and "@" not in out[1].text
+    assert "<PHONE>" in out[1].text and "4567" not in out[1].text
+    assert out[1].n_email == 1 and out[1].n_phone == 1
+    assert "<IP>" in out[2].text and "192.168.1.254" not in out[2].text
+    assert "999.999.1.1" in out[2].text  # out-of-range octets untouched
+    assert out[2].n_ipv4 == 1
+    assert out[3].text == out[3].text_raw == docs.collect()[2].text
+    assert out[3].n_email == out[3].n_phone == out[3].n_ipv4 == 0
+    # map-only: no exchange in the plan
+    from .test_plans_quality import plan_of
+
+    assert "Exchange" not in plan_of(redact_pii(docs))
