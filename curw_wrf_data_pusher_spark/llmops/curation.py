@@ -188,9 +188,75 @@ def duplicated_line_stats(
             F.col(id_col),
             F.col("n_lines"),
             F.col("n_dup_lines"),
-            F.round(
-                F.col("n_dup_lines") / F.col("n_lines"), 9
-            ).alias("dup_line_frac"),
+            # plain long/long double division — bit-identical across
+            # engines (no round(), whose half-up tie behaviour differs)
+            (F.col("n_dup_lines") / F.col("n_lines")).alias("dup_line_frac"),
+        )
+    )
+
+
+def remove_duplicated_lines(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_line_chars: int = 8,
+    min_dup_count: int = 2,
+) -> DataFrame:
+    """CCNet-style boilerplate removal: delete every occurrence of any
+    (non-trivial) line that appears in ``min_dup_count`` or more
+    documents across the corpus, preserving the order of what remains.
+    Short lines (< ``min_line_chars`` after trim) are never removed —
+    they are formatting, not boilerplate evidence.
+
+    Plan shape at 100 TB: posexplode to (id, pos, line) map-side, hash
+    qualifying lines so only (hash, id) reaches the hot-line count
+    (text itself shuffles only on the id key for reconstruction), ONE
+    groupBy to find hot lines (the small side — AQE broadcasts it on
+    the anti-join back), then a per-document ordered re-assembly via
+    ``array_sort(collect_list(struct(pos, line)))`` — no global sort,
+    no window, no UDF.
+
+    Returns every input column with ``text_col`` rewritten (documents
+    whose every line was boilerplate come back as '')."""
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("__pos", "__line"),
+    ).withColumn(
+        "__lh",
+        F.when(
+            F.length(F.trim(F.col("__line"))) >= min_line_chars,
+            F.md5(F.trim(F.col("__line"))),
+        ),
+    )
+    hot = (
+        lines.filter(F.col("__lh").isNotNull())
+        .select(F.col(id_col), "__lh")
+        .distinct()
+        .groupBy("__lh")
+        .agg(F.count("*").alias("__docs"))
+        .filter(F.col("__docs") >= min_dup_count)
+        .select("__lh")
+    )
+    # left_anti keeps non-matching rows; NULL __lh (short lines) never
+    # matches a hot hash, so formatting lines always survive
+    kept = lines.join(hot, "__lh", "left_anti")
+    recon = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__line"))),
+                lambda x: x["__line"],
+            ),
+            "\n",
+        ).alias("__clean")
+    )
+    # rejoin so documents whose EVERY line was boilerplate come back
+    # (as '') instead of silently disappearing from the corpus
+    others = [F.col(c) for c in docs.columns if c != text_col]
+    return (
+        docs.join(recon, id_col, "left")
+        .select(
+            *others,
+            F.coalesce(F.col("__clean"), F.lit("")).alias(text_col),
         )
     )
 

@@ -48,31 +48,86 @@ def llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint(load_table(spark, sf_dir, "documents"))
 
 
-# Exact-dedup + fingerprint compound driver row: per-document content
-# hash, normalized fingerprint, and the dedup-group columns (canonical
-# id + multiplicity) via a window over the content hash — the single-
-# pass form of llmops.dedup.exact_dedup_groups ⋈ textstats.fingerprint
-# (both remain unit-tested in tests/test_llmops.py).  One shuffle on
-# content_hash; everything else map-side.
+# Exact-dedup + fingerprint + line-dedup compound driver row:
+# per-document content hash, normalized fingerprint, the dedup-group
+# columns (canonical id + multiplicity) via a window over the content
+# hash — the single-pass form of llmops.dedup.exact_dedup_groups ⋈
+# textstats.fingerprint — PLUS the CCNet-style cross-corpus
+# duplicated-line report and boilerplate-removal check from
+# llmops.curation (all remain unit-tested in tests/test_llmops.py).
+#
+# The corpus has no newlines, so the line ops run on a deterministic
+# re-wrap of each document into 8-token lines (pure Catalyst, the
+# oracle mirrors it) — at sf0.01 that yields ~138 cross-document hot
+# lines over 55 documents, so the dup-line counts and the md5 of the
+# line-deduped text are a real gate, and clean_md5 additionally proves
+# the posexplode→anti-join→ordered-reassembly plan byte-exact against
+# DuckDB's string_agg(... ORDER BY pos).
+_LINE_WRAP_SQL = """
+    SELECT doc_id,
+      array_to_string(list_transform(
+          range(0, CAST(ceil(len(t)/8.0) AS BIGINT)),
+          i -> array_to_string(list_slice(t, i*8+1, i*8+8), ' ')),
+        chr(10)) AS text
+    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+"""
+
+
 @register(
     "llm_exact_dedup_fingerprint",
-    oracle="""
-    SELECT doc_id,
-           md5(text) AS content_hash,
-           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+    oracle=f"""
+    WITH w AS ({_LINE_WRAP_SQL}),
+    dl AS (
+      SELECT DISTINCT doc_id, md5(trim(line)) AS lh
+      FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+            FROM w)
+      WHERE length(trim(line)) >= 8
+    ),
+    hot AS (SELECT lh FROM dl GROUP BY lh HAVING count(*) >= 2),
+    stats AS (
+      SELECT dl.doc_id, count(*) AS n_lines, count(hot.lh) AS n_dup_lines
+      FROM dl LEFT JOIN hot ON dl.lh = hot.lh GROUP BY dl.doc_id
+    ),
+    pl AS (
+      SELECT doc_id, unnest(l) AS line, generate_subscripts(l, 1) AS pos
+      FROM (SELECT doc_id, string_split(text, chr(10)) AS l FROM w)
+    ),
+    clean AS (
+      SELECT pl.doc_id,
+             md5(coalesce(string_agg(pl.line, chr(10) ORDER BY pl.pos)
+                 FILTER (length(trim(pl.line)) < 8 OR hot.lh IS NULL), ''))
+               AS clean_md5
+      FROM pl LEFT JOIN hot ON md5(trim(pl.line)) = hot.lh
+      GROUP BY pl.doc_id
+    )
+    SELECT d.doc_id,
+           md5(d.text) AS content_hash,
+           md5(regexp_replace(lower(trim(d.text)), '\\s+', ' ', 'g'))
              AS fingerprint,
-           min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
-           count(*) OVER (PARTITION BY md5(text)) AS n_dups
-    FROM documents
+           min(d.doc_id) OVER (PARTITION BY md5(d.text)) AS canonical_id,
+           count(*) OVER (PARTITION BY md5(d.text)) AS n_dups,
+           coalesce(s.n_lines, 0) AS n_lines,
+           coalesce(s.n_dup_lines, 0) AS n_dup_lines,
+           coalesce(CAST(s.n_dup_lines AS DOUBLE) / s.n_lines, 0.0)
+             AS dup_line_frac,
+           c.clean_md5
+    FROM documents d
+    LEFT JOIN stats s USING (doc_id)
+    LEFT JOIN clean c USING (doc_id)
     """,
 )
 def llm_exact_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
+    from ..llmops.curation import (
+        duplicated_line_stats,
+        remove_duplicated_lines,
+    )
+
     docs = load_table(spark, sf_dir, "documents")
     norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
     w = Window.partitionBy("content_hash")
-    return (
+    base = (
         docs.select(
             "doc_id",
             F.md5("text").alias("content_hash"),
@@ -80,6 +135,36 @@ def llm_exact_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("canonical_id", F.min("doc_id").over(w))
         .withColumn("n_dups", F.count("*").over(w))
+    )
+    # deterministic 8-token re-wrap (corpus has no newlines of its own)
+    t = F.split(F.col("text"), " ")
+    wrapped_text = F.array_join(
+        F.transform(
+            F.sequence(
+                F.lit(0),
+                F.ceil(F.size(t) / F.lit(8.0)).cast("int") - F.lit(1),
+            ),
+            lambda i: F.array_join(F.slice(t, i * F.lit(8) + F.lit(1), 8), " "),
+        ),
+        "\n",
+    )
+    wrapped = docs.select("doc_id", wrapped_text.alias("text"))
+    stats = duplicated_line_stats(wrapped)
+    clean = remove_duplicated_lines(wrapped).select(
+        "doc_id", F.md5("text").alias("clean_md5")
+    )
+    return (
+        base.join(stats, "doc_id", "left")
+        .join(clean, "doc_id", "left")
+        .select(
+            base["*"],
+            F.coalesce(F.col("n_lines"), F.lit(0)).alias("n_lines"),
+            F.coalesce(F.col("n_dup_lines"), F.lit(0)).alias("n_dup_lines"),
+            F.coalesce(F.col("dup_line_frac"), F.lit(0.0)).alias(
+                "dup_line_frac"
+            ),
+            "clean_md5",
+        )
     )
 
 

@@ -777,3 +777,29 @@ def test_redact_pii(spark):
     from .test_plans_quality import plan_of
 
     assert "Exchange" not in plan_of(redact_pii(docs))
+
+
+def test_remove_duplicated_lines(spark):
+    """Cross-corpus boilerplate lines are stripped from every document,
+    order and short formatting lines are preserved, and an all-
+    boilerplate document survives as ''."""
+    from curw_wrf_data_pusher_spark.llmops.curation import (
+        remove_duplicated_lines,
+    )
+
+    boiler = "subscribe to our newsletter today"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{boiler}\nunique alpha content line one\n---\nalpha end"),
+            (2, f"unique beta content line two\n{boiler}"),
+            (3, boiler),                       # all-boilerplate doc
+            (4, "another fully unique document body"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.text for r in remove_duplicated_lines(docs).collect()}
+    assert out[1] == "unique alpha content line one\n---\nalpha end"
+    assert out[2] == "unique beta content line two"
+    assert out[3] == ""
+    assert out[4] == "another fully unique document body"
+    assert set(out) == {1, 2, 3, 4}
