@@ -134,6 +134,105 @@ def stratified_sample(
     return docs.filter(h32 < rate * F.lit(float(2**32)))
 
 
+def chunk_documents(
+    docs: DataFrame,
+    max_tokens: int,
+    overlap: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sliding-window context chunking: cut each document's token
+    stream into windows of ``max_tokens`` whitespace tokens, with
+    ``overlap`` tokens shared between consecutive windows (stride =
+    max_tokens − overlap) — the standard long-document →
+    context-window preprocessing step before tokenization/packing.
+    The last window is allowed to run short; a document shorter than
+    one window yields exactly one chunk.
+
+    Map-only plan (split → sequence → posexplode, all inside
+    whole-stage codegen): ZERO shuffles at any scale — chunking 100 TB
+    is embarrassingly parallel and this plan keeps it that way.
+
+    Returns (id, chunk_id, n_chunk_tokens, chunk_text)."""
+    if not 0 <= overlap < max_tokens:
+        raise ValueError("require 0 <= overlap < max_tokens")
+    stride = max_tokens - overlap
+    t = F.split(F.trim(F.col(text_col)), " ")
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.ceil((F.size(t) - F.lit(overlap)) / F.lit(float(stride))).cast(
+            "int"
+        ),
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - F.lit(1)),
+        lambda i: F.array_join(
+            F.slice(t, i * F.lit(stride) + F.lit(1), max_tokens), " "
+        ),
+    )
+    return (
+        docs.select(
+            F.col(id_col),
+            F.posexplode(chunks).alias("chunk_id", "chunk_text"),
+        )
+        .select(
+            id_col,
+            "chunk_id",
+            F.size(F.split(F.col("chunk_text"), " ")).alias(
+                "n_chunk_tokens"
+            ),
+            "chunk_text",
+        )
+    )
+
+
+def upsample_by_group(
+    docs: DataFrame,
+    weights: dict[str, float],
+    default_weight: float = 1.0,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "sample:v1",
+) -> DataFrame:
+    """Epoch-weighted corpus mixing, the ≥1-weight generalization of
+    ``stratified_sample``: a document with group weight w appears
+    floor(w) times, plus once more iff its deterministic 32-bit hash
+    falls under frac(w) × 2^32.  w < 1 degenerates to exactly
+    ``stratified_sample``'s keep set (same md5(salt:id) hash, same
+    threshold); w = 2.5 means every doc twice and half of them (a
+    stable, repartition-proof half) a third time — how a training mix
+    up-weights a high-quality source across epochs.
+
+    Map-side only: hash + explode(sequence) — no shuffle, no RNG
+    state, reproducible across runs and cluster sizes.  Output: the
+    input columns plus ``copy_id`` (0-based); weight-0 groups drop
+    out entirely."""
+    h32 = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string"))),
+            1, 8,
+        ),
+        16, 10,
+    ).cast("long")
+    w = F.lit(float(default_weight))
+    for g, r in sorted(weights.items()):
+        w = F.when(F.col(group_col) == g, F.lit(float(r))).otherwise(w)
+    frac = w - F.floor(w)
+    n_copies = (
+        F.floor(w).cast("int")
+        + F.when(h32 < frac * F.lit(float(2**32)), F.lit(1)).otherwise(
+            F.lit(0)
+        )
+    )
+    # sequence(0, -1) yields [0, -1] (negative step inferred), so the
+    # zero-copy case must map to an explicit empty array — explode then
+    # drops the row, which is the "weight rounds to 0 copies" semantics
+    copies = F.when(
+        n_copies > 0, F.sequence(F.lit(0), n_copies - F.lit(1))
+    ).otherwise(F.array().cast("array<int>"))
+    return docs.select("*", F.explode(copies).alias("copy_id"))
+
+
 def duplicated_line_stats(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -811,10 +811,15 @@ def llm_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shingle_contamination(docs, is_test=F.col("doc_id") % 20 == 0)
 
 
-# Sequence packing (concat-and-chunk): per source, the ordered token
-# stream chunked into 256-token training examples; each document maps
-# to its chunk range. Pure window functions partitioned by source — no
-# global sort anywhere.
+# Sequence packing (concat-and-chunk) + sliding-window context
+# chunking compound row: per source, the ordered token stream chunked
+# into 256-token training examples (each document maps to its chunk
+# range — pure window functions partitioned by source, no global
+# sort), JOINED with a per-document summary of
+# curation.chunk_documents(max_tokens=32, overlap=8): the chunk count
+# and an order-sensitive md5 over the chunk texts, which pins the
+# sliding-window slicing (stride/overlap/short-tail semantics)
+# byte-exact against DuckDB's list_slice.
 @register(
     "llm_seq_packing",
     oracle="""
@@ -829,40 +834,95 @@ def llm_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
                                       ROWS UNBOUNDED PRECEDING)
                   AS BIGINT) AS cum
       FROM t
+    ),
+    ch AS (
+      SELECT doc_id,
+             greatest(1, CAST(ceil((len(tk) - 8) / 24.0) AS BIGINT)) AS nc,
+             tk
+      FROM (SELECT doc_id, string_split(trim(text), ' ') AS tk
+            FROM documents)
+    ),
+    summ AS (
+      SELECT doc_id, nc AS n_ctx_chunks,
+             md5(array_to_string(list_transform(range(0, nc),
+                 i -> array_to_string(list_slice(tk, i*24+1, i*24+32), ' ')),
+               chr(31))) AS ctx_chunks_md5
+      FROM ch
     )
-    SELECT doc_id, grp, n_tokens,
+    SELECT c.doc_id, grp, n_tokens,
            cum - n_tokens AS start_offset,
            CAST((cum - n_tokens) // 256 AS BIGINT) AS bin_start,
-           CAST((cum - 1) // 256 AS BIGINT) AS bin_end
-    FROM c
+           CAST((cum - 1) // 256 AS BIGINT) AS bin_end,
+           s.n_ctx_chunks, s.ctx_chunks_md5
+    FROM c JOIN summ s ON c.doc_id = s.doc_id
     """,
 )
 def llm_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..llmops.curation import pack_sequences
+    from ..llmops.curation import chunk_documents, pack_sequences
 
     docs = load_table(spark, sf_dir, "documents")
-    return pack_sequences(docs, capacity=256, group_col="source")
+    pack = pack_sequences(docs, capacity=256, group_col="source")
+    summ = (
+        chunk_documents(docs, max_tokens=32, overlap=8)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_ctx_chunks"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct("chunk_id", "chunk_text")
+                            )
+                        ),
+                        lambda x: x["chunk_text"],
+                    ),
+                    "\x1f",
+                )
+            ).alias("ctx_chunks_md5"),
+        )
+    )
+    return pack.join(summ, "doc_id", "left")
 
 
-# Deterministic stratified sampling: the corpus-mixing step that
-# up/down-weights sources in a training mix. Keep iff the md5-derived
-# 32-bit hash of (salt:doc_id) falls under the source's rate — stable
-# across runs, cluster sizes and repartitioning; pure map-side filter.
+# Deterministic corpus mixing compound row: epoch-weighted
+# up/down-sampling via curation.upsample_by_group — floor(w) copies
+# per document plus a deterministic fractional extra from the
+# md5(salt:doc_id) 32-bit hash.  The w<1 groups (src0 at 0.25, src1 at
+# 0.75) reproduce EXACTLY curation.stratified_sample's keep set (same
+# hash, same threshold — pinned by test_upsample_by_group), so this
+# one row oracle-gates both the sampling and the up-weighting path;
+# src17/src18 exercise whole-copy + fractional-copy up-weighting.
+# Stable across runs, cluster sizes and repartitioning; pure map-side
+# hash + explode — no shuffle at any scale.
 @register(
     "llm_stratified_sample",
     oracle="""
-    SELECT doc_id, source
-    FROM documents
-    WHERE ('0x' || substr(md5('sample:v1:' || CAST(doc_id AS VARCHAR)),
-                          1, 8))::BIGINT
-          < (CASE source WHEN 'src0' THEN 0.25 WHEN 'src1' THEN 0.75
-             ELSE 1.0 END) * 4294967296.0
+    WITH b AS (
+      SELECT doc_id, source,
+             ('0x' || substr(md5('sample:v1:' || CAST(doc_id AS VARCHAR)),
+                             1, 8))::BIGINT AS h32,
+             (CASE source WHEN 'src0' THEN 0.25 WHEN 'src1' THEN 0.75
+                          WHEN 'src17' THEN 2.0 WHEN 'src18' THEN 2.5
+                          ELSE 1.0 END) AS w
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, source,
+             CAST(floor(w) AS BIGINT)
+               + CASE WHEN h32 < (w - floor(w)) * 4294967296.0
+                      THEN 1 ELSE 0 END AS n
+      FROM b
+    )
+    SELECT doc_id, source, unnest(range(0, n)) AS copy_id FROM c
     """,
 )
 def llm_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..llmops.curation import stratified_sample
+    from ..llmops.curation import upsample_by_group
 
     docs = load_table(spark, sf_dir, "documents")
-    return stratified_sample(
-        docs, rates={"src0": 0.25, "src1": 0.75}, default_rate=1.0
-    ).select("doc_id", "source")
+    return upsample_by_group(
+        docs.select("doc_id", "source"),
+        weights={"src0": 0.25, "src1": 0.75, "src17": 2.0, "src18": 2.5},
+        default_weight=1.0,
+    ).select("doc_id", "source", F.col("copy_id").cast("long"))

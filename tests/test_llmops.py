@@ -803,3 +803,82 @@ def test_remove_duplicated_lines(spark):
     assert out[3] == ""
     assert out[4] == "another fully unique document body"
     assert set(out) == {1, 2, 3, 4}
+
+
+def test_chunk_documents(spark):
+    """Sliding-window chunking: stride = max_tokens - overlap, short
+    tail kept, short doc yields one chunk, map-only plan."""
+    from curw_wrf_data_pusher_spark.llmops.curation import chunk_documents
+
+    toks = [f"w{i}" for i in range(10)]
+    docs = spark.createDataFrame(
+        [(1, " ".join(toks)), (2, "only three tokens")],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(docs, max_tokens=4, overlap=1).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    c1 = sorted(by_doc[1], key=lambda r: r.chunk_id)
+    # n=10, stride=3 → ceil(9/3)=3 chunks starting at 0,3,6
+    assert [r.chunk_text for r in c1] == [
+        "w0 w1 w2 w3", "w3 w4 w5 w6", "w6 w7 w8 w9",
+    ]
+    assert [r.n_chunk_tokens for r in c1] == [4, 4, 4]
+    # consecutive chunks share exactly `overlap` tokens
+    assert c1[0].chunk_text.split()[-1] == c1[1].chunk_text.split()[0]
+    assert by_doc[2][0].chunk_text == "only three tokens"
+    assert len(by_doc[2]) == 1
+    from .test_plans_quality import plan_of
+
+    assert "Exchange" not in plan_of(chunk_documents(docs, 4, 1))
+
+
+def test_upsample_by_group(spark):
+    """floor(w) copies + deterministic fractional extra; w<1 keep-set
+    equals stratified_sample's; weight-0 groups vanish; map-only."""
+    from curw_wrf_data_pusher_spark.llmops.curation import (
+        stratified_sample,
+        upsample_by_group,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "src%d" % (i % 4), "t") for i in range(400)],
+        "doc_id long, source string, text string",
+    )
+    weights = {"src0": 0.25, "src1": 2.0, "src2": 2.5, "src3": 0.0}
+    out = upsample_by_group(docs, weights).groupBy("source").count().collect()
+    counts = {r.source: r["count"] for r in out}
+    # src1: exactly 2 copies each
+    assert counts["src1"] == 200
+    # src2: 2 or 3 copies each — between 2x and 3x, deterministic
+    assert 200 < counts["src2"] < 300
+    # src0 ≈ 25% of 100; src3 gone
+    assert 0 < counts["src0"] < 60 and "src3" not in counts
+    # w<1 keep-set is EXACTLY stratified_sample's
+    up = {
+        r.doc_id
+        for r in upsample_by_group(docs, weights)
+        .filter("source = 'src0'").select("doc_id").distinct().collect()
+    }
+    ss = {
+        r.doc_id
+        for r in stratified_sample(docs, rates={"src0": 0.25})
+        .filter("source = 'src0'").select("doc_id").collect()
+    }
+    assert up == ss
+    # copy ids are dense 0..n-1
+    rows = (
+        upsample_by_group(docs, weights)
+        .filter("source = 'src2'").groupBy("doc_id")
+        .agg(
+            F.min("copy_id").alias("lo"),
+            F.max("copy_id").alias("hi"),
+            F.count("*").alias("n"),
+        )
+    )
+    for r in rows.collect():
+        assert r.lo == 0 and r.hi == r.n - 1
+    from .test_plans_quality import plan_of
+
+    assert "Exchange" not in plan_of(upsample_by_group(docs, weights))
