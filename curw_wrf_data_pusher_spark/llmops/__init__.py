@@ -10,6 +10,17 @@ from .dedup import (
     simhash,
 )
 from .clusters import connected_components
+from .curation import (
+    chunk_documents,
+    duplicated_line_stats,
+    pack_sequences,
+    redact_pii,
+    remove_duplicated_lines,
+    shingle_contamination,
+    stratified_sample,
+    upsample_by_group,
+)
+from .pipeline import CurationConfig, curate_corpus, curation_report
 from .simsearch import (
     banded_neardup_pairs,
     cosine_topk,
@@ -38,4 +49,15 @@ __all__ = [
     "fingerprint",
     "language_id",
     "quality_features",
+    "chunk_documents",
+    "duplicated_line_stats",
+    "pack_sequences",
+    "redact_pii",
+    "remove_duplicated_lines",
+    "shingle_contamination",
+    "stratified_sample",
+    "upsample_by_group",
+    "CurationConfig",
+    "curate_corpus",
+    "curation_report",
 ]

@@ -882,3 +882,148 @@ def test_upsample_by_group(spark):
     from .test_plans_quality import plan_of
 
     assert "Exchange" not in plan_of(upsample_by_group(docs, weights))
+
+
+def test_curate_corpus_end_to_end(spark):
+    """The composed pipeline drops exact dups, boilerplate lines,
+    junk-quality docs, near-dups, and contaminated docs; redacts PII;
+    applies mix weights — and the stage report counts are monotone
+    non-increasing until mixing."""
+    from curw_wrf_data_pusher_spark.llmops.pipeline import (
+        CurationConfig,
+        curate_corpus,
+        curation_report,
+    )
+
+    body = "the quick brown fox jumps over the lazy dog near the river bank"
+    near = body.replace("lazy", "sleepy")  # high-jaccard near-dup
+    boiler = "subscribe to our newsletter today please"
+    junk = "spam " * 40  # dup_2gram_ratio ~1 → quality-filtered
+    secret = ("for support on the archival storage product please "
+              "write to jane@example.com with your order number")
+    contaminated = "held out benchmark question about spark shuffles here"
+    docs = spark.createDataFrame(
+        [
+            (1, body, "web"),
+            (2, body, "web"),            # exact dup of 1
+            (3, near, "web"),            # near dup of 1
+            (4, f"{boiler}\n{body} extra words beyond", "web"),
+            (5, f"{boiler}\n{near} extra words beyond", "web"),
+            (6, junk.strip(), "web"),
+            (7, secret, "books"),
+            (8, f"{contaminated} plus filler words to pass quality",
+             "web"),
+            (9, "a completely different and original document body "
+                "about databases", "books"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    test_docs = spark.createDataFrame(
+        [(1001, contaminated)], "doc_id long, text string"
+    )
+    cfg = CurationConfig(
+        min_tokens=5,
+        max_dup_2gram_ratio=0.5,
+        neardup_jaccard=0.6,
+        contamination_max=0.3,
+        mix_weights={"books": 2.0},
+    )
+    final, stages = curate_corpus(docs, test_docs=test_docs, config=cfg)
+    assert list(stages) == [
+        "exact_dedup", "boilerplate", "quality_filter", "near_dedup",
+        "decontaminated", "redacted", "mixed",
+    ]
+    rows = final.collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r.doc_id, []).append(r)
+    # 2 (exact dup), 6 (junk), 8 (contaminated) gone; of the near-dup
+    # cluster {1,3,4,5} (4/5 reduced to body/near after boilerplate
+    # removal) only the min id survives
+    assert 2 not in by_id and 6 not in by_id and 8 not in by_id
+    assert 1 in by_id and 3 not in by_id and 4 not in by_id
+    assert 9 in by_id
+    # PII redacted
+    assert 7 in by_id
+    assert "<EMAIL>" in by_id[7][0].text and "@" not in by_id[7][0].text
+    # books docs (7, 9) appear exactly twice (weight 2.0)
+    assert len(by_id[7]) == 2 and len(by_id[9]) == 2
+    assert len(by_id[1]) == 1
+    # report: monotone non-increasing doc counts through the drops
+    rep = {
+        r.stage: r.n_docs
+        for r in curation_report(docs, stages).collect()
+    }
+    assert rep["00:input"] == 9
+    seq = [rep[k] for k in sorted(rep)]
+    assert all(a >= b for a, b in zip(seq[:-1], seq[:-1][1:]))
+    assert rep["04:near_dedup"] < rep["03:quality_filter"]
+
+
+def test_curate_corpus_empty_and_plan_shape(spark):
+    """An empty corpus flows through every stage without error, and the
+    composed plan contains no nested-loop/cartesian join — the
+    composition must stay scale-safe, not just each stage alone."""
+    from curw_wrf_data_pusher_spark.llmops.pipeline import (
+        CurationConfig,
+        curate_corpus,
+    )
+
+    empty = spark.createDataFrame(
+        [], "doc_id long, text string, source string"
+    )
+    cfg = CurationConfig(neardup_jaccard=0.6, mix_weights={"web": 2.0})
+    final, _ = curate_corpus(empty, config=cfg)
+    assert final.count() == 0
+
+    docs = spark.createDataFrame(
+        [(i, f"some words number {i} repeated here and there plus "
+             f"enough tokens to shingle", "web") for i in range(30)],
+        "doc_id long, text string, source string",
+    )
+    final, _ = curate_corpus(docs, config=cfg)
+    from .test_plans_quality import plan_of
+
+    plan = plan_of(final)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_chunk_reconstruction_property(spark):
+    """Invariant: dropping each non-first chunk's `overlap`-token
+    prefix and concatenating reconstructs the original token stream —
+    for lengths around every boundary (multiples of stride, shorter
+    than one window, tail of every size)."""
+    from curw_wrf_data_pusher_spark.llmops.curation import chunk_documents
+
+    max_tokens, overlap = 6, 2
+    docs = spark.createDataFrame(
+        [(n, " ".join(f"t{i}" for i in range(n))) for n in range(1, 30)],
+        "doc_id long, text string",
+    )
+    rows = chunk_documents(docs, max_tokens, overlap).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, {})[r.chunk_id] = r.chunk_text
+    for n in range(1, 30):
+        chunks = [by_doc[n][i] for i in range(len(by_doc[n]))]
+        toks = chunks[0].split(" ")
+        for c in chunks[1:]:
+            toks += c.split(" ")[overlap:]
+        assert toks == [f"t{i}" for i in range(n)], n
+
+
+def test_redact_pii_idempotent(spark):
+    """Redaction placeholders contain nothing any pattern matches, so
+    redacting twice is a no-op — the property that makes re-running a
+    partially-redacted corpus safe."""
+    from curw_wrf_data_pusher_spark.llmops.curation import redact_pii
+
+    docs = spark.createDataFrame(
+        [(1, "mail a@b.io or b@c.org, dial 555-123-4567, ping "
+             "10.0.0.1 then 777 888 9999")],
+        "doc_id long, text string",
+    )
+    once = redact_pii(docs).select("doc_id", "text")
+    twice = redact_pii(once).select("doc_id", "text")
+    assert once.collect() == twice.collect()
