@@ -15,6 +15,8 @@ path) and partition-safe at 100 TB:
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -68,6 +70,7 @@ def pack_sequences(
     group_col: str = "source",
     id_col: str = "doc_id",
     text_col: str = "text",
+    carry: Sequence[str] = (),
 ) -> DataFrame:
     """Concat-and-chunk sequence packing: within each group, documents
     (ordered by id) form one token stream chunked into fixed
@@ -75,16 +78,22 @@ def pack_sequences(
     bin range it lands in.
 
     Returns (doc_id, grp, n_tokens, start_offset, bin_start,
-    bin_end) where bin ids are per-group chunk indexes and a document
-    spanning a chunk boundary has bin_end > bin_start (it is split
-    across examples — the standard pretraining concat-and-chunk
+    bin_end, *carry) where bin ids are per-group chunk indexes and a
+    document spanning a chunk boundary has bin_end > bin_start (it is
+    split across examples — the standard pretraining concat-and-chunk
     layout).  The window partitions by the group column: no global
-    sort, each group packs independently and in parallel."""
+    sort, each group packs independently and in parallel.
+
+    ``carry``: extra per-document columns carried through the window
+    select map-side (same pattern as ``dedup.shingles``) — callers
+    that want doc attributes beside the packing columns name them here
+    instead of self-joining the result back on id."""
     n_tokens = F.size(F.split(F.trim(F.col(text_col)), " "))
     toks = docs.select(
         F.col(id_col),
         F.col(group_col).alias("grp"),
         n_tokens.cast("long").alias("n_tokens"),
+        *[F.col(c) for c in carry],
     ).withColumn("cum_tokens", F.sum("n_tokens").over(
         Window.partitionBy("grp").orderBy(id_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -100,6 +109,7 @@ def pack_sequences(
         F.floor((F.col("cum_tokens") - 1) / capacity).cast("long").alias(
             "bin_end"
         ),
+        *carry,
     )
 
 
@@ -134,6 +144,28 @@ def stratified_sample(
     return docs.filter(h32 < rate * F.lit(float(2**32)))
 
 
+def _chunk_array(text_col: str, max_tokens: int, overlap: int):
+    """Column expression: the document's sliding-window chunks as an
+    array<string> — shared by the exploded (`chunk_documents`) and
+    map-only summary (`chunk_summary`) forms so they can't drift."""
+    if not 0 <= overlap < max_tokens:
+        raise ValueError("require 0 <= overlap < max_tokens")
+    stride = max_tokens - overlap
+    t = F.split(F.trim(F.col(text_col)), " ")
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.ceil((F.size(t) - F.lit(overlap)) / F.lit(float(stride))).cast(
+            "int"
+        ),
+    )
+    return F.transform(
+        F.sequence(F.lit(0), n_chunks - F.lit(1)),
+        lambda i: F.array_join(
+            F.slice(t, i * F.lit(stride) + F.lit(1), max_tokens), " "
+        ),
+    )
+
+
 def chunk_documents(
     docs: DataFrame,
     max_tokens: int,
@@ -154,22 +186,7 @@ def chunk_documents(
     is embarrassingly parallel and this plan keeps it that way.
 
     Returns (id, chunk_id, n_chunk_tokens, chunk_text)."""
-    if not 0 <= overlap < max_tokens:
-        raise ValueError("require 0 <= overlap < max_tokens")
-    stride = max_tokens - overlap
-    t = F.split(F.trim(F.col(text_col)), " ")
-    n_chunks = F.greatest(
-        F.lit(1),
-        F.ceil((F.size(t) - F.lit(overlap)) / F.lit(float(stride))).cast(
-            "int"
-        ),
-    )
-    chunks = F.transform(
-        F.sequence(F.lit(0), n_chunks - F.lit(1)),
-        lambda i: F.array_join(
-            F.slice(t, i * F.lit(stride) + F.lit(1), max_tokens), " "
-        ),
-    )
+    chunks = _chunk_array(text_col, max_tokens, overlap)
     return (
         docs.select(
             F.col(id_col),
@@ -183,6 +200,43 @@ def chunk_documents(
             ),
             "chunk_text",
         )
+    )
+
+
+def chunk_summary(
+    docs: DataFrame,
+    max_tokens: int,
+    overlap: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\x1f",
+) -> DataFrame:
+    """Per-document chunking summary computed ENTIRELY map-side: the
+    chunk count and an order-sensitive md5 over the chunk texts — the
+    same values the exploded form aggregates to (pinned by
+    ``test_chunk_summary_matches_exploded``) with ZERO shuffles
+    instead of explode → groupBy.  The scale form for "how would this
+    corpus chunk?" diagnostics; ``chunk_documents`` remains the
+    per-chunk product operator.
+
+    Returns (id, n_ctx_chunks, ctx_chunks_md5)."""
+    n, h = chunk_summary_cols(text_col, max_tokens, overlap, sep)
+    return docs.select(F.col(id_col), n, h)
+
+
+def chunk_summary_cols(
+    text_col: str,
+    max_tokens: int,
+    overlap: int = 0,
+    sep: str = "\x1f",
+) -> tuple[Column, Column]:
+    """The two ``chunk_summary`` expressions as raw Columns
+    (``n_ctx_chunks``, ``ctx_chunks_md5``) — for callers composing
+    them into a wider map-side select instead of a separate frame."""
+    chunks = _chunk_array(text_col, max_tokens, overlap)
+    return (
+        F.size(chunks).cast("long").alias("n_ctx_chunks"),
+        F.md5(F.array_join(chunks, sep)).alias("ctx_chunks_md5"),
     )
 
 

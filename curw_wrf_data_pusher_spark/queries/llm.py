@@ -815,9 +815,12 @@ def llm_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 # chunking compound row: per source, the ordered token stream chunked
 # into 256-token training examples (each document maps to its chunk
 # range — pure window functions partitioned by source, no global
-# sort), JOINED with a per-document summary of
-# curation.chunk_documents(max_tokens=32, overlap=8): the chunk count
-# and an order-sensitive md5 over the chunk texts, which pins the
+# sort), with curation.chunk_summary(max_tokens=32, overlap=8) —
+# chunk count + order-sensitive md5 over the chunk texts — computed
+# map-side on the SAME scan and carried through the packing window
+# (pack_sequences carry=; one scan, one shuffle, zero joins; the
+# exploded chunk_documents form is pinned value-identical by
+# test_chunk_summary_matches_exploded).  The md5 pins the
 # sliding-window slicing (stride/overlap/short-tail semantics)
 # byte-exact against DuckDB's list_slice.
 @register(
@@ -858,31 +861,16 @@ def llm_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def llm_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..llmops.curation import chunk_documents, pack_sequences
+    from ..llmops.curation import chunk_summary_cols, pack_sequences
 
     docs = load_table(spark, sf_dir, "documents")
-    pack = pack_sequences(docs, capacity=256, group_col="source")
-    summ = (
-        chunk_documents(docs, max_tokens=32, overlap=8)
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_ctx_chunks"),
-            F.md5(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(
-                            F.collect_list(
-                                F.struct("chunk_id", "chunk_text")
-                            )
-                        ),
-                        lambda x: x["chunk_text"],
-                    ),
-                    "\x1f",
-                )
-            ).alias("ctx_chunks_md5"),
-        )
+    n, h = chunk_summary_cols("text", max_tokens=32, overlap=8)
+    return pack_sequences(
+        docs.select("*", n, h),
+        capacity=256,
+        group_col="source",
+        carry=("n_ctx_chunks", "ctx_chunks_md5"),
     )
-    return pack.join(summ, "doc_id", "left")
 
 
 # Deterministic corpus mixing compound row: epoch-weighted

@@ -1027,3 +1027,47 @@ def test_redact_pii_idempotent(spark):
     once = redact_pii(docs).select("doc_id", "text")
     twice = redact_pii(once).select("doc_id", "text")
     assert once.collect() == twice.collect()
+
+
+def test_chunk_summary_matches_exploded(spark):
+    """The map-side chunk summary (zero shuffles — the registered
+    plan) must equal aggregating the exploded chunk_documents form,
+    for lengths around every chunking boundary."""
+    from curw_wrf_data_pusher_spark.llmops.curation import (
+        chunk_documents,
+        chunk_summary,
+    )
+
+    docs = spark.createDataFrame(
+        [(n, " ".join(f"t{i}" for i in range(n))) for n in range(1, 40)],
+        "doc_id long, text string",
+    )
+    summ = {
+        r.doc_id: (r.n_ctx_chunks, r.ctx_chunks_md5)
+        for r in chunk_summary(docs, max_tokens=6, overlap=2).collect()
+    }
+    exploded = (
+        chunk_documents(docs, max_tokens=6, overlap=2)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct("chunk_id", "chunk_text")
+                            )
+                        ),
+                        lambda x: x["chunk_text"],
+                    ),
+                    "\x1f",
+                )
+            ).alias("h"),
+        )
+    )
+    agg = {r.doc_id: (r.n, r.h) for r in exploded.collect()}
+    assert summ == agg
+    from .test_plans_quality import plan_of
+
+    assert "Exchange" not in plan_of(chunk_summary(docs, 6, 2))
