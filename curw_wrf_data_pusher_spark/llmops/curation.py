@@ -287,12 +287,42 @@ def upsample_by_group(
     return docs.select("*", F.explode(copies).alias("copy_id"))
 
 
+def corpus_hot_lines(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_line_chars: int = 8,
+    min_dup_count: int = 2,
+) -> DataFrame:
+    """The corpus-level boilerplate-line set: md5 hashes (column
+    ``__lh``) of every trimmed line of ≥ ``min_line_chars`` chars
+    appearing in ≥ ``min_dup_count`` DISTINCT documents.  Compute it
+    once (optionally ``.localCheckpoint()`` it) and inject into both
+    ``duplicated_line_stats`` and ``remove_duplicated_lines`` via
+    their ``hot_lines=`` parameter — otherwise each derives its own
+    copy and a stats+removal pass explodes the corpus twice."""
+    return (
+        docs.select(
+            F.col(id_col),
+            F.explode(F.split(F.col(text_col), "\n")).alias("__line"),
+        )
+        .filter(F.length(F.trim(F.col("__line"))) >= min_line_chars)
+        .select(F.col(id_col), F.md5(F.trim(F.col("__line"))).alias("__lh"))
+        .distinct()
+        .groupBy("__lh")
+        .agg(F.count("*").alias("__docs"))
+        .filter(F.col("__docs") >= min_dup_count)
+        .select("__lh")
+    )
+
+
 def duplicated_line_stats(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     min_line_chars: int = 8,
     min_dup_count: int = 2,
+    hot_lines: DataFrame | None = None,
 ) -> DataFrame:
     """CCNet/Gopher-style corpus-level duplicated-line report: per
     document, the fraction of its (non-trivial) lines that occur in
@@ -311,6 +341,10 @@ def duplicated_line_stats(
     (ubiquitous short fragments — '', '---' — would otherwise mark
     every document duplicated).
 
+    ``hot_lines``: a precomputed ``corpus_hot_lines`` frame (ideally
+    localCheckpoint-ed) to share with ``remove_duplicated_lines``;
+    None derives it from ``docs``.
+
     Returns (id, n_lines, n_dup_lines, dup_line_frac)."""
     lines = (
         docs.select(
@@ -325,10 +359,11 @@ def duplicated_line_stats(
     # it), not cross-corpus boilerplate
     doc_lines = lines.distinct()
     hot = (
-        doc_lines.groupBy("__lh")
-        .agg(F.count("*").alias("__docs"))
-        .filter(F.col("__docs") >= min_dup_count)
-        .select("__lh")
+        corpus_hot_lines(
+            docs, id_col, text_col, min_line_chars, min_dup_count
+        )
+        if hot_lines is None
+        else hot_lines
     )
     flagged = doc_lines.join(hot, "__lh", "left_semi").groupBy(id_col).agg(
         F.count("*").alias("n_dup_lines")
@@ -354,6 +389,7 @@ def remove_duplicated_lines(
     text_col: str = "text",
     min_line_chars: int = 8,
     min_dup_count: int = 2,
+    hot_lines: DataFrame | None = None,
 ) -> DataFrame:
     """CCNet-style boilerplate removal: delete every occurrence of any
     (non-trivial) line that appears in ``min_dup_count`` or more
@@ -369,6 +405,10 @@ def remove_duplicated_lines(
     ``array_sort(collect_list(struct(pos, line)))`` — no global sort,
     no window, no UDF.
 
+    ``hot_lines``: a precomputed ``corpus_hot_lines`` frame (ideally
+    localCheckpoint-ed) to share with ``duplicated_line_stats``;
+    None derives it from ``docs``.
+
     Returns every input column with ``text_col`` rewritten (documents
     whose every line was boilerplate come back as '')."""
     lines = docs.select(
@@ -382,13 +422,11 @@ def remove_duplicated_lines(
         ),
     )
     hot = (
-        lines.filter(F.col("__lh").isNotNull())
-        .select(F.col(id_col), "__lh")
-        .distinct()
-        .groupBy("__lh")
-        .agg(F.count("*").alias("__docs"))
-        .filter(F.col("__docs") >= min_dup_count)
-        .select("__lh")
+        corpus_hot_lines(
+            docs, id_col, text_col, min_line_chars, min_dup_count
+        )
+        if hot_lines is None
+        else hot_lines
     )
     # left_anti keeps non-matching rows; NULL __lh (short lines) never
     # matches a hot hash, so formatting lines always survive

@@ -120,6 +120,7 @@ def llm_exact_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     from ..llmops.curation import (
+        corpus_hot_lines,
         duplicated_line_stats,
         remove_duplicated_lines,
     )
@@ -149,8 +150,11 @@ def llm_exact_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "\n",
     )
     wrapped = docs.select("doc_id", wrapped_text.alias("text"))
-    stats = duplicated_line_stats(wrapped)
-    clean = remove_duplicated_lines(wrapped).select(
+    # one shared hot-line set for stats AND removal (each would
+    # otherwise derive its own — two corpus explodes instead of one)
+    hot = corpus_hot_lines(wrapped)
+    stats = duplicated_line_stats(wrapped, hot_lines=hot)
+    clean = remove_duplicated_lines(wrapped, hot_lines=hot).select(
         "doc_id", F.md5("text").alias("clean_md5")
     )
     return (

@@ -1071,3 +1071,37 @@ def test_chunk_summary_matches_exploded(spark):
     from .test_plans_quality import plan_of
 
     assert "Exchange" not in plan_of(chunk_summary(docs, 6, 2))
+
+
+def test_hot_lines_injection_equivalence(spark):
+    """Injecting a shared (localCheckpoint-ed) corpus_hot_lines frame
+    must give byte-identical stats and removal output to the derive-
+    internally path — the share-one-explode pattern for stats+removal
+    passes over the same corpus."""
+    from curw_wrf_data_pusher_spark.llmops.curation import (
+        corpus_hot_lines,
+        duplicated_line_stats,
+        remove_duplicated_lines,
+    )
+
+    boiler = "subscribe to our newsletter today"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{boiler}\nunique alpha content line one"),
+            (2, f"{boiler}\nunique beta content line two"),
+            (3, "another fully unique document body"),
+        ],
+        "doc_id long, text string",
+    )
+    hot = corpus_hot_lines(docs).localCheckpoint()
+    assert hot.count() == 1
+    s_inj = sorted(
+        duplicated_line_stats(docs, hot_lines=hot).collect()
+    )
+    s_own = sorted(duplicated_line_stats(docs).collect())
+    assert s_inj == s_own
+    r_inj = sorted(
+        remove_duplicated_lines(docs, hot_lines=hot).collect()
+    )
+    r_own = sorted(remove_duplicated_lines(docs).collect())
+    assert r_inj == r_own
