@@ -7,6 +7,8 @@ hot path stays inside whole-stage codegen; no Python executes per row.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -121,7 +123,10 @@ def token_counts(
 
 
 def text_features(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    carry: Sequence[str] = (),
 ) -> DataFrame:
     """The full per-document text-analysis projection in ONE pass:
     quality features + BPE-ish token counts + language id.  A single
@@ -129,7 +134,12 @@ def text_features(
     operators separately would scan the corpus three times; at 100 TB
     that difference is the whole game).  Column set is the union of
     ``quality_features`` / ``token_counts`` / ``language_id`` (the
-    whitespace token count appears once, as ``n_tokens``)."""
+    whitespace token count appears once, as ``n_tokens``).
+
+    ``carry``: extra per-document columns passed through the select
+    map-side (same pattern as ``dedup.shingles``) — e.g. PII counts a
+    preceding ``curation.redact_pii`` attached — so composed feature
+    passes stay one scan instead of self-joining on id."""
     t = _tokens(text_col)
     n_tok = F.size(t).cast("long")
     n_char = F.length(F.col(text_col)).cast("long")
@@ -194,4 +204,5 @@ def text_features(
         dup_ngram_ratio(3).alias("dup_3gram_ratio"),
         *[lang_scores[lang].alias(f"score_{lang}") for lang in LANG_ORDER],
         pred.alias("lang_pred"),
+        *[F.col(c) for c in carry],
     )

@@ -390,14 +390,47 @@ def llm_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
                   THEN 'en'
                 WHEN score_es >= greatest(score_de, score_fr) THEN 'es'
                 WHEN score_de >= score_fr THEN 'de'
-                ELSE 'fr' END AS lang_pred
+                ELSE 'fr' END AS lang_pred,
+           len(regexp_extract_all(
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com',
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}'))
+             AS n_email,
+           md5(regexp_replace(
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com',
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}',
+               '<EMAIL>', 'g')) AS pii_redacted_md5
     FROM s
     """,
 )
 def llm_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Compound row: the one-pass feature projection PLUS the email
+    # tier of curation.redact_pii, oracle-gated on a deterministic
+    # synthetic address (' contact user<doc_id>@example.com') since
+    # the corpus itself contains no PII.  The phone/IPv4 tiers use
+    # lookarounds DuckDB's RE2 cannot express — they stay pytest-
+    # gated — but on this digit-free corpus they provably never fire,
+    # so the md5 of the FULL redact_pii output still matches the
+    # email-only oracle byte-exact.  Everything is carried through
+    # text_features' map-side select: still one scan, zero shuffles.
+    from ..llmops.curation import redact_pii
     from ..llmops.textstats import text_features
 
-    return text_features(load_table(spark, sf_dir, "documents"))
+    docs = load_table(spark, sf_dir, "documents")
+    aug = docs.withColumn(
+        "pii_text",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com"),
+        ),
+    )
+    red = redact_pii(aug, text_col="pii_text").withColumn(
+        "pii_redacted_md5", F.md5(F.col("pii_text"))
+    )
+    return text_features(red, carry=("n_email", "pii_redacted_md5"))
 
 
 # ---------------------------------------------------------------------------
