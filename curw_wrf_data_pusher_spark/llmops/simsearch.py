@@ -273,6 +273,64 @@ def neardup_pairs(
     return scored.select("id_a", "id_b", "cos")
 
 
+def _banded_replicas(
+    corpus: DataFrame,
+    threshold: float,
+    dim: int | None,
+    id_col: str,
+    vec_col: str,
+    n_pivots: int,
+    eps: float,
+) -> tuple[DataFrame, float]:
+    """Shared prefix of ``banded_neardup_pairs`` and
+    ``neardup_dropped_cells``: per-vector pivot angles, home bands
+    (h1, h2), and the 2x2 adjacent-cell replication (b1, b2).
+    Returns (replicated_df, theta_t)."""
+    import math
+
+    from ..sources.lake import spread
+
+    if dim is None:
+        dim = corpus.select(
+            F.size(F.col(vec_col)).alias("d")
+        ).first()["d"]
+    if n_pivots < 2:
+        raise ValueError("banded_neardup_pairs needs >= 2 pivots")
+    theta_t = math.acos(max(-1.0, min(1.0, threshold))) + eps
+    pivots = _hyperplanes(dim, n_pivots)
+    pnorms = [math.sqrt(sum(v * v for v in p)) for p in pivots]
+
+    base = spread(corpus.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+    )).withColumn("nrm", _norm(F.col("vec")))
+    for i, (p, pn) in enumerate(zip(pivots, pnorms)):
+        plane = F.array(*[F.lit(v) for v in p])
+        cosv = _dot(F.col("vec"), plane) / (F.col("nrm") * F.lit(pn))
+        base = base.withColumn(
+            f"ang{i}",
+            F.acos(F.least(F.lit(1.0), F.greatest(F.lit(-1.0), cosv))),
+        )
+    base = base.withColumn(
+        "h1", F.floor(F.col("ang0") / F.lit(theta_t))
+    ).withColumn("h2", F.floor(F.col("ang1") / F.lit(theta_t)))
+    # replicate to the 2x2 adjacent cells; a qualifying pair's home
+    # bands differ by <= 1 per pivot, so it meets in cell
+    # (max(h1), max(h2)) — the emission filter in the caller keeps
+    # exactly that one meeting
+    cells = F.array(*[
+        F.struct(
+            (F.col("h1") + d1).alias("b1"), (F.col("h2") + d2).alias("b2")
+        )
+        for d1 in (0, 1) for d2 in (0, 1)
+    ])
+    repl = base.select(
+        "id", "vec", "nrm", "h1", "h2",
+        *[f"ang{i}" for i in range(n_pivots)],
+        F.explode(cells).alias("cell"),
+    ).select("*", F.col("cell.b1").alias("b1"), F.col("cell.b2").alias("b2"))
+    return repl, theta_t
+
+
 def banded_neardup_pairs(
     corpus: DataFrame,
     threshold: float = 0.9,
@@ -282,6 +340,7 @@ def banded_neardup_pairs(
     score_scale: int = 9,
     n_pivots: int = 4,
     eps: float = 1e-6,
+    max_cell_size: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via EXACT pivot-angle
     banding — the scale path that replaces ``neardup_pairs``'s O(n²)
@@ -312,50 +371,38 @@ def banded_neardup_pairs(
     Pivots are the deterministic md5-derived directions of
     ``_hyperplanes`` — no RNG state, reproducible everywhere.
 
+    Hot-cell skew guard (mirrors ``lsh_candidate_pairs``'s
+    ``max_bucket_size`` / ``simhash_neighbors_banded``'s
+    ``max_block_size``): a template cluster of near-identical
+    embeddings lands every member in one (b1, b2) cell and the
+    equi-join does |cell|² work inside that key's partition — AQE
+    skew-join splits the partition across tasks, but the intrinsic
+    pair count stands.  ``max_cell_size`` drops cells with more
+    replicated members before the join; such cells are near-certain
+    duplicate clusters better handled by exact dedup.  Use
+    ``neardup_dropped_cells`` with the same arguments to account for
+    what was dropped (cell + member count) — a production job logs
+    that aggregate next to its pair count so drops are visible, not
+    silent.  Default ``None`` joins every cell (exact semantics,
+    identical rows to ``neardup_pairs``).
+
     Returns (id_a < id_b, cos) — same schema and rows as
     ``neardup_pairs`` (pinned by tests/test_llmops.py)."""
-    import math
-
-    from ..sources.lake import spread
-
-    if dim is None:
-        dim = corpus.select(
-            F.size(F.col(vec_col)).alias("d")
-        ).first()["d"]
-    if n_pivots < 2:
-        raise ValueError("banded_neardup_pairs needs >= 2 pivots")
-    theta_t = math.acos(max(-1.0, min(1.0, threshold))) + eps
-    pivots = _hyperplanes(dim, n_pivots)
-    pnorms = [math.sqrt(sum(v * v for v in p)) for p in pivots]
-
-    base = spread(corpus.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
-    )).withColumn("nrm", _norm(F.col("vec")))
-    for i, (p, pn) in enumerate(zip(pivots, pnorms)):
-        plane = F.array(*[F.lit(v) for v in p])
-        cosv = _dot(F.col("vec"), plane) / (F.col("nrm") * F.lit(pn))
-        base = base.withColumn(
-            f"ang{i}",
-            F.acos(F.least(F.lit(1.0), F.greatest(F.lit(-1.0), cosv))),
+    repl, theta_t = _banded_replicas(
+        corpus, threshold, dim, id_col, vec_col, n_pivots, eps
+    )
+    if max_cell_size is not None:
+        # grouped cell sizes are partial-aggregated map-side to a
+        # handful of (b1, b2, n) rows — cell count is bounded by
+        # (bands_per_pivot + 1)², tiny at any corpus scale — so the
+        # keep-set broadcasts and the guard adds no fact-side shuffle
+        ok = (
+            repl.groupBy("b1", "b2")
+            .agg(F.count("*").alias("n_members"))
+            .filter(F.col("n_members") <= max_cell_size)
+            .select("b1", "b2")
         )
-    base = base.withColumn(
-        "h1", F.floor(F.col("ang0") / F.lit(theta_t))
-    ).withColumn("h2", F.floor(F.col("ang1") / F.lit(theta_t)))
-    # replicate to the 2x2 adjacent cells; a qualifying pair's home
-    # bands differ by <= 1 per pivot, so it meets in cell
-    # (max(h1), max(h2)) — the emission filter below keeps exactly that
-    # one meeting
-    cells = F.array(*[
-        F.struct(
-            (F.col("h1") + d1).alias("b1"), (F.col("h2") + d2).alias("b2")
-        )
-        for d1 in (0, 1) for d2 in (0, 1)
-    ])
-    repl = base.select(
-        "id", "vec", "nrm", "h1", "h2",
-        *[f"ang{i}" for i in range(n_pivots)],
-        F.explode(cells).alias("cell"),
-    ).select("*", F.col("cell.b1").alias("b1"), F.col("cell.b2").alias("b2"))
+        repl = repl.join(F.broadcast(ok), ["b1", "b2"], "semi")
 
     a = repl.select(
         F.col("id").alias("id_a"), F.col("vec").alias("va"),
@@ -391,6 +438,32 @@ def banded_neardup_pairs(
         ),
     ).filter(F.col("cos") >= threshold)
     return scored.select("id_a", "id_b", "cos")
+
+
+def neardup_dropped_cells(
+    corpus: DataFrame,
+    threshold: float = 0.9,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_pivots: int = 4,
+    eps: float = 1e-6,
+    max_cell_size: int | None = None,
+) -> DataFrame:
+    """Accounting companion to
+    ``banded_neardup_pairs(max_cell_size=N)`` — the (b1, b2) band
+    cells the capped run skipped, as (b1, b2, n_members) where
+    n_members counts replicated members meeting in that cell.
+    Mirrors ``lsh_dropped_buckets`` / ``simhash_dropped_blocks``:
+    ``.count()`` it (or aggregate n_members) for the drop metric a
+    production near-dup job logs next to its pair count."""
+    repl, _ = _banded_replicas(
+        corpus, threshold, dim, id_col, vec_col, n_pivots, eps
+    )
+    grouped = repl.groupBy("b1", "b2").agg(F.count("*").alias("n_members"))
+    if max_cell_size is None:
+        return grouped.filter(F.lit(False))
+    return grouped.filter(F.col("n_members") > max_cell_size)
 
 
 def _hyperplanes(dim: int, bits: int) -> list[list[float]]:

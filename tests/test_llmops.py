@@ -588,6 +588,108 @@ def test_embedding_neardup_query_has_no_nested_loop_join(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_banded_neardup_hot_cell_cap(spark):
+    """A template cluster of near-identical embeddings lands every
+    member in the same (b1, b2) band cells; max_cell_size must drop
+    those cells before the |cell|² equi-join while keeping pairs in
+    small cells, with the skipped cells reported by
+    neardup_dropped_cells.  Default None keeps exact semantics
+    (identical rows to the uncapped run)."""
+    from curw_wrf_data_pusher_spark.llmops.simsearch import (
+        banded_neardup_pairs,
+        neardup_dropped_cells,
+    )
+
+    dim = 8
+    rows = []
+    # 30-copy template: e0 plus a tiny per-member e1 perturbation
+    for i in range(30):
+        v = [0.0] * dim
+        v[0] = 1.0
+        v[1] = 1e-6 * (i + 1)
+        rows.append((i, v))
+    # one distinct near-dup pair pointing the opposite way — its pivot
+    # angles sit ~pi away from the template's, so its band cells never
+    # collide with the template cells
+    for j, scale in ((200, 0.0100), (201, 0.0102)):
+        w = [0.0] * dim
+        w[0] = -1.0
+        w[2] = scale
+        rows.append((j, w))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+
+    kw = dict(threshold=0.95, dim=dim, id_col="vec_id",
+              vec_col="embedding")
+    uncapped = {
+        (r.id_a, r.id_b)
+        for r in banded_neardup_pairs(emb, **kw).collect()
+    }
+    # template expands C(30,2) pairs + the one distinct pair
+    assert len(uncapped) == 435 + 1 and (200, 201) in uncapped
+
+    # None cap is byte-identical to the plain call (registered-row
+    # hash safety)
+    nonecap = {
+        (r.id_a, r.id_b)
+        for r in banded_neardup_pairs(
+            emb, max_cell_size=None, **kw
+        ).collect()
+    }
+    assert nonecap == uncapped
+
+    capped = {
+        (r.id_a, r.id_b)
+        for r in banded_neardup_pairs(
+            emb, max_cell_size=10, **kw
+        ).collect()
+    }
+    assert capped == {(200, 201)}  # template dropped, small pair kept
+
+    # accounting: the template's 4 replicated cells reported with the
+    # full member count (one also holds 2 replicas of the pair — a
+    # non-meeting cell for it, so the pair still survives above); the
+    # pair's own meeting cell is not reported
+    dropped = neardup_dropped_cells(
+        emb, max_cell_size=10, **kw
+    ).collect()
+    assert sorted(r.n_members for r in dropped) == [30, 30, 30, 32]
+    assert neardup_dropped_cells(
+        emb, max_cell_size=None, **kw
+    ).count() == 0
+
+
+def test_banded_neardup_join_is_shuffled_equi_join(spark, sf_dir):
+    """Skew posture of the registered near-dup branch: the candidate
+    join must be a SHUFFLED equi-join on the band cells (sort-merge or
+    shuffled-hash — the shape AQE's skew-join splitting can act on),
+    and the session must have AQE skew-join enabled so a hot (b1, b2)
+    cell splits across tasks at runtime.  Interplay with
+    max_cell_size: AQE bounds the per-task straggle of a hot cell,
+    the cap bounds the intrinsic |cell|² pair count itself — a
+    production job wants both."""
+    from curw_wrf_data_pusher_spark.queries.llm import llm_embedding_neardup
+
+    from .test_plans_quality import plan_of
+
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert (
+        spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+    )
+    plan = plan_of(llm_embedding_neardup(spark, sf_dir))
+    # equi-join on the band cells, any hash flavor: at test SF the
+    # replicated side fits under autoBroadcastJoinThreshold so
+    # Catalyst picks BroadcastHashJoin; at scale the same logical plan
+    # becomes SortMergeJoin/ShuffledHashJoin, where the skew conf
+    # applies.  A BNLJ/CartesianProduct here would mean the band keys
+    # were lost (gated separately above).
+    assert any(
+        j in plan
+        for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+    )
+
+
 def test_simhash_hot_block_cap(spark):
     """A template-heavy corpus (identical signatures share EVERY
     pigeonhole block) must have its |block|² pair explosion capped by
