@@ -40,6 +40,10 @@ TABLES = (
 #: can never serve a stale plan handle.
 _TABLE_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict]" = None  # type: ignore[assignment]
 
+#: Per-session memo of spread()'s wide-plan verdicts, keyed on
+#: (semanticHash, target) — see spread() for why.
+_SPREAD_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict]" = None  # type: ignore[assignment]
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one lake table. Single parquet file per table in testdata;
@@ -51,7 +55,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
         _TABLE_MEMO = weakref.WeakKeyDictionary()
     per_session = _TABLE_MEMO.setdefault(spark, {})
-    key = (os.path.abspath(sf_dir), name)
+    # freshness token: a cached scan's file-index snapshot goes stale
+    # if the files at the path are rewritten within one session
+    # (regenerated testdata) — keying on (mtime, size) makes a rewrite
+    # a cache miss instead of a FileNotFoundException / stale read.
+    # One os.stat per build vs 75-260 ms of file listing: still free.
+    path = os.path.join(os.path.abspath(sf_dir), f"{name}.parquet")
+    try:
+        st = os.stat(path)
+        token = (st.st_mtime_ns, st.st_size)
+    except OSError:
+        token = None
+    key = (path, token)
     cached = per_session.get(key)
     if cached is not None:
         return cached
@@ -110,6 +125,26 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
             return df
     except Exception:
         pass
+    # per-plan verdict memo: the wide-node probe costs a toJSON parse
+    # and — for already-wide plans — a physical-planning pass; the
+    # verdict is a pure function of the (logical plan, target) pair, so
+    # repeated builds of the same query (bench reps, compound rows that
+    # reuse a subtree) pay it once.  semanticHash is one cheap py4j
+    # round trip and equates semantically-equal plans.
+    global _SPREAD_MEMO
+    if _SPREAD_MEMO is None:
+        import weakref
+
+        _SPREAD_MEMO = weakref.WeakKeyDictionary()
+    memo_key = None
+    try:
+        per_session = _SPREAD_MEMO.setdefault(df.sparkSession, {})
+        memo_key = (df.semanticHash(), target)
+        cached = per_session.get(memo_key)
+        if cached is not None:
+            return df if cached else df.repartition(target)
+    except Exception:
+        per_session = None
     try:
         # walk the logical node CLASSES, not the rendered plan string: a
         # file path, relation name, or literal containing "Join"/"Sort"
@@ -133,9 +168,13 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
             for node in plan_nodes
         )
         if has_wide_node and df._jdf.rdd().getNumPartitions() >= target:
+            if per_session is not None and memo_key is not None:
+                per_session[memo_key] = True
             return df
     except Exception:
         pass
+    if per_session is not None and memo_key is not None:
+        per_session[memo_key] = False
     return df.repartition(target)
 
 

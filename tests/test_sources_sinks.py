@@ -322,3 +322,25 @@ def test_upsert_parquet_swap_is_rename(spark, tmp_path):
     assert got == {"a": 1.0, "b": 20.0, "c": 3.0}
     assert not os.path.exists(store + ".staging")
     assert not os.path.exists(store + ".old")
+
+
+def test_load_table_memo_sees_rewritten_files(spark, tmp_path):
+    """The per-session load_table memo must not serve a stale plan
+    handle when the parquet at the path is rewritten within one
+    session (regenerated testdata): the memo key carries an
+    (mtime, size) freshness token, so a rewrite is a cache miss."""
+    from curw_wrf_data_pusher_spark.sources.lake import load_table
+
+    sf_dir = str(tmp_path)
+    path = os.path.join(sf_dir, "region.parquet")
+    spark.range(3).selectExpr("id AS r_regionkey").coalesce(1).toPandas() \
+        .to_parquet(path)
+    assert load_table(spark, sf_dir, "region").count() == 3
+    # memo hit: identical call returns the same plan handle
+    assert load_table(spark, sf_dir, "region") is load_table(
+        spark, sf_dir, "region"
+    )
+    time.sleep(0.01)  # ensure a distinct mtime_ns on coarse filesystems
+    spark.range(5).selectExpr("id AS r_regionkey").coalesce(1).toPandas() \
+        .to_parquet(path)
+    assert load_table(spark, sf_dir, "region").count() == 5
