@@ -80,8 +80,13 @@ def curate_corpus(
 ) -> tuple[DataFrame, dict[str, DataFrame]]:
     """Run the full curation pipeline over ``docs``; returns
     ``(final, stages)`` where ``stages`` maps each executed stage
-    name to the corpus as it stood AFTER that stage — all lazy, so
-    inspecting one stage executes only its prefix of the plan.
+    name to the corpus as it stood AFTER that stage.  Stages are
+    lazy DataFrames — inspecting one executes only its prefix of the
+    plan — with ONE exception: when ``neardup_jaccard`` is enabled,
+    building the pipeline itself eagerly runs the prefix up through
+    LSH-verify (``resolve_clusters`` localCheckpoints the edge list
+    and iterates to convergence), so cluster jobs fire during
+    construction, before any stage is inspected.
 
     ``test_docs`` (held-out benchmark documents, same id/text
     columns; ids must not collide with the corpus) enables the
@@ -213,12 +218,23 @@ def curation_report(
     docs: DataFrame,
     stages: dict[str, DataFrame],
     id_col: str = "doc_id",
+    with_membership: bool = False,
 ) -> DataFrame:
     """One row per stage: documents surviving after it (the input
     corpus reports as stage ``input``).  A diagnostic, not part of
     the pipeline plan — collecting it executes each stage's prefix;
     counts are distinct-document counts so the mixing stage reports
-    documents, not copies."""
+    documents, not copies.
+
+    ``with_membership=True`` adds per-stage ``n_rows`` (row count —
+    differs from n_docs only for the mixing stage, where it counts
+    copies) and ``ids_md5``: the md5 of the numerically-sorted,
+    comma-joined id list WITH multiplicity.  That hash pins the exact
+    membership of every stage — which documents survived, and how
+    many copies the mixer emitted — not just the counts.  Each
+    stage's id list is bounded by the corpus document count, and the
+    aggregate runs per stage key, so the report stays a driver-sized
+    result at any corpus scale."""
     parts = [
         docs.select(F.lit("00:input").alias("stage"), F.col(id_col))
     ]
@@ -231,8 +247,19 @@ def curation_report(
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    return (
-        out.groupBy("stage")
-        .agg(F.countDistinct(id_col).alias("n_docs"))
-        .orderBy("stage")
-    )
+    aggs = [F.countDistinct(id_col).alias("n_docs")]
+    if with_membership:
+        aggs = [
+            F.count("*").alias("n_rows"),
+            F.countDistinct(id_col).alias("n_docs"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.col(id_col))),
+                        lambda x: x.cast("string"),
+                    ),
+                    ",",
+                )
+            ).alias("ids_md5"),
+        ]
+    return out.groupBy("stage").agg(*aggs).orderBy("stage")

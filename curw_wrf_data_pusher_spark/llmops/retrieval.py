@@ -1,0 +1,162 @@
+"""Lexical retrieval scoring over the documents table: corpus term
+statistics, TF-IDF, and BM25 — the ranking tier a training-data
+pipeline uses for quality-weighted sampling, query-based corpus
+slicing, and contamination triage.
+
+Beyond-reference surface (the reference engine — wrf_data_pusher.py —
+has no text-retrieval path).
+
+Plan shape at 100 TB: tokens explode map-side and are immediately
+filtered to the query-term set (a broadcast literal array), so only
+matching (doc, term) rows ever shuffle — one hash aggregation for
+term frequencies.  The corpus-level statistics (N, avgdl, per-term
+document frequency) partial-aggregate map-side to |terms|+1 rows and
+ride back on broadcast joins.  No UDFs; every expression is JVM-side
+Catalyst.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _tokens(text_col: str) -> Column:
+    """Whitespace tokens of the trimmed text — the same tokenization
+    textstats uses (split on single spaces), so retrieval and quality
+    features agree on document length."""
+    return F.split(F.trim(F.col(text_col)), " ")
+
+
+def term_stats(
+    docs: DataFrame,
+    terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-(document, query-term) term frequency plus document length:
+    (id, term, tf, dl).  Documents containing none of the terms have
+    no rows here — BM25/TF-IDF treat them as score 0.
+
+    The explode is filtered to the query terms BEFORE any shuffle, so
+    the aggregation input is |matches|, not |corpus tokens|."""
+    toks = docs.select(
+        F.col(id_col),
+        F.size(_tokens(text_col)).alias("dl"),
+        F.explode(_tokens(text_col)).alias("term"),
+    ).filter(F.col("term").isin(terms))
+    return toks.groupBy(id_col, "term", "dl").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+
+
+def bm25_scores(
+    docs: DataFrame,
+    terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    score_scale: int = 9,
+) -> DataFrame:
+    """Okapi BM25 score of every matching document for the query-term
+    bag ``terms`` (standard formulation, idf = ln(1 + (N - df + 0.5) /
+    (df + 0.5))):
+
+        score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+
+    Returns (id, score, n_matched) for documents matching ≥ 1 term,
+    rounded to ``score_scale`` decimals for cross-engine determinism.
+
+    Corpus stats (N, avgdl) reduce to ONE row and per-term df to
+    |terms| rows — both broadcast; the per-document work never
+    re-shuffles after the single term-frequency aggregation."""
+    ts = term_stats(docs, terms, id_col, text_col)
+    corpus = docs.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg(F.size(_tokens(text_col))).alias("avgdl"),
+    )
+    df_t = ts.groupBy("term").agg(
+        F.count("*").cast("double").alias("df")
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    tf_part = (
+        F.col("tf").cast("double") * F.lit(k1 + 1.0)
+    ) / (
+        F.col("tf").cast("double")
+        + F.lit(k1)
+        * (
+            F.lit(1.0 - b)
+            + F.lit(b) * F.col("dl").cast("double") / F.col("avgdl")
+        )
+    )
+    return (
+        ts.join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(corpus))
+        .withColumn("contrib", idf * tf_part)
+        .groupBy(id_col)
+        .agg(
+            _sorted_fold_sum(score_scale).alias("score"),
+            F.count("*").cast("long").alias("n_matched"),
+        )
+    )
+
+
+def _sorted_fold_sum(score_scale: int) -> Column:
+    """Sum the per-term ``contrib`` doubles in TERM-SORTED left-fold
+    order instead of ``F.sum``: float addition isn't associative, so a
+    shuffle-order-dependent sum changes in the last ulp across
+    partitionings — this form is bit-reproducible on any cluster
+    layout (and matches the DuckDB oracle's identical sorted
+    list_reduce).  Per-document term lists are bounded by |query
+    terms|, so the collect is a few elements, not a corpus blow-up."""
+    sorted_contribs = F.transform(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("term").alias("t"), F.col("contrib").alias("c")
+                )
+            )
+        ),
+        lambda x: x["c"],
+    )
+    return F.round(
+        F.aggregate(
+            sorted_contribs, F.lit(0.0), lambda acc, v: acc + v
+        ),
+        score_scale,
+    )
+
+
+def tfidf_scores(
+    docs: DataFrame,
+    terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    score_scale: int = 9,
+) -> DataFrame:
+    """Classic TF-IDF (tf · ln(N/df)) summed over the query terms —
+    the simpler sibling of ``bm25_scores`` with the same plan shape.
+    Returns (id, score, n_matched) for documents matching ≥ 1 term."""
+    ts = term_stats(docs, terms, id_col, text_col)
+    n_docs = docs.agg(F.count("*").cast("double").alias("n_docs"))
+    df_t = ts.groupBy("term").agg(
+        F.count("*").cast("double").alias("df")
+    )
+    contrib = F.col("tf").cast("double") * F.log(
+        F.col("n_docs") / F.col("df")
+    )
+    return (
+        ts.join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("contrib", contrib)
+        .groupBy(id_col)
+        .agg(
+            _sorted_fold_sum(score_scale).alias("score"),
+            F.count("*").cast("long").alias("n_matched"),
+        )
+    )

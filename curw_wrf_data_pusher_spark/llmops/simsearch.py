@@ -466,6 +466,116 @@ def neardup_dropped_cells(
     return grouped.filter(F.col("n_members") > max_cell_size)
 
 
+def quantize_embeddings(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qmax: int = 127,
+) -> DataFrame:
+    """Symmetric per-vector int8 scalar quantization: ``scale =
+    max(|x|) / qmax``; ``q[i] = floor(x[i]/scale + 0.5)`` (round half
+    up, exact in IEEE double, identical across engines).  Storage
+    drops 4× (float32 → int8 semantics; the array element type stays
+    int for Spark arithmetic, a parquet sink would write BYTE).
+
+    Map-only, zero shuffles: each vector quantizes independently.
+    All-zero vectors get scale 0 and an all-zero q-vector.
+    Returns (id, qvec, scale); reconstruct x̂[i] = q[i]·scale."""
+    vec = F.col(vec_col)
+    amax = F.aggregate(
+        vec,
+        F.lit(0.0),
+        lambda acc, v: F.greatest(acc, F.abs(v.cast("double"))),
+    )
+    scale = amax / F.lit(float(qmax))
+    qvec = F.when(scale == 0.0, F.transform(vec, lambda v: F.lit(0))).otherwise(
+        F.transform(
+            vec,
+            lambda v: F.floor(v.cast("double") / scale + F.lit(0.5)).cast(
+                "int"
+            ),
+        )
+    )
+    return corpus.select(
+        F.col(id_col).alias("id"),
+        qvec.alias("qvec"),
+        scale.alias("scale"),
+    )
+
+
+def quantized_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    score_scale: int = 9,
+    qmax: int = 127,
+) -> DataFrame:
+    """Top-k cosine neighbours computed on int8-quantized vectors —
+    the memory-bound scale path: at 100 TB of embeddings the scan is
+    4× smaller and the inner loop is integer multiply-adds (EXACT in
+    64-bit, no float-order sensitivity); only the final normalization
+    touches doubles.  Cosine of the quantized vectors ≈ cosine of the
+    originals (the per-vector scales cancel in the ratio); recall vs
+    the exact ``cosine_topk`` is pinned by tests.
+
+    Same contract as ``cosine_topk``: (q_id, n_id, rank, cos) with
+    rounded-score + id tie-breaks, query side broadcast, corpus never
+    shuffled."""
+    from ..sources.lake import spread
+
+    qq = quantize_embeddings(queries, id_col, vec_col, qmax).select(
+        F.col("id").alias("q_id"), F.col("qvec").alias("q_q")
+    )
+    qc = spread(
+        quantize_embeddings(corpus, id_col, vec_col, qmax).select(
+            F.col("id").alias("n_id"), F.col("qvec").alias("n_q")
+        )
+    )
+    # integer dot products and norms: exact, associative, engine- and
+    # partitioning-independent; doubles appear only in the final ratio
+    idot = F.aggregate(
+        F.zip_with(
+            F.col("q_q"), F.col("n_q"),
+            lambda a, b: a.cast("long") * b.cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+    def _inorm(c: str) -> Column:
+        return F.aggregate(
+            F.transform(
+                F.col(c), lambda v: v.cast("long") * v.cast("long")
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    scored = (
+        qc.crossJoin(F.broadcast(qq))
+        .filter(F.col("n_id") != F.col("q_id"))
+        .withColumn(
+            "cos",
+            F.round(
+                idot.cast("double")
+                / (
+                    F.sqrt(_inorm("q_q").cast("double"))
+                    * F.sqrt(_inorm("n_q").cast("double"))
+                ),
+                score_scale,
+            ),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", "rank", "cos")
+    )
+
+
 def _hyperplanes(dim: int, bits: int) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes: component (p, d) is a
     signed unit value derived from md5 — reproducible everywhere with

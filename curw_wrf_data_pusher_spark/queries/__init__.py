@@ -38,6 +38,16 @@ from . import llm  # noqa: E402,F401
 _TAIL = [
     "q5_local_supplier_volume",  # join-chain demo: q3 + j3 + a1 cover it
     "q18_large_orders",          # semi-join + agg demo: q3 + j5 cover it
+    # upsample_by_group demo: llm_curate_corpus's mixed-stage ids_md5
+    # hash-pins the same keep set AND copy multiplicities (weights
+    # 0.25/2.0/2.5) inside the head window; the full (doc_id, source,
+    # copy_id) oracle still runs here and in tests/test_oracle_parity.
+    "llm_stratified_sample",
+    # round-6 additions past the full head window — oracle-gated by
+    # tests/test_oracle_parity (the local t2 mirror), driver-visible
+    # only if the budget ever grows:
+    "llm_bm25_tfidf",     # lexical retrieval: BM25 + TF-IDF compound
+    "llm_quantized_topk",  # int8-quantized cosine ANN scan
 ]
 
 

@@ -73,6 +73,24 @@ _LINE_WRAP_SQL = """
 """
 
 
+def _wrap_8_tokens(text_col: str = "text") -> "F.Column":
+    """Deterministic 8-token line re-wrap of ``text_col`` — the corpus
+    has no newlines of its own, so line-level operators (CCNet
+    boilerplate removal) are exercised on this pure-Catalyst rewrap;
+    the DuckDB oracles mirror it via ``_LINE_WRAP_SQL``."""
+    t = F.split(F.col(text_col), " ")
+    return F.array_join(
+        F.transform(
+            F.sequence(
+                F.lit(0),
+                F.ceil(F.size(t) / F.lit(8.0)).cast("int") - F.lit(1),
+            ),
+            lambda i: F.array_join(F.slice(t, i * F.lit(8) + F.lit(1), 8), " "),
+        ),
+        "\n",
+    )
+
+
 @register(
     "llm_exact_dedup_fingerprint",
     oracle=f"""
@@ -138,18 +156,7 @@ def llm_exact_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("n_dups", F.count("*").over(w))
     )
     # deterministic 8-token re-wrap (corpus has no newlines of its own)
-    t = F.split(F.col("text"), " ")
-    wrapped_text = F.array_join(
-        F.transform(
-            F.sequence(
-                F.lit(0),
-                F.ceil(F.size(t) / F.lit(8.0)).cast("int") - F.lit(1),
-            ),
-            lambda i: F.array_join(F.slice(t, i * F.lit(8) + F.lit(1), 8), " "),
-        ),
-        "\n",
-    )
-    wrapped = docs.select("doc_id", wrapped_text.alias("text"))
+    wrapped = docs.select("doc_id", _wrap_8_tokens().alias("text"))
     # one shared hot-line set for stats AND removal (each would
     # otherwise derive its own — two corpus explodes instead of one)
     hot = corpus_hot_lines(wrapped)
@@ -408,13 +415,14 @@ def llm_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Compound row: the one-pass feature projection PLUS the email
     # tier of curation.redact_pii, oracle-gated on a deterministic
     # synthetic address (' contact user<doc_id>@example.com') since
-    # the corpus itself contains no PII.  The phone/IPv4 tiers use
-    # lookarounds DuckDB's RE2 cannot express — they stay pytest-
-    # gated — but on this digit-free corpus they provably never fire,
-    # so the md5 of the FULL redact_pii output still matches the
-    # email-only oracle byte-exact.  Everything is carried through
+    # the corpus itself contains no PII.  The oracle-gated md5 runs
+    # the EMAIL tier only (patterns=PII_PATTERNS[:1]) so it matches
+    # the email-only DuckDB oracle by construction — not by relying on
+    # the corpus staying digit-free forever; the phone/IPv4 tiers use
+    # lookarounds DuckDB's RE2 cannot express and stay pytest-gated
+    # (tests/test_llmops.py).  Everything is carried through
     # text_features' map-side select: still one scan, zero shuffles.
-    from ..llmops.curation import redact_pii
+    from ..llmops.curation import PII_PATTERNS, redact_pii
     from ..llmops.textstats import text_features
 
     docs = load_table(spark, sf_dir, "documents")
@@ -427,7 +435,9 @@ def llm_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("@example.com"),
         ),
     )
-    red = redact_pii(aug, text_col="pii_text").withColumn(
+    red = redact_pii(
+        aug, text_col="pii_text", patterns=PII_PATTERNS[:1]
+    ).withColumn(
         "pii_redacted_md5", F.md5(F.col("pii_text"))
     )
     return text_features(red, carry=("n_email", "pii_redacted_md5"))
@@ -672,10 +682,19 @@ def llm_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verify_candidates(sh, cand, min_jaccard=0.7)
 
 
+# Signature-estimated Jaccard oracle term: fraction of agreeing
+# MinHash components over the k=8 signature.
+_MH_AGREE = " + ".join(
+    f"CASE WHEN a.mh_{j} = b.mh_{j} THEN 1 ELSE 0 END"
+    for j in range(len(MINHASH_COEFFS))
+)
+
 # Jaccard compound driver row: the exact all-pairs n-gram Jaccard
-# baseline (>=0.5) and the LSH-candidates→exact-verify pipeline
-# (>=0.7) union-tagged — the driver hash certifies both the quadratic
-# reference semantics and the candidate-restricted production path.
+# baseline (>=0.5), the LSH-candidates→exact-verify pipeline (>=0.7),
+# and the signature-ESTIMATED Jaccard over the same candidates —
+# union-tagged, so the driver hash certifies the quadratic reference
+# semantics, the candidate-restricted production path, AND the cheap
+# estimator's exact agreement-fraction semantics in one row.
 @register(
     "llm_jaccard_verify",
     oracle=f"""
@@ -721,16 +740,34 @@ def llm_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN sizes sa ON sa.doc_id = i.id_a
     JOIN sizes sb ON sb.doc_id = i.id_b
     WHERE CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter) >= 0.7
+    UNION ALL
+    SELECT 'estimated', c.id_a, c.id_b,
+           CAST({_MH_AGREE} AS DOUBLE) / {len(MINHASH_COEFFS)}.0
+    FROM cand c
+    JOIN sig a ON a.doc_id = c.id_a
+    JOIN sig b ON b.doc_id = c.id_b
     """,
 )
 def llm_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llmops.dedup import estimated_jaccard_pairs
+    from ..sources.lake import spread
+
+    docs = load_table(spark, sf_dir, "documents")
+    sig = minhash_signatures_from_text(spread(docs))
+    cand = lsh_candidate_pairs(sig, bands=4, rows_per_band=2)
     allp = llm_ngram_jaccard(spark, sf_dir).select(
         F.lit("allpairs").alias("stage"), "id_a", "id_b", "jaccard"
     )
     verified = llm_dedup_pipeline(spark, sf_dir).select(
         F.lit("lsh_verified").alias("stage"), "id_a", "id_b", "jaccard"
     )
-    return allp.unionByName(verified)
+    # the cheap pre-rank between banding and exact verify: only the
+    # k-long signatures are re-joined, never the shingle fan-out
+    est = estimated_jaccard_pairs(sig, cand).select(
+        F.lit("estimated").alias("stage"), "id_a", "id_b",
+        F.col("est_jaccard").alias("jaccard"),
+    )
+    return allp.unionByName(verified).unionByName(est)
 
 
 # Dedup survivors: the cleaned corpus — exactly one document (min id)
@@ -951,3 +988,242 @@ def llm_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         weights={"src0": 0.25, "src1": 0.75, "src17": 2.0, "src18": 2.5},
         default_weight=1.0,
     ).select("doc_id", "source", F.col("copy_id").cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# The composed curation pipeline, driver-gated end-to-end: exact dedup
+# → CCNet boilerplate-line removal → quality filter → PII redaction →
+# epoch-weighted mixing, run over the 8-token re-wrapped corpus (so
+# the line stage bites), reported as per-stage membership.  ids_md5
+# hashes the sorted id list WITH multiplicity, so the driver hash pins
+# which documents each stage kept AND how many copies the mixer
+# emitted — the stage ORDER is pinned too, since each stage's
+# membership depends on its prefix.  The near-dedup and
+# decontamination stages are disabled here: connected-component
+# resolution isn't RE2/SQL-expressible (llm_dedup_clusters gates it)
+# and contamination is gated by llm_contamination; both remain
+# exercised in the composed pipeline by tests/test_llmops.py.
+@register(
+    "llm_curate_corpus",
+    oracle=f"""
+    WITH wr AS ({_LINE_WRAP_SQL}),
+    w AS (
+      SELECT d.doc_id, d.source, wr.text
+      FROM documents d JOIN wr ON wr.doc_id = d.doc_id
+    ),
+    s1 AS (
+      SELECT doc_id, source, text FROM (
+        SELECT doc_id, source, text,
+               min(doc_id) OVER (PARTITION BY md5(text)) AS canon
+        FROM w) WHERE doc_id = canon
+    ),
+    dl AS (
+      SELECT DISTINCT doc_id, md5(trim(line)) AS lh
+      FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+            FROM s1)
+      WHERE length(trim(line)) >= 8
+    ),
+    hot AS (SELECT lh FROM dl GROUP BY lh HAVING count(*) >= 2),
+    pl AS (
+      SELECT doc_id, unnest(l) AS line, generate_subscripts(l, 1) AS pos
+      FROM (SELECT doc_id, string_split(text, chr(10)) AS l FROM s1)
+    ),
+    s2 AS (
+      SELECT pl.doc_id,
+             coalesce(string_agg(pl.line, chr(10) ORDER BY pl.pos)
+                 FILTER (length(trim(pl.line)) < 8 OR hot.lh IS NULL), '')
+               AS text
+      FROM pl LEFT JOIN hot ON md5(trim(pl.line)) = hot.lh
+      GROUP BY pl.doc_id
+    ),
+    q AS (
+      SELECT s2.doc_id, s1.source,
+             string_split(trim(s2.text), ' ') AS toks
+      FROM s2 JOIN s1 ON s1.doc_id = s2.doc_id
+    ),
+    s3 AS (
+      SELECT doc_id, source FROM q
+      WHERE len(toks) >= 5 AND len(toks) <= 1000000
+        AND (len(toks) < 2 OR
+             1.0 - CAST(len(list_distinct(list_transform(
+                     range(1, len(toks)),
+                     i -> toks[i] || ' ' || toks[i+1]))) AS DOUBLE)
+                 / (len(toks) - 1)
+             <= 0.5)
+    ),
+    s5 AS (
+      SELECT doc_id, unnest(range(0, n)) AS copy FROM (
+        SELECT doc_id,
+               CAST(floor(w) AS BIGINT)
+                 + CASE WHEN h32 < (w - floor(w)) * 4294967296.0
+                        THEN 1 ELSE 0 END AS n
+        FROM (
+          SELECT doc_id,
+                 ('0x' || substr(md5('sample:v1:'
+                                     || CAST(doc_id AS VARCHAR)),
+                                 1, 8))::BIGINT AS h32,
+                 (CASE source WHEN 'src0' THEN 0.25
+                              WHEN 'src17' THEN 2.0
+                              WHEN 'src18' THEN 2.5
+                              ELSE 1.0 END) AS w
+          FROM s3))
+    ),
+    rep AS (
+      SELECT '00:input' AS stage, doc_id FROM documents
+      UNION ALL SELECT '01:exact_dedup', doc_id FROM s1
+      UNION ALL SELECT '02:boilerplate', doc_id FROM s2
+      UNION ALL SELECT '03:quality_filter', doc_id FROM s3
+      UNION ALL SELECT '04:redacted', doc_id FROM s3
+      UNION ALL SELECT '05:mixed', doc_id FROM s5
+    )
+    SELECT stage, count(*) AS n_rows,
+           count(DISTINCT doc_id) AS n_docs,
+           md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id))
+             AS ids_md5
+    FROM rep GROUP BY stage
+    """,
+)
+def llm_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llmops.pipeline import (
+        CurationConfig,
+        curate_corpus,
+        curation_report,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    wrapped = docs.select(
+        "doc_id", "source", _wrap_8_tokens().alias("text")
+    )
+    cfg = CurationConfig(
+        neardup_jaccard=None,
+        contamination_max=None,
+        mix_weights={"src0": 0.25, "src17": 2.0, "src18": 2.5},
+    )
+    _final, stages = curate_corpus(wrapped, config=cfg)
+    return curation_report(wrapped, stages, with_membership=True)
+
+
+# ---------------------------------------------------------------------------
+# Lexical retrieval (BM25 + TF-IDF) compound row, registered in the
+# tail (the head window is full; tests/test_oracle_parity hash-gates
+# it locally).  Both scorers share one filtered term-frequency
+# aggregation; per-document scores fold contributions in term-sorted
+# order so the double sum is bit-reproducible across partitionings
+# and engines (see llmops.retrieval._sorted_fold_sum).
+_BM25_TERMS = ("merge", "spark", "window")
+_BM25_IN = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+
+
+@register(
+    "llm_bm25_tfidf",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
+               FROM documents),
+    tok AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM t),
+    ts AS (
+      SELECT doc_id, term, dl, count(*) AS tf FROM tok
+      WHERE term IN ({_BM25_IN}) GROUP BY doc_id, term, dl
+    ),
+    corpus AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+             CAST(sum(len(toks)) AS DOUBLE) / count(*) AS avgdl
+      FROM t
+    ),
+    dft AS (SELECT term, CAST(count(*) AS DOUBLE) AS df
+            FROM ts GROUP BY term),
+    bm AS (
+      SELECT ts.doc_id, ts.term,
+             ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+               * (ts.tf * 2.2)
+               / (ts.tf + 1.2 * (0.25 + 0.75 * ts.dl / avgdl)) AS c
+      FROM ts JOIN dft USING (term) CROSS JOIN corpus
+    ),
+    ti AS (
+      SELECT ts.doc_id, ts.term, ts.tf * ln(n_docs / df) AS c
+      FROM ts JOIN dft USING (term) CROSS JOIN corpus
+    ),
+    bm_doc AS (
+      SELECT doc_id,
+             round(list_reduce(list_transform(
+                 list_sort(list(struct_pack(t := term, c := c))),
+                 x -> x.c), (a, b) -> a + b), 9) AS score,
+             count(*) AS n_matched
+      FROM bm GROUP BY doc_id
+    ),
+    ti_doc AS (
+      SELECT doc_id,
+             round(list_reduce(list_transform(
+                 list_sort(list(struct_pack(t := term, c := c))),
+                 x -> x.c), (a, b) -> a + b), 9) AS score,
+             count(*) AS n_matched
+      FROM ti GROUP BY doc_id
+    )
+    SELECT 'bm25' AS scorer, doc_id, score, n_matched FROM bm_doc
+    UNION ALL
+    SELECT 'tfidf', doc_id, score, n_matched FROM ti_doc
+    """,
+)
+def llm_bm25_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llmops.retrieval import bm25_scores, tfidf_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    terms = list(_BM25_TERMS)
+    bm = bm25_scores(docs, terms).select(
+        F.lit("bm25").alias("scorer"), "doc_id", "score", "n_matched"
+    )
+    ti = tfidf_scores(docs, terms).select(
+        F.lit("tfidf").alias("scorer"), "doc_id", "score", "n_matched"
+    )
+    return bm.unionByName(ti)
+
+
+# ---------------------------------------------------------------------------
+# Int8-quantized cosine top-k, registered in the tail: the 4×-smaller
+# memory-bound ANN scan with EXACT integer dot products (the only
+# doubles are the final ratio), hash-pinned against a DuckDB oracle
+# that mirrors the quantization bit-for-bit.  Recall vs the exact
+# cosine_topk is pinned separately in tests/test_llmops.py.
+@register(
+    "llm_quantized_topk",
+    oracle="""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    s AS (
+      SELECT vec_id, e,
+             list_aggregate(list_transform(e, x -> abs(x)), 'max')
+               / 127.0 AS scale
+      FROM v
+    ),
+    q8 AS (
+      SELECT vec_id,
+             CASE WHEN scale = 0
+                  THEN list_transform(e, x -> CAST(0 AS BIGINT))
+                  ELSE list_transform(
+                      e, x -> CAST(floor(x / scale + 0.5) AS BIGINT))
+             END AS qv
+      FROM s
+    ),
+    q AS (SELECT vec_id AS q_id, qv AS q_q FROM q8 WHERE vec_id < 10),
+    c AS (SELECT vec_id AS n_id, qv AS n_q FROM q8),
+    scored AS (
+      SELECT q_id, n_id,
+             round(CAST(list_inner_product(q_q, n_q) AS DOUBLE)
+                   / (sqrt(CAST(list_inner_product(q_q, q_q) AS DOUBLE))
+                      * sqrt(CAST(list_inner_product(n_q, n_q) AS DOUBLE))),
+                   9) AS cos
+      FROM q, c WHERE n_id <> q_id
+    )
+    SELECT q_id, n_id, rank, cos FROM (
+      SELECT q_id, n_id, cos,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY cos DESC, n_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def llm_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llmops.simsearch import quantized_cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return quantized_cosine_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=5
+    )

@@ -1207,3 +1207,126 @@ def test_hot_lines_injection_equivalence(spark):
     )
     r_own = sorted(remove_duplicated_lines(docs).collect())
     assert r_inj == r_own
+
+
+def test_quantize_embeddings_roundtrip_bound(spark):
+    """Symmetric int8 quantization: |x - q*scale| <= scale/2 per
+    component, q in [-127, 127], zero vectors stay zero with scale 0."""
+    from curw_wrf_data_pusher_spark.llmops.simsearch import (
+        quantize_embeddings,
+    )
+
+    rows = [
+        (1, [0.5, -1.0, 0.25, 0.125]),
+        (2, [100.0, -0.001, 3.5, 0.0]),
+        (3, [0.0, 0.0, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r.id: r for r in quantize_embeddings(emb).collect()}
+    for vid, vec in rows:
+        q, scale = out[vid].qvec, out[vid].scale
+        if all(v == 0.0 for v in vec):
+            assert scale == 0.0 and all(c == 0 for c in q)
+            continue
+        assert scale == max(abs(v) for v in vec) / 127.0
+        for x, c in zip(vec, q):
+            assert -127 <= c <= 127
+            assert abs(x - c * scale) <= scale / 2 + 1e-12
+
+
+def test_quantized_topk_recall_vs_exact(spark, sf_dir):
+    """int8-quantized cosine top-k must agree closely with the exact
+    scan: mean overlap@5 over the 10 query vectors >= 0.8 on the
+    testdata embeddings (64-dim, well-separated)."""
+    from curw_wrf_data_pusher_spark.llmops.simsearch import (
+        cosine_topk,
+        quantized_cosine_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = {}
+    for r in cosine_topk(emb, q, k=5).collect():
+        exact.setdefault(r.q_id, set()).add(r.n_id)
+    quant = {}
+    for r in quantized_cosine_topk(emb, q, k=5).collect():
+        quant.setdefault(r.q_id, set()).add(r.n_id)
+    overlaps = [
+        len(exact[qid] & quant[qid]) / 5.0 for qid in exact
+    ]
+    assert sum(overlaps) / len(overlaps) >= 0.8, overlaps
+
+
+def test_bm25_and_tfidf_hand_computed(spark):
+    """BM25/TF-IDF on a 3-doc corpus vs hand-computed scores; docs
+    matching no query term are absent (implicit score 0)."""
+    import math
+
+    from curw_wrf_data_pusher_spark.llmops.retrieval import (
+        bm25_scores,
+        tfidf_scores,
+    )
+
+    rows = [
+        (1, "spark shuffle spark join"),
+        (2, "window sort merge"),
+        (3, "plain text only here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    terms = ["spark", "merge"]
+    n, avgdl = 3.0, (4 + 3 + 4) / 3.0
+    k1, b = 1.2, 0.75
+
+    def bm25(tf, dl, df):
+        idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+        return idf * (tf * (k1 + 1.0)) / (
+            tf + k1 * (1.0 - b + b * dl / avgdl)
+        )
+
+    got = {r.doc_id: r for r in bm25_scores(docs, terms).collect()}
+    assert set(got) == {1, 2}  # doc 3 matches nothing
+    assert got[1].n_matched == 1 and got[2].n_matched == 1
+    assert abs(got[1].score - bm25(2, 4, 1.0)) < 1e-9
+    assert abs(got[2].score - bm25(1, 3, 1.0)) < 1e-9
+
+    ti = {r.doc_id: r for r in tfidf_scores(docs, terms).collect()}
+    assert set(ti) == {1, 2}
+    assert abs(ti[1].score - 2 * math.log(3.0 / 1.0)) < 1e-9
+    assert abs(ti[2].score - 1 * math.log(3.0 / 1.0)) < 1e-9
+
+
+def test_bm25_multi_term_fold_is_term_sorted(spark):
+    """A document matching several terms sums contributions in
+    term-sorted order (bit-reproducible across partitionings): the
+    score must equal the Python left-fold over sorted terms, and be
+    identical when the input arrives repartitioned."""
+    import math
+
+    from curw_wrf_data_pusher_spark.llmops.retrieval import bm25_scores
+
+    docs = spark.createDataFrame(
+        [(1, "spark merge window spark"), (2, "merge only")],
+        "doc_id long, text string",
+    )
+    terms = ["spark", "merge", "window"]
+    n, avgdl = 2.0, 3.0
+    k1, b = 1.2, 0.75
+
+    def contrib(tf, dl, df):
+        idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+        return idf * (tf * (k1 + 1.0)) / (
+            tf + k1 * (1.0 - b + b * dl / avgdl)
+        )
+
+    # doc 1: merge(tf1,df2), spark(tf2,df1), window(tf1,df1) — sorted
+    expected = 0.0
+    for t, tf, df in (("merge", 1, 2.0), ("spark", 2, 1.0),
+                      ("window", 1, 1.0)):
+        expected += contrib(tf, 4, df)
+    got = {r.doc_id: r.score for r in bm25_scores(docs, terms).collect()}
+    assert got[1] == round(expected, 9)
+    got_rep = {
+        r.doc_id: r.score
+        for r in bm25_scores(docs.repartition(7), terms).collect()
+    }
+    assert got_rep == got

@@ -66,7 +66,7 @@ EXPECTED_HEAD = [
     "llm_survivor_corpus_stats",
     "llm_contamination",
     "llm_seq_packing",
-    "llm_stratified_sample",
+    "llm_curate_corpus",
 ]
 
 
@@ -86,4 +86,14 @@ def test_every_head_query_is_oracle_gated_except_p10():
 
 def test_tail_holds_only_redundant_demos():
     tail = list(QUERIES)[DRIVER_BUDGET:]
-    assert tail == ["q5_local_supplier_volume", "q18_large_orders"], tail
+    assert tail == [
+        "q5_local_supplier_volume",
+        "q18_large_orders",
+        # upsampling stays oracle-gated here AND hash-pinned in the
+        # head via llm_curate_corpus's mixed-stage membership
+        "llm_stratified_sample",
+        # round-6 retrieval/quantization rows: oracle-gated locally by
+        # tests/test_oracle_parity, past the driver's 50-row budget
+        "llm_bm25_tfidf",
+        "llm_quantized_topk",
+    ], tail
