@@ -1,0 +1,214 @@
+"""Substring-level dedup tests: winnowing fingerprints against a
+pure-Python mirror, the winnowing match guarantee, repeated-window
+removal semantics (planted spans, long runs, intra-doc repeats,
+decontamination), and map-only plan gates."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from curw_wrf_data_pusher_spark.llmops.substrings import (
+    corpus_hot_windows,
+    duplicate_window_stats,
+    remove_contaminated_spans,
+    remove_duplicate_spans,
+    token_window_occurrences,
+    winnow_candidate_pairs,
+    winnow_dropped_groups,
+    winnow_fingerprints,
+)
+from tests.test_plans_quality import plan_of
+
+
+def _hash32(g: str) -> int:
+    return int(hashlib.md5(g.encode()).hexdigest()[:8], 16)
+
+
+def _winnow_py(tokens, k, w):
+    """Reference winnowing: rightmost minimum per window of w grams."""
+    if len(tokens) < k:
+        return set()
+    hs = [
+        _hash32(" ".join(tokens[i : i + k]))
+        for i in range(len(tokens) - k + 1)
+    ]
+    n = len(hs)
+    sel = set()
+    for s in range(max(n - w, 0) + 1):
+        best = (-1, 1 << 63)
+        for i in range(s, min(s + w - 1, n - 1) + 1):
+            if hs[i] <= best[1]:
+                best = (i, hs[i])
+        sel.add(best)
+    return sel
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_winnow_matches_python_mirror(spark):
+    texts = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "a b c d e f g h i j k l m n o p",
+        "one two three",          # exactly k tokens -> 1 gram, 1 window
+        "repeat repeat repeat repeat repeat",  # identical grams, tie rule
+        "x y",                    # < k tokens -> no fingerprints
+    ]
+    out = winnow_fingerprints(_docs(spark, texts), k=3, window=4)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.doc_id, set()).add((r.fp_pos, r.fp))
+    for i, t in enumerate(texts):
+        assert got.get(i, set()) == _winnow_py(t.split(" "), 3, 4), i
+
+
+def test_winnow_shared_run_guarantees_shared_fingerprint(spark):
+    # winnowing guarantee: any shared token run of length
+    # >= k + window - 1 (= 6 here) yields at least one shared
+    # fingerprint VALUE, whatever the surrounding context
+    run = "alpha beta gamma delta epsilon zeta"
+    texts = [
+        f"intro words here {run} tail one",
+        f"completely different opening {run} other ending entirely",
+        "no overlap with anything else at all in this document",
+    ]
+    out = winnow_fingerprints(_docs(spark, texts), k=3, window=4)
+    fps = {}
+    for r in out.collect():
+        fps.setdefault(r.doc_id, set()).add(r.fp)
+    assert fps[0] & fps[1], "shared 6-token run must share a fingerprint"
+    assert not (fps[0] & fps[2] and fps[1] & fps[2])
+
+
+def test_winnow_is_map_only(spark):
+    docs = _docs(spark, ["a b c d e f g"])
+    assert "Exchange" not in plan_of(winnow_fingerprints(docs))
+
+
+def test_winnow_pairs_cap_and_accounting(spark):
+    shared = "common shared phrase across documents here today"
+    texts = [f"{shared} unique suffix {i} marker{i}" for i in range(4)]
+    texts.append("entirely unrelated text with no shared content at all")
+    docs = _docs(spark, texts)
+    fps = winnow_fingerprints(docs, k=3, window=4)
+    pairs = winnow_candidate_pairs(fps, min_shared=1).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    # all 6 pairs among the 4 sharing docs, none touching doc 4
+    assert {(a, b) for a in range(4) for b in range(a + 1, 4)} <= found
+    assert not any(4 in p for p in found)
+
+    # cap: every shared fingerprint's posting list has 4 members, so
+    # max_group_size=3 drops them all and accounts for each
+    capped = winnow_candidate_pairs(fps, min_shared=1, max_group_size=3)
+    dropped = winnow_dropped_groups(fps, max_group_size=3).collect()
+    assert all(r.n_members == 4 for r in dropped)
+    assert len(dropped) > 0
+    capped_pairs = {(r.id_a, r.id_b) for r in capped.collect()}
+    assert not {(a, b) for a in range(4) for b in range(a + 1, 4)} & \
+        capped_pairs
+    # None cap keeps exact semantics
+    uncapped = winnow_candidate_pairs(fps, min_shared=1,
+                                      max_group_size=None).collect()
+    assert {(r.id_a, r.id_b) for r in uncapped} == found
+
+
+SPAN = "w1 w2 w3 w4 w5 w6 w7 w8"  # exactly 8 tokens
+
+
+def test_remove_duplicate_spans_planted(spark):
+    texts = [
+        f"unique lead tokens {SPAN} unique tail tokens",
+        f"other framing words {SPAN} and different ending",
+        "totally original document with no repeated window anywhere",
+        "tiny doc",  # < 8 tokens: never flagged, byte-identical
+    ]
+    docs = _docs(spark, texts)
+    out = {r.doc_id: r.text for r in remove_duplicate_spans(docs).collect()}
+    for i in (0, 1):
+        for t in SPAN.split(" "):
+            assert t not in out[i].split(" "), (i, out[i])
+    assert "unique lead tokens" in out[0]
+    assert "and different ending" in out[1]
+    assert out[2] == texts[2]
+    assert out[3] == texts[3]
+
+
+def test_remove_duplicate_spans_long_run_fully_covered(spark):
+    # a shared run LONGER than l_tokens is fully covered by its
+    # overlapping stride-1 windows
+    run = " ".join(f"r{i}" for i in range(12))
+    texts = [f"start {run} finish", f"open {run} close extra"]
+    docs = _docs(spark, texts)
+    out = {r.doc_id: r.text for r in
+           remove_duplicate_spans(docs, l_tokens=8).collect()}
+    for i in (0, 1):
+        assert not set(run.split(" ")) & set(out[i].split(" "))
+    assert out[0].startswith("start") and out[0].endswith("finish")
+
+
+def test_remove_spans_intra_doc_vs_cross_doc(spark):
+    # the same 8-token window twice WITHIN one doc: flagged by default
+    # (total occurrences >= 2), kept under cross_doc=True
+    texts = [f"{SPAN} middle filler words {SPAN}",
+             "another unrelated document entirely with enough tokens"]
+    docs = _docs(spark, texts)
+    default = {r.doc_id: r.text for r in
+               remove_duplicate_spans(docs).collect()}
+    assert "w1" not in default[0]
+    cross = {r.doc_id: r.text for r in
+             remove_duplicate_spans(docs, cross_doc=True).collect()}
+    assert cross[0] == texts[0]
+
+
+def test_duplicate_window_stats_counts(spark):
+    texts = [f"a lead in {SPAN}", f"b intro {SPAN}",
+             f"{SPAN} trailing c words"]
+    docs = _docs(spark, texts)
+    stats = duplicate_window_stats(docs).collect()
+    span_hash = hashlib.md5(SPAN.encode()).hexdigest()
+    by_hash = {r.window_hash: r for r in stats}
+    assert span_hash in by_hash
+    assert by_hash[span_hash].n_occurrences == 3
+    assert by_hash[span_hash].n_docs == 3
+
+
+def test_remove_contaminated_spans(spark):
+    bench = _docs(spark, [f"question stem {SPAN} answer choice"])
+    train = _docs(spark, [
+        f"training text quoting {SPAN} inside a longer passage",
+        "clean training document with no benchmark overlap at all",
+    ])
+    out = {r.doc_id: r.text for r in
+           remove_contaminated_spans(train, bench).collect()}
+    assert "w1" not in out[0] and "training text quoting" in out[0]
+    assert out[1] == ("clean training document with no benchmark "
+                      "overlap at all")
+
+
+def test_injected_occurrences_and_hot_windows_equivalent(spark):
+    texts = [f"pre {SPAN} post{i} extra words here" for i in range(3)]
+    docs = _docs(spark, texts)
+    occ = token_window_occurrences(docs)
+    hot = corpus_hot_windows(docs, occurrences=occ)
+    derived = remove_duplicate_spans(docs).collect()
+    injected = remove_duplicate_spans(
+        docs, hot_windows=hot, occurrences=occ
+    ).collect()
+    assert sorted(map(tuple, derived)) == sorted(map(tuple, injected))
+
+
+def test_remove_spans_preserves_other_columns_and_schema(spark):
+    docs = spark.createDataFrame(
+        [(1, f"x {SPAN} y", "web"), (2, f"z {SPAN} q", "books")],
+        "doc_id long, text string, source string",
+    )
+    out = remove_duplicate_spans(docs)
+    assert out.columns == ["doc_id", "source", "text"]
+    rows = {r.doc_id: r for r in out.collect()}
+    assert rows[1].source == "web" and rows[2].source == "books"
+    assert rows[1].text == "x y"
