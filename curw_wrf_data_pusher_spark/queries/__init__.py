@@ -48,6 +48,8 @@ _TAIL = [
     # only if the budget ever grows:
     "llm_bm25_tfidf",     # lexical retrieval: BM25 + TF-IDF compound
     "llm_quantized_topk",  # int8-quantized cosine ANN scan
+    "llm_winnow_pairs",    # MOSS winnowing fingerprints + shared pairs
+    "llm_substring_dedup",  # repeated-window span removal report
 ]
 
 

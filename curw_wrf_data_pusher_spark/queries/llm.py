@@ -1227,3 +1227,188 @@ def llm_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantized_cosine_topk(
         emb, emb.filter(F.col("vec_id") < 10), k=5
     )
+
+
+# ---------------------------------------------------------------------------
+# Substring-level dedup rows (tail; tests/test_oracle_parity hash-gates
+# them locally — the driver's 50-row head window is full).
+#
+# llm_winnow_pairs: MOSS winnowing (Schleimer et al., SIGMOD'03) —
+# every selected (position, hash) fingerprint plus the >=2-shared-
+# fingerprint candidate pairs, union-tagged.  The DuckDB mirror
+# recomputes the rightmost-minimum selection relationally (window min
+# per start + max-position tie-break), pinning the selection rule
+# itself, not just aggregate counts.
+@register(
+    "llm_winnow_pairs",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                  FROM documents),
+    g AS (
+      SELECT doc_id,
+             unnest(range(0, len(t) - 2)) AS pos,
+             unnest(list_transform(range(0, len(t) - 2),
+               i -> ('0x' || substr(md5(concat_ws(' ', t[i+1], t[i+2],
+                                                  t[i+3])), 1, 8))::BIGINT))
+               AS h
+      FROM toks WHERE len(t) >= 3
+    ),
+    ng AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+    wm AS (
+      SELECT g.doc_id, g.pos, g.h,
+             min(g.h) OVER (PARTITION BY g.doc_id ORDER BY g.pos
+                            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+               AS wmin
+      FROM g
+    ),
+    st AS (
+      SELECT wm.doc_id, wm.pos, wm.wmin, ng.n
+      FROM wm JOIN ng USING (doc_id)
+      WHERE wm.pos <= greatest(ng.n - 4, 0)
+    ),
+    sel AS (
+      SELECT s.doc_id, max(j.pos) AS fp_pos, s.wmin AS fp
+      FROM st s JOIN wm j
+        ON j.doc_id = s.doc_id
+       AND j.pos BETWEEN s.pos AND least(s.pos + 3, s.n - 1)
+       AND j.h = s.wmin
+      GROUP BY s.doc_id, s.pos, s.wmin
+    ),
+    fp AS (SELECT DISTINCT doc_id, fp_pos, fp FROM sel),
+    post AS (SELECT DISTINCT doc_id, fp FROM fp),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             count(*) AS n_shared
+      FROM post a JOIN post b
+        ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+      HAVING count(*) >= 2
+    )
+    SELECT 'fp' AS op, doc_id AS id_a, fp_pos AS id_b, fp AS v FROM fp
+    UNION ALL
+    SELECT 'pair', id_a, id_b, n_shared FROM pairs
+    """,
+)
+def llm_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llmops.substrings import (
+        winnow_candidate_pairs,
+        winnow_fingerprints,
+    )
+    from ..sources.lake import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "text"
+    )
+    fps = winnow_fingerprints(docs, k=3, window=4)
+    fp_rows = fps.select(
+        F.lit("fp").alias("op"),
+        F.col("doc_id").alias("id_a"),
+        F.col("fp_pos").alias("id_b"),
+        F.col("fp").alias("v"),
+    )
+    pair_rows = winnow_candidate_pairs(fps, min_shared=2).select(
+        F.lit("pair").alias("op"),
+        "id_a",
+        "id_b",
+        F.col("n_shared").alias("v"),
+    )
+    return fp_rows.unionByName(pair_rows)
+
+
+# llm_substring_dedup: Lee-et-al-style repeated-window removal, per-doc
+# report: token counts, flagged-window occurrences, removed tokens and
+# the md5 of the cleaned text — the clean_md5 pins the stride-1
+# coverage semantics and the ordered reassembly byte-exact.
+@register(
+    "llm_substring_dedup",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                  FROM documents),
+    occ AS (
+      SELECT doc_id,
+             unnest(range(0, len(t) - 7)) AS s,
+             unnest(list_transform(range(0, len(t) - 7),
+               s -> md5(concat_ws(' ', t[s+1], t[s+2], t[s+3], t[s+4],
+                                  t[s+5], t[s+6], t[s+7], t[s+8]))))
+               AS wh
+      FROM toks WHERE len(t) >= 8
+    ),
+    hot AS (SELECT wh FROM occ GROUP BY wh HAVING count(*) >= 2),
+    fl AS (SELECT o.doc_id, o.s FROM occ o JOIN hot h USING (wh)),
+    cov AS (
+      SELECT DISTINCT f.doc_id, f.s + u.u AS p
+      FROM fl f CROSS JOIN (SELECT unnest(range(0, 8)) AS u) u
+    ),
+    pos AS (SELECT doc_id, unnest(range(0, len(t))) AS p,
+                   unnest(t) AS tokv
+            FROM toks),
+    kept AS (
+      SELECT pos.doc_id, pos.p, pos.tokv
+      FROM pos LEFT JOIN cov
+        ON pos.doc_id = cov.doc_id AND pos.p = cov.p
+      WHERE cov.p IS NULL
+    ),
+    cl AS (
+      /* anchored on toks, not kept: a document whose EVERY token is
+         covered has no kept rows but must still yield ctext = '' */
+      SELECT toks.doc_id,
+             coalesce(string_agg(kept.tokv, ' ' ORDER BY kept.p), '')
+               AS ctext
+      FROM toks LEFT JOIN kept ON toks.doc_id = kept.doc_id
+      GROUP BY toks.doc_id
+    ),
+    flc AS (SELECT doc_id, count(*) AS n_dup_windows
+            FROM fl GROUP BY doc_id)
+    SELECT d.doc_id,
+           len(string_split(d.text, ' ')) AS n_tokens,
+           coalesce(flc.n_dup_windows, 0) AS n_dup_windows,
+           len(string_split(d.text, ' '))
+             - CASE WHEN coalesce(cl.ctext, d.text) = '' THEN 0
+                    ELSE len(string_split(coalesce(cl.ctext, d.text),
+                                          ' '))
+               END AS n_removed_tokens,
+           md5(coalesce(cl.ctext, d.text)) AS clean_md5
+    FROM documents d
+    LEFT JOIN cl USING (doc_id)
+    LEFT JOIN flc USING (doc_id)
+    """,
+)
+def llm_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llmops.substrings import (
+        corpus_hot_windows,
+        remove_duplicate_spans,
+        token_window_occurrences,
+    )
+    from ..sources.lake import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "text"
+    )
+    occ = token_window_occurrences(docs)
+    hot = corpus_hot_windows(docs, occurrences=occ)
+    flc = (
+        occ.join(hot, "__wh", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_dup_windows"))
+    )
+    clean = remove_duplicate_spans(docs, hot_windows=hot, occurrences=occ)
+    n_tok = docs.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    )
+    cl = clean.select("doc_id", F.col("text").alias("__c"))
+    return (
+        n_tok.join(flc, "doc_id", "left")
+        .na.fill({"n_dup_windows": 0})
+        .join(cl, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_dup_windows",
+            (
+                F.col("n_tokens")
+                - F.when(F.col("__c") == "", 0)
+                .otherwise(F.size(F.split("__c", " ")))
+            ).cast("long").alias("n_removed_tokens"),
+            F.md5("__c").alias("clean_md5"),
+        )
+    )

@@ -96,4 +96,8 @@ def test_tail_holds_only_redundant_demos():
         # tests/test_oracle_parity, past the driver's 50-row budget
         "llm_bm25_tfidf",
         "llm_quantized_topk",
+        # substring-granular dedup (winnowing + repeated-window
+        # removal): oracle-gated locally, same as above
+        "llm_winnow_pairs",
+        "llm_substring_dedup",
     ], tail
