@@ -639,3 +639,167 @@ def lsh_bucket_topk(
         .filter(F.col("rank") <= k)
         .select("q_id", "n_id", "rank", "cos")
     )
+
+
+def _seed_centroids(
+    corpus: DataFrame, n_clusters: int, id_col: str, vec_col: str
+) -> list[list[float]]:
+    """Deterministic, engine-portable centroid seeds: the ``n_clusters``
+    corpus vectors with the smallest (md5(id), id) — a reproducible
+    pseudo-random sample an oracle SQL engine can re-derive exactly
+    (unlike xxhash64, which only Spark computes)."""
+    rows = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(n_clusters)
+        .collect()
+    )
+    return [[float(x) for x in r[vec_col]] for r in rows]
+
+
+def _cluster_assign_expr(
+    vec: Column,
+    vec_norm: Column,
+    centroids: list[list[float]],
+    score_scale: int,
+) -> Column:
+    """Index of the cosine-nearest centroid (centroids enter the plan
+    as broadcast literals).  Ties on the rounded score go to the
+    SMALLEST centroid index — encoded as array_max over
+    (cos, -index) structs so one lexicographic max does both."""
+    def lit_vec(c: list[float]) -> Column:
+        return F.array(*[F.lit(x) for x in c])
+
+    scored = F.array(
+        *[
+            F.struct(
+                F.round(
+                    _dot(vec, lit_vec(c)) / (vec_norm * _norm(lit_vec(c))),
+                    score_scale,
+                ).alias("cos"),
+                F.lit(-i).cast("long").alias("nidx"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    return (-F.array_max(scored)["nidx"]).cast("long")
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    n_clusters: int = 8,
+    threshold: float = 0.85,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    score_scale: int = 9,
+    max_cluster_size: int | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al., 2023,
+    arXiv:2303.09540): partition the corpus into ``n_clusters``
+    cosine-nearest-centroid cells, compare pairs only WITHIN a cell,
+    and drop every vector that has a same-cell neighbour with cosine
+    >= ``threshold`` and a smaller id (the deterministic keep-the-
+    anchor rule; for transitive duplicate-group semantics feed the
+    intra-cell pairs to ``llmops.clusters.resolve_clusters`` instead).
+
+    Returns (id, cluster, is_kept) for every input vector.
+
+    Scale: clustering reduces the O(n²) comparison to Σ|cell|² —
+    SemDeDup's entire point; n_clusters should grow ~√n so cells stay
+    bounded (the paper uses 11k clusters for 100M embeddings).
+    Centroid seeds are k×dim floats collected once and broadcast as
+    literals, so assignment is a map-side JVM expression; the
+    intra-cell comparison is ONE shuffled equi-join on cluster id.
+    With small n_clusters the join key is low-cardinality — AQE's
+    skew split keeps tasks bounded, but the |cell|² pair count is
+    intrinsic: ``max_cluster_size`` excludes oversized cells from the
+    comparison entirely (their members all stay kept) and
+    ``semantic_dropped_clusters`` accounts for what a capped run
+    skipped, mirroring the LSH/SimHash/band-cell guards."""
+    from ..sources.lake import spread
+
+    centroids = _seed_centroids(corpus, n_clusters, id_col, vec_col)
+    assigned = (
+        spread(corpus.select(F.col(id_col), F.col(vec_col).alias("__v")))
+        .withColumn("__nrm", _norm(F.col("__v")))
+        .withColumn(
+            "cluster",
+            _cluster_assign_expr(
+                F.col("__v"), F.col("__nrm"), centroids, score_scale
+            ),
+        )
+    )
+    pair_src = assigned
+    if max_cluster_size is not None:
+        ok = (
+            assigned.groupBy("cluster")
+            .agg(F.count("*").alias("__n"))
+            .filter(F.col("__n") <= max_cluster_size)
+            .select("cluster")
+        )
+        pair_src = assigned.join(ok, "cluster", "left_semi")
+    a = pair_src.select(
+        "cluster",
+        F.col(id_col).alias("__ida"),
+        F.col("__v").alias("__va"),
+        F.col("__nrm").alias("__na"),
+    )
+    b = pair_src.select(
+        "cluster",
+        F.col(id_col).alias("__idb"),
+        F.col("__v").alias("__vb"),
+        F.col("__nrm").alias("__nb"),
+    )
+    dropped = (
+        a.join(b, "cluster")
+        .filter(F.col("__ida") < F.col("__idb"))
+        .withColumn(
+            "__cos",
+            F.round(
+                _dot(F.col("__va"), F.col("__vb"))
+                / (F.col("__na") * F.col("__nb")),
+                score_scale,
+            ),
+        )
+        .filter(F.col("__cos") >= threshold)
+        .select(F.col("__idb").alias(id_col))
+        .distinct()
+        .withColumn("__dropped", F.lit(1))
+    )
+    return assigned.join(dropped, id_col, "left").select(
+        F.col(id_col),
+        F.col("cluster"),
+        F.col("__dropped").isNull().alias("is_kept"),
+    )
+
+
+def semantic_dropped_clusters(
+    corpus: DataFrame,
+    n_clusters: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    score_scale: int = 9,
+    max_cluster_size: int | None = None,
+) -> DataFrame:
+    """Accounting companion to ``semantic_dedup(max_cluster_size=N)``:
+    the cells the capped run excluded from comparison, as
+    (cluster, n_members).  Same seeds, same assignment expression."""
+    from ..sources.lake import spread
+
+    centroids = _seed_centroids(corpus, n_clusters, id_col, vec_col)
+    assigned = (
+        spread(corpus.select(F.col(id_col), F.col(vec_col).alias("__v")))
+        .withColumn("__nrm", _norm(F.col("__v")))
+        .withColumn(
+            "cluster",
+            _cluster_assign_expr(
+                F.col("__v"), F.col("__nrm"), centroids, score_scale
+            ),
+        )
+    )
+    grouped = assigned.groupBy("cluster").agg(
+        F.count("*").alias("n_members")
+    )
+    if max_cluster_size is None:
+        return grouped.filter(F.lit(False)).select("cluster", "n_members")
+    return grouped.filter(F.col("n_members") > max_cluster_size)

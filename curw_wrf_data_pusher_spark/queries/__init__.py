@@ -50,6 +50,7 @@ _TAIL = [
     "llm_quantized_topk",  # int8-quantized cosine ANN scan
     "llm_winnow_pairs",    # MOSS winnowing fingerprints + shared pairs
     "llm_substring_dedup",  # repeated-window span removal report
+    "llm_semantic_dedup",  # SemDeDup cluster-then-compare dedup
 ]
 
 

@@ -1412,3 +1412,54 @@ def llm_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5("__c").alias("clean_md5"),
         )
     )
+
+
+# llm_semantic_dedup: SemDeDup (cluster-then-compare) end-to-end.  The
+# DuckDB mirror re-derives the md5-ordered centroid seeds, the
+# cosine-argmax assignment (tie to the smallest centroid index) and
+# the same-cell exists-earlier drop rule, so the whole algorithm —
+# seeding, assignment, and dedup decision — is hash-pinned, not just
+# the survivor count.  Registered in the tail (head window is full);
+# tests/test_oracle_parity gates it locally.
+@register(
+    "llm_semantic_dedup",
+    oracle="""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    n AS (SELECT vec_id, e, sqrt(list_inner_product(e, e)) AS nrm
+          FROM v),
+    seeds AS (
+      SELECT e AS c_e, nrm AS c_nrm,
+             row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                vec_id) - 1 AS cidx
+      FROM n
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 4
+    ),
+    asg AS (
+      SELECT vec_id, cluster FROM (
+        SELECT n.vec_id, s.cidx AS cluster,
+               row_number() OVER (
+                 PARTITION BY n.vec_id
+                 ORDER BY round(list_inner_product(n.e, s.c_e)
+                                / (n.nrm * s.c_nrm), 9) DESC,
+                          s.cidx) AS rk
+        FROM n CROSS JOIN seeds s
+      ) WHERE rk = 1
+    ),
+    dropped AS (
+      SELECT DISTINCT b.vec_id AS vec_id
+      FROM asg a JOIN asg b
+        ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      JOIN n na ON na.vec_id = a.vec_id
+      JOIN n nb ON nb.vec_id = b.vec_id
+      WHERE round(list_inner_product(na.e, nb.e)
+                  / (na.nrm * nb.nrm), 9) >= 0.35
+    )
+    SELECT a.vec_id, a.cluster, (d.vec_id IS NULL) AS is_kept
+    FROM asg a LEFT JOIN dropped d USING (vec_id)
+    """,
+)
+def llm_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llmops.simsearch import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, n_clusters=4, threshold=0.35)

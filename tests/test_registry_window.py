@@ -100,4 +100,5 @@ def test_tail_holds_only_redundant_demos():
         # removal): oracle-gated locally, same as above
         "llm_winnow_pairs",
         "llm_substring_dedup",
+        "llm_semantic_dedup",
     ], tail
