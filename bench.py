@@ -60,8 +60,12 @@ HEADLINE = [
     "llm_contamination",
     "llm_seq_packing",
     # added round 6 (NEW vs the r1-r5 21-query set — compare totals
-    # accordingly): the composed 5-stage curation pipeline row
+    # accordingly): the composed 5-stage curation pipeline row, plus
+    # the substring-granular and embedding-cluster dedup modalities
     "llm_curate_corpus",
+    "llm_winnow_pairs",
+    "llm_substring_dedup",
+    "llm_semantic_dedup",
 ]
 
 

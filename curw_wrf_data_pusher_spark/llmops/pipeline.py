@@ -2,9 +2,13 @@
 run executes, assembled entirely from this package's operators in
 their production order —
 
-    exact dedup → boilerplate-line removal → quality filter →
-    MinHash-LSH near-dedup → benchmark decontamination →
-    PII redaction → epoch-weighted mixing
+    exact dedup → boilerplate-line removal → [repeated-span removal]
+    → quality filter → MinHash-LSH near-dedup → benchmark
+    decontamination → [span-level decontamination] → PII redaction →
+    epoch-weighted mixing
+
+(bracketed stages are opt-in via CurationConfig — they rewrite text
+rather than drop documents, so a tuned run enables them explicitly)
 
 Every stage is a lazy DataFrame transformation: composing all seven
 builds ONE logical plan and Catalyst optimizes across stage
@@ -59,6 +63,17 @@ class CurationConfig:
 
     dedup_exact: bool = True
     boilerplate_min_dup: int | None = 2
+    # repeated-window span removal (substrings.remove_duplicate_spans)
+    # between boilerplate and the quality filter — off by default: the
+    # line stage already covers classic boilerplate, and span removal
+    # rewrites text, which a tuned run should opt into deliberately
+    span_dedup_l_tokens: int | None = None
+    span_dedup_min_count: int = 2
+    # span-level decontamination (substrings.remove_contaminated_spans)
+    # after the document-level stage: documents QUOTING a benchmark
+    # item lose the quoted run instead of (or in addition to) being
+    # dropped outright; requires test_docs
+    span_decontaminate_l_tokens: int | None = None
     min_tokens: int | None = 5
     max_tokens: int | None = 1_000_000
     max_dup_2gram_ratio: float | None = 0.5
@@ -122,6 +137,18 @@ def curate_corpus(
             min_dup_count=config.boilerplate_min_dup,
         )
         stages["boilerplate"] = cur
+
+    if config.span_dedup_l_tokens is not None:
+        from .substrings import remove_duplicate_spans
+
+        cur = remove_duplicate_spans(
+            cur,
+            id_col=id_col,
+            text_col=text_col,
+            l_tokens=config.span_dedup_l_tokens,
+            min_count=config.span_dedup_min_count,
+        )
+        stages["span_dedup"] = cur
 
     if any(
         t is not None
@@ -195,6 +222,21 @@ def curate_corpus(
         ).select(F.col(id_col))
         cur = cur.join(dirty, id_col, "left_anti")
         stages["decontaminated"] = cur
+
+    if (
+        test_docs is not None
+        and config.span_decontaminate_l_tokens is not None
+    ):
+        from .substrings import remove_contaminated_spans
+
+        cur = remove_contaminated_spans(
+            cur,
+            test_docs,
+            id_col=id_col,
+            text_col=text_col,
+            l_tokens=config.span_decontaminate_l_tokens,
+        )
+        stages["span_decontaminated"] = cur
 
     if config.redact:
         cur = redact_pii(cur, text_col=text_col, count_matches=False).drop(

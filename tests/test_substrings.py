@@ -212,3 +212,46 @@ def test_remove_spans_preserves_other_columns_and_schema(spark):
     rows = {r.doc_id: r for r in out.collect()}
     assert rows[1].source == "web" and rows[2].source == "books"
     assert rows[1].text == "x y"
+
+
+def test_curate_corpus_span_stages(spark):
+    from curw_wrf_data_pusher_spark.llmops.pipeline import (
+        CurationConfig,
+        curate_corpus,
+    )
+
+    bench_span = "q1 q2 q3 q4 q5 q6 q7 q8"
+    texts = [
+        f"doc zero keeps going with {SPAN} inside it somewhere",
+        f"doc one also contains {SPAN} plus unique content here",
+        f"doc two quotes the benchmark {bench_span} in its middle part",
+        "doc three is entirely clean original text with enough tokens",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, "src") for i, t in enumerate(texts)],
+        "doc_id long, text string, source string",
+    )
+    bench = spark.createDataFrame(
+        [(1000, f"stem {bench_span} answer")], "doc_id long, text string"
+    )
+    cfg = CurationConfig(
+        span_dedup_l_tokens=8,
+        span_decontaminate_l_tokens=8,
+        neardup_jaccard=None,
+        min_tokens=None,
+        max_dup_2gram_ratio=None,
+        contamination_max=None,
+        redact=False,
+    )
+    final, stages = curate_corpus(docs, test_docs=bench, config=cfg)
+    assert "span_dedup" in stages and "span_decontaminated" in stages
+    out = {r.doc_id: r.text for r in final.collect()}
+    assert "w1" not in out[0] and "w1" not in out[1]
+    assert "q1" not in out[2] and "in its middle part" in out[2]
+    assert out[3] == texts[3]
+    # default config leaves both span stages out — registered
+    # llm_curate_corpus stage numbering is unchanged
+    _, default_stages = curate_corpus(docs, config=CurationConfig(
+        neardup_jaccard=None, contamination_max=None))
+    assert "span_dedup" not in default_stages
+    assert "span_decontaminated" not in default_stages
