@@ -1,0 +1,134 @@
+"""Persisted IVF index: build once, search many times with
+partition-pruned list reads.
+
+``ivf_topk`` (simsearch.py) recomputes centroid assignment on every
+call — right for ad-hoc queries, wrong for a serving corpus searched
+repeatedly.  This module persists the index as plain parquet:
+
+    <path>/centroids/   (cidx, centroid array<double>) — k×dim, tiny
+    <path>/lists/       corpus rows partitioned by centroid=<cidx>
+
+The 100 TB story is in the LAYOUT: the inverted lists are parquet
+PARTITIONS, so a search collects its probe set driver-side
+(n_queries × n_probe ints), pushes it as an ``isin`` filter, and the
+scan's partition pruning skips every unprobed list's files entirely —
+search I/O is (n_probe / n_centroids) of the corpus, enforced by the
+reader, not by a join the optimizer might reorder.  Build cost is one
+scan + one shuffle (the partitioned write clusters rows by centroid).
+
+Results are identical to ``ivf_topk`` with the same parameters: both
+derive the same deterministic codebook via ``ivf_centroids`` (pinned
+by tests/test_annindex.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .simsearch import _dot, _nearest_centroid_expr, _norm, ivf_centroids
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    refine_iterations: int = 0,
+) -> list[list[float]]:
+    """Assign every corpus vector to its nearest centroid and persist
+    centroid-partitioned inverted lists plus the codebook.  Returns
+    the centroids (also persisted).  Assignment is a map-side JVM
+    expression over broadcast centroid literals; the only shuffle is
+    the partitioned write's clustering."""
+    spark = corpus.sparkSession
+    centroids = ivf_centroids(
+        corpus, n_centroids, id_col=id_col, vec_col=vec_col,
+        refine_iterations=refine_iterations,
+    )
+    assigned = corpus.select(F.col(id_col), F.col(vec_col)).withColumn(
+        "centroid",
+        _nearest_centroid_expr(F.col(vec_col), centroids, 1)[0],
+    )
+    # repartition on the partition column: without it every input task
+    # writes a file into every centroid directory (tasks × k small
+    # files); with it each list is a few contiguous files
+    assigned.repartition("centroid").write.mode("overwrite").partitionBy(
+        "centroid"
+    ).parquet(f"{path}/lists")
+    spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centroids)],
+        "cidx int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    return centroids
+
+
+def load_ivf_centroids(spark: SparkSession, path: str) -> list[list[float]]:
+    """The persisted codebook, ordered by centroid index."""
+    rows = sorted(
+        spark.read.parquet(f"{path}/centroids").collect(),
+        key=lambda r: r.cidx,
+    )
+    return [[float(x) for x in r.centroid] for r in rows]
+
+
+def search_ivf_index(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    score_scale: int = 9,
+) -> DataFrame:
+    """Top-k cosine search against a persisted index: each query
+    probes its ``n_probe`` nearest lists; only those parquet
+    partitions are read (static partition pruning via the collected
+    probe set — verify with ``PartitionFilters`` in the scan plan).
+    Returns (q_id, n_id, rank, cos), identical to ``ivf_topk`` with
+    the same codebook parameters."""
+    centroids = load_ivf_centroids(spark, path)
+    q = (
+        queries.select(
+            F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+        )
+        .withColumn(
+            "centroid",
+            F.explode(
+                _nearest_centroid_expr(F.col("q_vec"), centroids, n_probe)
+            ),
+        )
+        .withColumn("q_norm", _norm(F.col("q_vec")))
+    )
+    probe_set = sorted(
+        r.centroid for r in q.select("centroid").distinct().collect()
+    )
+    lists = spark.read.parquet(f"{path}/lists").filter(
+        F.col("centroid").isin(probe_set)
+    )
+    c = lists.select(
+        "centroid",
+        F.col(id_col).alias("n_id"),
+        F.col(vec_col).alias("n_vec"),
+    ).withColumn("n_norm", _norm(F.col("n_vec")))
+    scored = (
+        c.join(F.broadcast(q), "centroid")
+        .filter(F.col("n_id") != F.col("q_id"))
+        .withColumn(
+            "cos",
+            F.round(
+                _dot(F.col("q_vec"), F.col("n_vec"))
+                / (F.col("q_norm") * F.col("n_norm")),
+                score_scale,
+            ),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", "rank", "cos")
+        .dropDuplicates(["q_id", "n_id"])
+    )

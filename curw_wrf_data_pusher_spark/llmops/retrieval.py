@@ -160,3 +160,68 @@ def tfidf_scores(
             F.count("*").cast("long").alias("n_matched"),
         )
     )
+
+
+def ngram_logfreq_scores(
+    docs: DataFrame,
+    n: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    score_scale: int = 9,
+) -> DataFrame:
+    """Per-document mean log corpus-frequency of its word n-grams — a
+    data-derived fluency proxy.  CCNet filters on KenLM perplexity
+    against an external LM; in a hermetic pipeline the corpus itself
+    is the language model: documents whose n-grams are globally rare
+    (OCR noise, gibberish, wrong-language fragments) score low, and
+    template boilerplate scores anomalously high — curation filters
+    both tails.
+
+    Returns (id, n_grams, avg_logfreq) for documents with >= 1 n-gram
+    (n-grams count WITH multiplicity; avg_logfreq = mean ln(corpus
+    occurrences of the gram), rounded to ``score_scale``).
+
+    Scale: grams hash map-side to 32-bit ints (the corpus-standard
+    md5 convention — collisions merge counts, negligible and mirrored
+    exactly by the oracle), so only (id, hash) rows shuffle.  Three
+    uniform-key shuffles: the corpus gram count, the count join back
+    onto the gram stream, and the per-document aggregate.  The count
+    table is vocabulary-sized — too big to broadcast at 100 TB, which
+    is why the join stays a shuffled equi-join on the uniform hash.
+    The per-document sum folds in gram-hash-sorted order (same
+    rationale as ``_sorted_fold_sum``) so the double total is
+    bit-reproducible across partitionings and engines."""
+    tok = docs.select(
+        F.col(id_col), F.split(F.trim(F.col(text_col)), " ").alias("__t")
+    ).filter(F.size("__t") >= n)
+    parts = " || ' ' || ".join(f"__t[i + {j}]" for j in range(n))
+    grams = tok.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, size(__t) - {n}),"
+                f" i -> cast(conv(substring(md5({parts}), 1, 8), 16, 10)"
+                " as bigint))"
+            )
+        ).alias("__gh"),
+    )
+    counts = grams.groupBy("__gh").agg(F.count("*").alias("__cnt"))
+    joined = grams.join(counts, "__gh").withColumn(
+        "__lc", F.log(F.col("__cnt").cast("double"))
+    )
+    sorted_lcs = F.transform(
+        F.array_sort(
+            F.collect_list(
+                F.struct(F.col("__gh").alias("g"), F.col("__lc").alias("c"))
+            )
+        ),
+        lambda x: x["c"],
+    )
+    return joined.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_grams"),
+        F.round(
+            F.aggregate(sorted_lcs, F.lit(0.0), lambda a, v: a + v)
+            / F.count("*"),
+            score_scale,
+        ).alias("avg_logfreq"),
+    )

@@ -134,6 +134,33 @@ def kmeans_refine(
     return centroids
 
 
+def ivf_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    refine_iterations: int = 0,
+) -> list[list[float]]:
+    """The IVF centroid set: a deterministic pseudo-random sample (the
+    ``n_centroids`` corpus vectors with the smallest xxhash64(id)),
+    optionally tightened by Lloyd iterations (``kmeans_refine``).
+    Shared by the on-the-fly ``ivf_topk`` and the persisted index in
+    ``annindex.py`` so both derive the identical codebook."""
+    cent_rows = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+        .limit(n_centroids)
+        .collect()
+    )
+    centroids = [[float(v) for v in row[vec_col]] for row in cent_rows]
+    if refine_iterations > 0:
+        centroids = kmeans_refine(
+            corpus, centroids, vec_col=vec_col,
+            iterations=refine_iterations,
+        )
+    return centroids
+
+
 def _nearest_centroid_expr(
     vec: Column, centroids: list[list[float]], n: int
 ) -> Column:
@@ -183,20 +210,10 @@ def ivf_topk(
     Returns (q_id, n_id, rank, cos)."""
     from ..sources.lake import spread
 
-    cent_rows = (
-        corpus.select(F.col(id_col), F.col(vec_col))
-        .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
-        .limit(n_centroids)
-        .collect()
+    centroids = ivf_centroids(
+        corpus, n_centroids, id_col=id_col, vec_col=vec_col,
+        refine_iterations=refine_iterations,
     )
-    centroids = [
-        [float(v) for v in row[vec_col]] for row in cent_rows
-    ]
-    if refine_iterations > 0:
-        centroids = kmeans_refine(
-            corpus, centroids, vec_col=vec_col,
-            iterations=refine_iterations,
-        )
 
     c = spread(corpus.select(
         F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec")

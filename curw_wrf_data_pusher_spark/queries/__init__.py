@@ -51,6 +51,7 @@ _TAIL = [
     "llm_winnow_pairs",    # MOSS winnowing fingerprints + shared pairs
     "llm_substring_dedup",  # repeated-window span removal report
     "llm_semantic_dedup",  # SemDeDup cluster-then-compare dedup
+    "llm_ngram_logfreq",   # corpus-frequency fluency scoring
 ]
 
 

@@ -1463,3 +1463,40 @@ def llm_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return semantic_dedup(emb, n_clusters=4, threshold=0.35)
+
+
+# llm_ngram_logfreq: corpus-frequency fluency scoring (the hermetic
+# analogue of CCNet's KenLM perplexity filter — the corpus is the
+# language model).  The per-document double sum folds in gram-hash-
+# sorted order on BOTH engines, so the hash pins the fold itself.
+# Tail row; tests/test_oracle_parity gates it locally.
+@register(
+    "llm_ngram_logfreq",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t
+                  FROM documents),
+    g AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(t)),
+               i -> ('0x' || substr(md5(t[i] || ' ' || t[i+1]),
+                                    1, 8))::BIGINT)) AS gh
+      FROM toks WHERE len(t) >= 2
+    ),
+    c AS (SELECT gh, count(*) AS cnt FROM g GROUP BY gh),
+    j AS (SELECT doc_id, g.gh, ln(cnt) AS lc
+          FROM g JOIN c USING (gh))
+    SELECT doc_id, count(*) AS n_grams,
+           round(list_reduce(list_transform(
+               list_sort(list(struct_pack(g := gh, c := lc))),
+               x -> x.c), (a, b) -> a + b) / count(*), 9) AS avg_logfreq
+    FROM j GROUP BY doc_id
+    """,
+)
+def llm_ngram_logfreq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llmops.retrieval import ngram_logfreq_scores
+    from ..sources.lake import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "text"
+    )
+    return ngram_logfreq_scores(docs, n=2)

@@ -1,0 +1,80 @@
+"""Persisted IVF index tests: build→search equality with the
+on-the-fly ivf_topk (same deterministic codebook), partition pruning
+of unprobed lists, codebook roundtrip, and the refined-centroid path."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from curw_wrf_data_pusher_spark.llmops.annindex import (
+    build_ivf_index,
+    load_ivf_centroids,
+    search_ivf_index,
+)
+from curw_wrf_data_pusher_spark.llmops.simsearch import ivf_topk
+from curw_wrf_data_pusher_spark.sources.lake import load_table
+from tests.test_plans_quality import plan_of
+
+
+def test_index_search_matches_ivf_topk(spark, sf_dir, tmp_path):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    path = str(tmp_path / "ivf")
+    built = build_ivf_index(emb, path, n_centroids=8)
+    assert load_ivf_centroids(spark, path) == built
+    fresh = sorted(map(tuple, ivf_topk(
+        emb, queries, k=5, n_centroids=8, n_probe=3).collect()))
+    indexed = sorted(map(tuple, search_ivf_index(
+        spark, path, queries, k=5, n_probe=3).collect()))
+    assert indexed == fresh and len(indexed) > 0
+
+
+def test_search_prunes_unprobed_partitions(spark, sf_dir, tmp_path):
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ivf")
+    build_ivf_index(emb, path, n_centroids=8)
+    one_q = emb.filter(F.col("vec_id") == 0)
+    out = search_ivf_index(spark, path, one_q, k=3, n_probe=1)
+    plan = plan_of(out)
+    # the lists scan carries a partition filter on centroid, and the
+    # pruned read touches exactly the probed list's files
+    import re
+
+    assert re.search(r"PartitionFilters: \[.*centroid", plan), plan
+    # n_probe=1 → the filter pins exactly one centroid value, so the
+    # scan reads 1 of the 8 list directories
+    assert re.search(r"PartitionFilters: \[[^\]]*centroid#\d+ = \d+",
+                     plan), plan
+    import os
+
+    dirs = [d for d in os.listdir(f"{path}/lists")
+            if d.startswith("centroid=")]
+    assert len(dirs) == 8
+
+
+def test_index_with_refined_centroids(spark, sf_dir, tmp_path):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    path = str(tmp_path / "ivf_r")
+    build_ivf_index(emb, path, n_centroids=4, refine_iterations=1)
+    fresh = sorted(map(tuple, ivf_topk(
+        emb, queries, k=3, n_centroids=4, n_probe=2,
+        refine_iterations=1).collect()))
+    indexed = sorted(map(tuple, search_ivf_index(
+        spark, path, queries, k=3, n_probe=2).collect()))
+    assert indexed == fresh and len(indexed) > 0
+
+
+def test_probe_all_equals_bruteforce_via_index(spark, sf_dir, tmp_path):
+    from curw_wrf_data_pusher_spark.llmops.simsearch import cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < 200
+    )
+    queries = emb.filter(F.col("vec_id") < 3)
+    path = str(tmp_path / "ivf_all")
+    build_ivf_index(emb, path, n_centroids=4)
+    exact = sorted(map(tuple, cosine_topk(emb, queries, k=5).collect()))
+    indexed = sorted(map(tuple, search_ivf_index(
+        spark, path, queries, k=5, n_probe=4).collect()))
+    assert indexed == exact

@@ -101,4 +101,5 @@ def test_tail_holds_only_redundant_demos():
         "llm_winnow_pairs",
         "llm_substring_dedup",
         "llm_semantic_dedup",
+        "llm_ngram_logfreq",
     ], tail

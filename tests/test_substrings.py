@@ -255,3 +255,48 @@ def test_curate_corpus_span_stages(spark):
         neardup_jaccard=None, contamination_max=None))
     assert "span_dedup" not in default_stages
     assert "span_decontaminated" not in default_stages
+
+
+def test_ngram_logfreq_hand_computed(spark):
+    import math
+
+    from curw_wrf_data_pusher_spark.llmops.retrieval import (
+        ngram_logfreq_scores,
+    )
+
+    docs = _docs(spark, ["a b c", "a b d", "x"])
+    out = {r.doc_id: r for r in ngram_logfreq_scores(docs, n=2).collect()}
+    # counts: "a b" x2, "b c" x1, "b d" x1
+    assert out[0].n_grams == 2 and out[1].n_grams == 2
+    expect = round((math.log(2) + math.log(1)) / 2, 9)
+    assert abs(out[0].avg_logfreq - expect) < 1e-9
+    assert abs(out[1].avg_logfreq - expect) < 1e-9
+    assert 2 not in out  # single-token doc has no bigrams
+
+
+def test_ngram_logfreq_boilerplate_scores_higher(spark):
+    from curw_wrf_data_pusher_spark.llmops.retrieval import (
+        ngram_logfreq_scores,
+    )
+
+    template = "click here to subscribe to our newsletter today"
+    texts = [template] * 5 + ["qzx wvu plk mnb asd fgh jkl qwe rty uio"]
+    out = {r.doc_id: r.avg_logfreq for r in
+           ngram_logfreq_scores(_docs(spark, texts), n=2).collect()}
+    assert out[0] > out[5]
+    assert out[5] == 0.0  # every gram unique -> ln(1) = 0
+
+
+def test_ngram_logfreq_partitioning_invariant(spark, sf_dir):
+    from curw_wrf_data_pusher_spark.llmops.retrieval import (
+        ngram_logfreq_scores,
+    )
+    from curw_wrf_data_pusher_spark.sources.lake import load_table
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 100
+    )
+    a = sorted(map(tuple, ngram_logfreq_scores(docs).collect()))
+    b = sorted(map(tuple,
+                   ngram_logfreq_scores(docs.repartition(7)).collect()))
+    assert a == b
