@@ -225,3 +225,38 @@ def ngram_logfreq_scores(
             score_scale,
         ).alias("avg_logfreq"),
     )
+
+
+def score_cut_buckets(
+    scores: DataFrame,
+    score_col: str = "avg_logfreq",
+    cuts: tuple[float, float] = (1.0 / 3.0, 2.0 / 3.0),
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """CCNet-style corpus tiering: label each row ``head`` / ``middle``
+    / ``tail`` by where its score falls against the corpus's two
+    quantile boundaries (CCNet buckets by LM perplexity and keeps the
+    head; compose with ``ngram_logfreq_scores`` for the hermetic
+    equivalent).  ``head`` is the HIGHEST-scoring tier.
+
+    Scale: deliberately NOT a global ``ntile``/``row_number`` window —
+    a partition-less window serializes the whole corpus through one
+    task.  Instead the two boundaries reduce to ONE row (exact
+    interpolated percentiles, map-side partial aggregation), ride a
+    broadcast cross join, and the labeling is a map-side comparison.
+    Rows exactly on a boundary go to the higher tier (>= cut)."""
+    lo, hi = sorted(cuts)
+    bounds = scores.agg(
+        F.expr(f"percentile(`{score_col}`, {lo})").alias("__lo"),
+        F.expr(f"percentile(`{score_col}`, {hi})").alias("__hi"),
+    )
+    return (
+        scores.crossJoin(F.broadcast(bounds))
+        .withColumn(
+            bucket_col,
+            F.when(F.col(score_col) >= F.col("__hi"), F.lit("head"))
+            .when(F.col(score_col) >= F.col("__lo"), F.lit("middle"))
+            .otherwise(F.lit("tail")),
+        )
+        .drop("__lo", "__hi")
+    )

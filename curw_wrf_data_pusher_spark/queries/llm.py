@@ -1484,19 +1484,36 @@ def llm_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     c AS (SELECT gh, count(*) AS cnt FROM g GROUP BY gh),
     j AS (SELECT doc_id, g.gh, ln(cnt) AS lc
-          FROM g JOIN c USING (gh))
-    SELECT doc_id, count(*) AS n_grams,
-           round(list_reduce(list_transform(
-               list_sort(list(struct_pack(g := gh, c := lc))),
-               x -> x.c), (a, b) -> a + b) / count(*), 9) AS avg_logfreq
-    FROM j GROUP BY doc_id
+          FROM g JOIN c USING (gh)),
+    sc AS (
+      SELECT doc_id, count(*) AS n_grams,
+             round(list_reduce(list_transform(
+                 list_sort(list(struct_pack(g := gh, c := lc))),
+                 x -> x.c), (a, b) -> a + b) / count(*), 9)
+               AS avg_logfreq
+      FROM j GROUP BY doc_id
+    ),
+    b AS (
+      SELECT quantile_cont(avg_logfreq, 0.3333333333333333) AS lo,
+             quantile_cont(avg_logfreq, 0.6666666666666666) AS hi
+      FROM sc
+    )
+    SELECT sc.doc_id, sc.n_grams, sc.avg_logfreq,
+           CASE WHEN sc.avg_logfreq >= b.hi THEN 'head'
+                WHEN sc.avg_logfreq >= b.lo THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM sc CROSS JOIN b
     """,
 )
 def llm_ngram_logfreq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..llmops.retrieval import ngram_logfreq_scores
+    from ..llmops.retrieval import ngram_logfreq_scores, score_cut_buckets
     from ..sources.lake import spread
 
     docs = spread(load_table(spark, sf_dir, "documents")).select(
         "doc_id", "text"
     )
-    return ngram_logfreq_scores(docs, n=2)
+    # compound: the fluency scorer + the CCNet head/middle/tail tiering
+    # (broadcast-boundary form, no global window — the exact Spark
+    # percentile and DuckDB's quantile_cont share the linear-
+    # interpolation definition, so the cut doubles agree bit-for-bit)
+    return score_cut_buckets(ngram_logfreq_scores(docs, n=2))

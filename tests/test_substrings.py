@@ -300,3 +300,33 @@ def test_ngram_logfreq_partitioning_invariant(spark, sf_dir):
     b = sorted(map(tuple,
                    ngram_logfreq_scores(docs.repartition(7)).collect()))
     assert a == b
+
+
+def test_score_cut_buckets_tiers(spark, sf_dir):
+    from curw_wrf_data_pusher_spark.llmops.retrieval import (
+        ngram_logfreq_scores,
+        score_cut_buckets,
+    )
+    from curw_wrf_data_pusher_spark.sources.lake import load_table
+    from tests.test_plans_quality import plan_of
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = score_cut_buckets(ngram_logfreq_scores(docs))
+    rows = out.collect()
+    n = len(rows)
+    counts = {}
+    for r in rows:
+        counts[r.bucket] = counts.get(r.bucket, 0) + 1
+    # roughly thirds (ties at the boundary go to the higher tier)
+    for tier in ("head", "middle", "tail"):
+        assert counts.get(tier, 0) > n // 5, counts
+    # every head score >= every middle score >= every tail score
+    lo_head = min(r.avg_logfreq for r in rows if r.bucket == "head")
+    hi_mid = max(r.avg_logfreq for r in rows if r.bucket == "middle")
+    lo_mid = min(r.avg_logfreq for r in rows if r.bucket == "middle")
+    hi_tail = max(r.avg_logfreq for r in rows if r.bucket == "tail")
+    assert lo_head >= hi_mid and lo_mid > hi_tail
+    # scale gate: the tiering must NOT introduce a partition-less
+    # window — boundaries ride a broadcast, labeling is map-side
+    plan = plan_of(out)
+    assert "Window" not in plan
