@@ -66,6 +66,7 @@ HEADLINE = [
     "llm_winnow_pairs",
     "llm_substring_dedup",
     "llm_semantic_dedup",
+    "llm_ngram_logfreq",
 ]
 
 

@@ -1432,7 +1432,7 @@ def llm_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
              row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
                                 vec_id) - 1 AS cidx
       FROM n
-      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 4
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8
     ),
     asg AS (
       SELECT vec_id, cluster FROM (
@@ -1462,7 +1462,7 @@ def llm_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..llmops.simsearch import semantic_dedup
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return semantic_dedup(emb, n_clusters=4, threshold=0.35)
+    return semantic_dedup(emb, n_clusters=8, threshold=0.35)
 
 
 # llm_ngram_logfreq: corpus-frequency fluency scoring (the hermetic
