@@ -52,6 +52,7 @@ _TAIL = [
     "llm_substring_dedup",  # repeated-window span removal report
     "llm_semantic_dedup",  # SemDeDup cluster-then-compare dedup
     "llm_ngram_logfreq",   # corpus-frequency fluency scoring
+    "a14_profile_table",   # ANALYZE-style one-scan column profiling
 ]
 
 

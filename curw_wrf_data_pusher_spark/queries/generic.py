@@ -1427,3 +1427,33 @@ def a13_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sum_v").cast("double").alias("sum_v"),
         "count_event_id", "max_user_id",
     )
+
+
+# ---------------------------------------------------------------------------
+# ANALYZE-style table profiling (one-scan column statistics) — tail
+# row, oracle-gated locally by tests/test_oracle_parity.  Registered
+# with exact_distinct=True (the cross-engine-comparable twin; the op's
+# default is HLL approx_count_distinct for the 100 TB path, covered by
+# unit tests against the exact form).
+_PROFILE_COLS = [
+    "l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus",
+    "l_shipdate",
+]
+_PROFILE_UNION = " UNION ALL ".join(
+    f"""SELECT '{c}' AS "column", count(*) AS n_rows,
+        count(*) - count({c}) AS n_nulls,
+        (count(*) - count({c})) / count(*) AS null_frac,
+        count(DISTINCT {c}) AS n_distinct,
+        CAST(min({c}) AS VARCHAR) AS min_value,
+        CAST(max({c}) AS VARCHAR) AS max_value
+        FROM lineitem"""
+    for c in _PROFILE_COLS
+)
+
+
+@register("a14_profile_table", oracle=_PROFILE_UNION)
+def a14_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profile import profile_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(*_PROFILE_COLS)
+    return profile_table(li, exact_distinct=True)

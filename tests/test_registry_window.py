@@ -102,4 +102,5 @@ def test_tail_holds_only_redundant_demos():
         "llm_substring_dedup",
         "llm_semantic_dedup",
         "llm_ngram_logfreq",
+        "a14_profile_table",
     ], tail

@@ -330,3 +330,30 @@ def test_score_cut_buckets_tiers(spark, sf_dir):
     # window — boundaries ride a broadcast, labeling is map-side
     plan = plan_of(out)
     assert "Window" not in plan
+
+
+def test_profile_table_one_scan_and_semantics(spark):
+    import re
+
+    from curw_wrf_data_pusher_spark.operators.profile import profile_table
+    from tests.test_plans_quality import plan_of
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "a"), (None, "b")],
+        "k long, v string",
+    )
+    out = {r.column: r for r in
+           profile_table(df, exact_distinct=True).collect()}
+    assert out["k"].n_rows == 4 and out["k"].n_nulls == 1
+    assert out["k"].n_distinct == 3
+    assert out["k"].min_value == "1" and out["k"].max_value == "3"
+    assert out["v"].n_nulls == 1 and out["v"].n_distinct == 2
+    assert abs(out["v"].null_frac - 0.25) < 1e-12
+
+    # approx path agrees on tiny cardinalities and stays one scan
+    approx = {r.column: r for r in profile_table(df).collect()}
+    assert approx["k"].n_distinct == 3
+    for exact in (True, False):
+        plan = plan_of(profile_table(df, exact_distinct=exact))
+        scans = len(re.findall(r"^\(\d+\) Scan", plan, flags=re.M))
+        assert scans == 1, (exact, plan)
