@@ -92,6 +92,7 @@ def curate_corpus(
     id_col: str = "doc_id",
     text_col: str = "text",
     group_col: str = "source",
+    checkpoint_stages: bool = False,
 ) -> tuple[DataFrame, dict[str, DataFrame]]:
     """Run the full curation pipeline over ``docs``; returns
     ``(final, stages)`` where ``stages`` maps each executed stage
@@ -111,9 +112,24 @@ def curate_corpus(
     is read-only.  This reuses ``shingle_contamination`` with the
     roles swapped: the flag marks the *training* side as "test" so
     the per-document overlap is computed for training docs against
-    the benchmark shingle set."""
+    the benchmark shingle set.
+
+    ``checkpoint_stages=True`` lazily ``localCheckpoint``s each stage
+    frame: results are identical, but every stage's subtree executes
+    at most ONCE even when several consumers reference it — the
+    single-plan Catalyst cross-stage optimization is traded for
+    materialized stage boundaries.  Off (the default), inspecting k
+    stages re-executes each one's prefix (k² stage work);
+    on, auditing every stage (``curation_report``) is linear.  Turn it
+    on for report-heavy/audit runs, leave it off when only ``final``
+    is consumed."""
     stages: dict[str, DataFrame] = {}
     cur = docs
+
+    def _stage(name: str, df: DataFrame) -> DataFrame:
+        out = df.localCheckpoint(eager=False) if checkpoint_stages else df
+        stages[name] = out
+        return out
 
     if config.dedup_exact:
         # keep the min-id representative of each exact content group;
@@ -127,7 +143,7 @@ def curate_corpus(
             .filter(F.col(id_col) == F.col("__canon"))
             .drop("__canon")
         )
-        stages["exact_dedup"] = cur
+        cur = _stage("exact_dedup", cur)
 
     if config.boilerplate_min_dup is not None:
         cur = remove_duplicated_lines(
@@ -136,7 +152,7 @@ def curate_corpus(
             text_col=text_col,
             min_dup_count=config.boilerplate_min_dup,
         )
-        stages["boilerplate"] = cur
+        cur = _stage("boilerplate", cur)
 
     if config.span_dedup_l_tokens is not None:
         from .substrings import remove_duplicate_spans
@@ -148,7 +164,7 @@ def curate_corpus(
             l_tokens=config.span_dedup_l_tokens,
             min_count=config.span_dedup_min_count,
         )
-        stages["span_dedup"] = cur
+        cur = _stage("span_dedup", cur)
 
     if any(
         t is not None
@@ -173,7 +189,7 @@ def curate_corpus(
             )
         keep = feats.filter(cond).select(F.col(id_col))
         cur = cur.join(keep, id_col, "left_semi")
-        stages["quality_filter"] = cur
+        cur = _stage("quality_filter", cur)
 
     if config.neardup_jaccard is not None:
         # signatures map-only (zero shuffles); the shingle fan-out is
@@ -197,7 +213,7 @@ def curate_corpus(
             F.col("doc_id") != F.col("cluster_id")
         ).select(F.col("doc_id").alias(id_col))
         cur = cur.join(losers, id_col, "left_anti")
-        stages["near_dedup"] = cur
+        cur = _stage("near_dedup", cur)
 
     if test_docs is not None and config.contamination_max is not None:
         both = cur.select(
@@ -221,7 +237,7 @@ def curate_corpus(
             F.col("contamination") > config.contamination_max
         ).select(F.col(id_col))
         cur = cur.join(dirty, id_col, "left_anti")
-        stages["decontaminated"] = cur
+        cur = _stage("decontaminated", cur)
 
     if (
         test_docs is not None
@@ -236,13 +252,13 @@ def curate_corpus(
             text_col=text_col,
             l_tokens=config.span_decontaminate_l_tokens,
         )
-        stages["span_decontaminated"] = cur
+        cur = _stage("span_decontaminated", cur)
 
     if config.redact:
         cur = redact_pii(cur, text_col=text_col, count_matches=False).drop(
             f"{text_col}_raw"
         )
-        stages["redacted"] = cur
+        cur = _stage("redacted", cur)
 
     if config.mix_weights is not None:
         cur = upsample_by_group(
@@ -251,7 +267,7 @@ def curate_corpus(
             group_col=group_col,
             id_col=id_col,
         )
-        stages["mixed"] = cur
+        cur = _stage("mixed", cur)
 
     return cur, stages
 

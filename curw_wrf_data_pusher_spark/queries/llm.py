@@ -1099,7 +1099,13 @@ def llm_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         contamination_max=None,
         mix_weights={"src0": 0.25, "src17": 2.0, "src18": 2.5},
     )
-    _final, stages = curate_corpus(wrapped, config=cfg)
+    # checkpoint_stages: the report audits every stage, so each
+    # stage's subtree must execute once, not once per report branch
+    # (values identical — pinned by test_curate_corpus_checkpoint_
+    # stages_equal; measured ~3x on this row)
+    _final, stages = curate_corpus(
+        wrapped, config=cfg, checkpoint_stages=True
+    )
     return curation_report(wrapped, stages, with_membership=True)
 
 

@@ -357,3 +357,28 @@ def test_profile_table_one_scan_and_semantics(spark):
         plan = plan_of(profile_table(df, exact_distinct=exact))
         scans = len(re.findall(r"^\(\d+\) Scan", plan, flags=re.M))
         assert scans == 1, (exact, plan)
+
+
+def test_curate_corpus_checkpoint_stages_equal(spark):
+    from curw_wrf_data_pusher_spark.llmops.pipeline import (
+        CurationConfig,
+        curate_corpus,
+        curation_report,
+    )
+
+    texts = [f"{SPAN} doc body {i} with several more tokens" for i in
+             range(6)] + ["short doc"] * 2
+    docs = spark.createDataFrame(
+        [(i, t, f"src{i % 2}") for i, t in enumerate(texts)],
+        "doc_id long, text string, source string",
+    )
+    cfg = CurationConfig(neardup_jaccard=None, contamination_max=None,
+                         mix_weights={"src0": 2.0})
+    outs = {}
+    for ck in (False, True):
+        final, stages = curate_corpus(docs, config=cfg,
+                                      checkpoint_stages=ck)
+        rep = curation_report(docs, stages, with_membership=True)
+        outs[ck] = (sorted(map(tuple, final.collect())),
+                    sorted(map(tuple, rep.collect())))
+    assert outs[False] == outs[True]
