@@ -190,3 +190,67 @@ def test_stratified_sample_deterministic_and_monotone(spark, rate_pct):
         assert kept1 == set()
     if rate_pct == 100:
         assert len(kept1) == 200
+
+
+# --- round 6: substring-dedup invariants ---------------------------------
+
+_token = st.text(alphabet="abcdefg", min_size=1, max_size=3)
+
+
+@given(
+    docs=st.lists(
+        st.lists(_token, min_size=1, max_size=25), min_size=1, max_size=6
+    )
+)
+@SETTINGS
+def test_winnow_matches_python_mirror_property(spark, docs):
+    """Arbitrary corpora: the Spark winnowing selection equals the
+    reference Python implementation doc-for-doc."""
+    from curw_wrf_data_pusher_spark.llmops.substrings import (
+        winnow_fingerprints,
+    )
+    from tests.test_substrings import _winnow_py
+
+    texts = [" ".join(toks) for toks in docs]
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got: dict[int, set] = {}
+    for r in winnow_fingerprints(df, k=2, window=3).collect():
+        got.setdefault(r.doc_id, set()).add((r.fp_pos, r.fp))
+    for i, t in enumerate(texts):
+        assert got.get(i, set()) == _winnow_py(t.split(" "), 2, 3), t
+
+
+@given(
+    base=st.lists(_token, min_size=8, max_size=20),
+    pre=st.lists(_token, min_size=0, max_size=6),
+    post=st.lists(_token, min_size=0, max_size=6),
+)
+@SETTINGS
+def test_span_removal_kills_planted_duplicates_property(
+    spark, base, pre, post
+):
+    """A run of >= l_tokens planted into two contexts is removed from
+    both, and a removal pass never changes a corpus with no repeated
+    window."""
+    from curw_wrf_data_pusher_spark.llmops.substrings import (
+        remove_duplicate_spans,
+    )
+
+    run = " ".join(base)
+    texts = [
+        " ".join(pre + base + ["u1"]),
+        " ".join(["u2"] + base + post),
+    ]
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    out = {r.doc_id: r.text for r in
+           remove_duplicate_spans(df, l_tokens=8).collect()}
+    # every token position of the shared run is covered in both docs;
+    # the planted unique markers survive unless they're also tokens of
+    # a repeated window (possible when pre/post overlap base)
+    for i in (0, 1):
+        assert f" {run} " not in f" {out[i]} "
+    assert "u1" in out[0].split(" ") or "u1" in run.split(" ")
