@@ -1100,9 +1100,12 @@ def llm_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         mix_weights={"src0": 0.25, "src17": 2.0, "src18": 2.5},
     )
     # checkpoint_stages: the report audits every stage, so each
-    # stage's subtree must execute once, not once per report branch
+    # stage's subtree executes once, not once per report branch
     # (values identical — pinned by test_curate_corpus_checkpoint_
-    # stages_equal; measured ~3x on this row)
+    # stages_equal).  Measured: ~8% on a fresh build-and-report (the
+    # saved recomputes are mostly offset by per-stage materialization
+    # of text frames), but re-reports in a live session drop from
+    # ~8.5 s to ~1 s at sf0.1 — the audit-loop case it exists for.
     _final, stages = curate_corpus(
         wrapped, config=cfg, checkpoint_stages=True
     )
