@@ -1,0 +1,85 @@
+"""Streaming corpus ingestion: new document drops flow through
+quality featurization and cross-batch exact dedup into the curated
+lake — the continuous form of the batch curation pipeline.
+
+Composition per micro-batch (``foreachBatch`` running the SAME batch
+operators the offline pipeline uses — one code path to trust):
+
+    arrivals → text_features (map-only quality/token stats)
+             → dedup_against_store (in-batch fold + anti-join vs the
+               persisted hash store)
+             → append survivors to the curated corpus dir
+             → update_dedup_store (batch = micro-batch id; dynamic
+               partition overwrite makes redelivery idempotent)
+
+Exactly-once story: the streaming checkpoint guarantees each source
+file lands in exactly one micro-batch; within a batch the store
+append is keyed by batch id, so a crash between corpus append and
+store commit replays the batch into the SAME store partition and the
+corpus append of dropped duplicates is prevented by the store probe.
+A replayed batch can at worst re-append its own survivors to the
+corpus dir — dedup-on-read (A6 semantics) or an upsert sink absorbs
+that, mirroring the reference's re-push behavior.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.types import StructType
+
+from ..llmops.incremental import dedup_against_store, update_dedup_store
+from ..llmops.textstats import text_features
+
+DOC_SCHEMA = (
+    "doc_id long, text string, lang string, source string, n_chars long"
+)
+
+
+def stream_ingest_documents(
+    spark: SparkSession,
+    watch_dir: str,
+    store_path: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    schema: StructType | str = DOC_SCHEMA,
+    min_tokens: int | None = None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Watch ``watch_dir`` for parquet document drops; append deduped,
+    featurized survivors to ``out_dir`` and their content hashes to
+    the store.  ``min_tokens`` optionally drops too-short documents
+    before they cost a store probe.  ``available_now=True`` processes
+    the backlog then stops (the cron-equivalent trigger)."""
+    arrivals = spark.readStream.schema(schema).parquet(watch_dir)
+
+    def _ingest(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        # carry everything incl. the text itself: features project the
+        # text away by default, and both the store hash and the corpus
+        # append need it
+        feats = text_features(
+            batch_df,
+            carry=[c for c in batch_df.columns if c != "doc_id"],
+        )
+        if min_tokens is not None:
+            feats = feats.filter(feats.n_tokens >= min_tokens)
+        survivors = dedup_against_store(
+            spark, feats, store_path
+        ).localCheckpoint()
+        # corpus append first, store commit second: a crash between
+        # them replays into the same batch partition (idempotent)
+        survivors.drop("content_hash").write.mode("append").parquet(
+            out_dir
+        )
+        update_dedup_store(
+            spark, survivors, store_path, batch=f"b{batch_id:08d}"
+        )
+
+    writer = arrivals.writeStream.foreachBatch(_ingest).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,76 @@
+"""Streaming corpus ingestion: drops flow through featurization +
+cross-batch dedup into the curated dir; redelivered/duplicate content
+never lands twice; the store advances per micro-batch."""
+
+from __future__ import annotations
+
+import os
+
+from curw_wrf_data_pusher_spark.llmops.incremental import read_dedup_store
+from curw_wrf_data_pusher_spark.streaming.doc_ingest import (
+    stream_ingest_documents,
+)
+
+
+def _drop(spark, path, rows):
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).coalesce(1).write.mode("append").parquet(path)
+
+
+def test_stream_ingest_dedups_across_batches(spark, tmp_path):
+    watch = str(tmp_path / "incoming")
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "curated")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(watch)
+
+    _drop(spark, watch, [
+        (1, "the quick brown fox jumps over the dog", "en", "web", 39),
+        (2, "the quick brown fox jumps over the dog", "en", "web", 39),
+        (3, "a completely different document body here", "en", "web", 41),
+    ])
+    q = stream_ingest_documents(spark, watch, store, out, ckpt)
+    q.awaitTermination(120)
+
+    first = spark.read.parquet(out)
+    assert sorted(r.doc_id for r in first.collect()) == [1, 3]
+    # featurized: quality/token stats ride along with original columns
+    assert {"n_tokens", "quality_score", "lang_pred", "text",
+            "source"} <= set(first.columns)
+    assert read_dedup_store(spark, store).count() == 2
+
+    # second drop: one cross-batch duplicate, one fresh
+    _drop(spark, watch, [
+        (10, "the quick brown fox jumps over the dog", "en", "web", 39),
+        (11, "fresh never seen content in this one", "en", "books", 36),
+    ])
+    q2 = stream_ingest_documents(spark, watch, store, out, ckpt)
+    q2.awaitTermination(120)
+
+    ids = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    assert ids == [1, 3, 11]
+    hashes = read_dedup_store(spark, store)
+    assert hashes.count() == 3
+    # one store partition per micro-batch that had survivors
+    batches = {r.batch for r in hashes.collect()}
+    assert len(batches) == 2
+
+
+def test_stream_ingest_min_tokens_filter(spark, tmp_path):
+    watch = str(tmp_path / "in2")
+    os.makedirs(watch)
+    _drop(spark, watch, [
+        (1, "tiny", "en", "web", 4),
+        (2, "this one clears the minimum token threshold easily",
+         "en", "web", 50),
+    ])
+    q = stream_ingest_documents(
+        spark, watch, str(tmp_path / "st2"), str(tmp_path / "out2"),
+        str(tmp_path / "ck2"), min_tokens=5,
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(str(tmp_path / "out2")).collect()
+    assert [r.doc_id for r in got] == [2]
