@@ -260,3 +260,48 @@ def score_cut_buckets(
         )
         .drop("__lo", "__hi")
     )
+
+
+def vocab_topk(
+    docs: DataFrame,
+    k: int = 50,
+    text_col: str = "text",
+    min_count: int = 1,
+) -> DataFrame:
+    """The corpus's top-``k`` vocabulary terms by occurrence count,
+    with a deterministic dense rank (count desc, term asc) — the
+    tokenizer-training / Zipf-diagnostic staple.
+
+    Scale: one uniform hash-groupBy with map-side combine builds the
+    term counts; the global top-k is orderBy+limit, which Spark plans
+    as TakeOrderedAndProject (per-partition heaps + a k-row driver
+    merge — NO full sort shuffle).  Ranks are then assigned by
+    array-sorting the k survivors inside one aggregate row and
+    posexploding — bounded by k, so no partition-less window enters
+    the plan.  Returns (rank, term, n_occurrences)."""
+    counts = (
+        docs.select(
+            F.explode(F.split(F.trim(F.col(text_col)), " ")).alias("term")
+        )
+        .groupBy("term")
+        .agg(F.count("*").alias("n_occurrences"))
+        .filter(F.col("n_occurrences") >= min_count)
+    )
+    top = counts.orderBy(
+        F.col("n_occurrences").desc(), F.col("term")
+    ).limit(k)
+    packed = top.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    (-F.col("n_occurrences")).alias("negc"),
+                    F.col("term").alias("t"),
+                )
+            )
+        ).alias("a")
+    )
+    return packed.select(F.posexplode("a").alias("pos", "s")).select(
+        (F.col("pos") + 1).cast("long").alias("rank"),
+        F.col("s.t").alias("term"),
+        (-F.col("s.negc")).cast("long").alias("n_occurrences"),
+    )

@@ -53,6 +53,7 @@ _TAIL = [
     "llm_semantic_dedup",  # SemDeDup cluster-then-compare dedup
     "llm_ngram_logfreq",   # corpus-frequency fluency scoring
     "a14_profile_table",   # ANALYZE-style one-scan column profiling
+    "llm_vocab_topk",      # corpus vocabulary top-k (TakeOrdered path)
 ]
 
 

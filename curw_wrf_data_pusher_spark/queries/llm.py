@@ -1526,3 +1526,29 @@ def llm_ngram_logfreq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # percentile and DuckDB's quantile_cont share the linear-
     # interpolation definition, so the cut doubles agree bit-for-bit)
     return score_cut_buckets(ngram_logfreq_scores(docs, n=2))
+
+
+# llm_vocab_topk: corpus vocabulary top-k (tokenizer-prep / Zipf
+# diagnostic).  Exercises the TakeOrderedAndProject global top-k path
+# (per-partition heaps, no full sort shuffle) with rank assignment via
+# a k-bounded array sort instead of a partition-less window.  Tail
+# row; tests/test_oracle_parity gates it locally.
+@register(
+    "llm_vocab_topk",
+    oracle="""
+    WITH tok AS (SELECT unnest(string_split(trim(text), ' ')) AS term
+                 FROM documents),
+    c AS (SELECT term, count(*) AS n_occurrences FROM tok
+          GROUP BY term)
+    SELECT row_number() OVER (ORDER BY n_occurrences DESC, term)
+             AS rank,
+           term, n_occurrences
+    FROM c ORDER BY n_occurrences DESC, term LIMIT 50
+    """,
+)
+def llm_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llmops.retrieval import vocab_topk
+    from ..sources.lake import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents")).select("text")
+    return vocab_topk(docs, k=50)

@@ -103,4 +103,5 @@ def test_tail_holds_only_redundant_demos():
         "llm_semantic_dedup",
         "llm_ngram_logfreq",
         "a14_profile_table",
+        "llm_vocab_topk",
     ], tail

@@ -382,3 +382,17 @@ def test_curate_corpus_checkpoint_stages_equal(spark):
         outs[ck] = (sorted(map(tuple, final.collect())),
                     sorted(map(tuple, rep.collect())))
     assert outs[False] == outs[True]
+
+
+def test_vocab_topk_rank_and_plan(spark):
+    from curw_wrf_data_pusher_spark.llmops.retrieval import vocab_topk
+    from tests.test_plans_quality import plan_of
+
+    docs = _docs(spark, ["b a a c", "a b b", "c"])
+    out = [(r.rank, r.term, r.n_occurrences) for r in
+           vocab_topk(docs, k=3).collect()]
+    # counts: a=3, b=3, c=2 — tie between a and b breaks on term asc
+    assert out == [(1, "a", 3), (2, "b", 3), (3, "c", 2)]
+    plan = plan_of(vocab_topk(docs, k=3))
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
