@@ -94,22 +94,26 @@ def main() -> None:
         "overwrite"
     ).save()
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        # best-of-REPS: local scheduler noise dominates sub-second queries
-        # (round-2 showed ±15% swings at n=2 with unchanged plans).
-        # Each run times construction + execution — iterative operators
-        # (e.g. connected components) do real work eagerly while
-        # building.
-        fn = _resolve(name)
-        best = None
-        for _ in range(REPS):
+    # best-of-REPS with PASS-LEVEL repetition: the whole headline list
+    # runs REPS times and each query keeps its minimum across passes.
+    # Consecutive per-query reps share a transient-contention window (a
+    # one-off 42 s total was traced to exactly that); spreading a
+    # query's reps minutes apart decorrelates them at identical total
+    # cost.  Each run times construction + execution — iterative
+    # operators (e.g. connected components) do real work eagerly while
+    # building.  Local scheduler noise dominates sub-second queries
+    # (round-2 showed ±15% swings at n=2 with unchanged plans).
+    best: dict[str, float] = {}
+    for _ in range(REPS):
+        for name in HEADLINE:
+            fn = _resolve(name)
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
+            if name not in best or dt < best[name]:
+                best[name] = dt
+    timings = {name: round(best[name], 3) for name in HEADLINE}
 
     total = round(sum(timings.values()), 3)
     print(
