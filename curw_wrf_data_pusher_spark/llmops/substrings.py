@@ -107,10 +107,19 @@ def winnow_candidate_pairs(
     id_col: str = "doc_id",
     min_shared: int = 2,
     max_group_size: int | None = None,
+    with_containment: bool = False,
 ) -> DataFrame:
     """MOSS-style overlap candidates: document pairs sharing at least
     ``min_shared`` distinct fingerprint VALUES, as (id_a, id_b,
     n_shared) with id_a < id_b.
+
+    ``with_containment=True`` adds the MOSS report metric
+    ``containment`` = n_shared / min(|fp_a|, |fp_b|) — the fraction of
+    the SMALLER document's fingerprints found in the other, ≈1.0 when
+    one document contains the other even if their sizes differ wildly
+    (the case whole-document Jaccard misses).  Costs two extra
+    equi-joins of the pair list against the per-doc fingerprint
+    counts (uniform id keys).
 
     Scale: mirrors ``lsh_candidate_pairs`` — group the (doc, fp)
     postings by fingerprint (one shuffle on the uniform 32-bit hash
@@ -132,12 +141,27 @@ def winnow_candidate_pairs(
         " i -> transform(sequence(i + 1, size(ids) - 1),"
         " j -> struct(ids[i] as id_a, ids[j] as id_b))))"
     )
-    return (
+    pairs = (
         grouped.filter(F.size("ids") >= 2)
         .select(F.explode(pair_expr).alias("p"))
         .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .agg(F.count("*").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
+    )
+    if not with_containment:
+        return pairs
+    sizes = postings.groupBy(id_col).agg(F.count("*").alias("__nfp"))
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("__nfp").alias("__na"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("__nfp").alias("__nb"))
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "containment",
+            F.col("n_shared").cast("double")
+            / F.least(F.col("__na"), F.col("__nb")),
+        )
+        .select("id_a", "id_b", "n_shared", "containment")
     )
 
 

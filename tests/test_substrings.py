@@ -396,3 +396,26 @@ def test_vocab_topk_rank_and_plan(spark):
     plan = plan_of(vocab_topk(docs, k=3))
     assert "TakeOrderedAndProject" in plan
     assert "Window" not in plan
+
+
+def test_winnow_containment(spark):
+    # doc 1 fully contains doc 0's text; doc 2 is unrelated
+    contained = "alpha beta gamma delta epsilon zeta eta theta"
+    texts = [
+        contained,
+        f"big wrapper starts here {contained} and keeps going with more",
+        "nothing in common with the others at all in any way",
+    ]
+    fps = winnow_fingerprints(_docs(spark, texts), k=3, window=4)
+    out = {(r.id_a, r.id_b): r for r in
+           winnow_candidate_pairs(fps, min_shared=1,
+                                  with_containment=True).collect()}
+    assert (0, 1) in out
+    # containment of the contained doc approaches 1.0 (all of doc 0's
+    # fingerprints that fall wholly inside the shared run also appear
+    # in doc 1; edge windows at doc boundaries may differ)
+    assert out[(0, 1)].containment >= 0.5
+    assert all(k == (0, 1) for k in out)
+    # without the flag the schema is unchanged
+    plain = winnow_candidate_pairs(fps, min_shared=1)
+    assert plain.columns == ["id_a", "id_b", "n_shared"]
