@@ -1,0 +1,65 @@
+"""Expectations: one-scan rule evaluation, NULL-as-violation, key
+uniqueness, and the raising gate."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from curw_wrf_data_pusher_spark.operators.expectations import (
+    check_expectations,
+    expect,
+    unique_key_violations,
+)
+from tests.test_plans_quality import plan_of
+
+
+def _df(spark):
+    return spark.createDataFrame(
+        [(1, 5.0, "a"), (2, -1.0, "b"), (3, None, "a"), (4, 9.0, None)],
+        "id long, v double, s string",
+    )
+
+
+def _rules():
+    # built lazily: Column construction needs an active SparkContext
+    return [
+        ("v_non_negative", F.col("v") >= 0),   # row2 fails, row3 NULL
+        ("s_present", F.col("s").isNotNull()),  # row4 fails
+        ("id_positive", F.col("id") > 0),       # all pass
+    ]
+
+
+def test_check_expectations_counts_and_null_violation(spark):
+    out = {r.rule: r for r in check_expectations(_df(spark), _rules()).collect()}
+    assert out["v_non_negative"].n_violations == 2  # -1.0 and NULL
+    assert out["s_present"].n_violations == 1
+    assert out["id_positive"].n_violations == 0 and out["id_positive"].passed
+    assert not out["v_non_negative"].passed
+    assert abs(out["s_present"].violation_frac - 0.25) < 1e-12
+
+
+def test_check_expectations_is_one_scan(spark):
+    plan = plan_of(check_expectations(_df(spark), _rules()))
+    assert len(re.findall(r"^\(\d+\) Scan", plan, flags=re.M)) == 1
+
+
+def test_unique_key_violations(spark):
+    dups = unique_key_violations(_df(spark), ["s"]).collect()
+    assert {(r.s, r.n_rows) for r in dups} == {("a", 2)}
+
+
+def test_expect_gate(spark):
+    df = _df(spark)
+    # passing rules return the frame unchanged
+    assert expect(df, [("id_positive", F.col("id") > 0)]) is df
+    with pytest.raises(ValueError, match="v_non_negative: 2/4"):
+        expect(df, _rules())
+    # tolerance: 50% allows the 25% s_present failure
+    expect(df, [("s_present", F.col("s").isNotNull())],
+           max_violation_frac=0.5)
+    with pytest.raises(ValueError, match=r"unique_key\('s',\)"):
+        expect(df, unique_key=["s"])
+    expect(df, unique_key=["id"])  # id is unique — no raise
