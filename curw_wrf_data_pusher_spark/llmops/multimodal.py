@@ -249,3 +249,177 @@ def extract_media_features(
     return df.select(id_col, modality_col, content_col).mapInPandas(
         run, schema=FEATURES_SCHEMA
     )
+
+
+RESIZED_SCHEMA = (
+    "id long, modality string, content binary, width int, height int,"
+    " ok boolean, error string"
+)
+
+
+def _fake_resize(
+    payload: bytes, modality: str, width: int, height: int
+) -> bytes:
+    """Deterministic stand-in for decode→resize→re-encode: an 8-byte
+    target-dimension header over the content hash, so output bytes are
+    stable, content-dependent, and dimension-dependent.  A real
+    implementation (PIL ``Image.resize`` + re-encode) drops into
+    ``RESIZERS`` without touching the Spark plan."""
+    import hashlib
+
+    return (
+        width.to_bytes(4, "big")
+        + height.to_bytes(4, "big")
+        + hashlib.sha256(payload).digest()
+    )
+
+
+def _unavailable_transform(payload: bytes, modality: str, *a) -> bytes:
+    raise NotImplementedError(
+        f"real {modality} transforms require media libraries not present"
+        " in this environment; register in RESIZERS / FRAME_SAMPLERS"
+    )
+
+
+#: Pluggable resize registry (modality → fn(payload, modality, w, h)).
+RESIZERS: dict[str, Callable[..., bytes]] = {"image": _fake_resize}
+
+
+def resize_media(
+    df: DataFrame,
+    width: int,
+    height: int,
+    id_col: str = "id",
+    content_col: str = "content",
+    modality_col: str = "modality",
+    from_paths: bool = False,
+) -> DataFrame:
+    """Resize media blobs to (width, height) via Arrow-batched
+    ``mapInPandas`` — the normalization step before feature extraction
+    or vision-model packing.  Same contracts as the extractors:
+    per-row failure isolation (a corrupt blob yields ok=false, never a
+    task failure), pluggable codec (``RESIZERS``), and
+    ``from_paths=True`` to open pointer-ingested files in-task so the
+    original payload never rides a shuffle.
+
+    Scale note: output blobs DO ride the Arrow channel (they are the
+    product); size the batch via
+    ``spark.sql.execution.arrow.maxRecordsPerBatch`` so a batch of
+    resized frames fits executor memory."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                modality = r[modality_col]
+                try:
+                    if from_paths:
+                        payload = _load_path(r[content_col])
+                    else:
+                        payload = (
+                            bytes(r[content_col])
+                            if r[content_col] is not None
+                            else b""
+                        )
+                    fn = RESIZERS.get(modality, _unavailable_transform)
+                    out = fn(payload, modality, width, height)
+                    rows.append(
+                        (r[id_col], modality, out, width, height, True,
+                         None)
+                    )
+                except Exception as exc:
+                    rows.append(
+                        (r[id_col], modality, None, width, height, False,
+                         f"{type(exc).__name__}: {exc}")
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["id", "modality", "content", "width", "height",
+                         "ok", "error"],
+            )
+
+    return df.select(id_col, modality_col, content_col).mapInPandas(
+        run, schema=RESIZED_SCHEMA
+    )
+
+
+FRAMES_SCHEMA = (
+    "id long, frame_idx int, frame binary, ok boolean, error string"
+)
+
+
+def _fake_frame_sampler(
+    payload: bytes, modality: str, n_frames: int
+) -> list[bytes]:
+    """Deterministic stand-in for video frame sampling: a hash chain
+    over the payload yields ``n_frames`` stable pseudo-frames.  A real
+    sampler (ffmpeg keyframe / uniform-timestamp extraction) drops
+    into ``FRAME_SAMPLERS`` with the same signature."""
+    import hashlib
+
+    frames, h = [], payload
+    for i in range(n_frames):
+        h = hashlib.sha256(h + bytes([i & 255])).digest()
+        frames.append(h)
+    return frames
+
+
+#: Pluggable frame-sampler registry (modality → fn(payload, mod, n)).
+FRAME_SAMPLERS: dict[str, Callable[..., list[bytes]]] = {
+    "video": _fake_frame_sampler,
+}
+
+
+def sample_frames(
+    df: DataFrame,
+    n_frames: int = 4,
+    id_col: str = "id",
+    content_col: str = "content",
+    modality_col: str = "modality",
+    from_paths: bool = False,
+) -> DataFrame:
+    """Sample ``n_frames`` frames per video blob, exploded to one row
+    per frame: (id, frame_idx, frame, ok, error).  A failed blob emits
+    ONE ok=false row (frame_idx 0) so the failure stays visible in the
+    output without multiplying error rows.
+
+    Scale: the row fan-out is n_frames×, each carrying a frame blob —
+    downstream ops (resize, feature-extract over frames) consume this
+    stream without ever reassembling whole videos; at 100 TB keep the
+    source as pointers (``from_paths=True``) so only frames, never
+    source videos, ride the Arrow channel."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                modality = r[modality_col]
+                try:
+                    if from_paths:
+                        payload = _load_path(r[content_col])
+                    else:
+                        payload = (
+                            bytes(r[content_col])
+                            if r[content_col] is not None
+                            else b""
+                        )
+                    fn = FRAME_SAMPLERS.get(
+                        modality, _unavailable_transform
+                    )
+                    for i, frame in enumerate(
+                        fn(payload, modality, n_frames)
+                    ):
+                        rows.append((r[id_col], i, frame, True, None))
+                except Exception as exc:
+                    rows.append(
+                        (r[id_col], 0, None, False,
+                         f"{type(exc).__name__}: {exc}")
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["id", "frame_idx", "frame", "ok", "error"],
+            )
+
+    return df.select(id_col, modality_col, content_col).mapInPandas(
+        run, schema=FRAMES_SCHEMA
+    )

@@ -1330,3 +1330,73 @@ def test_bm25_multi_term_fold_is_term_sorted(spark):
         for r in bm25_scores(docs.repartition(7), terms).collect()
     }
     assert got_rep == got
+
+
+def test_resize_media_plumbing(spark):
+    import hashlib
+
+    from curw_wrf_data_pusher_spark.llmops.multimodal import resize_media
+
+    rows = [
+        (1, "image", bytearray(b"img-bytes-one")),
+        (2, "image", bytearray(b"img-bytes-two")),
+        (3, "audio", bytearray(b"not-resizable")),  # no audio resizer
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, modality string, content binary"
+    )
+    out = {r.id: r for r in resize_media(df, 224, 128).collect()}
+    for i in (1, 2):
+        assert out[i].ok and out[i].width == 224 and out[i].height == 128
+        expect = (224).to_bytes(4, "big") + (128).to_bytes(4, "big") + \
+            hashlib.sha256(bytes(rows[i - 1][2])).digest()
+        assert bytes(out[i].content) == expect  # deterministic fake
+    # per-row failure isolation: unregistered modality fails its row only
+    assert not out[3].ok and "NotImplementedError" in out[3].error
+    assert out[3].content is None
+
+
+def test_sample_frames_plumbing(spark):
+    from curw_wrf_data_pusher_spark.llmops.multimodal import sample_frames
+
+    df = spark.createDataFrame(
+        [(1, "video", bytearray(b"vid-a")), (2, "video", bytearray(b"vid-b")),
+         (3, "image", bytearray(b"not-a-video"))],
+        "id long, modality string, content binary",
+    )
+    rows = sample_frames(df, n_frames=3).collect()
+    by_id: dict[int, list] = {}
+    for r in rows:
+        by_id.setdefault(r.id, []).append(r)
+    assert len(by_id[1]) == 3 and len(by_id[2]) == 3
+    assert [r.frame_idx for r in sorted(by_id[1], key=lambda x: x.frame_idx)] == [0, 1, 2]
+    # frames are deterministic and content-dependent
+    again = {(r.id, r.frame_idx): bytes(r.frame)
+             for r in sample_frames(df, n_frames=3).collect() if r.ok}
+    for r in rows:
+        if r.ok:
+            assert bytes(r.frame) == again[(r.id, r.frame_idx)]
+    assert bytes(by_id[1][0].frame) != bytes(by_id[2][0].frame)
+    # failed blob: exactly one visible error row
+    assert len(by_id[3]) == 1 and not by_id[3][0].ok
+
+
+def test_sampled_frames_feed_resize_and_features(spark):
+    # composition: video → frames → per-frame features, all Arrow-batched
+    from curw_wrf_data_pusher_spark.llmops.multimodal import (
+        extract_media_features,
+        sample_frames,
+    )
+
+    df = spark.createDataFrame(
+        [(7, "video", bytearray(b"clip"))],
+        "id long, modality string, content binary",
+    )
+    frames = sample_frames(df, n_frames=2).filter("ok").select(
+        (F.col("id") * 10 + F.col("frame_idx")).alias("id"),
+        F.lit("image").alias("modality"),
+        F.col("frame").alias("content"),
+    )
+    feats = extract_media_features(frames, dim=8).collect()
+    assert sorted(r.id for r in feats) == [70, 71]
+    assert all(r.ok and len(r.feature) == 8 for r in feats)
