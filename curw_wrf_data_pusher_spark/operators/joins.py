@@ -62,10 +62,15 @@ def asof_join(
     right_time: str,
     value_cols: Sequence[str],
     tolerance: str | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """As-of (backward) join: for each left row, attach the value
-    columns of the latest right row with ``right_time <= left_time``
-    (inclusive), matched on the ``on`` equi-keys.
+    """As-of join: for each left row, attach the value columns of the
+    LATEST right row with ``right_time <= left_time`` (``direction=
+    'backward'``, the default — inclusive) or the EARLIEST right row
+    with ``right_time >= left_time`` (``'forward'``), matched on the
+    ``on`` equi-keys — the two directions of pandas ``merge_asof``.
+    ('nearest' is the composition: run both and pick the smaller
+    |asof_time − time| per row.)
 
     Spark has no native as-of join; the classic implementations are a
     range cross-join (quadratic blowup) or per-group ``merge_asof`` in
@@ -75,11 +80,13 @@ def asof_join(
     left rows.  Exactly ONE shuffle + sort on the join key, all
     JVM-side — survives any scale the key distribution allows.
 
-    ``tolerance`` (e.g. ``'INTERVAL 1 HOUR'``): matches older than
-    left_time − tolerance are nulled, like pandas merge_asof.
+    ``tolerance`` (e.g. ``'INTERVAL 1 HOUR'``): matches farther than
+    tolerance from left_time are nulled, like pandas merge_asof.
     Right-side (key, time) pairs should be unique (pre-dedupe) for
     deterministic results.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward: {direction}")
     lt, rt = F.col(left_time), F.col(right_time)
     l_tag = left.withColumn("__t", lt).withColumn("__side", F.lit(1))
     for c in value_cols:
@@ -95,9 +102,17 @@ def asof_join(
         *l_cols, "__t", "__side", *[f"__v_{c}" for c in value_cols]
     ).unionByName(r_tag, allowMissingColumns=True)
 
+    # forward = the same carry-last walk over time DESC: at equal
+    # times the right row (side 0) still precedes the left row, so
+    # >= stays inclusive in both directions
+    order = (
+        [F.col("__t").asc(), F.col("__side").asc()]
+        if direction == "backward"
+        else [F.col("__t").desc(), F.col("__side").asc()]
+    )
     w = (
         Window.partitionBy(*on)
-        .orderBy("__t", "__side")
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned
@@ -111,7 +126,11 @@ def asof_join(
     )
     out = carried.filter(F.col("__side") == 1)
     if tolerance is not None:
-        in_window = F.col("__c_t") >= F.col("__t") - F.expr(tolerance)
+        in_window = (
+            F.col("__c_t") >= F.col("__t") - F.expr(tolerance)
+            if direction == "backward"
+            else F.col("__c_t") <= F.col("__t") + F.expr(tolerance)
+        )
         for c in value_cols:
             out = out.withColumn(
                 f"__c_{c}", F.when(in_window, F.col(f"__c_{c}"))

@@ -254,3 +254,32 @@ def test_span_removal_kills_planted_duplicates_property(
     for i in (0, 1):
         assert f" {run} " not in f" {out[i]} "
     assert "u1" in out[0].split(" ") or "u1" in run.split(" ")
+
+
+@given(
+    left=st.lists(st.tuples(st.integers(0, 2), st.integers(0, 100)),
+                  min_size=1, max_size=25),
+    right=st.lists(st.tuples(st.integers(0, 2), st.integers(0, 100), cents),
+                   min_size=1, max_size=25,
+                   unique_by=lambda r: (r[0], r[1])),
+)
+@SETTINGS
+def test_asof_join_forward_matches_pandas(spark, left, right):
+    lpdf = pd.DataFrame(left, columns=["k", "t"]).sort_values(["k", "t"])
+    rpdf = pd.DataFrame(
+        [(k, t, v / 100.0) for k, t, v in right], columns=["k", "t", "v"]
+    ).sort_values(["k", "t"])
+    got = (
+        asof_join(
+            spark.createDataFrame(lpdf),
+            spark.createDataFrame(rpdf),
+            on=["k"], left_time="t", right_time="t", value_cols=["v"],
+            direction="forward",
+        )
+        .toPandas().sort_values(["k", "t"]).reset_index(drop=True)
+    )
+    want = pd.merge_asof(
+        lpdf.sort_values("t"), rpdf.sort_values("t"),
+        on="t", by="k", direction="forward",
+    ).sort_values(["k", "t"]).reset_index(drop=True)
+    assert list(got["asof_v"].fillna(-1)) == list(want["v"].fillna(-1))
