@@ -54,6 +54,7 @@ _TAIL = [
     "llm_ngram_logfreq",   # corpus-frequency fluency scoring
     "a14_profile_table",   # ANALYZE-style one-scan column profiling
     "llm_vocab_topk",      # corpus vocabulary top-k (TakeOrdered path)
+    "w5_rolling_stats",    # bounded-frame rolling window statistics
 ]
 
 

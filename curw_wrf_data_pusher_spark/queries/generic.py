@@ -19,7 +19,7 @@ from ..operators.dedup import latest_per_series, latest_per_series_join
 from ..operators.diff import adjacent_diff
 from ..operators.joins import get_or_create, nearest_neighbor_map
 from ..operators.pivot import pivot_by_source, unpivot
-from ..sources.lake import load_table
+from ..sources.lake import load_table, spread
 from .registry import register
 
 DEC = "decimal(18,2)"
@@ -1457,3 +1457,43 @@ def a14_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem").select(*_PROFILE_COLS)
     return profile_table(li, exact_distinct=True)
+
+
+# ---------------------------------------------------------------------------
+# Bounded-frame rolling statistics (ROWS BETWEEN k PRECEDING AND
+# CURRENT ROW) — the sliding-window class distinct from lag/rank
+# (unbounded-history) windows: partitioned by series, so it scales
+# with the key distribution and passes the global-window CI gate by
+# construction.  Tail row; tests/test_oracle_parity gates it locally.
+@register(
+    "w5_rolling_stats",
+    oracle="""
+    SELECT event_id, user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS t,
+           round(avg(value) OVER w, 9) AS roll_avg,
+           round(sum(value) OVER w, 9) AS roll_sum,
+           min(value) OVER w AS roll_min,
+           max(value) OVER w AS roll_max,
+           count(*) OVER w AS roll_n
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+    """,
+)
+def w5_rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spread(load_table(spark, sf_dir, "events"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("t"),
+        F.round(F.avg("value").over(w), 9).alias("roll_avg"),
+        F.round(F.sum("value").over(w), 9).alias("roll_sum"),
+        F.min("value").over(w).alias("roll_min"),
+        F.max("value").over(w).alias("roll_max"),
+        F.count("*").over(w).alias("roll_n"),
+    )

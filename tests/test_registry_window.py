@@ -104,4 +104,5 @@ def test_tail_holds_only_redundant_demos():
         "llm_ngram_logfreq",
         "a14_profile_table",
         "llm_vocab_topk",
+        "w5_rolling_stats",
     ], tail
