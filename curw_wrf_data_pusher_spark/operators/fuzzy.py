@@ -1,0 +1,222 @@
+"""Approximate string matching: edit-distance self-pairs via q-gram
+blocking + Levenshtein verification — the entity-resolution /
+data-cleaning staple (near-identical names, typo'd keys, OCR drift).
+
+The naive form is the O(n²) Levenshtein cross product.  The scale
+path blocks first and verifies only candidates, with EXACT recall:
+
+- **Long tier** (strings long enough that the q-gram lemma applies):
+  one edit replaces at most ``n`` of a string's padded q-grams
+  (multiset), so a within-distance pair shares at least
+  ``T = max(g_a, g_b) − d·n`` grams, ``g = len + n − 1`` (Gravano et
+  al., VLDB'01).  Candidate generation uses the PREFIX FILTER on that
+  bound (the ED-Join scheme, Xiao et al., VLDB'08): tag gram
+  occurrences (``gram#k`` for the k-th occurrence, turning the
+  multiset bound into a set bound exactly), order all tagged grams by
+  global rarity (document frequency, then gram), and join strings on
+  only their ``d·n + 1`` RAREST tagged grams — by the prefix-filter
+  principle (|A∩B| ≥ α ⇒ the (|A|−α+1)-prefixes of A and B in any
+  consistent total order intersect, and g − T + 1 ≤ d·n + 1), every
+  within-distance pair still collides.  On ID-like corpora (a long
+  shared prefix makes every string share most grams with every other)
+  the ubiquitous prefix grams never enter the join — candidates
+  collapse to near the true pair set.  The tier is
+  ``len >= L := d·n − n + 2`` (so that ``T >= 1``).
+- **Short tier** (``len < L + d``): the lemma gives no guarantee, but
+  within-distance pairs differ by at most ``d`` in length, so a
+  length-key equi-join (one side exploded to ``len..len+d``) covers
+  them exactly.  The ``+ d`` margin makes any pair whose shorter side
+  is lemma-less fall entirely inside this tier.
+
+Candidates from both tiers are unioned, deduped, and verified with
+exact ``F.levenshtein`` — a false candidate costs one distance
+computation, never a wrong answer.  Hot blocking keys (a ubiquitous
+q-gram, a crowded short length) take the house-standard cap +
+accounting pair (``max_group_size`` / ``fuzzy_dropped_groups``), so a
+capped run logs what it skipped instead of straggling silently.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+def _prepared(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    pad = "#" * (n - 1)
+    return df.select(
+        F.col(id_col).alias("__id"),
+        F.col(text_col).alias("__s"),
+        F.length(text_col).cast("int").alias("__len"),
+        F.concat(F.lit(pad), F.col(text_col), F.lit(pad)).alias("__p"),
+    )
+
+
+def _tagged_grams(s: DataFrame, tier_min_len: int, n: int) -> DataFrame:
+    """(id, tagged gram) rows for long-tier strings.  Tagging the k-th
+    occurrence of a gram as ``gram#k`` makes multiset intersection of
+    grams equal SET intersection of tagged grams, so set-based prefix
+    filtering applies exactly.  Tagging is a stateless map-side array
+    expression (O(g²) per string over array grams — g is tens for
+    name-like strings)."""
+    grams = (
+        f"transform(sequence(1, length(__p) - {n - 1}),"
+        f" i -> substring(__p, i, {n}))"
+    )
+    tagged = (
+        f"transform(sequence(1, size(__gs)), i -> concat(__gs[i - 1], '#',"
+        " cast(size(filter(slice(__gs, 1, i - 1),"
+        " x -> x = __gs[i - 1])) + 1 as string)))"
+    )
+    return (
+        s.filter(F.col("__len") >= tier_min_len)
+        .withColumn("__gs", F.expr(grams))
+        .select(
+            "__id",
+            F.explode(F.expr(tagged)).alias("__tg"),
+        )
+    )
+
+
+def _prefix_grams(
+    s: DataFrame, tier_min_len: int, n: int, d: int
+) -> DataFrame:
+    """Each long-tier string's ``d·n + 1`` globally-rarest tagged
+    grams: (id, tagged gram).  Rarity = (document frequency, gram) —
+    a consistent total order across strings, as the prefix-filter
+    principle requires.  Two shuffles (frequency count, per-id
+    regroup); the frequency side joins back on the uniform gram key."""
+    tg = _tagged_grams(s, tier_min_len, n)
+    freq = tg.groupBy("__tg").agg(F.count("*").alias("__df"))
+    k = d * n + 1
+    return (
+        tg.join(freq, "__tg")
+        .groupBy("__id")
+        .agg(
+            F.slice(
+                F.array_sort(
+                    F.collect_list(F.struct("__df", "__tg"))
+                ),
+                1,
+                k,
+            ).alias("__pre")
+        )
+        .select(
+            "__id",
+            F.explode(F.col("__pre.__tg")).alias("__tg"),
+        )
+    )
+
+
+def _length_bucket_counts(s: DataFrame, tier_max_len: int) -> DataFrame:
+    return (
+        s.filter(F.col("__len") < tier_max_len)
+        .groupBy(F.col("__len").alias("__k"))
+        .agg(F.count("*").alias("n_members"))
+    )
+
+
+def fuzzy_self_pairs(
+    df: DataFrame,
+    id_col: str = "id",
+    text_col: str = "text",
+    max_distance: int = 1,
+    n: int = 3,
+    max_group_size: int | None = None,
+) -> DataFrame:
+    """All distinct pairs with Levenshtein(text_a, text_b) <=
+    ``max_distance``, as (id_a, id_b, distance) with id_a < id_b.
+    Exact (recall 1.0) when ``max_group_size`` is None; see the module
+    docstring for the two-tier blocking argument."""
+    d, tier_min = max_distance, max_distance * n - n + 2
+    s = _prepared(df, id_col, text_col, n)
+
+    pre = _prefix_grams(s, tier_min, n, d)
+    if max_group_size is not None:
+        ok_grams = (
+            pre.groupBy("__tg")
+            .agg(F.count("*").alias("__m"))
+            .filter(F.col("__m") <= max_group_size)
+            .select("__tg")
+        )
+        pre = pre.join(ok_grams, "__tg", "left_semi")
+    pa = pre.select(F.col("__tg"), F.col("__id").alias("__ida"))
+    pb = pre.select(F.col("__tg"), F.col("__id").alias("__idb"))
+    cand_long = (
+        pa.join(pb, "__tg")
+        .filter(F.col("__ida") < F.col("__idb"))
+        .select(
+            F.col("__ida").alias("id_a"), F.col("__idb").alias("id_b")
+        )
+    )
+
+    short = s.filter(F.col("__len") < tier_min + d)
+    if max_group_size is not None:
+        ok = _length_bucket_counts(s, tier_min + d).filter(
+            F.col("n_members") <= max_group_size
+        ).select(F.col("__k").alias("__len"))
+        short = short.join(ok, "__len", "left_semi")
+    a = short.select(
+        F.col("__id").alias("__ida"),
+        F.explode(F.expr(f"sequence(__len, __len + {d})")).alias("__k"),
+    )
+    b = short.select(
+        F.col("__id").alias("__idb"), F.col("__len").alias("__k")
+    )
+    cand_short = (
+        a.join(b, "__k")
+        .filter(F.col("__ida") != F.col("__idb"))
+        .select(
+            F.least("__ida", "__idb").alias("id_a"),
+            F.greatest("__ida", "__idb").alias("id_b"),
+        )
+    )
+
+    cands = cand_long.unionByName(cand_short).dropDuplicates(
+        ["id_a", "id_b"]
+    )
+    sa = s.select(F.col("__id").alias("id_a"), F.col("__s").alias("__sa"))
+    sb = s.select(F.col("__id").alias("id_b"), F.col("__s").alias("__sb"))
+    return (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "distance", F.levenshtein("__sa", "__sb").cast("long")
+        )
+        .filter(F.col("distance") <= d)
+        .select("id_a", "id_b", "distance")
+    )
+
+
+def fuzzy_dropped_groups(
+    df: DataFrame,
+    id_col: str = "id",
+    text_col: str = "text",
+    max_distance: int = 1,
+    n: int = 3,
+    max_group_size: int | None = None,
+) -> DataFrame:
+    """Accounting companion to ``fuzzy_self_pairs(max_group_size=N)``:
+    the blocking groups a capped run skipped, as (tier, key,
+    n_members) — tier 'gram' for q-gram posting lists, 'length' for
+    short-tier length buckets.  Mirrors ``lsh_dropped_buckets`` etc."""
+    d, tier_min = max_distance, max_distance * n - n + 2
+    s = _prepared(df, id_col, text_col, n)
+    gram_groups = (
+        _prefix_grams(s, tier_min, n, d)
+        .groupBy("__tg")
+        .agg(F.count("*").alias("n_members"))
+        .select(
+            F.lit("gram").alias("tier"),
+            F.col("__tg").alias("key"),
+            F.col("n_members"),
+        )
+    )
+    len_groups = _length_bucket_counts(s, tier_min + d).select(
+        F.lit("length").alias("tier"),
+        F.col("__k").cast("string").alias("key"),
+        F.col("n_members"),
+    )
+    allg = gram_groups.unionByName(len_groups)
+    if max_group_size is None:
+        return allg.filter(F.lit(False))
+    return allg.filter(F.col("n_members") > max_group_size)

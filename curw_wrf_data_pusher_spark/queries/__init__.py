@@ -55,6 +55,7 @@ _TAIL = [
     "a14_profile_table",   # ANALYZE-style one-scan column profiling
     "llm_vocab_topk",      # corpus vocabulary top-k (TakeOrdered path)
     "w5_rolling_stats",    # bounded-frame rolling window statistics
+    "j8_fuzzy_pairs",      # edit-distance fuzzy self-join
 ]
 
 

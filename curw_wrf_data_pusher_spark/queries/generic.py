@@ -1497,3 +1497,30 @@ def w5_rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("value").over(w).alias("roll_max"),
         F.count("*").over(w).alias("roll_n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Edit-distance fuzzy self-join (entity resolution) — q-gram blocking
+# + Levenshtein verify vs DuckDB's O(n²) levenshtein cross product.
+# TPC-H customer names ("Customer#000000123") are the classic near-
+# identical-key corpus: single-digit differences are distance-1 pairs.
+# Tail row (oracle is quadratic by design; the engine side is the
+# blocked form whose recall-1.0 argument lives in operators/fuzzy.py).
+@register(
+    "j8_fuzzy_pairs",
+    oracle="""
+    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+           levenshtein(a.c_name, b.c_name) AS distance
+    FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 1
+    """,
+)
+def j8_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.fuzzy import fuzzy_self_pairs
+
+    c = spread(load_table(spark, sf_dir, "customer")).select(
+        "c_custkey", "c_name"
+    )
+    return fuzzy_self_pairs(
+        c, id_col="c_custkey", text_col="c_name", max_distance=1
+    )

@@ -105,4 +105,5 @@ def test_tail_holds_only_redundant_demos():
         "a14_profile_table",
         "llm_vocab_topk",
         "w5_rolling_stats",
+        "j8_fuzzy_pairs",
     ], tail
