@@ -67,6 +67,8 @@ HEADLINE = [
     "llm_substring_dedup",
     "llm_semantic_dedup",
     "llm_ngram_logfreq",
+    "w5_rolling_stats",
+    "llm_vocab_topk",
 ]
 
 

@@ -130,7 +130,10 @@ def fuzzy_self_pairs(
     d, tier_min = max_distance, max_distance * n - n + 2
     s = _prepared(df, id_col, text_col, n)
 
-    pre = _prefix_grams(s, tier_min, n, d)
+    # the prefix frame is (d·n+1)·|strings| rows of (id, gram) — tiny
+    # relative to the corpus — and feeds BOTH sides of the candidate
+    # join; a lazy localCheckpoint computes its 2-shuffle subtree once
+    pre = _prefix_grams(s, tier_min, n, d).localCheckpoint(eager=False)
     if max_group_size is not None:
         ok_grams = (
             pre.groupBy("__tg")
