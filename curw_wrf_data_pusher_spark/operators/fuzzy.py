@@ -223,3 +223,88 @@ def fuzzy_dropped_groups(
     if max_group_size is None:
         return allg.filter(F.lit(False))
     return allg.filter(F.col("n_members") > max_group_size)
+
+
+def fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str = "id",
+    right_id: str = "id",
+    left_text: str = "text",
+    right_text: str = "text",
+    max_distance: int = 1,
+    n: int = 3,
+    max_group_size: int | None = None,
+) -> DataFrame:
+    """Cross-table edit-distance join: (left_id, right_id, distance)
+    for every pair with Levenshtein <= ``max_distance`` — linking
+    records across two catalogs (the standard entity-resolution
+    shape).  Same two-tier blocking as ``fuzzy_self_pairs`` with one
+    refinement: gram rarity is computed over the UNION of both sides,
+    so the prefix order is consistent across the tables as the
+    prefix-filter principle requires.  Exact recall with
+    ``max_group_size=None``."""
+    d, tier_min = max_distance, max_distance * n - n + 2
+    sl = _prepared(left, left_id, left_text, n).withColumn(
+        "__side", F.lit("l")
+    )
+    sr = _prepared(right, right_id, right_text, n).withColumn(
+        "__side", F.lit("r")
+    )
+    both = sl.unionByName(sr)
+
+    pre = (
+        _prefix_grams(
+            both.withColumn(
+                "__id", F.struct(F.col("__side"), F.col("__id"))
+            ),
+            tier_min, n, d,
+        )
+        .localCheckpoint(eager=False)
+    )
+    if max_group_size is not None:
+        ok = (
+            pre.groupBy("__tg")
+            .agg(F.count("*").alias("__m"))
+            .filter(F.col("__m") <= max_group_size)
+            .select("__tg")
+        )
+        pre = pre.join(ok, "__tg", "left_semi")
+    pa = pre.filter(F.col("__id.__side") == "l").select(
+        "__tg", F.col("__id.__id").alias("id_l")
+    )
+    pb = pre.filter(F.col("__id.__side") == "r").select(
+        "__tg", F.col("__id.__id").alias("id_r")
+    )
+    cand_long = pa.join(pb, "__tg").select("id_l", "id_r")
+
+    shortl = sl.filter(F.col("__len") < tier_min + d)
+    shortr = sr.filter(F.col("__len") < tier_min + d)
+    if max_group_size is not None:
+        okl = _length_bucket_counts(both, tier_min + d).filter(
+            F.col("n_members") <= max_group_size
+        ).select(F.col("__k").alias("__len"))
+        shortl = shortl.join(okl, "__len", "left_semi")
+        shortr = shortr.join(okl, "__len", "left_semi")
+    a = shortl.select(
+        F.col("__id").alias("id_l"),
+        F.explode(
+            F.expr(f"sequence(greatest(__len - {d}, 0), __len + {d})")
+        ).alias("__k"),
+    )
+    b = shortr.select(F.col("__id").alias("id_r"),
+                      F.col("__len").alias("__k"))
+    cand_short = a.join(b, "__k").select("id_l", "id_r")
+
+    cands = cand_long.unionByName(cand_short).dropDuplicates(
+        ["id_l", "id_r"]
+    )
+    ta = sl.select(F.col("__id").alias("id_l"), F.col("__s").alias("__sa"))
+    tb = sr.select(F.col("__id").alias("id_r"), F.col("__s").alias("__sb"))
+    return (
+        cands.join(ta, "id_l")
+        .join(tb, "id_r")
+        .withColumn("distance", F.levenshtein("__sa", "__sb").cast("long"))
+        .filter(F.col("distance") <= d)
+        .select("id_l", "id_r", "distance")
+    )

@@ -84,3 +84,43 @@ def test_fuzzy_cap_and_accounting(spark):
     # None cap: exact
     full = fuzzy_self_pairs(df, max_distance=1)
     assert full.count() == 15  # all pairs among the 6 dups
+
+
+def _brute_cross(lt, rt, d):
+    return {
+        (i, j): _lev(lt[i], rt[j])
+        for i in range(len(lt))
+        for j in range(len(rt))
+        if _lev(lt[i], rt[j]) <= d
+    }
+
+
+def test_fuzzy_join_hand_cases(spark):
+    from curw_wrf_data_pusher_spark.operators.fuzzy import fuzzy_join
+
+    lt = ["customer#001", "wholly unique name", "x", ""]
+    rt = ["customer#002", "customer#001", "y", "xz"]
+    got = {(r.id_l, r.id_r): r.distance
+           for r in fuzzy_join(_df(spark, lt), _df(spark, rt),
+                               max_distance=1).collect()}
+    assert got == _brute_cross(lt, rt, 1)
+    assert got[(0, 1)] == 0 and got[(0, 0)] == 1
+    assert got[(2, 2)] == 1 and got[(3, 2)] == 1  # short tier, both dirs
+
+
+@given(
+    lt=st.lists(st.text(alphabet="ab#", max_size=7), min_size=1,
+                max_size=8),
+    rt=st.lists(st.text(alphabet="ab#", max_size=7), min_size=1,
+                max_size=8),
+    d=st.integers(1, 2),
+)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_fuzzy_join_matches_bruteforce_property(spark, lt, rt, d):
+    from curw_wrf_data_pusher_spark.operators.fuzzy import fuzzy_join
+
+    got = {(r.id_l, r.id_r): r.distance
+           for r in fuzzy_join(_df(spark, lt), _df(spark, rt),
+                               max_distance=d).collect()}
+    assert got == _brute_cross(lt, rt, d)
