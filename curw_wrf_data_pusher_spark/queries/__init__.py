@@ -56,6 +56,7 @@ _TAIL = [
     "llm_vocab_topk",      # corpus vocabulary top-k (TakeOrdered path)
     "w5_rolling_stats",    # bounded-frame rolling window statistics
     "j8_fuzzy_pairs",      # edit-distance fuzzy self-join
+    "k10_scd2_history",    # SCD type-2 history from the event log
 ]
 
 

@@ -1527,3 +1527,52 @@ def j8_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fuzzy_self_pairs(
         c, id_col="c_custkey", text_col="c_name", max_distance=1, n=4
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD type-2 history derivation from the event log: per user, the
+# versioned history of event_type with validity intervals — change
+# detection (lag) + version closing (lead) share ONE window exchange.
+# Tail row; tests/test_oracle_parity gates it locally.
+@register(
+    "k10_scd2_history",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER w AS prev_type
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    ch AS (
+      SELECT user_id, event_type, ts, event_id FROM c
+      WHERE prev_type IS NULL OR event_type <> prev_type
+    )
+    SELECT user_id, event_type,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+           strftime(lead(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id),
+                    '%Y-%m-%d %H:%M:%S') AS valid_to,
+           (lead(ts) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) IS NULL)
+             AS is_current
+    FROM ch
+    """,
+)
+def k10_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.scd import scd2_from_events
+
+    ev = spread(load_table(spark, sf_dir, "events")).select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    hist = scd2_from_events(
+        ev, ["user_id"], ["event_type"], "ts", tiebreak_col="event_id"
+    )
+    return hist.select(
+        "user_id",
+        "event_type",
+        F.date_format("valid_from", "yyyy-MM-dd HH:mm:ss")
+        .alias("valid_from"),
+        F.date_format("valid_to", "yyyy-MM-dd HH:mm:ss")
+        .alias("valid_to"),
+        "is_current",
+    )

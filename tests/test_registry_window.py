@@ -106,4 +106,5 @@ def test_tail_holds_only_redundant_demos():
         "llm_vocab_topk",
         "w5_rolling_stats",
         "j8_fuzzy_pairs",
+        "k10_scd2_history",
     ], tail

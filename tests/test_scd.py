@@ -1,0 +1,94 @@
+"""SCD2 tests: history derivation from an event log, incremental
+apply (close/open/new-key/no-change), replay idempotence, and the
+batch-rebuild ≡ sequential-apply agreement."""
+
+from __future__ import annotations
+
+from curw_wrf_data_pusher_spark.operators.scd import (
+    scd2_apply,
+    scd2_from_events,
+)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "k long, attr string, ts long, eid long"
+    )
+
+
+def test_scd2_from_events_runs(spark):
+    rows = [
+        (1, "A", 10, 0), (1, "A", 20, 1), (1, "B", 30, 2),
+        (1, "A", 40, 3),
+        (2, "X", 15, 4),
+    ]
+    hist = scd2_from_events(
+        _events(spark, rows), ["k"], ["attr"], "ts", tiebreak_col="eid"
+    )
+    got = sorted(
+        (r.k, r.attr, r.valid_from, r.valid_to, r.is_current)
+        for r in hist.collect()
+    )
+    assert got == [
+        (1, "A", 10, 30, False),   # A run collapses 10+20
+        (1, "A", 40, None, True),  # A again after B: new version
+        (1, "B", 30, 40, False),
+        (2, "X", 15, None, True),
+    ]
+
+
+def test_scd2_apply_lifecycle_and_idempotence(spark):
+    hist = scd2_from_events(
+        _events(spark, [(1, "A", 10, 0), (2, "X", 10, 1)]),
+        ["k"], ["attr"], "ts", tiebreak_col="eid",
+    ).select("k", "attr", "valid_from", "valid_to", "is_current")
+    batch = spark.createDataFrame(
+        # key 1 changes; key 2 unchanged; key 3 new; key 4 intra-batch
+        # flip resolves to the latest (Q at 26)
+        [(1, "B", 25), (2, "X", 25), (3, "N", 25), (4, "P", 25),
+         (4, "Q", 26)],
+        "k long, attr string, ts long",
+    )
+    h2 = scd2_apply(hist, batch, ["k"], ["attr"], "ts")
+    got = sorted((r.k, r.attr, r.valid_from, r.valid_to, r.is_current)
+                 for r in h2.collect())
+    assert got == [
+        (1, "A", 10, 25, False),
+        (1, "B", 25, None, True),
+        (2, "X", 10, None, True),   # unchanged: version NOT churned
+        (3, "N", 25, None, True),
+        (4, "Q", 26, None, True),
+    ]
+    # replaying the same batch is a no-op
+    h3 = scd2_apply(h2, batch, ["k"], ["attr"], "ts")
+    assert sorted(map(tuple, h3.collect())) == sorted(
+        map(tuple, h2.collect())
+    )
+
+
+def test_scd2_sequential_apply_matches_rebuild(spark):
+    # one observation per key per batch, increasing timestamps: the
+    # incremental path must converge to the batch rebuild
+    all_rows = [
+        (1, "A", 10, 0), (2, "X", 10, 1),
+        (1, "B", 20, 2), (2, "X", 20, 3),
+        (1, "B", 30, 4), (2, "Y", 30, 5),
+    ]
+    rebuilt = scd2_from_events(
+        _events(spark, all_rows), ["k"], ["attr"], "ts",
+        tiebreak_col="eid",
+    ).select("k", "attr", "valid_from", "valid_to", "is_current")
+
+    hist = scd2_from_events(
+        _events(spark, all_rows[:2]), ["k"], ["attr"], "ts",
+        tiebreak_col="eid",
+    ).select("k", "attr", "valid_from", "valid_to", "is_current")
+    for t in (20, 30):
+        batch = spark.createDataFrame(
+            [(k, a, ts) for k, a, ts, _ in all_rows if ts == t],
+            "k long, attr string, ts long",
+        )
+        hist = scd2_apply(hist, batch, ["k"], ["attr"], "ts")
+    assert sorted(map(tuple, hist.collect())) == sorted(
+        map(tuple, rebuilt.collect())
+    )
