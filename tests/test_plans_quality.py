@@ -210,3 +210,51 @@ def test_no_unbounded_global_windows_in_registered_queries(spark, sf_dir):
     # the allowlist itself stays honest: drop entries that no longer
     # have a global window
     assert set(offenders) == bounded_ok
+
+
+def test_no_unreviewed_nested_loop_joins_in_registered_queries(
+    spark, sf_dir
+):
+    """CI gate for accidental cross products: every registered query's
+    PHYSICAL plan is walked; CartesianProduct fails unconditionally,
+    and BroadcastNestedLoopJoin is allowed only for reviewed queries
+    where the broadcast side is a single-row aggregate or a
+    deliberately-broadcast tiny frame.  A future registered plan that
+    silently degrades to a nested-loop join fails here, not in the
+    bench tail.
+
+    Allowlisted sites (each reviewed; the loop side is bounded):
+    - e2_rfield_contract: broadcast xy-manifest rank frame (~10^4 grid
+      cells) against the dense grid.
+    - j5_get_or_create: single-row max-existing-id aggregate crossed
+      onto the new-keys frame for dense id assignment.
+    - llm_bm25_tfidf: single-row corpus stats (N, avgdl) crossed onto
+      the per-term frame — twice (BM25 + TF-IDF branches).
+    - llm_cosine_topk_neardup / llm_quantized_topk: the deliberately-
+      broadcast query side (a handful of vectors) against the corpus
+      scan — the design that keeps the corpus from shuffling.
+    - llm_ngram_logfreq: single-row percentile-boundary frame from
+      score_cut_buckets crossed onto the scored corpus.
+    """
+    bnl_ok = {
+        "e2_rfield_contract": 1,
+        "j5_get_or_create": 1,
+        "llm_bm25_tfidf": 2,
+        "llm_cosine_topk_neardup": 1,
+        "llm_ngram_logfreq": 1,
+        "llm_quantized_topk": 1,
+    }
+    offenders, cartesians = {}, {}
+    for name, fn in sorted(QUERIES.items()):
+        plan = plan_of(fn(spark, sf_dir))
+        bnl = count_nodes(plan, "BroadcastNestedLoopJoin")
+        cart = count_nodes(plan, "CartesianProduct")
+        if cart:
+            cartesians[name] = cart
+        if bnl:
+            offenders[name] = bnl
+    assert not cartesians, f"cartesian products: {cartesians}"
+    assert offenders == bnl_ok, (
+        "BroadcastNestedLoopJoin set changed — review the new site's "
+        f"loop-side cardinality, then update the allowlist: {offenders}"
+    )
