@@ -57,6 +57,7 @@ _TAIL = [
     "w5_rolling_stats",    # bounded-frame rolling window statistics
     "j8_fuzzy_pairs",      # edit-distance fuzzy self-join
     "k10_scd2_history",    # SCD type-2 history from the event log
+    "llm_quality_classifier",  # NB model-based quality filter
 ]
 
 

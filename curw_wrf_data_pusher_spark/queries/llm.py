@@ -1552,3 +1552,70 @@ def llm_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spread(load_table(spark, sf_dir, "documents")).select("text")
     return vocab_topk(docs, k=50)
+
+
+# llm_quality_classifier: model-based quality filtering (the GPT-3 /
+# CCNet "train a classifier on a reference corpus, keep crawl docs it
+# scores highly" stage).  Hashed-unigram Naive Bayes — closed-form fit
+# is ONE count aggregation, so the whole train→score pipeline is
+# deterministic and oracle-expressible; the driver hash pins the
+# smoothed log-ratio weights, priors, per-doc scores AND the keep cut.
+# In-sample demonstration: positive class = lang='en' documents.
+# Tail row; tests/test_oracle_parity gates it locally.
+@register(
+    "llm_quality_classifier",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, (lang = 'en') AS y,
+             ('0x' || substr(md5(t.token), 1, 8))::BIGINT % 1024
+               AS bucket
+      FROM documents, unnest(string_split(trim(text), ' ')) AS t(token)
+    ),
+    cnt AS (
+      SELECT bucket,
+             sum(CASE WHEN y THEN 1 ELSE 0 END) AS n_pos,
+             sum(CASE WHEN y THEN 0 ELSE 1 END) AS n_neg
+      FROM tok GROUP BY bucket
+    ),
+    tot AS (SELECT sum(n_pos) AS t_pos, sum(n_neg) AS t_neg FROM cnt),
+    dpr AS (
+      SELECT sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS d_pos,
+             sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS d_neg
+      FROM documents
+    ),
+    w AS (
+      SELECT bucket,
+             ln((n_pos + 1.0) / (t_pos + 1024.0))
+               - ln((n_neg + 1.0) / (t_neg + 1024.0)) AS llr
+      FROM cnt CROSS JOIN tot
+    ),
+    sc AS (
+      SELECT tok.doc_id, count(*) AS n_tokens,
+             round(ln(d_pos::DOUBLE / d_neg) + sum(w.llr), 6)
+               AS score_r
+      FROM tok JOIN w USING (bucket) CROSS JOIN dpr
+      GROUP BY tok.doc_id, d_pos, d_neg
+    )
+    SELECT doc_id, n_tokens, score_r,
+           (score_r > 0.0) AS keep
+    FROM sc
+    """,
+)
+def llm_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llmops.quality_model import score_quality_nb, train_quality_nb
+    from ..sources.lake import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "text", (F.col("lang") == "en").alias("label")
+    )
+    model = train_quality_nb(
+        docs, label_col="label", n_buckets=1024, alpha=1.0
+    )
+    scored = score_quality_nb(docs, model)
+    # round BEFORE the keep cut so the boolean is a function of the
+    # hash-pinned rounded value in both engines (sum-order float noise
+    # can't flip it)
+    score_r = F.round(F.col("score"), 6).alias("score_r")
+    return scored.select(
+        "doc_id", "n_tokens", score_r
+    ).withColumn("keep", F.col("score_r") > F.lit(0.0))

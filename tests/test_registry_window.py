@@ -107,4 +107,6 @@ def test_tail_holds_only_redundant_demos():
         "w5_rolling_stats",
         "j8_fuzzy_pairs",
         "k10_scd2_history",
+        # model-based quality filter (hashed-ngram Naive Bayes)
+        "llm_quality_classifier",
     ], tail
