@@ -58,6 +58,7 @@ _TAIL = [
     "j8_fuzzy_pairs",      # edit-distance fuzzy self-join
     "k10_scd2_history",    # SCD type-2 history from the event log
     "llm_quality_classifier",  # NB model-based quality filter
+    "w6_gap_fill",         # dense-grid interpolation of series gaps
 ]
 
 

@@ -1576,3 +1576,79 @@ def k10_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("valid_to"),
         "is_current",
     )
+
+
+# W6 — dense-grid gap filling with linear interpolation (the missing-
+# timestep repair the reference's obs feed needs; pandas
+# resample().interpolate() as distributed ops).  Hourly resample of the
+# event log per user, then every missing hour between each user's first
+# and last active hour is interpolated from its bracketing
+# observations.  DECIMAL-sum resample makes the observed doubles
+# bit-identical across engines, so the interpolation arithmetic agrees
+# bit-for-bit UNROUNDED — round(6) would actually BREAK parity here:
+# 2-decimal inputs x dyadic gap fractions land exactly on .5 rounding
+# boundaries where the engines' double rounding differs by 1 ulp.
+@register(
+    "w6_gap_fill",
+    oracle="""
+    WITH r AS (
+      SELECT user_id,
+             floor(epoch(ts))::BIGINT // 3600 AS slot,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    s AS (SELECT user_id, min(slot) AS mn, max(slot) AS mx
+          FROM r GROUP BY 1),
+    g AS (SELECT user_id, unnest(generate_series(mn, mx, 1)) AS slot
+          FROM s),
+    j AS (SELECT g.user_id, g.slot, r.v
+          FROM g LEFT JOIN r USING (user_id, slot)),
+    f AS (
+      SELECT user_id, slot, v,
+        last_value(CASE WHEN v IS NOT NULL
+                        THEN struct_pack(t := slot, x := v) END
+                   IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY slot
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p,
+        first_value(CASE WHEN v IS NOT NULL
+                         THEN struct_pack(t := slot, x := v) END
+                    IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY slot
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS n
+      FROM j
+    )
+    SELECT user_id,
+           strftime(make_timestamp(slot * 3600 * 1000000),
+                    '%Y-%m-%d %H:%M:%S') AS hour_start,
+           CASE WHEN v IS NOT NULL THEN v
+                /* parenthesized to mirror the Spark expression tree
+                   exactly: a * (b / c), NOT SQL's default (a*b)/c —
+                   the association changes the last ulp */
+                ELSE p.x + (n.x - p.x)
+                       * ((slot - p.t)::DOUBLE / (n.t - p.t)::DOUBLE)
+           END AS value_filled,
+           (v IS NULL) AS is_gap
+    FROM f
+    """,
+)
+def w6_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import gap_fill
+
+    ev = spread(load_table(spark, sf_dir, "events"))
+    hourly = ev.groupBy(
+        "user_id",
+        (F.floor(F.unix_timestamp("ts") / 3600)).cast("long").alias("slot"),
+    ).agg(F.sum(F.col("value").cast(DEC)).cast("double").alias("v"))
+    filled = gap_fill(
+        hourly, ["user_id"], slot_col="slot", value_col="v",
+        method="linear",
+    )
+    return filled.select(
+        "user_id",
+        F.date_format(
+            F.timestamp_seconds(F.col("slot") * 3600),
+            "yyyy-MM-dd HH:mm:ss",
+        ).alias("hour_start"),
+        "value_filled",
+        "is_gap",
+    )

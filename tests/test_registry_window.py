@@ -109,4 +109,6 @@ def test_tail_holds_only_redundant_demos():
         "k10_scd2_history",
         # model-based quality filter (hashed-ngram Naive Bayes)
         "llm_quality_classifier",
+        # dense-grid gap filling with linear interpolation
+        "w6_gap_fill",
     ], tail
