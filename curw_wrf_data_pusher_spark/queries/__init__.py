@@ -59,6 +59,7 @@ _TAIL = [
     "k10_scd2_history",    # SCD type-2 history from the event log
     "llm_quality_classifier",  # NB model-based quality filter
     "w6_gap_fill",         # dense-grid interpolation of series gaps
+    "p13_morton_zorder",   # Z-order layout key (bbox-prunable files)
 ]
 
 

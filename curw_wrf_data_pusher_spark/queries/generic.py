@@ -1652,3 +1652,47 @@ def w6_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value_filled",
         "is_gap",
     )
+
+
+# P13 — Morton (Z-order) key computation, the layout primitive behind
+# bbox-prunable spatial parquet (operators/layout.py; the write-side
+# clustering + file-stats pruning effect is pytest-gated in
+# tests/test_layout.py with real parquet metadata).  Cells derive from
+# exact integer columns so the interleave is hash-pinnable; the oracle
+# re-derives the bit arithmetic term by term.
+def _morton_sql(qx: str, qy: str, bits: int) -> str:
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({qx} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({qy} >> {i}) & 1) << {2 * i + 1})")
+    return " | ".join(terms)
+
+
+@register(
+    "p13_morton_zorder",
+    oracle=f"""
+    WITH cells AS (
+      SELECT c_custkey,
+             c_custkey % 1024 AS qx,
+             (c_custkey // 7 + c_nationkey * 41) % 1024 AS qy
+      FROM customer
+    )
+    SELECT c_custkey, qx, qy,
+           {_morton_sql('qx', 'qy', 10)} AS zkey
+    FROM cells
+    """,
+)
+def p13_morton_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.layout import morton_interleave
+
+    c = load_table(spark, sf_dir, "customer")
+    cells = c.select(
+        "c_custkey",
+        (F.col("c_custkey") % 1024).alias("qx"),
+        (
+            (F.expr("c_custkey div 7") + F.col("c_nationkey") * 41) % 1024
+        ).alias("qy"),
+    )
+    return cells.withColumn(
+        "zkey", morton_interleave(F.col("qx"), F.col("qy"), bits=10)
+    )

@@ -111,4 +111,6 @@ def test_tail_holds_only_redundant_demos():
         "llm_quality_classifier",
         # dense-grid gap filling with linear interpolation
         "w6_gap_fill",
+        # Morton/Z-order spatial layout keys
+        "p13_morton_zorder",
     ], tail
