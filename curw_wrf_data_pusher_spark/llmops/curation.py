@@ -515,3 +515,57 @@ def redact_pii(
         F.col(text_col).alias(f"{text_col}_raw"),
         *counts,
     )
+
+
+def temperature_weights(
+    docs: DataFrame,
+    group_col: str = "source",
+    alpha: float = 0.5,
+    target_total: int | None = None,
+) -> dict[str, float]:
+    """Temperature-based mixture reweighting (the multilingual-LM
+    device from mBERT/XLM-R: sample source g with probability
+    ∝ p_g^α instead of its natural share p_g, α<1 flattening the head
+    so small sources aren't drowned).  Returns per-group epoch weights
+    w_g = q_g·T / n_g (q_g = n_g^α / Σ n^α, T = ``target_total`` or
+    the corpus size) — feed straight into ``upsample_by_group``.
+
+    One bounded-metadata collect (a row per group); the weights are
+    scalars broadcast into the mixer's literal when-chain.  Σ n^α is
+    folded in sorted-group order so the float total is reproducible
+    (and SQL-mirrorable with an ordered list_reduce).  α=0.5 uses
+    sqrt, which IEEE requires correctly rounded — bit-identical across
+    engines; other α go through pow(), whose last ulp is libm-specific
+    (fine for training mixes, mind it in cross-engine hash pins)."""
+    import math
+
+    rows = docs.groupBy(group_col).count().collect()
+    counts = {r[group_col]: r["count"] for r in rows}
+    n = sum(counts.values())
+    t = float(target_total if target_total is not None else n)
+    f = math.sqrt if alpha == 0.5 else (lambda c: c**alpha)
+    z = 0.0
+    for g in sorted(counts):
+        z = z + f(float(counts[g]))
+    return {g: (f(float(c)) / z) * t / float(c) for g, c in counts.items()}
+
+
+def temperature_mix(
+    docs: DataFrame,
+    group_col: str = "source",
+    alpha: float = 0.5,
+    target_total: int | None = None,
+    id_col: str = "doc_id",
+    salt: str = "sample:v1",
+) -> DataFrame:
+    """``upsample_by_group`` driven by ``temperature_weights``: the
+    deterministic realized corpus for a temperature-α training mix.
+    Output = input columns + ``copy_id``; map-side except the one
+    tiny count aggregation that derives the weights."""
+    w = temperature_weights(
+        docs, group_col=group_col, alpha=alpha, target_total=target_total
+    )
+    return upsample_by_group(
+        docs, weights=w, default_weight=0.0, group_col=group_col,
+        id_col=id_col, salt=salt,
+    )

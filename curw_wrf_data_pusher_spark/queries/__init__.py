@@ -60,6 +60,7 @@ _TAIL = [
     "llm_quality_classifier",  # NB model-based quality filter
     "w6_gap_fill",         # dense-grid interpolation of series gaps
     "p13_morton_zorder",   # Z-order layout key (bbox-prunable files)
+    "llm_temperature_mix",  # temperature-alpha source rebalancing
 ]
 
 

@@ -1619,3 +1619,59 @@ def llm_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.select(
         "doc_id", "n_tokens", score_r
     ).withColumn("keep", F.col("score_r") > F.lit(0.0))
+
+
+# llm_temperature_mix: temperature-α source rebalancing (mBERT/XLM-R
+# multinomial smoothing) realized as a deterministic epoch-weighted
+# corpus.  α=0.5 keeps every float op correctly rounded (sqrt + IEEE
+# div/mul), so the md5-threshold copy decisions agree bit-for-bit and
+# the driver hash pins weight DERIVATION + realized multiplicities.
+# Tail row; tests/test_oracle_parity gates it locally.
+@register(
+    "llm_temperature_mix",
+    oracle="""
+    WITH cnt AS (
+      SELECT source, count(*)::DOUBLE AS c FROM documents GROUP BY source
+    ),
+    tot AS (
+      SELECT sum(c) AS n,
+             /* sorted-group fold mirrors the Python-side sum order */
+             list_reduce(list_transform(
+                 list_sort(list(struct_pack(g := source, c := c))),
+                 x -> sqrt(x.c)), (a, b) -> a + b) AS z
+      FROM cnt
+    ),
+    w AS (
+      SELECT source, ((sqrt(c) / z) * n) / c AS w
+      FROM cnt CROSS JOIN tot
+    ),
+    b AS (
+      SELECT doc_id, d.source,
+             ('0x' || substr(md5('sample:v1:' || CAST(doc_id AS VARCHAR)),
+                             1, 8))::BIGINT AS h32,
+             w.w
+      FROM documents d JOIN w USING (source)
+    ),
+    c2 AS (
+      SELECT doc_id, source, round(w, 9) AS w_r,
+             CAST(floor(w) AS BIGINT)
+               + CASE WHEN h32 < (w - floor(w)) * 4294967296.0
+                      THEN 1 ELSE 0 END AS n
+      FROM b
+    )
+    SELECT doc_id, source, w_r, unnest(range(0, n)) AS copy_id FROM c2
+    """,
+)
+def llm_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llmops.curation import temperature_mix, temperature_weights
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    weights = temperature_weights(docs, alpha=0.5)
+    w_expr = F.lit(None).cast("double")
+    for g, w in sorted(weights.items()):
+        w_expr = F.when(F.col("source") == g, F.lit(w)).otherwise(w_expr)
+    return (
+        temperature_mix(docs, alpha=0.5)
+        .withColumn("w_r", F.round(w_expr, 9))
+        .select("doc_id", "source", "w_r", F.col("copy_id").cast("long"))
+    )

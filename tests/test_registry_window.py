@@ -113,4 +113,6 @@ def test_tail_holds_only_redundant_demos():
         "w6_gap_fill",
         # Morton/Z-order spatial layout keys
         "p13_morton_zorder",
+        # temperature-alpha source rebalancing
+        "llm_temperature_mix",
     ], tail
