@@ -569,3 +569,57 @@ def temperature_mix(
         docs, weights=w, default_weight=0.0, group_col=group_col,
         id_col=id_col, salt=salt,
     )
+
+
+#: C0 control characters (minus \t \n \r, handled by whitespace
+#: collapse) plus DEL — the bytes that break tokenizers and leak from
+#: bad decoders.
+CONTROL_CHARS = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]"
+
+
+def normalize_text(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str | None = None,
+    lowercase: bool = False,
+    collapse_whitespace: bool = True,
+    form: str | None = None,
+) -> DataFrame:
+    """Canonicalize text before dedup/featurization: strip control
+    characters, optionally collapse whitespace runs to single spaces
+    (+ trim), optionally lowercase, optionally apply Unicode
+    normalization (NFC/NFD/NFKC/NFKD).
+
+    Two tiers, deliberately split: the regex/casing tier is pure
+    Catalyst (map-only, whole-stage codegen, zero shuffles); Unicode
+    normalization has no JVM built-in, so ``form=`` routes the column
+    through ONE Arrow-vectorized pandas_udf (`unicodedata`) — the
+    documented slow path, opt-in because ASCII-dominant corpora don't
+    need it.  Run BEFORE line/shingle dedup so byte-level variants of
+    the same content collapse.
+
+    Note: whitespace collapse folds newlines into spaces — run the
+    CCNet line-level ops (``duplicated_line_stats``) first, or with
+    ``collapse_whitespace=False``."""
+    out = out_col or text_col
+    c = F.regexp_replace(F.col(text_col), CONTROL_CHARS, "")
+    if collapse_whitespace:
+        c = F.trim(F.regexp_replace(c, "[ \\t\\r\\n]+", " "))
+    if lowercase:
+        c = F.lower(c)
+    if form is not None:
+        if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+            raise ValueError(f"unknown normalization form: {form!r}")
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("string")
+        def _unicode_norm(s):
+            import unicodedata
+
+            return s.map(
+                lambda t: None if t is None
+                else unicodedata.normalize(form, t)
+            )
+
+        c = _unicode_norm(c)
+    return df.withColumn(out, c)

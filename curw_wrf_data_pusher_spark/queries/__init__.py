@@ -61,6 +61,7 @@ _TAIL = [
     "w6_gap_fill",         # dense-grid interpolation of series gaps
     "p13_morton_zorder",   # Z-order layout key (bbox-prunable files)
     "llm_temperature_mix",  # temperature-alpha source rebalancing
+    "llm_normalize_text",  # control/WS/case/NFC canonicalization
 ]
 
 

@@ -1675,3 +1675,56 @@ def llm_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("w_r", F.round(w_expr, 9))
         .select("doc_id", "source", "w_r", F.col("copy_id").cast("long"))
     )
+
+
+# llm_normalize_text: canonicalization tier (control-char strip,
+# whitespace collapse, casefold, Unicode NFC).  The corpus is ASCII,
+# so a synthetic messy suffix (double space, combining acute, tab,
+# uppercase, BEL) is appended to every doc to make each tier bite —
+# same device as the redact_pii gate.  The NFC tier runs through the
+# Arrow pandas_udf on the Spark side and nfc_normalize in DuckDB;
+# clean_md5 pins the full byte-level output.  Tail row;
+# tests/test_oracle_parity gates it locally.
+@register(
+    "llm_normalize_text",
+    oracle="""
+    WITH aug AS (
+      SELECT doc_id,
+             /* chr()-built suffix: register() collapses whitespace
+                runs in oracle strings, so a literal '  ' would lose
+                a byte */
+             text || chr(32) || chr(32) || chr(101) || chr(769)
+                  || chr(9) || 'X' || chr(7) || chr(32) AS raw
+      FROM documents
+    ),
+    n AS (
+      SELECT doc_id, raw,
+             nfc_normalize(lower(trim(regexp_replace(regexp_replace(
+                 raw, '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'),
+                 '[ \\t\\r\\n]+', ' ', 'g')))) AS clean
+      FROM aug
+    )
+    /* byte lengths: DuckDB length() counts grapheme CLUSTERS (the
+       combining acute collapses), Spark counts UTF-16 units — octet
+       lengths agree everywhere */
+    SELECT doc_id, strlen(raw) AS len_raw, strlen(clean) AS len_clean,
+           md5(clean) AS clean_md5
+    FROM n
+    """,
+)
+def llm_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llmops.curation import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit("  e\u0301\tX\x07 ")).alias("raw"),
+    )
+    n = normalize_text(
+        docs, text_col="raw", out_col="clean", lowercase=True, form="NFC"
+    )
+    return n.select(
+        "doc_id",
+        F.octet_length("raw").cast("long").alias("len_raw"),
+        F.octet_length("clean").cast("long").alias("len_clean"),
+        F.md5("clean").alias("clean_md5"),
+    )

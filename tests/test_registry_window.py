@@ -115,4 +115,6 @@ def test_tail_holds_only_redundant_demos():
         "p13_morton_zorder",
         # temperature-alpha source rebalancing
         "llm_temperature_mix",
+        # text canonicalization (control strip / WS collapse / NFC)
+        "llm_normalize_text",
     ], tail
