@@ -62,6 +62,7 @@ _TAIL = [
     "p13_morton_zorder",   # Z-order layout key (bbox-prunable files)
     "llm_temperature_mix",  # temperature-alpha source rebalancing
     "llm_normalize_text",  # control/WS/case/NFC canonicalization
+    "a15_heavy_hitters",   # exact threshold heavy hitters (MG twin in pytest)
 ]
 
 

@@ -1696,3 +1696,31 @@ def p13_morton_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cells.withColumn(
         "zkey", morton_interleave(F.col("qx"), F.col("qy"), bits=10)
     )
+
+
+# A15 — exact heavy hitters over the token stream (stopword/boilerplate
+# detection threshold form; the bounded-memory Misra-Gries sketch twin
+# is pytest-gated in tests/test_heavy.py since its output membership is
+# partitioning-dependent by design).  freq_ratio is one division of
+# exact integers — bit-identical across engines unrounded.
+@register(
+    "a15_heavy_hitters",
+    oracle="""
+    WITH tok AS (SELECT unnest(string_split(trim(text), ' ')) AS item
+                 FROM documents),
+    c AS (SELECT item, count(*) AS n_occurrences FROM tok GROUP BY item),
+    t AS (SELECT count(*)::BIGINT AS total FROM tok)
+    SELECT item, n_occurrences,
+           n_occurrences::DOUBLE / total::DOUBLE AS freq_ratio
+    FROM c CROSS JOIN t
+    WHERE n_occurrences > 0.004 * total::DOUBLE
+    """,
+)
+def a15_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.heavy import heavy_hitters_exact
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    tok = docs.select(
+        F.explode(F.split(F.trim(F.col("text")), " ")).alias("token")
+    )
+    return heavy_hitters_exact(tok, "token", min_fraction=0.004)

@@ -117,4 +117,6 @@ def test_tail_holds_only_redundant_demos():
         "llm_temperature_mix",
         # text canonicalization (control strip / WS collapse / NFC)
         "llm_normalize_text",
+        # exact threshold heavy hitters (Misra-Gries twin in pytest)
+        "a15_heavy_hitters",
     ], tail
