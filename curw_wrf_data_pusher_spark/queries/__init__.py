@@ -63,6 +63,7 @@ _TAIL = [
     "llm_temperature_mix",  # temperature-alpha source rebalancing
     "llm_normalize_text",  # control/WS/case/NFC canonicalization
     "a15_heavy_hitters",   # exact threshold heavy hitters (MG twin in pytest)
+    "j9_bloom_semi_join",  # bloom-prefiltered exact semi-join
 ]
 
 

@@ -1724,3 +1724,33 @@ def a15_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.split(F.trim(F.col("text")), " ")).alias("token")
     )
     return heavy_hitters_exact(tok, "token", min_fraction=0.004)
+
+
+# J9 — bloom-filter semi-join: the scan-pruning join tier between
+# "broadcast the dim" and "shuffle both sides" (what Spark's runtime
+# row-level filtering injects; built in pure Catalyst here since this
+# build doesn't expose bloom_filter_agg).  Result is EXACT — the bloom
+# only prunes the fact side's shuffle input; a verify semi-join removes
+# the false positives — so the oracle is the plain semi-join.
+@register(
+    "j9_bloom_semi_join",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_custkey IN (
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    )
+    """,
+)
+def j9_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bloom import bloom_semi_join
+
+    orders = spread(load_table(spark, sf_dir, "orders")).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    return bloom_semi_join(orders, cust, "o_custkey", "c_custkey", fpp=0.01)

@@ -119,4 +119,6 @@ def test_tail_holds_only_redundant_demos():
         "llm_normalize_text",
         # exact threshold heavy hitters (Misra-Gries twin in pytest)
         "a15_heavy_hitters",
+        # bloom-prefiltered exact semi-join (catalyst-built bitset)
+        "j9_bloom_semi_join",
     ], tail
