@@ -64,6 +64,7 @@ _TAIL = [
     "llm_normalize_text",  # control/WS/case/NFC canonicalization
     "a15_heavy_hitters",   # exact threshold heavy hitters (MG twin in pytest)
     "j9_bloom_semi_join",  # bloom-prefiltered exact semi-join
+    "llm_train_test_split",  # leakage-safe grouped split + audit
 ]
 
 

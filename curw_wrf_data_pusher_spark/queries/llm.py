@@ -1728,3 +1728,75 @@ def llm_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.octet_length("clean").cast("long").alias("len_clean"),
         F.md5("clean").alias("clean_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe train/valid/test split: GROUP-level md5 assignment so
+# documents sharing a group key (domain / crawl page / dedup cluster —
+# here a source#page stand-in built from source and doc_id) never
+# straddle the train/eval boundary.  Compound row: per-doc assignments
+# + per-split totals + the structural leak audit (must be 0 groups).
+# Thresholds are the first 8 md5 hex chars vs literals: train < 0.8,
+# valid < 0.9 of the 16^8 space (cccccccc / e6666666).
+@register(
+    "llm_train_test_split",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id,
+             source || '#' || CAST(doc_id // 8 AS VARCHAR) AS group_key
+      FROM documents
+    ),
+    a AS (
+      SELECT doc_id, group_key,
+             CASE WHEN substr(md5(group_key || '|' || 'split-v1'), 1, 8)
+                       < 'cccccccc' THEN 'train'
+                  WHEN substr(md5(group_key || '|' || 'split-v1'), 1, 8)
+                       < 'e6666666' THEN 'valid'
+                  ELSE 'test' END AS split
+      FROM g
+    ),
+    leak AS (
+      SELECT count(*) AS n
+      FROM (SELECT group_key FROM a GROUP BY group_key
+            HAVING count(DISTINCT split) > 1)
+    )
+    SELECT 'assign' AS part, doc_id, group_key, split, 1::BIGINT AS n
+    FROM a
+    UNION ALL
+    SELECT 'summary', NULL, NULL, split, count(*) FROM a GROUP BY split
+    UNION ALL
+    SELECT 'leak', NULL, NULL, NULL, n FROM leak
+    """,
+)
+def llm_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llmops.splits import grouped_split, split_leakage_report
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat_ws(
+            "#", F.col("source"), (F.col("doc_id") / 8).cast("long").cast("string")
+        ).alias("group_key"),
+    )
+    a = grouped_split(docs, "group_key")
+    assign = a.select(
+        F.lit("assign").alias("part"),
+        "doc_id",
+        "group_key",
+        "split",
+        F.lit(1).cast("long").alias("n"),
+    )
+    summary = a.groupBy("split").agg(F.count("*").alias("n")).select(
+        F.lit("summary").alias("part"),
+        F.lit(None).cast("long").alias("doc_id"),
+        F.lit(None).cast("string").alias("group_key"),
+        "split",
+        "n",
+    )
+    leak = split_leakage_report(a, "group_key").select(
+        F.lit("leak").alias("part"),
+        F.lit(None).cast("long").alias("doc_id"),
+        F.lit(None).cast("string").alias("group_key"),
+        F.lit(None).cast("string").alias("split"),
+        F.col("n_leaky_groups").cast("long").alias("n"),
+    )
+    return assign.unionByName(summary).unionByName(leak)

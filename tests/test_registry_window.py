@@ -121,4 +121,6 @@ def test_tail_holds_only_redundant_demos():
         "a15_heavy_hitters",
         # bloom-prefiltered exact semi-join (catalyst-built bitset)
         "j9_bloom_semi_join",
+        # leakage-safe grouped train/valid/test split + leak audit
+        "llm_train_test_split",
     ], tail
