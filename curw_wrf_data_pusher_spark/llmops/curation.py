@@ -113,6 +113,35 @@ def pack_sequences(
     )
 
 
+def match_case(
+    col: Column, mapping: dict[str, float], default: float | None
+) -> Column:
+    """ONE flat CaseWhen with a branch per mapping key.
+
+    Not a style choice: the folded ``F.when(c, v).otherwise(prev)``
+    pattern nests a CaseWhen per key, and Spark's ``TreeNode.toJSON``
+    is EXPONENTIAL in that nesting depth (measured ×4 per 2 levels —
+    a 20-group weight chain OOMed a 16 GiB driver when the
+    plan-quality CI gate serialized the optimized plan).  The flat
+    ``when().when()...otherwise()`` builder produces one k-branch
+    node — linear to serialize, identical semantics for the mutually
+    exclusive equality keys used here."""
+    builder = None
+    for g, r in sorted(mapping.items()):
+        cond = col == g
+        val = F.lit(float(r))
+        builder = F.when(cond, val) if builder is None else builder.when(
+            cond, val
+        )
+    default_col = (
+        F.lit(None).cast("double") if default is None
+        else F.lit(float(default))
+    )
+    if builder is None:
+        return default_col
+    return builder.otherwise(default_col)
+
+
 def stratified_sample(
     docs: DataFrame,
     rates: dict[str, float],
@@ -138,9 +167,7 @@ def stratified_sample(
         ),
         16, 10,
     ).cast("long")
-    rate = F.lit(float(default_rate))
-    for g, r in sorted(rates.items()):
-        rate = F.when(F.col(group_col) == g, F.lit(float(r))).otherwise(rate)
+    rate = match_case(F.col(group_col), rates, default_rate)
     return docs.filter(h32 < rate * F.lit(float(2**32)))
 
 
@@ -268,9 +295,7 @@ def upsample_by_group(
         ),
         16, 10,
     ).cast("long")
-    w = F.lit(float(default_weight))
-    for g, r in sorted(weights.items()):
-        w = F.when(F.col(group_col) == g, F.lit(float(r))).otherwise(w)
+    w = match_case(F.col(group_col), weights, default_weight)
     frac = w - F.floor(w)
     n_copies = (
         F.floor(w).cast("int")
@@ -623,3 +648,39 @@ def normalize_text(
 
         c = _unicode_norm(c)
     return df.withColumn(out, c)
+
+
+def cap_per_group(
+    docs: DataFrame,
+    max_per_group: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "cap:v1",
+) -> DataFrame:
+    """Deterministic per-group cap: keep at most ``max_per_group``
+    documents from each group — the hard-ceiling companion to
+    ``stratified_sample``'s rate form (a rate can't promise "no more
+    than N docs from this crawl dump"; a cap can).
+
+    Selection is a uniform hash-order rank (md5(salt:id), ties by id),
+    so the kept set is a uniform random size-N subset of the group
+    that is reproducible across runs, cluster sizes and
+    repartitioning, and each distinct ``salt`` draws an independent
+    one.
+
+    Scale: ONE shuffle on the group key for the rank window —
+    partitioned by group, never global.  A group with billions of rows
+    makes that window's partition hot; for known-giant groups compose
+    with ``stratified_sample`` first (rate ≈ N/|group| pre-thins
+    map-side) so the windowed remainder is O(N) per group."""
+    h = F.md5(
+        F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string"))
+    )
+    rank = F.row_number().over(
+        Window.partitionBy(group_col).orderBy(h, F.col(id_col))
+    )
+    return (
+        docs.withColumn("__cap_rank", rank)
+        .filter(F.col("__cap_rank") <= max_per_group)
+        .drop("__cap_rank")
+    )

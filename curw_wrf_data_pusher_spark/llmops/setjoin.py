@@ -1,0 +1,195 @@
+"""Exact set-similarity self-join via prefix filtering (AllPairs /
+PPJoin family; Bayardo et al., WWW'07; Xiao et al., WWW'08).
+
+The third leg of the dedup tripod:
+
+- MinHash-LSH (``dedup.lsh_candidate_pairs``) — probabilistic recall,
+  tunable via bands×rows;
+- pivot-angle banding (``simsearch.banded_neardup_pairs``) — exact for
+  cosine over embeddings;
+- THIS module — exact for Jaccard over token/shingle SETS, no
+  signatures and no probability: recall 1.0 by the prefix-filter
+  theorem, so it is the scalable replacement for the quadratic
+  ``dedup.ngram_jaccard_pairs`` whenever an exact answer is required.
+
+Prefix-filter theorem (symmetric form): order every document's tokens
+by one GLOBAL total order (here: ascending document frequency, ties by
+token — rarest first, so prefixes carry the most selective tokens).
+If J(x, y) ≥ t then |x∩y| ≥ t·|x∪y| ≥ t·max(|x|,|y|) =: α, and two
+sets with overlap ≥ α must share a token within their first
+|s| − α + 1 ordered tokens; since α ≥ ceil(t·|s|) for both sides, the
+per-set prefix of length |s| − ceil(t·|s|) + 1 suffices.  Joining on
+shared prefix tokens therefore misses NO qualifying pair; the exact
+Jaccard verify (``dedup.verify_candidates``) then removes false
+positives, and the length filter |y| ≥ t·|x| prunes candidates whose
+sizes alone cap the Jaccard below t.
+
+Plan shape / 100 TB: three shuffles — one by token for document
+frequencies (window count, no join), one by doc id for ordered prefix
+positions, one by token for the in-group pair expansion (LSH-style
+``collect_list`` + pairwise transform, NOT a self-join: a self-join
+would duplicate the tokenize subtree and shuffle it twice).  The
+verify join fans out only over |candidates|.  Hot prefix tokens (a
+boilerplate corpus can make even its "rarest" tokens shared by
+thousands of docs) take ``max_token_group`` + the
+``setsim_dropped_tokens`` accounting companion, mirroring
+``lsh_dropped_buckets`` / ``simhash_dropped_blocks`` /
+``neardup_dropped_cells``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def token_sets(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Distinct word tokens per document, long format (id, token).
+    Whitespace split, empty tokens dropped — the word-set analogue of
+    ``dedup.shingles`` (n=1, no positional context)."""
+    from ..sources.lake import spread
+
+    return (
+        spread(df)
+        .select(
+            F.col(id_col),
+            F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias(
+                "token"
+            ),
+        )
+        .filter(F.col("token") != "")
+    )
+
+
+def _ordered_prefix(
+    tok_df: DataFrame, id_col: str, token_col: str, threshold: float
+) -> DataFrame:
+    """Per-doc (token, set size) rows restricted to the prefix the
+    theorem requires: position ≤ n − ceil(t·n) + 1 under the global
+    (document frequency ASC, token ASC) order."""
+    by_token = Window.partitionBy(token_col)
+    by_doc = Window.partitionBy(id_col)
+    ranked = (
+        tok_df.withColumn("__df", F.count("*").over(by_token))
+        .withColumn("__n", F.count("*").over(by_doc))
+        .withColumn(
+            "__pos",
+            F.row_number().over(
+                Window.partitionBy(id_col).orderBy("__df", token_col)
+            ),
+        )
+    )
+    # α = ceil(t·n) computed with an epsilon guard: binary-float t·n
+    # can land a hair ABOVE the rational value (0.4·5 → 2.0000…04) and
+    # a ceil overestimate would SHORTEN the prefix — a recall bug.
+    # Subtracting 1e-9 only ever lengthens the prefix (safe side).
+    prefix_len = (
+        F.col("__n")
+        - F.ceil(F.lit(threshold) * F.col("__n") - F.lit(1e-9))
+        + 1
+    )
+    return ranked.filter(F.col("__pos") <= prefix_len).select(
+        F.col(token_col), F.col(id_col), F.col("__n").alias("n")
+    )
+
+
+def _prefix_groups(
+    tok_df: DataFrame,
+    id_col: str,
+    token_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Prefix tokens grouped for pair expansion: (token, members) with
+    members sorted by (n, id) so each expanded pair sees the smaller
+    set first."""
+    pref = _ordered_prefix(tok_df, id_col, token_col, threshold)
+    return pref.groupBy(token_col).agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("n"), F.col(id_col).alias("id")))
+        ).alias("members")
+    )
+
+
+def prefix_candidates(
+    tok_df: DataFrame,
+    id_col: str = "doc_id",
+    token_col: str = "token",
+    threshold: float = 0.5,
+    max_token_group: int | None = None,
+) -> DataFrame:
+    """Candidate pairs (id_a < id_b) whose prefixes share ≥ 1 token,
+    pre-pruned by the length filter n_small ≥ t·n_big.  Superset of
+    all pairs with Jaccard ≥ ``threshold`` (recall 1.0); feed to
+    ``dedup.verify_candidates`` for the exact answer.
+
+    ``max_token_group`` drops prefix-token groups with more members
+    before the |group|² expansion (boilerplate/template corpora);
+    account for them with ``setsim_dropped_tokens``.  ``None`` expands
+    every group (fully exact)."""
+    grouped = _prefix_groups(tok_df, id_col, token_col, threshold)
+    if max_token_group is not None:
+        grouped = grouped.filter(F.size("members") <= max_token_group)
+    # members sorted by (n, id): pair (i, j<i... j>i) has n_i ≤ n_j, so
+    # the length filter is members[i].n ≥ t·members[j].n.  Single
+    # F.expr, same rationale as dedup.lsh_candidate_pairs.
+    pair_expr = F.expr(
+        "flatten(transform(sequence(0, size(members) - 2),"
+        " i -> filter(transform(sequence(i + 1, size(members) - 1),"
+        # epsilon on the length bound for the same float-safety reason
+        # as the prefix length: never prune a boundary-exact pair
+        f" j -> CASE WHEN members[i].n >= {threshold!r} * members[j].n - 1e-9"
+        "   THEN struct(least(members[i].id, members[j].id) AS id_a,"
+        "               greatest(members[i].id, members[j].id) AS id_b)"
+        "   END), p -> p IS NOT NULL)))"
+    )
+    return (
+        grouped.filter(F.size("members") >= 2)
+        .select(F.explode(pair_expr).alias("p"))
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def setsim_dropped_tokens(
+    tok_df: DataFrame,
+    id_col: str = "doc_id",
+    token_col: str = "token",
+    threshold: float = 0.5,
+    max_token_group: int | None = None,
+) -> DataFrame:
+    """Accounting companion to ``prefix_candidates(max_token_group=N)``:
+    the prefix-token groups the capped run dropped, as
+    (token, n_members) — log its count/aggregate next to the pair
+    count, as with ``lsh_dropped_buckets``."""
+    grouped = _prefix_groups(tok_df, id_col, token_col, threshold)
+    if max_token_group is None:
+        return grouped.filter(F.lit(False)).select(
+            token_col, F.size("members").alias("n_members")
+        )
+    return grouped.filter(F.size("members") > max_token_group).select(
+        token_col, F.size("members").alias("n_members")
+    )
+
+
+def setsim_join(
+    tok_df: DataFrame,
+    id_col: str = "doc_id",
+    token_col: str = "token",
+    threshold: float = 0.5,
+    max_token_group: int | None = None,
+) -> DataFrame:
+    """Exact Jaccard set-similarity self-join: all pairs (id_a < id_b)
+    with J ≥ ``threshold`` as (id_a, id_b, jaccard).  Prefix-filtered
+    candidates + exact verify; with ``max_token_group=None`` the
+    result is identical to the quadratic all-pairs baseline."""
+    from .dedup import verify_candidates
+
+    cand = prefix_candidates(
+        tok_df, id_col, token_col, threshold, max_token_group
+    )
+    long = tok_df.select(
+        F.col(id_col), F.col(token_col).alias("shingle")
+    )
+    return verify_candidates(long, cand, id_col=id_col, min_jaccard=threshold)

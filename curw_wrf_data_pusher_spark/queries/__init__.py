@@ -65,6 +65,11 @@ _TAIL = [
     "a15_heavy_hitters",   # exact threshold heavy hitters (MG twin in pytest)
     "j9_bloom_semi_join",  # bloom-prefiltered exact semi-join
     "llm_train_test_split",  # leakage-safe grouped split + audit
+    "llm_setsim_pairs",    # exact prefix-filtered set-similarity join
+    "llm_source_cap",      # deterministic per-source document cap
+    "a16_countmin_freq",   # count-min sketch frequency estimates
+    "a17_mad_outliers",    # median/MAD robust outlier detection
+    "k11_snapshot_diff",   # keyed snapshot diff (added/removed/changed)
 ]
 
 

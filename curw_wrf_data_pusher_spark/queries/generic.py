@@ -1754,3 +1754,173 @@ def j9_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey")
     )
     return bloom_semi_join(orders, cust, "o_custkey", "c_custkey", fpp=0.01)
+
+
+# ---------------------------------------------------------------------------
+# A16 — count-min sketch frequency estimation over the document word-
+# BIGRAM stream (with multiplicity; the unigram vocabulary is 31 words
+# — too small to collide), point-queried for the exact top-50 bigrams
+# at width 64 so collisions genuinely occur and the min-over-rows
+# estimate does real work.  The oracle rebuilds the SKETCH CELLS
+# themselves in DuckDB (same md5-mod hashing), so the row pins the
+# full estimate path — cell hashing, cell counting, min-over-rows —
+# not just the exact counts; cms_est ≥ exact_cnt by construction
+# (asserted in pytest).
+_CMS_ROWS = "(SELECT unnest(range(4)) AS i)"
+@register(
+    "a16_countmin_freq",
+    oracle=f"""
+    WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+    tok AS (
+      SELECT unnest(list_transform(range(1, len(t)),
+                    i -> concat_ws(' ', t[i], t[i+1]))) AS token
+      FROM toks WHERE len(t) >= 2
+    ),
+    cells AS (
+      SELECT i.i AS row,
+             ('0x' || substr(md5(i.i::VARCHAR || ':' || token), 1, 8))::BIGINT
+               % 64 AS col,
+             count(*) AS cnt
+      FROM tok CROSS JOIN {_CMS_ROWS} i
+      GROUP BY 1, 2
+    ),
+    q AS (
+      SELECT token, count(*) AS exact_cnt FROM tok
+      GROUP BY token ORDER BY exact_cnt DESC, token LIMIT 50
+    ),
+    probe AS (
+      SELECT q.token, q.exact_cnt, i.i AS row,
+             ('0x' || substr(md5(i.i::VARCHAR || ':' || q.token), 1, 8))::BIGINT
+               % 64 AS col
+      FROM q CROSS JOIN {_CMS_ROWS} i
+    )
+    SELECT p.token, p.exact_cnt, min(coalesce(c.cnt, 0)) AS cms_est
+    FROM probe p LEFT JOIN cells c ON c.row = p.row AND c.col = p.col
+    GROUP BY p.token, p.exact_cnt
+    """,
+)
+def a16_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketch import countmin_build, countmin_lookup
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    tok = (
+        docs.select(F.split(F.col("text"), " ").alias("__t"))
+        .filter(F.size("__t") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(__t) - 2),"
+                    " i -> __t[i] || ' ' || __t[i + 1])"
+                )
+            ).alias("token")
+        )
+    )
+    sketch = countmin_build(tok, "token", width=64)
+    top = (
+        tok.groupBy("token")
+        .agg(F.count("*").alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), "token")
+        .limit(50)
+    )
+    return countmin_lookup(sketch, top, "token", width=64)
+
+
+# ---------------------------------------------------------------------------
+# A17 — robust per-group outlier detection (median / MAD / modified
+# z-score, Iglewicz–Hoaglin).  Emits only the flagged rows; the stat
+# columns ride along so the row also pins the exact grouped medians.
+@register(
+    "a17_mad_outliers",
+    oracle="""
+    WITH med AS (
+      SELECT user_id, median(value) AS group_median
+      FROM events GROUP BY user_id
+    ),
+    mad AS (
+      SELECT e.user_id, median(abs(e.value - m.group_median)) AS group_mad
+      FROM events e JOIN med m ON e.user_id = m.user_id
+      GROUP BY e.user_id
+    )
+    SELECT e.user_id, e.event_id, e.value,
+           round(m.group_median, 9) AS group_median,
+           round(d.group_mad, 9) AS group_mad,
+           round(abs(e.value - m.group_median) / (1.4826 * d.group_mad), 9)
+             AS robust_z
+    FROM events e
+    JOIN med m ON e.user_id = m.user_id
+    JOIN mad d ON e.user_id = d.user_id
+    WHERE d.group_mad > 0
+      AND abs(e.value - m.group_median) > 3.0 * (1.4826 * d.group_mad)
+    """,
+)
+def a17_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import mad_outliers
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "value"
+    )
+    out = mad_outliers(ev, ["user_id"], "value", k=3.0)
+    return out.filter(F.col("is_outlier") & (F.col("group_mad") > 0)).select(
+        "user_id", "event_id", "value",
+        F.round("group_median", 9).alias("group_median"),
+        F.round("group_mad", 9).alias("group_mad"),
+        F.round("robust_z", 9).alias("robust_z"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# K11 — snapshot diff between two keyed table versions.  The two
+# "versions" are deterministic derivations of orders (key-mod membership
+# + a price bump), exercising every status class; the oracle re-derives
+# the classification with a FULL OUTER JOIN and null-safe comparison —
+# semantically the operator's md5-row-hash test, expressed directly.
+@register(
+    "k11_snapshot_diff",
+    oracle="""
+    WITH old AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 5 <> 0
+    ),
+    new AS (
+      SELECT o_orderkey, o_orderstatus,
+             o_totalprice + CASE WHEN o_orderkey % 2 = 0
+                                 THEN 1.50 ELSE 0.00 END AS o_totalprice
+      FROM orders WHERE o_orderkey % 3 <> 0
+    )
+    SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+           CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                WHEN n.o_orderkey IS NULL THEN 'removed'
+                WHEN o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+                  OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+                  THEN 'changed'
+                ELSE 'unchanged' END AS status
+    FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+    WHERE CASE WHEN o.o_orderkey IS NULL THEN 'added'
+               WHEN n.o_orderkey IS NULL THEN 'removed'
+               WHEN o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+                 OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+                 THEN 'changed'
+               ELSE 'unchanged' END <> 'unchanged'
+    """,
+)
+def k11_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.snapshot import snapshot_diff
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    old = orders.filter(F.col("o_orderkey") % 5 != 0)
+    # cast back to the source decimal scale: a double bump would turn
+    # "4576.80" into "4576.8" in the row digest and flag unchanged
+    # trailing-zero prices as changed
+    new = orders.filter(F.col("o_orderkey") % 3 != 0).withColumn(
+        "o_totalprice",
+        (
+            F.col("o_totalprice")
+            + F.when(F.col("o_orderkey") % 2 == 0, F.lit(1.50)).otherwise(
+                F.lit(0.00)
+            )
+        ).cast(orders.schema["o_totalprice"].dataType.simpleString()),
+    )
+    diff = snapshot_diff(old, new, keys=["o_orderkey"])
+    return diff.filter(F.col("status") != "unchanged")

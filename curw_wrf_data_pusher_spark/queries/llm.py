@@ -1663,13 +1663,15 @@ def llm_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def llm_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..llmops.curation import temperature_mix, temperature_weights
+    from ..llmops.curation import (
+        match_case,
+        temperature_mix,
+        temperature_weights,
+    )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     weights = temperature_weights(docs, alpha=0.5)
-    w_expr = F.lit(None).cast("double")
-    for g, w in sorted(weights.items()):
-        w_expr = F.when(F.col("source") == g, F.lit(w)).otherwise(w_expr)
+    w_expr = match_case(F.col("source"), weights, None)
     return (
         temperature_mix(docs, alpha=0.5)
         .withColumn("w_r", F.round(w_expr, 9))
@@ -1800,3 +1802,67 @@ def llm_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_leaky_groups").cast("long").alias("n"),
     )
     return assign.unionByName(summary).unionByName(leak)
+
+
+# ---------------------------------------------------------------------------
+# Exact set-similarity self-join (AllPairs/PPJoin prefix filtering):
+# the scalable EXACT replacement for the quadratic all-pairs Jaccard.
+# The oracle is the quadratic baseline itself, so this row pins the
+# prefix filter's recall-1.0 claim end-to-end: every pair the
+# quadratic join finds at J ≥ 0.5, the prefix-filtered plan must find
+# with the identical jaccard value — and no extras.  Set elements are
+# the 3-gram shingles (word SETS are degenerate on this corpus: a
+# 31-word vocabulary makes nearly every doc pair word-similar).
+@register(
+    "llm_setsim_pairs",
+    oracle=f"""
+    {_SHINGLE_CTE},
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    i AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(inter::DOUBLE / (sa.n + sb.n - inter), 9) AS jaccard
+    FROM i JOIN sz sa ON sa.doc_id = i.id_a
+           JOIN sz sb ON sb.doc_id = i.id_b
+    WHERE inter::DOUBLE / (sa.n + sb.n - inter) >= 0.5
+    """,
+)
+def llm_setsim_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llmops.dedup import shingles
+    from ..llmops.setjoin import setsim_join
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = setsim_join(
+        shingles(docs), token_col="shingle", threshold=0.5
+    )
+    return out.select(
+        "id_a", "id_b", F.round("jaccard", 9).alias("jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic per-source document cap — the hard-ceiling companion
+# to rate-based stratified sampling.  The oracle re-derives the
+# hash-order rank, so the row pins the exact kept SET, not just its
+# size per group.
+@register(
+    "llm_source_cap",
+    oracle="""
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5('cap:v1:' || doc_id::VARCHAR), doc_id
+             ) AS rk
+      FROM documents
+    ) WHERE rk <= 15
+    """,
+)
+def llm_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llmops.curation import cap_per_group
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return cap_per_group(docs, max_per_group=15, group_col="source")

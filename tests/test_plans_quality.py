@@ -235,10 +235,16 @@ def test_no_unreviewed_nested_loop_joins_in_registered_queries(
       scan — the design that keeps the corpus from shuffling.
     - llm_ngram_logfreq: single-row percentile-boundary frame from
       score_cut_buckets crossed onto the scored corpus.
+    - a15_heavy_hitters: single-row corpus-total aggregate crossed
+      onto the per-item counts for the frequency threshold.
+    - j9_bloom_semi_join: the single-row Catalyst-built bloom bitset
+      crossed onto the fact scan for the map-side probe.
     """
     bnl_ok = {
+        "a15_heavy_hitters": 1,
         "e2_rfield_contract": 1,
         "j5_get_or_create": 1,
+        "j9_bloom_semi_join": 1,
         "llm_bm25_tfidf": 2,
         "llm_cosine_topk_neardup": 1,
         "llm_ngram_logfreq": 1,

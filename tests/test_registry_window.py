@@ -123,4 +123,14 @@ def test_tail_holds_only_redundant_demos():
         "j9_bloom_semi_join",
         # leakage-safe grouped train/valid/test split + leak audit
         "llm_train_test_split",
+        # exact prefix-filtered set-similarity join (AllPairs/PPJoin)
+        "llm_setsim_pairs",
+        # deterministic per-source document cap (hash-order rank)
+        "llm_source_cap",
+        # count-min sketch frequency estimation (cells oracle-rebuilt)
+        "a16_countmin_freq",
+        # median/MAD robust outlier detection (Iglewicz–Hoaglin)
+        "a17_mad_outliers",
+        # keyed snapshot diff: added/removed/changed classification
+        "k11_snapshot_diff",
     ], tail

@@ -1,0 +1,217 @@
+"""Round-6 batch operators: count-min sketch, snapshot diff, MAD
+outliers, per-group cap, and the flat-CaseWhen regression guard."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from curw_wrf_data_pusher_spark.llmops.curation import (
+    cap_per_group,
+    match_case,
+    upsample_by_group,
+)
+from curw_wrf_data_pusher_spark.operators.sketch import (
+    countmin_build,
+    countmin_lookup,
+    countmin_merge,
+)
+from curw_wrf_data_pusher_spark.operators.snapshot import snapshot_diff
+from curw_wrf_data_pusher_spark.operators.timeseries import mad_outliers
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch
+
+
+@pytest.fixture(scope="module")
+def stream(spark):
+    # zipf-ish multiplicities over a small vocabulary
+    rows = [(f"tok{i % 17}",) for i in range(600)] + [
+        (f"rare{i}",) for i in range(40)
+    ]
+    return spark.createDataFrame(rows, ["item"]).cache()
+
+
+def test_cms_never_undercounts_and_is_tight_without_collisions(
+    spark, stream
+):
+    exact = {
+        r.item: r.cnt
+        for r in stream.groupBy("item").agg(F.count("*").alias("cnt")).collect()
+    }
+    items = stream.select("item").distinct()
+    # wide sketch: 57 distinct items over 4×4096 cells — collisions
+    # are possible in principle, so assert the one-sided guarantee
+    # plus near-exactness in aggregate
+    sk = countmin_build(stream, "item", depth=4, width=4096)
+    est = {
+        r.item: r.cms_est
+        for r in countmin_lookup(sk, items, "item", depth=4, width=4096).collect()
+    }
+    assert set(est) == set(exact)
+    assert all(est[i] >= exact[i] for i in exact)
+    # narrow sketch: collisions guaranteed (57 items, 16 columns) —
+    # still never undercounts
+    sk16 = countmin_build(stream, "item", depth=4, width=16)
+    est16 = {
+        r.item: r.cms_est
+        for r in countmin_lookup(sk16, items, "item", depth=4, width=16).collect()
+    }
+    assert all(est16[i] >= exact[i] for i in exact)
+    assert sum(est16.values()) > sum(exact.values())  # collisions occurred
+
+
+def test_cms_merge_equals_single_build(spark, stream):
+    a = stream.filter(F.crc32(F.col("item")) % 2 == 0)
+    b = stream.filter(F.crc32(F.col("item")) % 2 == 1)
+    merged = countmin_merge(
+        countmin_build(a, "item", width=64), countmin_build(b, "item", width=64)
+    )
+    full = countmin_build(stream, "item", width=64)
+    m = {(r.row, r.col): r.cnt for r in merged.collect()}
+    f = {(r.row, r.col): r.cnt for r in full.collect()}
+    assert m == f
+
+
+def test_cms_build_is_bounded_and_one_shuffle(spark, stream):
+    sk = countmin_build(stream, "item", depth=4, width=32)
+    assert sk.count() <= 4 * 32
+    plan = sk._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    assert "partial_count" in plan  # map-side combine before the shuffle
+
+
+# ---------------------------------------------------------------------------
+# snapshot diff
+
+
+def test_snapshot_diff_classifies_all_statuses(spark):
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", None), (4, "d", 40.0)],
+        ["k", "s", "v"],
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 25.0), (3, "c", None), (5, "e", 50.0)],
+        ["k", "s", "v"],
+    )
+    got = {r.k: r.status for r in snapshot_diff(old, new, ["k"]).collect()}
+    assert got == {
+        1: "unchanged",
+        2: "changed",
+        3: "unchanged",  # NULL == NULL under the sentinel digest
+        4: "removed",
+        5: "added",
+    }
+
+
+def test_snapshot_diff_null_vs_empty_and_boundary_concat(spark):
+    old = spark.createDataFrame([(1, None, "bc"), (2, "ab", "c")], ["k", "x", "y"])
+    new = spark.createDataFrame([(1, "", "bc"), (2, "a", "bc")], ["k", "x", "y"])
+    got = {r.k: r.status for r in snapshot_diff(old, new, ["k"]).collect()}
+    # NULL ≠ '' and ("ab","c") ≠ ("a","bc") — the sentinel separators
+    assert got == {1: "changed", 2: "changed"}
+
+
+def test_snapshot_diff_single_join_plan(spark):
+    old = spark.range(100).select(F.col("id").alias("k"), F.col("id").alias("v"))
+    new = spark.range(100).select(F.col("id").alias("k"), (F.col("id") + 1).alias("v"))
+    plan = (
+        snapshot_diff(old, new, ["k"])
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert plan.count("Join FullOuter") == 1
+
+
+# ---------------------------------------------------------------------------
+# MAD outliers
+
+
+def test_mad_outliers_matches_pandas(spark):
+    import numpy as np
+
+    vals = [float(v) for v in [1, 2, 2, 3, 2, 2, 1, 2, 3, 50]]
+    rows = [("g", i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, ["g", "i", "v"])
+    out = mad_outliers(df, ["g"], "v", k=3.5).collect()
+    med = float(np.median(vals))
+    mad = float(np.median(np.abs(np.array(vals) - med)))
+    for r in out:
+        assert r.group_median == pytest.approx(med)
+        assert r.group_mad == pytest.approx(mad)
+        expected = abs(r.v - med) > 3.5 * 1.4826 * mad
+        assert r.is_outlier == expected
+    assert sum(r.is_outlier for r in out) == 1  # only the 50
+
+
+def test_mad_outliers_constant_group(spark):
+    df = spark.createDataFrame(
+        [("c", i, 5.0) for i in range(6)] + [("c", 99, 7.0)], ["g", "i", "v"]
+    )
+    out = {r.i: r for r in mad_outliers(df, ["g"], "v").collect()}
+    # median 5, MAD 0: robust_z NULL everywhere, nonzero deviation flags
+    assert all(r.robust_z is None for r in out.values())
+    assert out[99].is_outlier and not out[0].is_outlier
+
+
+# ---------------------------------------------------------------------------
+# per-group cap
+
+
+def test_cap_per_group_bounds_and_determinism(spark):
+    rows = [(i, "s%d" % (i % 3)) for i in range(90)]
+    docs = spark.createDataFrame(rows, ["doc_id", "source"])
+    capped = cap_per_group(docs, 10)
+    sizes = {
+        r.source: r.n
+        for r in capped.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert all(n == 10 for n in sizes.values())
+    ids = {r.doc_id for r in capped.collect()}
+    # repartition-proof: same kept set on a reshuffled input
+    ids2 = {r.doc_id for r in cap_per_group(docs.repartition(7), 10).collect()}
+    assert ids == ids2
+    # independent draw under a different salt
+    ids3 = {r.doc_id for r in cap_per_group(docs, 10, salt="cap:v2").collect()}
+    assert ids3 != ids
+    # groups smaller than the cap pass through whole
+    assert cap_per_group(docs, 1000).count() == 90
+
+
+# ---------------------------------------------------------------------------
+# flat CaseWhen (regression: nested when-chains explode TreeNode.toJSON)
+
+
+def test_match_case_semantics(spark):
+    df = spark.createDataFrame(
+        [("a",), ("b",), ("zz",)], ["g"]
+    ).select("g", match_case(F.col("g"), {"a": 1.0, "b": 2.5}, 0.0).alias("w"))
+    got = {r.g: r.w for r in df.collect()}
+    assert got == {"a": 1.0, "b": 2.5, "zz": 0.0}
+    df2 = spark.createDataFrame([("q",)], ["g"]).select(
+        match_case(F.col("g"), {}, None).alias("w")
+    )
+    assert df2.collect()[0].w is None
+
+
+def test_wide_weight_chain_plan_json_stays_linear(spark):
+    """20+ group weights used to nest CaseWhen 20 deep, and Spark's
+    TreeNode.toJSON is exponential in that depth (OOMed the 16 GiB
+    driver in the plan-walk CI gate).  Guard: the optimized-plan JSON
+    of a 40-group upsample stays linear-sized (measured ~1.1 MB — the
+    nested form at depth 40 would be ~2^35 MB) AND parses."""
+    docs = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("src"), (F.col("id") % 40).cast("string")).alias(
+            "source"
+        ),
+    )
+    weights = {f"src{i}": 0.5 + (i % 5) * 0.5 for i in range(40)}
+    up = upsample_by_group(docs, weights=weights, default_weight=0.0)
+    j = up._jdf.queryExecution().optimizedPlan().toJSON()
+    assert len(j) < 4_000_000
+    json.loads(j)
