@@ -70,6 +70,7 @@ _TAIL = [
     "a16_countmin_freq",   # count-min sketch frequency estimates
     "a17_mad_outliers",    # median/MAD robust outlier detection
     "k11_snapshot_diff",   # keyed snapshot diff (added/removed/changed)
+    "a18_mergeable_rollup",  # incremental-rollup partial-merge algebra
 ]
 
 

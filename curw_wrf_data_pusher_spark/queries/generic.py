@@ -1924,3 +1924,54 @@ def k11_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     diff = snapshot_diff(old, new, keys=["o_orderkey"])
     return diff.filter(F.col("status") != "unchanged")
+
+
+# ---------------------------------------------------------------------------
+# A18 — mergeable-partial rollup algebra (incremental aggregate
+# maintenance).  The event log is sliced into 3 synthetic ingest
+# batches (event_id % 3); per-(key, batch) partials are merged into
+# per-key statistics, and the oracle re-derives the same two-level
+# aggregation — pinning that the partial algebra (n/sum/min/max/sum_sq
+# + derived mean/variance) reproduces the direct aggregation under ANY
+# batch slicing.  Values are floor-quantized to integer milliunits
+# map-side so every partial is EXACT (bigint) and the derived doubles
+# come from identical IEEE ops in both engines — no rounding fudge in
+# the hash.  The store lifecycle (commit / merge-on-read / replay /
+# compaction) is pytest-gated in tests/test_rollup.py.
+@register(
+    "a18_mergeable_rollup",
+    oracle="""
+    WITH q AS (
+      SELECT user_id, event_id % 3 AS b,
+             CAST(floor(value * 1000) AS BIGINT) AS vq
+      FROM events
+    ),
+    p AS (
+      SELECT user_id, b, count(vq) AS n, CAST(sum(vq) AS BIGINT) AS sum_v,
+             min(vq) AS min_v, max(vq) AS max_v,
+             CAST(sum(vq * vq) AS BIGINT) AS sum_sq
+      FROM q GROUP BY user_id, b
+    ),
+    m AS (
+      SELECT user_id, CAST(sum(n) AS BIGINT) AS n,
+             CAST(sum(sum_v) AS BIGINT) AS sum_v,
+             min(min_v) AS min_v, max(max_v) AS max_v,
+             CAST(sum(sum_sq) AS BIGINT) AS sum_sq
+      FROM p GROUP BY user_id
+    )
+    SELECT user_id, n, sum_v, min_v, max_v,
+           sum_v / n AS avg_v,
+           sum_sq / n - (sum_v / n) * (sum_v / n) AS var_pop
+    FROM m
+    """,
+)
+def a18_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.rollup import merge_partials, rollup_partials
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        (F.col("event_id") % 3).alias("b"),
+        F.floor(F.col("value") * 1000).cast("long").alias("vq"),
+    )
+    partials = rollup_partials(ev, ["user_id", "b"], "vq")
+    return merge_partials(partials, ["user_id"])

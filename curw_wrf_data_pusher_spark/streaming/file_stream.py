@@ -113,3 +113,50 @@ def windowed_obs_resample(
             value_col,
         )
     )
+
+
+def session_window_agg(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    time_col: str = "time",
+    key_col: str = "hash_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Session-window aggregation — the streaming twin of the batch
+    lag+cumsum sessionization (``queries/generic.py::w4_sessionize``):
+    per-key sessions closed by ``gap`` of inactivity, with n_events /
+    value total per session.  Works on streaming AND batch frames with
+    the same plan.
+
+    Streaming semantics: ``session_window`` is Spark's built-in
+    MERGING stateful aggregation — state is one entry per (key, OPEN
+    session), adjacent windows merge as events arrive (including
+    across micro-batches), and the watermark both bounds that state
+    and finalizes sessions for append-mode emission (a session is
+    emitted once the watermark passes its end = last event + gap).
+
+    Scale: no global windows, no per-key sort — state size tracks the
+    number of concurrently-open sessions, not history.  Late events
+    inside the watermark REOPEN/extend their session exactly like the
+    batch recompute would."""
+    df = events
+    if df.isStreaming:
+        df = df.withWatermark(time_col, watermark)
+    return (
+        df.groupBy(
+            F.col(key_col),
+            F.session_window(F.col(time_col), gap).alias("s"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(value_col).alias("total"),
+        )
+        .select(
+            key_col,
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "n_events",
+            "total",
+        )
+    )

@@ -133,4 +133,7 @@ def test_tail_holds_only_redundant_demos():
         "a17_mad_outliers",
         # keyed snapshot diff: added/removed/changed classification
         "k11_snapshot_diff",
+        # incremental-rollup mergeable-partial algebra (store lifecycle
+        # in tests/test_rollup.py)
+        "a18_mergeable_rollup",
     ], tail

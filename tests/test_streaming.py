@@ -183,3 +183,105 @@ def test_streaming_e1_equals_batch_e1(spark, tmp_path):
     import pandas as pd
 
     pd.testing.assert_frame_equal(got[want.columns], want, check_dtype=False)
+
+
+def test_session_window_agg_batch_semantics(spark):
+    from curw_wrf_data_pusher_spark.streaming.file_stream import (
+        session_window_agg,
+    )
+
+    rows = [
+        ("u1", "2024-06-01 00:00:00", 1.0),
+        ("u1", "2024-06-01 00:10:00", 2.0),   # same session (gap 30m)
+        ("u1", "2024-06-01 01:00:00", 4.0),   # > 30m idle → new session
+        ("u2", "2024-06-01 00:05:00", 8.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "hash_id string, time string, value double"
+    ).withColumn("time", F.col("time").cast("timestamp"))
+    out = {
+        (r.hash_id, str(r.session_start)): (r.n_events, r.total,
+                                            str(r.session_end))
+        for r in session_window_agg(df).collect()
+    }
+    # session end = last event + gap (session_window convention)
+    assert out[("u1", "2024-06-01 00:00:00")] == (
+        2, 3.0, "2024-06-01 00:40:00")
+    assert out[("u1", "2024-06-01 01:00:00")] == (
+        1, 4.0, "2024-06-01 01:30:00")
+    assert out[("u2", "2024-06-01 00:05:00")] == (
+        1, 8.0, "2024-06-01 00:35:00")
+    assert len(out) == 3
+
+
+def test_session_window_agg_streaming_merges_across_batches(
+    spark, tmp_path
+):
+    """Two availableNow runs over the same checkpoint: the second
+    drop's event falls inside the first session's gap, so the stateful
+    merge must extend it — the emitted session covers both drops.  A
+    far-future flush event advances the watermark so earlier sessions
+    finalize for append-mode emission (its own session stays open and
+    unemitted, as streaming semantics require)."""
+    from curw_wrf_data_pusher_spark.streaming.file_stream import (
+        session_window_agg,
+    )
+
+    watch = str(tmp_path / "w")
+    store = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(watch)
+    schema = "hash_id string, time timestamp, value double"
+
+    def _drop(rows, name):
+        (
+            spark.createDataFrame(
+                rows, "hash_id string, time string, value double"
+            )
+            .withColumn("time", F.col("time").cast("timestamp"))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(watch, name))
+        )
+
+    def _run():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("recursiveFileLookup", "true")
+            .parquet(watch)
+        )
+        q = (
+            session_window_agg(stream, gap="30 minutes", watermark="1 hour")
+            .writeStream.format("parquet")
+            .option("path", store)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    _drop(
+        [("u1", "2024-06-01 00:00:00", 1.0),
+         ("u1", "2024-06-01 00:10:00", 2.0)],
+        "drop1",
+    )
+    _run()
+    # session still open (watermark hasn't passed its end): nothing
+    # finalized yet
+    _drop(
+        [("u1", "2024-06-01 00:20:00", 4.0),      # extends the session
+         ("u1", "2024-06-01 12:00:00", 99.0)],    # watermark flush
+        "drop2",
+    )
+    _run()
+    out = {
+        (r.hash_id, str(r.session_start)): (r.n_events, r.total,
+                                            str(r.session_end))
+        for r in spark.read.parquet(store).collect()
+    }
+    # ONE merged session across both drops; the flush event's own
+    # session is still open and therefore absent
+    assert out == {
+        ("u1", "2024-06-01 00:00:00"): (3, 7.0, "2024-06-01 00:50:00")
+    }
