@@ -684,3 +684,46 @@ def cap_per_group(
         .filter(F.col("__cap_rank") <= max_per_group)
         .drop("__cap_rank")
     )
+
+
+def weighted_sample(
+    docs: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    salt: str = "wsample:v1",
+) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis & Spirakis
+    '06, the A-ES key trick): each row draws a deterministic uniform
+    u ∈ (0,1) from md5(salt:id) and ranks by ln(u)/w — the k LARGEST
+    keys are a weight-proportional sample without replacement.  The
+    quality-score-weighted cousin of ``stratified_sample`` (per-group
+    rates) and ``cap_per_group`` (uniform per-group ceilings): here
+    each DOCUMENT's own weight (quality score, recency, dedup-cluster
+    size) drives its inclusion odds.
+
+    Deterministic and repartition-proof (no RNG state); a different
+    ``salt`` draws an independent sample.  Rows with weight ≤ 0 or
+    NULL never qualify.
+
+    Scale: the key is map-side; selection is a global top-k —
+    TakeOrderedAndProject (k-bounded per partition, then a k-row
+    merge), never a full sort or global window."""
+    h32 = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string"))),
+            1, 8,
+        ),
+        16, 10,
+    ).cast("long")
+    # (h32 + 0.5) / 2^32 ∈ (0, 1) strictly — ln() never sees 0
+    u = (h32.cast("double") + F.lit(0.5)) / F.lit(float(2**32))
+    w = F.col(weight_col).cast("double")
+    key = F.log(u) / w
+    return (
+        docs.filter(w > 0)
+        .withColumn("__wkey", key)
+        .orderBy(F.col("__wkey").desc(), F.col(id_col))
+        .limit(k)
+        .drop("__wkey")
+    )

@@ -193,3 +193,121 @@ def setsim_join(
         F.col(id_col), F.col(token_col).alias("shingle")
     )
     return verify_candidates(long, cand, id_col=id_col, min_jaccard=threshold)
+
+
+def setsim_join_between(
+    tok_a: DataFrame,
+    tok_b: DataFrame,
+    id_col: str = "doc_id",
+    token_col: str = "token",
+    threshold: float = 0.5,
+    max_token_group: int | None = None,
+) -> DataFrame:
+    """Cross-corpus exact set-similarity join (R×S form): all pairs
+    (id_a ∈ A, id_b ∈ B) with Jaccard ≥ ``threshold`` — fuzzy
+    contamination / entity-matching between two corpora, with the same
+    recall-1.0 prefix-filter argument as the self-join (the global
+    token order is computed over the UNION, which only lengthens
+    prefixes relative to either side alone).
+
+    Ids may collide across corpora: identity inside the machinery is
+    (side, id); the output keeps A's id as ``id_a`` and B's as
+    ``id_b``.  Plan shape identical to ``setsim_join`` — the union is
+    map-side, candidates expand in-group per prefix token (cross-side
+    pairs only), and the verify joins each side's token table once."""
+    a = tok_a.select(
+        F.lit(0).alias("__side"), F.col(id_col), F.col(token_col)
+    )
+    b = tok_b.select(
+        F.lit(1).alias("__side"), F.col(id_col), F.col(token_col)
+    )
+    u = a.unionByName(b)
+    by_token = Window.partitionBy(token_col)
+    by_doc = Window.partitionBy("__side", id_col)
+    ranked = (
+        u.withColumn("__df", F.count("*").over(by_token))
+        .withColumn("__n", F.count("*").over(by_doc))
+        .withColumn(
+            "__pos",
+            F.row_number().over(
+                Window.partitionBy("__side", id_col).orderBy(
+                    "__df", token_col
+                )
+            ),
+        )
+    )
+    prefix_len = (
+        F.col("__n")
+        - F.ceil(F.lit(threshold) * F.col("__n") - F.lit(1e-9))
+        + 1
+    )
+    grouped = (
+        ranked.filter(F.col("__pos") <= prefix_len)
+        .groupBy(token_col)
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("__n").alias("n"),
+                        F.col("__side").alias("side"),
+                        F.col(id_col).alias("id"),
+                    )
+                )
+            ).alias("members")
+        )
+    )
+    if max_token_group is not None:
+        grouped = grouped.filter(F.size("members") <= max_token_group)
+    pair_expr = F.expr(
+        "flatten(transform(sequence(0, size(members) - 2),"
+        " i -> filter(transform(sequence(i + 1, size(members) - 1),"
+        " j -> CASE WHEN members[i].side <> members[j].side"
+        f"  AND members[i].n >= {threshold!r} * members[j].n - 1e-9"
+        "   THEN struct("
+        "     CASE WHEN members[i].side = 0 THEN members[i].id"
+        "          ELSE members[j].id END AS id_a,"
+        "     CASE WHEN members[i].side = 0 THEN members[j].id"
+        "          ELSE members[i].id END AS id_b)"
+        "   END), p -> p IS NOT NULL)))"
+    )
+    cand = (
+        grouped.filter(F.size("members") >= 2)
+        .select(F.explode(pair_expr).alias("p"))
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sz_a = tok_a.groupBy(id_col).agg(F.count("*").alias("sz_a"))
+    sz_b = tok_b.groupBy(id_col).agg(F.count("*").alias("sz_b"))
+    ta = tok_a.select(
+        F.col(id_col).alias("id_a"), F.col(token_col).alias("__ta")
+    )
+    tb = tok_b.select(
+        F.col(id_col).alias("__rid"), F.col(token_col).alias("__tb")
+    )
+    inter = (
+        cand.join(ta, on="id_a")
+        .join(
+            tb,
+            (F.col("id_b") == F.col("__rid"))
+            & (F.col("__ta") == F.col("__tb")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    out = (
+        inter.join(
+            F.broadcast(sz_a.select(F.col(id_col).alias("id_a"), "sz_a")),
+            "id_a",
+        )
+        .join(
+            F.broadcast(sz_b.select(F.col(id_col).alias("id_b"), "sz_b")),
+            "id_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out.select("id_a", "id_b", "jaccard")

@@ -820,3 +820,83 @@ def semantic_dropped_clusters(
     if max_cluster_size is None:
         return grouped.filter(F.lit(False)).select("cluster", "n_members")
     return grouped.filter(F.col("n_members") > max_cluster_size)
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    k: int = 5,
+    lam: float = 0.7,
+    query_col: str = "q_id",
+    id_col: str = "n_id",
+    score_col: str = "cos",
+    vec_col: str = "n_vec",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    SIGIR'98): per query, greedily select k candidates maximizing
+    ``lam·relevance − (1−lam)·max_cosine_to_already_selected`` —
+    retrieval that is relevant AND diverse (a top-k of near-duplicates
+    collapses to one representative plus genuinely different results).
+
+    Input: candidate rows (query_col, id_col, score_col, vec_col) —
+    typically ``cosine_topk``/``ivf_topk`` output with an overfetched
+    k (e.g. 4·k) and the candidate vector carried.  Output:
+    (query_col, id_col, mmr_rank 1-based, score_col, mmr_score).
+
+    Scale shape: MMR is inherently sequential IN k, but only WITHIN a
+    query — the greedy loop runs per-query inside one Arrow-batched
+    ``applyInPandas`` group over the bounded overfetch set (N ≤ a few
+    hundred rows), and all queries proceed in parallel.  The corpus is
+    never touched; cost is O(N·k·dim) per query.  Deterministic:
+    ties break on (rounded score, id), no RNG."""
+    import numpy as np
+    import pandas as pd
+
+    out_fields = f"{query_col} string, {id_col} string, mmr_rank long, " \
+                 f"{score_col} double, mmr_score double"
+    q_dtype = dict(candidates.dtypes)[query_col]
+    id_dtype = dict(candidates.dtypes)[id_col]
+    out_fields = (
+        f"{query_col} {q_dtype}, {id_col} {id_dtype}, mmr_rank long, "
+        f"{score_col} double, mmr_score double"
+    )
+
+    def _mmr(pdf: pd.DataFrame) -> pd.DataFrame:
+        # deterministic candidate order: score desc, id asc
+        pdf = pdf.sort_values(
+            [score_col, id_col], ascending=[False, True]
+        ).reset_index(drop=True)
+        vecs = np.array(pdf[vec_col].tolist(), dtype="float64")
+        norms = np.linalg.norm(vecs, axis=1)
+        norms[norms == 0.0] = 1.0
+        unit = vecs / norms[:, None]
+        rel = pdf[score_col].to_numpy(dtype="float64")
+        n = len(pdf)
+        chosen: list[int] = []
+        max_sim = np.full(n, -np.inf)
+        scores_out = []
+        for _ in range(min(k, n)):
+            if chosen:
+                mmr = lam * rel - (1.0 - lam) * max_sim
+            else:
+                mmr = lam * rel
+            mmr_r = np.round(mmr, 12)
+            mask = np.ones(n, bool)
+            mask[chosen] = False
+            best_val = mmr_r[mask].max()
+            # smallest positional index among ties = (score desc, id)
+            cand_idx = np.where(mask & (mmr_r == best_val))[0][0]
+            chosen.append(int(cand_idx))
+            scores_out.append(float(mmr[cand_idx]))
+            sim_new = unit @ unit[cand_idx]
+            max_sim = np.maximum(max_sim, sim_new)
+        return pd.DataFrame(
+            {
+                query_col: pdf[query_col].iloc[chosen].to_numpy(),
+                id_col: pdf[id_col].iloc[chosen].to_numpy(),
+                "mmr_rank": np.arange(1, len(chosen) + 1, dtype="int64"),
+                score_col: rel[chosen],
+                "mmr_score": scores_out,
+            }
+        )
+
+    return candidates.groupBy(query_col).applyInPandas(_mmr, out_fields)

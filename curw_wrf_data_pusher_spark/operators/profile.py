@@ -71,3 +71,80 @@ def profile_table(
         F.col("min_value"),
         F.col("max_value"),
     )
+
+
+def equi_width_histogram(df: DataFrame, col: str, k: int = 10) -> DataFrame:
+    """Equi-width histogram: k equal-span buckets over [min, max],
+    as (bucket, lo, hi, n).  The span comes from ONE single-row
+    min/max aggregate broadcast onto the scan (the reviewed
+    single-row-BNLJ shape used throughout the engine) — two scans,
+    no global sort, counts combine map-side.  The top edge closes the
+    last bucket (v = max lands in bucket k−1)."""
+    v = F.col(col).cast("double")
+    stats = df.agg(
+        F.min(v).alias("__lo"), F.max(v).alias("__hi")
+    )
+    w = (F.col("__hi") - F.col("__lo")) / F.lit(float(k))
+    bucket = F.least(
+        F.floor((v - F.col("__lo")) / w).cast("int"), F.lit(k - 1)
+    )
+    return (
+        df.join(F.broadcast(stats))
+        .filter(v.isNotNull())
+        .select(
+            # zero-span (constant column) degenerates to bucket 0
+            F.when(F.col("__hi") == F.col("__lo"), F.lit(0))
+            .otherwise(bucket)
+            .alias("bucket"),
+            F.col("__lo"),
+            F.col("__hi"),
+        )
+        .groupBy("bucket", "__lo", "__hi")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "bucket",
+            (F.col("__lo") + F.col("bucket")
+             * ((F.col("__hi") - F.col("__lo")) / F.lit(float(k))))
+            .alias("lo"),
+            (F.col("__lo") + (F.col("bucket") + 1)
+             * ((F.col("__hi") - F.col("__lo")) / F.lit(float(k))))
+            .alias("hi"),
+            "n",
+        )
+    )
+
+
+def equi_depth_histogram(df: DataFrame, col: str, k: int = 10) -> DataFrame:
+    """Equi-depth (equal-frequency) histogram: bucket boundaries are
+    the exact interpolated i/k percentiles, assignment is "number of
+    interior boundaries ≤ v" — one boundary ROW broadcast map-side, no
+    global window/sort (the ``score_cut_buckets`` shape generalized to
+    k cuts).  Duplicate boundaries (heavy skew) produce empty buckets
+    rather than wrong counts; bucket spans (lo, hi) ride along from
+    the same boundary array."""
+    v = F.col(col).cast("double")
+    pcts = F.array(*[F.lit(i / k) for i in range(k + 1)])
+    cuts_row = df.agg(F.percentile(v, pcts).alias("__cuts"))
+    cuts = F.col("__cuts")
+    # interior cuts only: slice(2, k-1) drops min and max
+    bucket = F.least(
+        F.aggregate(
+            F.slice(cuts, 2, k - 1),
+            F.lit(0),
+            lambda acc, c: acc + F.when(v >= c, 1).otherwise(0),
+        ),
+        F.lit(k - 1),
+    )
+    return (
+        df.join(F.broadcast(cuts_row))
+        .filter(v.isNotNull())
+        .select(bucket.alias("bucket"), cuts.alias("__cuts"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"), F.first("__cuts").alias("__cuts"))
+        .select(
+            "bucket",
+            F.element_at("__cuts", F.col("bucket") + 1).alias("lo"),
+            F.element_at("__cuts", F.col("bucket") + 2).alias("hi"),
+            "n",
+        )
+    )

@@ -71,6 +71,8 @@ _TAIL = [
     "a17_mad_outliers",    # median/MAD robust outlier detection
     "k11_snapshot_diff",   # keyed snapshot diff (added/removed/changed)
     "a18_mergeable_rollup",  # incremental-rollup partial-merge algebra
+    "llm_setsim_cross",    # cross-corpus exact set-similarity join
+    "a19_histograms",      # equi-width + equi-depth histograms
 ]
 
 

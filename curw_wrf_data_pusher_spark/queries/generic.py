@@ -1975,3 +1975,59 @@ def a18_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     partials = rollup_partials(ev, ["user_id", "b"], "vq")
     return merge_partials(partials, ["user_id"])
+
+
+# ---------------------------------------------------------------------------
+# A19 — histograms over events.value, both shapes in one union-tagged
+# row: equi-WIDTH (k equal spans from a single-row min/max broadcast)
+# and equi-DEPTH (k equal frequencies from one exact interpolated
+# percentile-boundary row — Spark percentile ≡ DuckDB quantile_cont
+# bit-for-bit, the llm_ngram_logfreq precedent).  No global sort or
+# window in either branch; counts combine map-side.
+_H_PCTS = ", ".join(str(i / 8) for i in range(9))
+@register(
+    "a19_histograms",
+    oracle=f"""
+    WITH s AS (SELECT min(value) AS mn, max(value) AS mx FROM events),
+    wb AS (
+      SELECT least(CAST(floor((value - s.mn) / ((s.mx - s.mn) / 8))
+                        AS INT), 7) AS bucket, s.mn, s.mx
+      FROM events, s WHERE value IS NOT NULL
+    ),
+    width AS (
+      SELECT 'width' AS form, bucket,
+             mn + bucket * ((mx - mn) / 8) AS lo,
+             mn + (bucket + 1) * ((mx - mn) / 8) AS hi,
+             count(*) AS n
+      FROM wb GROUP BY bucket, mn, mx
+    ),
+    dc AS (SELECT quantile_cont(value, [{_H_PCTS}]) AS cuts FROM events),
+    db AS (
+      SELECT least(CAST(len(list_filter(cuts[2:8], c -> value >= c))
+                        AS INT), 7) AS bucket, cuts
+      FROM events, dc WHERE value IS NOT NULL
+    ),
+    depth AS (
+      SELECT 'depth' AS form, bucket,
+             cuts[bucket + 1] AS lo, cuts[bucket + 2] AS hi,
+             count(*) AS n
+      FROM db GROUP BY bucket, cuts
+    )
+    SELECT form, bucket, lo, hi, n FROM width
+    UNION ALL
+    SELECT form, bucket, lo, hi, n FROM depth
+    """,
+)
+def a19_histograms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profile import equi_depth_histogram, equi_width_histogram
+
+    ev = load_table(spark, sf_dir, "events").select("value")
+    width = equi_width_histogram(ev, "value", k=8).select(
+        F.lit("width").alias("form"),
+        F.col("bucket").cast("long").alias("bucket"), "lo", "hi", "n",
+    )
+    depth = equi_depth_histogram(ev, "value", k=8).select(
+        F.lit("depth").alias("form"),
+        F.col("bucket").cast("long").alias("bucket"), "lo", "hi", "n",
+    )
+    return width.unionByName(depth)

@@ -1866,3 +1866,44 @@ def llm_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     return cap_per_group(docs, max_per_group=15, group_col="source")
+
+
+# ---------------------------------------------------------------------------
+# Cross-corpus (R×S) exact set-similarity join: the corpus split into
+# even/odd doc_id halves stands in for train-vs-benchmark; the oracle
+# is the quadratic cross-side baseline, so the row pins the R×S prefix
+# filter's recall end-to-end (union-wide token order, cross-side-only
+# pair expansion, per-side verify joins).
+@register(
+    "llm_setsim_cross",
+    oracle=f"""
+    {_SHINGLE_CTE},
+    a AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 2 = 0),
+    b AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 2 = 1),
+    sza AS (SELECT doc_id, count(*) AS n FROM a GROUP BY doc_id),
+    szb AS (SELECT doc_id, count(*) AS n FROM b GROUP BY doc_id),
+    i AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      FROM a JOIN b ON a.shingle = b.shingle
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(inter::DOUBLE / (sza.n + szb.n - inter), 9) AS jaccard
+    FROM i JOIN sza ON sza.doc_id = i.id_a
+           JOIN szb ON szb.doc_id = i.id_b
+    WHERE inter::DOUBLE / (sza.n + szb.n - inter) >= 0.5
+    """,
+)
+def llm_setsim_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llmops.dedup import shingles
+    from ..llmops.setjoin import setsim_join_between
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok_a = shingles(docs.filter(F.col("doc_id") % 2 == 0))
+    tok_b = shingles(docs.filter(F.col("doc_id") % 2 == 1))
+    out = setsim_join_between(
+        tok_a, tok_b, token_col="shingle", threshold=0.5
+    )
+    return out.select(
+        "id_a", "id_b", F.round("jaccard", 9).alias("jaccard")
+    )

@@ -41,3 +41,60 @@ def retention_delete(
                 if not dry_run:
                     os.remove(p)
     return removed
+
+
+def compact_small_files(
+    spark,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    min_files: int = 2,
+) -> dict:
+    """Small-files compaction: rewrite a parquet directory so each file
+    approaches ``target_file_bytes`` — the single most common lake
+    maintenance job at scale (streaming sinks and per-batch commits
+    leave thousands of KB-sized files; every downstream scan then pays
+    a task + footer read per file).
+
+    Bytes-preserving: rows are rewritten verbatim (no reorder promise —
+    parquet row order is not part of the store contract; tests pin the
+    full multiset of rows).  The rewrite goes to a staging directory
+    and swaps in with two renames, so a crash leaves either the old or
+    the new layout, never a mix.  Skips (returns a no-op report) when
+    the directory already has fewer than ``min_files`` files.
+
+    Target file count = ceil(total_bytes / target) on the DISK size —
+    a deliberate underestimate of in-memory size (parquet is
+    compressed), erring toward more files rather than giant tasks.
+    For partitioned stores, run per partition directory (the caller
+    knows the partition layout; compacting across partition dirs would
+    destroy it)."""
+    import glob
+    import math
+    import shutil
+
+    files = [
+        f for f in glob.glob(os.path.join(path, "*.parquet"))
+        if os.path.isfile(f)
+    ]
+    if len(files) < min_files:
+        return {"compacted": False, "n_files_before": len(files)}
+    total = sum(os.path.getsize(f) for f in files)
+    n_target = max(1, math.ceil(total / target_file_bytes))
+    if n_target >= len(files):
+        return {"compacted": False, "n_files_before": len(files)}
+    df = spark.read.parquet(path)
+    staging = path.rstrip("/") + ".__compact_staging__"
+    old = path.rstrip("/") + ".__compact_old__"
+    if os.path.exists(staging):
+        shutil.rmtree(staging)
+    df.repartition(n_target).write.mode("overwrite").parquet(staging)
+    os.rename(path, old)
+    os.rename(staging, path)
+    shutil.rmtree(old)
+    n_after = len(glob.glob(os.path.join(path, "*.parquet")))
+    return {
+        "compacted": True,
+        "n_files_before": len(files),
+        "n_files_after": n_after,
+        "bytes": total,
+    }

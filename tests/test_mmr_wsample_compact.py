@@ -1,0 +1,171 @@
+"""MMR diversification, weighted reservoir sampling, and small-files
+compaction."""
+
+from __future__ import annotations
+
+import glob
+import math
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from curw_wrf_data_pusher_spark.llmops.curation import weighted_sample
+from curw_wrf_data_pusher_spark.llmops.simsearch import mmr_rerank
+from curw_wrf_data_pusher_spark.sinks.maintenance import compact_small_files
+
+
+# ---------------------------------------------------------------------------
+# MMR
+
+
+def _mmr_mirror(rows, k, lam):
+    """Pure-python greedy MMR on (id, rel, vec) rows, same tie rules."""
+    rows = sorted(rows, key=lambda r: (-r[1], r[0]))
+    vecs = np.array([r[2] for r in rows], dtype="float64")
+    norms = np.linalg.norm(vecs, axis=1)
+    norms[norms == 0] = 1.0
+    unit = vecs / norms[:, None]
+    rel = np.array([r[1] for r in rows])
+    chosen, max_sim = [], np.full(len(rows), -np.inf)
+    for _ in range(min(k, len(rows))):
+        mmr = lam * rel - (0 if not chosen else (1 - lam) * max_sim)
+        mmr = np.round(mmr, 12)
+        best = None
+        for i in range(len(rows)):
+            if i in chosen:
+                continue
+            if best is None or mmr[i] > mmr[best]:
+                best = i
+        chosen.append(best)
+        max_sim = np.maximum(max_sim, unit @ unit[best])
+    return [rows[i][0] for i in chosen]
+
+
+def test_mmr_matches_greedy_mirror_and_diversifies(spark):
+    # two tight clusters + one outlier; relevance favors cluster A
+    cands = [
+        ("q1", "a1", 0.99, [1.0, 0.0, 0.0]),
+        ("q1", "a2", 0.98, [0.99, 0.01, 0.0]),   # near-dup of a1
+        ("q1", "a3", 0.97, [0.98, 0.02, 0.0]),   # near-dup of a1
+        ("q1", "b1", 0.90, [0.0, 1.0, 0.0]),     # different direction
+        ("q1", "c1", 0.80, [0.0, 0.0, 1.0]),     # different again
+        ("q2", "x1", 0.5, [1.0, 0.0, 0.0]),
+        ("q2", "x2", 0.4, [0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(
+        cands, "q_id string, n_id string, cos double, n_vec array<double>"
+    )
+    out = mmr_rerank(df, k=3, lam=0.5).collect()
+    got = {
+        q: [r.n_id for r in sorted(out, key=lambda r: r.mmr_rank)
+            if r.q_id == q]
+        for q in ("q1", "q2")
+    }
+    for q in ("q1", "q2"):
+        mirror = _mmr_mirror(
+            [(c[1], c[2], c[3]) for c in cands if c[0] == q], 3, 0.5
+        )
+        assert got[q] == mirror
+    # diversification actually happened: plain top-3 would be the
+    # three near-duplicates a1,a2,a3
+    assert got["q1"] == ["a1", "b1", "c1"]
+
+
+def test_mmr_lambda_one_is_pure_relevance(spark):
+    cands = [
+        ("q", f"d{i}", 1.0 - i * 0.1, [float(i % 2), 1.0, 0.0])
+        for i in range(6)
+    ]
+    df = spark.createDataFrame(
+        cands, "q_id string, n_id string, cos double, n_vec array<double>"
+    )
+    out = sorted(mmr_rerank(df, k=4, lam=1.0).collect(),
+                 key=lambda r: r.mmr_rank)
+    assert [r.n_id for r in out] == ["d0", "d1", "d2", "d3"]
+    assert [r.cos for r in out] == pytest.approx([1.0, 0.9, 0.8, 0.7])
+
+
+# ---------------------------------------------------------------------------
+# weighted reservoir sampling
+
+
+def test_weighted_sample_deterministic_and_bounded(spark):
+    docs = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        (F.when(F.col("id") < 20, 50.0).otherwise(0.5)).alias("w"),
+    )
+    s1 = {r.doc_id for r in weighted_sample(docs, 15, "w").collect()}
+    s2 = {
+        r.doc_id
+        for r in weighted_sample(docs.repartition(13), 15, "w").collect()
+    }
+    assert s1 == s2 and len(s1) == 15
+    # heavy items (weight 100× the rest) dominate the sample
+    assert len([d for d in s1 if d < 20]) >= 10
+    # independent draw under another salt
+    s3 = {
+        r.doc_id
+        for r in weighted_sample(docs, 15, "w", salt="wsample:v2").collect()
+    }
+    assert s3 != s1
+
+
+def test_weighted_sample_excludes_nonpositive_weights(spark):
+    docs = spark.createDataFrame(
+        [(1, 0.0), (2, -1.0), (3, None), (4, 2.0), (5, 1.0)],
+        "doc_id long, w double",
+    )
+    got = {r.doc_id for r in weighted_sample(docs, 10, "w").collect()}
+    assert got == {4, 5}
+
+
+def test_weighted_sample_plan_is_take_ordered(spark):
+    docs = spark.range(1000).select(
+        F.col("id").alias("doc_id"), F.lit(1.0).alias("w")
+    )
+    plan = (
+        weighted_sample(docs, 5, "w")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+
+
+# ---------------------------------------------------------------------------
+# small-files compaction
+
+
+def test_compact_small_files_preserves_rows(spark, tmp_path):
+    path = str(tmp_path / "store")
+    df = spark.range(10_000).select(
+        F.col("id"), (F.col("id") % 7).alias("g")
+    )
+    df.repartition(64).write.parquet(path)
+    n_before = len(glob.glob(os.path.join(path, "*.parquet")))
+    assert n_before >= 32
+    before = df.collect()
+    report = compact_small_files(spark, path, target_file_bytes=1 << 30)
+    assert report["compacted"] and report["n_files_after"] == 1
+    after = spark.read.parquet(path).collect()
+    assert sorted(r.id for r in after) == sorted(r.id for r in before)
+    # already-compact store: no-op
+    report2 = compact_small_files(spark, path, target_file_bytes=1 << 30)
+    assert not report2["compacted"]
+
+
+def test_compact_small_files_respects_target_size(spark, tmp_path):
+    path = str(tmp_path / "store")
+    spark.range(50_000).select(
+        F.col("id"), F.md5(F.col("id").cast("string")).alias("payload")
+    ).repartition(40).write.parquet(path)
+    files = glob.glob(os.path.join(path, "*.parquet"))
+    total = sum(os.path.getsize(f) for f in files)
+    target = total // 4
+    report = compact_small_files(spark, path, target_file_bytes=target)
+    expect = math.ceil(total / target)
+    assert report["compacted"]
+    assert report["n_files_after"] == expect

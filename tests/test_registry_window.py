@@ -136,4 +136,8 @@ def test_tail_holds_only_redundant_demos():
         # incremental-rollup mergeable-partial algebra (store lifecycle
         # in tests/test_rollup.py)
         "a18_mergeable_rollup",
+        # cross-corpus (R×S) prefix-filtered set-similarity join
+        "llm_setsim_cross",
+        # equi-width + equi-depth histograms (one row, union-tagged)
+        "a19_histograms",
     ], tail

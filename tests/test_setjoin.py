@@ -135,3 +135,51 @@ def test_setsim_plan_has_no_nested_loop_join(spark, corpus_tokens):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_setsim_between_equals_quadratic_cross_baseline(spark):
+    rows_a = [
+        (1, "alpha beta gamma delta epsilon"),
+        (2, "omega psi chi phi upsilon"),
+        (3, "one two three four"),
+    ]
+    rows_b = [
+        (1, "alpha beta gamma delta zeta"),     # id collides with A's 1
+        (9, "omega psi chi phi upsilon"),       # J=1 with A's 2
+        (10, "five six seven eight"),
+    ]
+    from curw_wrf_data_pusher_spark.llmops.setjoin import (
+        setsim_join_between,
+    )
+
+    ta, tb = _tok(spark, rows_a), _tok(spark, rows_b)
+    for t in (0.3, 0.6, 0.95):
+        got = {
+            (r.id_a, r.id_b, round(r.jaccard, 9))
+            for r in setsim_join_between(ta, tb, threshold=t).collect()
+        }
+        # quadratic cross baseline
+        inter = (
+            ta.withColumnRenamed("doc_id", "id_a")
+            .join(
+                tb.withColumnRenamed("doc_id", "id_b")
+                .withColumnRenamed("token", "tb"),
+                F.col("token") == F.col("tb"),
+            )
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("i"))
+        )
+        sza = ta.groupBy("doc_id").count().withColumnRenamed("count", "na")
+        szb = tb.groupBy("doc_id").count().withColumnRenamed("count", "nb")
+        base = {
+            (r.id_a, r.id_b, round(r.j, 9))
+            for r in inter.join(sza, inter.id_a == sza.doc_id)
+            .join(szb, inter.id_b == szb.doc_id)
+            .select(
+                "id_a", "id_b",
+                (F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))).alias("j"),
+            )
+            .filter(F.col("j") >= t)
+            .collect()
+        }
+        assert got == base, f"threshold {t}"
