@@ -38,7 +38,7 @@ capped run logs what it skipped instead of straggling silently.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 def _prepared(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
@@ -307,4 +307,67 @@ def fuzzy_join(
         .withColumn("distance", F.levenshtein("__sa", "__sb").cast("long"))
         .filter(F.col("distance") <= d)
         .select("id_l", "id_r", "distance")
+    )
+
+
+def resolve_entities(
+    df: DataFrame,
+    id_col: str = "id",
+    text_col: str = "text",
+    max_distance: int = 1,
+    n: int = 3,
+    score_col: str | None = None,
+    max_group_size: int | None = None,
+) -> DataFrame:
+    """End-to-end entity resolution: fuzzy-match → transitive closure →
+    canonical pick, composed from the engine's own operators
+    (``fuzzy_self_pairs`` → ``llmops.clusters.resolve_clusters``).
+
+    Every row gains ``entity_id`` (the cluster; transitive — a~b, b~c
+    puts a,c in one entity even when lev(a,c) > max_distance),
+    ``canonical_id`` (min-id member by default, or the
+    ``score_col``-max member, ties to smaller id) and
+    ``is_canonical``.  Singletons are their own entity.
+
+    Scale: the pair list is the ED-Join output (sparse by blocking);
+    closure is the size-adaptive union-find; the canonical pick is one
+    window over the matched rows only — unmatched rows never shuffle
+    for it (they are their own canonical by construction)."""
+    from ..llmops.clusters import resolve_clusters
+
+    pairs = fuzzy_self_pairs(
+        df, id_col=id_col, text_col=text_col,
+        max_distance=max_distance, n=n, max_group_size=max_group_size,
+    ).select("id_a", "id_b")
+    clusters = resolve_clusters(pairs).withColumnsRenamed(
+        {"doc_id": "__cid", "cluster_id": "entity_id"}
+    )
+    matched = df.join(
+        clusters, df[id_col] == F.col("__cid"), "inner"
+    ).drop("__cid")
+    if score_col is None:
+        # min-label closure already labels each cluster with its
+        # smallest member id — the canonical pick is free
+        matched = matched.withColumn("canonical_id", F.col("entity_id"))
+    else:
+        w = Window.partitionBy("entity_id").orderBy(
+            F.col(score_col).desc(), F.col(id_col)
+        )
+        matched = matched.withColumn(
+            "canonical_id",
+            F.first(F.col(id_col)).over(
+                w.rowsBetween(Window.unboundedPreceding,
+                              Window.unboundedFollowing)
+            ),
+        )
+    singletons = df.join(
+        clusters.select(F.col("__cid").alias(id_col)), id_col, "left_anti"
+    ).select(
+        "*",
+        F.col(id_col).alias("entity_id"),
+        F.col(id_col).alias("canonical_id"),
+    )
+    out = matched.unionByName(singletons)
+    return out.withColumn(
+        "is_canonical", F.col(id_col) == F.col("canonical_id")
     )

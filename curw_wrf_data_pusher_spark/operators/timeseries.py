@@ -157,3 +157,55 @@ def mad_outliers(
         .otherwise(dev > 0)
         .alias("is_outlier"),
     )
+
+
+def robust_scale(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    lower: float = 0.05,
+    upper: float = 0.95,
+    scale: float = 1.4826,
+) -> DataFrame:
+    """Per-group feature scaling for model inputs, built ONLY on exact
+    order statistics (percentiles, median, MAD, min, max) — no means
+    or stddevs, so results are independent of partitioning/sum order
+    and bit-reproducible across engines.  Adds three columns:
+
+    - ``v_winsor``: value clipped to the group's [lower, upper]
+      interpolated percentiles (outlier-robust clipping);
+    - ``v_minmax``: (v − min)/(max − min), NULL for constant groups;
+    - ``v_robust_z``: (v − median)/(scale·MAD) — the signed
+      Iglewicz–Hoaglin modified z-score, NULL when MAD = 0.
+
+    Plan: one grouped aggregation collects (percentile array, min,
+    max), a second collects the MAD (median needs to exist first);
+    both stat frames are group-cardinality rows broadcast back onto
+    the facts — the fact table never shuffles."""
+    gcols = [F.col(c) for c in group_cols]
+    v = F.col(value_col)
+    stats = df.groupBy(*gcols).agg(
+        F.percentile(v, F.array(F.lit(lower), F.lit(0.5), F.lit(upper))).alias(
+            "__q"
+        ),
+        F.min(v).alias("__mn"),
+        F.max(v).alias("__mx"),
+    )
+    with_stats = df.join(F.broadcast(stats), on=list(group_cols))
+    med = F.col("__q")[1]
+    mad = (
+        with_stats.select(*gcols, F.abs(v - med).alias("__dev"))
+        .groupBy(*gcols)
+        .agg(F.percentile(F.col("__dev"), F.lit(0.5)).alias("__mad"))
+    )
+    out = with_stats.join(F.broadcast(mad), on=list(group_cols))
+    span = F.col("__mx") - F.col("__mn")
+    sigma = F.lit(scale) * F.col("__mad")
+    return out.select(
+        *df.columns,
+        F.least(F.greatest(v, F.col("__q")[0]), F.col("__q")[2]).alias(
+            "v_winsor"
+        ),
+        F.when(span > 0, (v - F.col("__mn")) / span).alias("v_minmax"),
+        F.when(sigma > 0, (v - med) / sigma).alias("v_robust_z"),
+    )

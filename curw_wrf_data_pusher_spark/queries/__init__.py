@@ -73,6 +73,7 @@ _TAIL = [
     "a18_mergeable_rollup",  # incremental-rollup partial-merge algebra
     "llm_setsim_cross",    # cross-corpus exact set-similarity join
     "a19_histograms",      # equi-width + equi-depth histograms
+    "a20_feature_scaling",  # winsorize / min-max / robust-z scaling
 ]
 
 

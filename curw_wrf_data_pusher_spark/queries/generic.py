@@ -2031,3 +2031,46 @@ def a19_histograms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bucket").cast("long").alias("bucket"), "lo", "hi", "n",
     )
     return width.unionByName(depth)
+
+
+# ---------------------------------------------------------------------------
+# A20 — per-group feature scaling (winsorize / min-max / robust-z) on
+# exact order statistics only — every derived column is a closed-form
+# function of interpolated percentiles and min/max, so the hash pins
+# all three scalers bit-for-bit (no sum-order float fudge anywhere).
+@register(
+    "a20_feature_scaling",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, quantile_cont(value, [0.05, 0.5, 0.95]) AS q,
+             min(value) AS mn, max(value) AS mx
+      FROM events GROUP BY user_id
+    ),
+    m AS (
+      SELECT e.user_id, median(abs(e.value - s.q[2])) AS mad
+      FROM events e JOIN s USING (user_id) GROUP BY e.user_id
+    )
+    SELECT e.user_id, e.event_id, e.value,
+           round(least(greatest(e.value, s.q[1]), s.q[3]), 9) AS v_winsor,
+           round(CASE WHEN s.mx - s.mn > 0
+                      THEN (e.value - s.mn) / (s.mx - s.mn) END, 9)
+             AS v_minmax,
+           round(CASE WHEN 1.4826 * m.mad > 0
+                      THEN (e.value - s.q[2]) / (1.4826 * m.mad) END, 9)
+             AS v_robust_z
+    FROM events e JOIN s USING (user_id) JOIN m USING (user_id)
+    """,
+)
+def a20_feature_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import robust_scale
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "value"
+    )
+    out = robust_scale(ev, ["user_id"], "value")
+    return out.select(
+        "user_id", "event_id", "value",
+        F.round("v_winsor", 9).alias("v_winsor"),
+        F.round("v_minmax", 9).alias("v_minmax"),
+        F.round("v_robust_z", 9).alias("v_robust_z"),
+    )

@@ -124,3 +124,31 @@ def test_fuzzy_join_matches_bruteforce_property(spark, lt, rt, d):
            for r in fuzzy_join(_df(spark, lt), _df(spark, rt),
                                max_distance=d).collect()}
     assert got == _brute_cross(lt, rt, d)
+
+
+def test_resolve_entities_transitive_and_canonical(spark):
+    from curw_wrf_data_pusher_spark.operators.fuzzy import resolve_entities
+
+    rows = [
+        (1, "customer alpha", 0.9),
+        (2, "customer alphb", 0.5),   # d=1 to alpha
+        (3, "customer alphc", 0.99),  # d=1 to alphb, d=1 to alpha... chain
+        (4, "totally different", 0.1),
+        (5, "customer alpzc", 0.2),   # d=1 to alphc only (chain link)
+    ]
+    df = spark.createDataFrame(rows, "id long, text string, score double")
+    out = {r.id: r for r in resolve_entities(df, max_distance=1).collect()}
+    # 1-2-3-5 chain into one entity labeled by min id; 4 singleton
+    assert {out[i].entity_id for i in (1, 2, 3, 5)} == {1}
+    assert out[4].entity_id == 4 and out[4].is_canonical
+    assert all(out[i].canonical_id == 1 for i in (1, 2, 3, 5))
+    assert out[1].is_canonical and not out[2].is_canonical
+    # score-based pick: highest score (id 3) becomes canonical
+    out2 = {
+        r.id: r
+        for r in resolve_entities(df, max_distance=1,
+                                  score_col="score").collect()
+    }
+    assert all(out2[i].canonical_id == 3 for i in (1, 2, 3, 5))
+    assert out2[3].is_canonical and not out2[1].is_canonical
+    assert out2[4].canonical_id == 4

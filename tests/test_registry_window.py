@@ -140,4 +140,6 @@ def test_tail_holds_only_redundant_demos():
         "llm_setsim_cross",
         # equi-width + equi-depth histograms (one row, union-tagged)
         "a19_histograms",
+        # per-group feature scaling on exact order statistics
+        "a20_feature_scaling",
     ], tail

@@ -58,3 +58,24 @@ def test_no_global_window_and_keyed_exchanges(spark):
             assert "k#" in line, line
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_robust_scale_degenerate_groups(spark):
+    from curw_wrf_data_pusher_spark.operators.timeseries import robust_scale
+
+    rows = [("c", i, 5.0) for i in range(4)] + [
+        ("g", 0, 1.0), ("g", 1, 2.0), ("g", 2, 3.0), ("g", 3, 100.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, i long, v double")
+    out = {(r.k, r.i): r for r in robust_scale(df, ["k"], "v").collect()}
+    # constant group: min-max and robust-z are NULL, winsor = value
+    for i in range(4):
+        r = out[("c", i)]
+        assert r.v_minmax is None and r.v_robust_z is None
+        assert r.v_winsor == 5.0
+    # normal group: min-max endpoints and winsor clipping behave
+    assert out[("g", 0)].v_minmax == 0.0
+    assert out[("g", 3)].v_minmax == 1.0
+    assert out[("g", 3)].v_winsor < 100.0  # clipped at p95
+    # robust-z is signed
+    assert out[("g", 0)].v_robust_z < 0 < out[("g", 3)].v_robust_z
