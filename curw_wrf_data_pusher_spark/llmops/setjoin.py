@@ -91,7 +91,10 @@ def _ordered_prefix(
         + 1
     )
     return ranked.filter(F.col("__pos") <= prefix_len).select(
-        F.col(token_col), F.col(id_col), F.col("__n").alias("n")
+        F.col(token_col),
+        F.col(id_col),
+        F.col("__n").alias("n"),
+        F.col("__pos").alias("pos"),
     )
 
 
@@ -107,7 +110,11 @@ def _prefix_groups(
     pref = _ordered_prefix(tok_df, id_col, token_col, threshold)
     return pref.groupBy(token_col).agg(
         F.sort_array(
-            F.collect_list(F.struct(F.col("n"), F.col(id_col).alias("id")))
+            F.collect_list(
+                F.struct(
+                    F.col("n"), F.col(id_col).alias("id"), F.col("pos")
+                )
+            )
         ).alias("members")
     )
 
@@ -134,12 +141,26 @@ def prefix_candidates(
     # members sorted by (n, id): pair (i, j<i... j>i) has n_i ≤ n_j, so
     # the length filter is members[i].n ≥ t·members[j].n.  Single
     # F.expr, same rationale as dedup.lsh_candidate_pairs.
+    #
+    # Second conjunct = PPJoin's POSITIONAL filter (Xiao et al.): a
+    # pair sharing THIS token at (1-based) ordered positions (p_i,
+    # p_j) can overlap at most 1 + min(n_i − p_i, n_j − p_j); J ≥ t
+    # needs overlap ≥ α = ceil(t/(1+t)·(n_i+n_j)).  Recall stays 1.0:
+    # a qualifying pair's FIRST shared token lies inside both prefixes
+    # (p ≤ n − overlap + 1 ≤ prefix length) and passes its own bound
+    # (1 + min suffix ≥ overlap ≥ α); dropDuplicates unions over
+    # generation events.  Measured on the sf0.1 corpus at t=0.5:
+    # 310k → far fewer candidates feeding the exact verify.
+    t_ratio = threshold / (1.0 + threshold)
     pair_expr = F.expr(
         "flatten(transform(sequence(0, size(members) - 2),"
         " i -> filter(transform(sequence(i + 1, size(members) - 1),"
         # epsilon on the length bound for the same float-safety reason
         # as the prefix length: never prune a boundary-exact pair
         f" j -> CASE WHEN members[i].n >= {threshold!r} * members[j].n - 1e-9"
+        "   AND 1 + least(members[i].n - members[i].pos,"
+        "                 members[j].n - members[j].pos)"
+        f"      >= ceil({t_ratio!r} * (members[i].n + members[j].n) - 1e-9)"
         "   THEN struct(least(members[i].id, members[j].id) AS id_a,"
         "               greatest(members[i].id, members[j].id) AS id_b)"
         "   END), p -> p IS NOT NULL)))"
@@ -183,9 +204,16 @@ def setsim_join(
     """Exact Jaccard set-similarity self-join: all pairs (id_a < id_b)
     with J ≥ ``threshold`` as (id_a, id_b, jaccard).  Prefix-filtered
     candidates + exact verify; with ``max_token_group=None`` the
-    result is identical to the quadratic all-pairs baseline."""
+    result is identical to the quadratic all-pairs baseline.
+
+    The token frame feeds FOUR consumers (two prefix windows, both
+    verify sides, the size aggregate); a lazy localCheckpoint
+    materializes its scan+tokenize subtree once instead of four times
+    — same device as ``operators/fuzzy.py``'s prefix frame (measured
+    there: 13.4 s → 4.7 s warm at sf0.1)."""
     from .dedup import verify_candidates
 
+    tok_df = tok_df.localCheckpoint(eager=False)
     cand = prefix_candidates(
         tok_df, id_col, token_col, threshold, max_token_group
     )
@@ -215,6 +243,10 @@ def setsim_join_between(
     ``id_b``.  Plan shape identical to ``setsim_join`` — the union is
     map-side, candidates expand in-group per prefix token (cross-side
     pairs only), and the verify joins each side's token table once."""
+    # each side feeds three consumers (union prefix windows, verify
+    # join, sizes) — materialize the tokenize subtrees once
+    tok_a = tok_a.localCheckpoint(eager=False)
+    tok_b = tok_b.localCheckpoint(eager=False)
     a = tok_a.select(
         F.lit(0).alias("__side"), F.col(id_col), F.col(token_col)
     )
@@ -251,6 +283,7 @@ def setsim_join_between(
                         F.col("__n").alias("n"),
                         F.col("__side").alias("side"),
                         F.col(id_col).alias("id"),
+                        F.col("__pos").alias("pos"),
                     )
                 )
             ).alias("members")
@@ -258,11 +291,17 @@ def setsim_join_between(
     )
     if max_token_group is not None:
         grouped = grouped.filter(F.size("members") <= max_token_group)
+    # length filter + PPJoin positional filter — same exactness
+    # argument as prefix_candidates (see its inline comment)
+    t_ratio = threshold / (1.0 + threshold)
     pair_expr = F.expr(
         "flatten(transform(sequence(0, size(members) - 2),"
         " i -> filter(transform(sequence(i + 1, size(members) - 1),"
         " j -> CASE WHEN members[i].side <> members[j].side"
         f"  AND members[i].n >= {threshold!r} * members[j].n - 1e-9"
+        "   AND 1 + least(members[i].n - members[i].pos,"
+        "                 members[j].n - members[j].pos)"
+        f"      >= ceil({t_ratio!r} * (members[i].n + members[j].n) - 1e-9)"
         "   THEN struct("
         "     CASE WHEN members[i].side = 0 THEN members[i].id"
         "          ELSE members[j].id END AS id_a,"

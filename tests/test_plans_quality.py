@@ -239,9 +239,13 @@ def test_no_unreviewed_nested_loop_joins_in_registered_queries(
       onto the per-item counts for the frequency threshold.
     - j9_bloom_semi_join: the single-row Catalyst-built bloom bitset
       crossed onto the fact scan for the map-side probe.
+    - a19_histograms: two single-row stat frames (min/max span;
+      percentile-boundary array) crossed onto the fact scan — one per
+      histogram shape in the compound row.
     """
     bnl_ok = {
         "a15_heavy_hitters": 1,
+        "a19_histograms": 2,
         "e2_rfield_contract": 1,
         "j5_get_or_create": 1,
         "j9_bloom_semi_join": 1,
