@@ -69,6 +69,14 @@ HEADLINE = [
     "llm_ngram_logfreq",
     "w5_rolling_stats",
     "llm_vocab_topk",
+    # added round 6 session 2 (NEW rows — compare totals accordingly):
+    # the exact prefix-filtered set-similarity join, plus the sketch /
+    # incremental / diff analytics tier
+    "llm_setsim_pairs",
+    "a16_countmin_freq",
+    "a18_mergeable_rollup",
+    "a19_histograms",
+    "k11_snapshot_diff",
 ]
 
 
