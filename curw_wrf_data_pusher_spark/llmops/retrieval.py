@@ -305,3 +305,58 @@ def vocab_topk(
         F.col("s.t").alias("term"),
         (-F.col("s.negc")).cast("long").alias("n_occurrences"),
     )
+
+
+def encode_tokens(
+    docs: DataFrame,
+    vocab: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    term_col: str = "term",
+    tid_col: str = "rank",
+    oov_id: int = -1,
+) -> DataFrame:
+    """Encode each document's token sequence against a vocabulary
+    (e.g. ``vocab_topk`` output): returns (id, ids array<long>,
+    n_tokens, n_oov) with out-of-vocabulary tokens mapped to
+    ``oov_id`` — the tokenize→ids step every training pipeline runs
+    between curation and sharding.
+
+    Scale: the vocabulary is top-k-bounded by construction, so the
+    term lookup is a BROADCAST left join onto the exploded token
+    stream; the only shuffle is the per-document reassembly on the id
+    key, and order is restored by an in-row array sort on the carried
+    position (no window)."""
+    from ..sources.lake import spread
+
+    toks = spread(docs).select(
+        F.col(id_col),
+        F.posexplode(F.split(F.trim(F.col(text_col)), " ")).alias(
+            "pos", "__term"
+        ),
+    )
+    v = vocab.select(
+        F.col(term_col).alias("__term"),
+        F.col(tid_col).cast("long").alias("__tid"),
+    )
+    enc = toks.join(F.broadcast(v), "__term", "left").select(
+        F.col(id_col),
+        F.col("pos"),
+        F.coalesce(F.col("__tid"), F.lit(int(oov_id)).cast("long")).alias(
+            "tid"
+        ),
+    )
+    packed = enc.groupBy(id_col).agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("pos"), F.col("tid")))
+        ).alias("__a")
+    )
+    ids = F.transform(F.col("__a"), lambda s: s["tid"])
+    return packed.select(
+        F.col(id_col),
+        ids.alias("ids"),
+        F.size("__a").cast("long").alias("n_tokens"),
+        F.size(
+            F.filter(ids, lambda x: x == F.lit(int(oov_id)))
+        ).cast("long").alias("n_oov"),
+    )

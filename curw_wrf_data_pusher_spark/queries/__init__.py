@@ -74,6 +74,7 @@ _TAIL = [
     "llm_setsim_cross",    # cross-corpus exact set-similarity join
     "a19_histograms",      # equi-width + equi-depth histograms
     "a20_feature_scaling",  # winsorize / min-max / robust-z scaling
+    "llm_token_encode",    # vocabulary token-id encoding with OOV
 ]
 
 

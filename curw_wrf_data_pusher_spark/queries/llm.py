@@ -1907,3 +1907,48 @@ def llm_setsim_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "id_a", "id_b", F.round("jaccard", 9).alias("jaccard")
     )
+
+
+# ---------------------------------------------------------------------------
+# Token encoding against a learned vocabulary: vocab_topk(k=20) leaves
+# 11 of the corpus's 31 words out-of-vocabulary, so the row pins vocab
+# construction, the broadcast lookup, OOV mapping AND exact sequence
+# order (ids_md5 is order-sensitive via the position sort).
+@register(
+    "llm_token_encode",
+    oracle="""
+    WITH tok AS (SELECT unnest(string_split(trim(text), ' ')) AS term
+                 FROM documents),
+    c AS (SELECT term, count(*) AS n FROM tok GROUP BY term
+          ORDER BY n DESC, term LIMIT 20),
+    v AS (SELECT row_number() OVER (ORDER BY n DESC, term) AS tid, term
+          FROM c),
+    d AS (SELECT doc_id, unnest(l) AS term,
+                 generate_subscripts(l, 1) AS pos
+          FROM (SELECT doc_id, string_split(trim(text), ' ') AS l
+                FROM documents)),
+    e AS (SELECT d.doc_id, d.pos, coalesce(v.tid, -1) AS tid
+          FROM d LEFT JOIN v USING (term))
+    SELECT doc_id, count(*) AS n_tokens,
+           CAST(sum(CASE WHEN tid = -1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_oov,
+           md5(string_agg(tid::VARCHAR, ',' ORDER BY pos)) AS ids_md5
+    FROM e GROUP BY doc_id
+    """,
+)
+def llm_token_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llmops.retrieval import encode_tokens, vocab_topk
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    vocab = vocab_topk(docs, k=20)
+    enc = encode_tokens(docs, vocab)
+    return enc.select(
+        "doc_id",
+        "n_tokens",
+        "n_oov",
+        F.md5(
+            F.array_join(
+                F.transform(F.col("ids"), lambda x: x.cast("string")), ","
+            )
+        ).alias("ids_md5"),
+    )

@@ -160,3 +160,62 @@ def session_window_agg(
             "total",
         )
     )
+
+
+def stream_stream_join(
+    obs: DataFrame,
+    fcst: DataFrame,
+    key_col: str = "hash_id",
+    time_col: str = "time",
+    window: str = "15 minutes",
+    watermark: str = "30 minutes",
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-stream equi-join of two event-time streams on
+    (key, tumbling window) — the streaming twin of the reference's
+    fcst⟕obs J2 join: observations and forecasts arrive on independent
+    cadences and pair up per station per window as both sides show up.
+
+    Both sides are watermarked, which BOUNDS THE JOIN STATE: a row
+    waits at most ``watermark`` for its partner, then its state is
+    evicted (with ``how='left_outer'`` the unmatched row is emitted
+    with NULL partner columns at eviction — late-data semantics the
+    batch join can't express).  Works identically on batch frames
+    (same plan minus state).
+
+    Scale: state is per (key, window) pending rows within the
+    watermark horizon — arrival-rate-bounded, not history-bounded; the
+    join itself shuffles on the (key, window) equality like any
+    equi-join."""
+    o = obs
+    f = fcst
+    if o.isStreaming:
+        o = o.withWatermark(time_col, watermark)
+    if f.isStreaming:
+        f = f.withWatermark(time_col, watermark)
+    # only ONE event-time-derived column may survive per stream (the
+    # watermark tag follows every derived column; two tagged columns is
+    # an AnalysisException) — the window struct carries the time
+    # semantics, the raw timestamps stay behind.
+    o = o.select(
+        F.col(key_col),
+        F.window(F.col(time_col), window).alias("w"),
+        F.col("value").alias("obs_value"),
+    )
+    f = f.select(
+        F.col(key_col).alias("__fk"),
+        F.window(F.col(time_col), window).alias("__fw"),
+        F.col("value").alias("fcst_value"),
+    )
+    joined = o.join(
+        f,
+        (F.col(key_col) == F.col("__fk")) & (F.col("w") == F.col("__fw")),
+        how,
+    )
+    return joined.select(
+        key_col,
+        F.col("w.end").alias("window_end"),
+        "obs_value",
+        "fcst_value",
+        (F.col("obs_value") - F.col("fcst_value")).alias("residual"),
+    )

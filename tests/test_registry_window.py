@@ -142,4 +142,6 @@ def test_tail_holds_only_redundant_demos():
         "a19_histograms",
         # per-group feature scaling on exact order statistics
         "a20_feature_scaling",
+        # vocabulary token-id encoding (broadcast lookup, OOV, order)
+        "llm_token_encode",
     ], tail

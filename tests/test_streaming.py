@@ -285,3 +285,94 @@ def test_session_window_agg_streaming_merges_across_batches(
     assert out == {
         ("u1", "2024-06-01 00:00:00"): (3, 7.0, "2024-06-01 00:50:00")
     }
+
+
+def test_stream_stream_join_across_batches(spark, tmp_path):
+    """Obs and forecasts land in SEPARATE drops/runs: the join state
+    must hold the unmatched side across micro-batches (within the
+    watermark) and emit the pair when the partner arrives."""
+    from curw_wrf_data_pusher_spark.streaming.file_stream import (
+        stream_stream_join,
+    )
+
+    obs_dir = str(tmp_path / "obs")
+    fcst_dir = str(tmp_path / "fcst")
+    store = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(obs_dir)
+    os.makedirs(fcst_dir)
+    schema = "hash_id string, time timestamp, value double"
+
+    def _drop(dirname, rows, name):
+        (
+            spark.createDataFrame(
+                rows, "hash_id string, time string, value double"
+            )
+            .withColumn("time", F.col("time").cast("timestamp"))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(dirname, name))
+        )
+
+    def _run():
+        o = (
+            spark.readStream.schema(schema)
+            .option("recursiveFileLookup", "true")
+            .parquet(obs_dir)
+        )
+        f = (
+            spark.readStream.schema(schema)
+            .option("recursiveFileLookup", "true")
+            .parquet(fcst_dir)
+        )
+        q = (
+            stream_stream_join(o, f)
+            .writeStream.format("parquet")
+            .option("path", store)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # drop 1: obs only — nothing can join yet
+    _drop(obs_dir, [("h1", "2024-06-01 00:05:00", 1.5)], "d1")
+    _drop(fcst_dir, [("h2", "2024-06-01 00:02:00", 9.0)], "d1")
+    _run()
+    # drop 2: the matching forecast for h1's window + an h2 obs
+    _drop(fcst_dir, [("h1", "2024-06-01 00:11:00", 1.0)], "d2")
+    _drop(obs_dir, [("h2", "2024-06-01 00:01:00", 9.5)], "d2")
+    _run()
+    out = {
+        (r.hash_id, str(r.window_end)): (r.obs_value, r.fcst_value,
+                                         r.residual)
+        for r in spark.read.parquet(store).collect()
+    }
+    assert out == {
+        ("h1", "2024-06-01 00:15:00"): (1.5, 1.0, 0.5),
+        ("h2", "2024-06-01 00:15:00"): (9.5, 9.0, 0.5),
+    }
+
+
+def test_stream_stream_join_batch_parity(spark):
+    from curw_wrf_data_pusher_spark.streaming.file_stream import (
+        stream_stream_join,
+    )
+
+    obs = spark.createDataFrame(
+        [("h1", "2024-06-01 00:05:00", 2.0),
+         ("h1", "2024-06-01 00:20:00", 4.0)],
+        "hash_id string, time string, value double",
+    ).withColumn("time", F.col("time").cast("timestamp"))
+    fcst = spark.createDataFrame(
+        [("h1", "2024-06-01 00:10:00", 1.0)],
+        "hash_id string, time string, value double",
+    ).withColumn("time", F.col("time").cast("timestamp"))
+    rows = stream_stream_join(obs, fcst).collect()
+    assert len(rows) == 1 and rows[0].residual == 1.0
+    assert str(rows[0].window_end) == "2024-06-01 00:15:00" 
+    # left outer keeps the unmatched second window
+    lo = stream_stream_join(obs, fcst, how="left_outer").collect()
+    assert len(lo) == 2
+    assert {r.fcst_value for r in lo} == {1.0, None}
