@@ -75,6 +75,7 @@ _TAIL = [
     "a19_histograms",      # equi-width + equi-depth histograms
     "a20_feature_scaling",  # winsorize / min-max / robust-z scaling
     "llm_token_encode",    # vocabulary token-id encoding with OOV
+    "w8_window_suite",     # ntile/percent_rank/cume_dist/lead/lag
 ]
 
 

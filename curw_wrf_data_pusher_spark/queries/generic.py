@@ -2074,3 +2074,43 @@ def a20_feature_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("v_minmax", 9).alias("v_minmax"),
         F.round("v_robust_z", 9).alias("v_robust_z"),
     )
+
+
+# ---------------------------------------------------------------------------
+# W8 — ranking/distribution window-function suite in one compound row:
+# ntile, percent_rank, cume_dist, dense_rank, lead/lag with offsets,
+# first_value — per-user ordered windows (partitioned, CI-gated like
+# every window in the registry).  percent_rank/cume_dist are exact
+# rank ratios (rational / double — engine-identical; rounded anyway
+# for belt and braces).
+@register(
+    "w8_window_suite",
+    oracle="""
+    SELECT user_id, event_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS t,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+           round(percent_rank() OVER w, 9) AS pr,
+           round(cume_dist() OVER w, 9) AS cd,
+           CAST(dense_rank() OVER w AS BIGINT) AS drank,
+           lead(value, 2) OVER w AS lead2,
+           lag(value, 2) OVER w AS lag2,
+           first_value(value) OVER w AS first_v
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def w8_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spread(load_table(spark, sf_dir, "events"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("t"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.percent_rank().over(w), 9).alias("pr"),
+        F.round(F.cume_dist().over(w), 9).alias("cd"),
+        F.dense_rank().over(w).cast("long").alias("drank"),
+        F.lead("value", 2).over(w).alias("lead2"),
+        F.lag("value", 2).over(w).alias("lag2"),
+        F.first("value").over(w).alias("first_v"),
+    )

@@ -144,4 +144,6 @@ def test_tail_holds_only_redundant_demos():
         "a20_feature_scaling",
         # vocabulary token-id encoding (broadcast lookup, OOV, order)
         "llm_token_encode",
+        # ranking/distribution window-function suite
+        "w8_window_suite",
     ], tail
