@@ -1,0 +1,116 @@
+"""Ordered-funnel and cohort analytics over an event log.
+
+Funnel: for each user, the earliest completion time of each step given
+every previous step completed STRICTLY earlier — the product-analytics
+staple (signup → view → click → purchase conversion).
+
+Plan shape / 100 TB: the naive k-step funnel is k-1 self-joins of the
+fact table (one shuffle each, growing intermediate); this
+implementation is ONE shuffle — events filtered map-side to the funnel
+types, collected per user as a sorted (ts, id, type) array, and walked
+by a single Catalyst ``aggregate`` lambda (O(k) per event, whole-stage
+codegen, no Python).  Per-user event counts bound the collected array;
+a user's funnel-relevant history at any realistic scale is KBs.
+
+Cohort retention: users grouped by their first-activity period; for
+each (cohort, period-offset) the count of cohort members active in
+that period — two grouped aggregations plus one broadcast join of the
+per-user cohort row; the fact table never shuffles on anything wider
+than user_id.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel_steps(
+    events: DataFrame,
+    steps: Sequence[str],
+    user_col: str = "user_id",
+    time_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-user funnel walk: returns (user, step_1..step_k timestamps —
+    NULL where never reached — and n_steps).  Step i counts only if it
+    happens STRICTLY after step i−1 (equal timestamps don't advance
+    the funnel, so the walk is order-convention-independent and
+    matches the min-based relational formulation exactly)."""
+    k = len(steps)
+    steps_sql = ", ".join("'" + s.replace("'", "''") + "'" for s in steps)
+    evts = (
+        events.filter(F.col(type_col).isin(*steps))
+        .groupBy(user_col)
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col(time_col).alias("t"),
+                        F.col(id_col).alias("i"),
+                        F.col(type_col).alias("y"),
+                    )
+                )
+            ).alias("__evts")
+        )
+    )
+    walk = F.expr(
+        f"""aggregate(
+          __evts,
+          array_repeat(CAST(NULL AS TIMESTAMP), {k}),
+          (acc, e) -> CASE
+            WHEN size(filter(acc, x -> x IS NOT NULL)) < {k}
+             AND e.y = element_at(array({steps_sql}),
+                   size(filter(acc, x -> x IS NOT NULL)) + 1)
+             AND (size(filter(acc, x -> x IS NOT NULL)) = 0
+                  OR e.t > acc[size(filter(acc, x -> x IS NOT NULL)) - 1])
+            THEN transform(acc, (x, i) ->
+                   CASE WHEN i = size(filter(acc, x -> x IS NOT NULL))
+                        THEN e.t ELSE x END)
+            ELSE acc END)"""
+    )
+    out = evts.select(F.col(user_col), walk.alias("__steps"))
+    cols = [
+        F.col("__steps")[i].alias(f"step_{i + 1}") for i in range(k)
+    ]
+    return out.select(
+        user_col,
+        *cols,
+        F.size(
+            F.filter(F.col("__steps"), lambda x: x.isNotNull())
+        ).cast("long").alias("n_steps"),
+    )
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    time_col: str = "ts",
+    period: str = "week",
+) -> DataFrame:
+    """Cohort retention matrix: (cohort_period, period_offset,
+    n_users) — cohort = the period of each user's FIRST event, offset
+    in whole periods.  Offsets are exact integer epoch arithmetic on
+    ``date_trunc`` boundaries (engine-portable, no calendar float)."""
+    seconds = {"week": 7 * 86400, "day": 86400}[period]
+    first = events.groupBy(user_col).agg(
+        F.date_trunc(period, F.min(time_col)).alias("__cohort")
+    )
+    active = events.select(
+        F.col(user_col), F.date_trunc(period, F.col(time_col)).alias("__p")
+    ).distinct()
+    joined = active.join(F.broadcast(first), on=user_col)
+    offset = (
+        (F.unix_timestamp("__p") - F.unix_timestamp("__cohort"))
+        / F.lit(seconds)
+    ).cast("long")
+    return (
+        joined.groupBy(
+            F.col("__cohort").alias("cohort_period"),
+            offset.alias("period_offset"),
+        )
+        .agg(F.count("*").alias("n_users"))
+    )

@@ -76,6 +76,8 @@ _TAIL = [
     "a20_feature_scaling",  # winsorize / min-max / robust-z scaling
     "llm_token_encode",    # vocabulary token-id encoding with OOV
     "w8_window_suite",     # ntile/percent_rank/cume_dist/lead/lag
+    "w9_funnel",           # ordered funnel (one-shuffle array walk)
+    "a21_cohort_retention",  # weekly cohort retention matrix
 ]
 
 

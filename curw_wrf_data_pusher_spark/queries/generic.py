@@ -2114,3 +2114,93 @@ def w8_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lag("value", 2).over(w).alias("lag2"),
         F.first("value").over(w).alias("first_v"),
     )
+
+
+# ---------------------------------------------------------------------------
+# W9 — ordered funnel (signup → view → click → purchase).  The engine
+# side is ONE shuffle (per-user sorted event array + a Catalyst
+# aggregate walk); the oracle is the classical min-based CTE chain —
+# provably the same answer (each step is the earliest event of its
+# type strictly after the previous step; the walk enforces strict
+# inequality so timestamp ties cannot diverge the two forms).
+_FUNNEL_FMT = "%Y-%m-%d %H:%M:%S.%f"
+@register(
+    "w9_funnel",
+    oracle=f"""
+    WITH u AS (
+      SELECT DISTINCT user_id FROM events
+      WHERE event_type IN ('signup', 'view', 'click', 'purchase')
+    ),
+    f1 AS (SELECT user_id, min(ts) AS t FROM events
+           WHERE event_type = 'signup' GROUP BY user_id),
+    f2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+           JOIN f1 ON e.user_id = f1.user_id AND e.ts > f1.t
+           WHERE e.event_type = 'view' GROUP BY e.user_id),
+    f3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+           JOIN f2 ON e.user_id = f2.user_id AND e.ts > f2.t
+           WHERE e.event_type = 'click' GROUP BY e.user_id),
+    f4 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+           JOIN f3 ON e.user_id = f3.user_id AND e.ts > f3.t
+           WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+    SELECT u.user_id,
+           strftime(f1.t, '{_FUNNEL_FMT}') AS step_1,
+           strftime(f2.t, '{_FUNNEL_FMT}') AS step_2,
+           strftime(f3.t, '{_FUNNEL_FMT}') AS step_3,
+           strftime(f4.t, '{_FUNNEL_FMT}') AS step_4,
+           CAST((f1.t IS NOT NULL)::INT + (f2.t IS NOT NULL)::INT
+              + (f3.t IS NOT NULL)::INT + (f4.t IS NOT NULL)::INT
+              AS BIGINT) AS n_steps
+    FROM u LEFT JOIN f1 USING (user_id) LEFT JOIN f2 USING (user_id)
+           LEFT JOIN f3 USING (user_id) LEFT JOIN f4 USING (user_id)
+    """,
+)
+def w9_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.funnel import funnel_steps
+
+    ev = load_table(spark, sf_dir, "events")
+    out = funnel_steps(ev, ["signup", "view", "click", "purchase"])
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return out.select(
+        "user_id",
+        *[
+            F.date_format(f"step_{i}", fmt).alias(f"step_{i}")
+            for i in (1, 2, 3, 4)
+        ],
+        "n_steps",
+    )
+
+
+# ---------------------------------------------------------------------------
+# A21 — weekly cohort retention matrix: cohort = the week of a user's
+# first event; n_users active per (cohort, whole-week offset).  Exact
+# integer epoch arithmetic on date_trunc boundaries on both sides.
+@register(
+    "a21_cohort_retention",
+    oracle="""
+    WITH fi AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS c
+      FROM events GROUP BY user_id
+    ),
+    ac AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS p FROM events
+    )
+    SELECT strftime(fi.c, '%Y-%m-%d %H:%M:%S') AS cohort_week,
+           CAST((epoch(ac.p) - epoch(fi.c)) / 604800 AS BIGINT)
+             AS period_offset,
+           count(*) AS n_users
+    FROM ac JOIN fi USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def a21_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.funnel import cohort_retention
+
+    ev = load_table(spark, sf_dir, "events")
+    out = cohort_retention(ev, period="week")
+    return out.select(
+        F.date_format("cohort_period", "yyyy-MM-dd HH:mm:ss").alias(
+            "cohort_week"
+        ),
+        "period_offset",
+        "n_users",
+    )

@@ -146,4 +146,8 @@ def test_tail_holds_only_redundant_demos():
         "llm_token_encode",
         # ranking/distribution window-function suite
         "w8_window_suite",
+        # ordered funnel: one-shuffle Catalyst array walk ≡ min-CTEs
+        "w9_funnel",
+        # weekly cohort retention (first-activity cohorts)
+        "a21_cohort_retention",
     ], tail
