@@ -1,0 +1,159 @@
+"""Spark 4 Python DataSource for the WRF NetCDF lake:
+
+    register_wrfgrid(spark, codec=stub_open)   # codec optional
+    df = (spark.read.format("wrfgrid")
+          .option("variable", "RAINNC")
+          .option("bbox", "6.6,7.4,79.6,81.0")
+          .load("/lake/wrf"))
+
+Why a DataSource and not just ``read_wrf_grid``: the reader becomes a
+first-class scan node — ``.load()`` composes with every DataFrame op,
+the schema is declared to Catalyst up front (column pruning applies),
+and partition planning is explicit: ONE INPUT PARTITION PER .nc FILE,
+so a 10k-file day fans out across the cluster with no binaryFile
+intermediary and no single-task listing bottleneck beyond the driver
+glob (the same listing every file source performs).
+
+Decode is ``sources.netcdf.decode_grid_bytes`` — the SAME function the
+mapInPandas path runs, so the two ingestion routes cannot drift
+(equality is test-pinned).  The codec (bytes → dataset) is captured on
+the driver at registration and travels to executors by cloudpickle,
+which is how the container's stub codec stands in for the absent
+netCDF4 C library; with netCDF4 installed the default codec reads real
+files.
+
+Pushdown status: bbox / variable / t-slice arrive as READER OPTIONS —
+pushdown by contract rather than by Catalyst filter translation (the
+Python DataSource filter-pushdown API only covers simple column
+predicates; the hyperslab slice needs the axis arrays, so an explicit
+option is the honest interface).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from datetime import datetime, timezone
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+)
+
+from .netcdf import GRID_SCHEMA, SL_EXTENT, decode_grid_bytes
+
+def _default_codec(content: bytes):
+    from netCDF4 import Dataset
+
+    return Dataset("inmem", memory=content)
+
+
+class _FilePartition(InputPartition):
+    def __init__(self, path: str, mtime_us: int):
+        self.path = path
+        self.mtime_us = mtime_us
+
+
+class WrfGridDataSource(DataSource):
+    #: codec captured at registration time as a CLASS attribute —
+    #: module globals do NOT travel to the separate Python worker that
+    #: instantiates the DataSource, but cloudpickle ships the
+    #: registered class by value, attributes included.
+    _codec = None
+
+    @classmethod
+    def name(cls) -> str:
+        return "wrfgrid"
+
+    def schema(self) -> str:
+        return GRID_SCHEMA
+
+    def reader(self, schema) -> "WrfGridReader":
+        return WrfGridReader(self.options, type(self)._codec)
+
+
+class WrfGridReader(DataSourceReader):
+    def __init__(self, options: dict, codec):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("wrfgrid: .load(path) is required")
+        self.variable = options.get("variable", "RAINNC")
+        self.system_from_path = (
+            options.get("system_from_path", "true").lower() == "true"
+        )
+        bbox = options.get("bbox")
+        if bbox:
+            lat_min, lat_max, lon_min, lon_max = (
+                float(x) for x in bbox.split(",")
+            )
+            self.bbox = {
+                "lat_min": lat_min, "lat_max": lat_max,
+                "lon_min": lon_min, "lon_max": lon_max,
+            }
+        else:
+            self.bbox = dict(SL_EXTENT)
+        t0, t1 = options.get("t0"), options.get("t1")
+        self.t_slice = (int(t0), int(t1)) if t0 is not None else None
+        self.codec = codec or _default_codec
+
+    def partitions(self):
+        files = sorted(
+            glob.glob(os.path.join(self.path, "**", "*.nc"), recursive=True)
+        )
+        return [
+            _FilePartition(f, os.stat(f).st_mtime_ns // 1000)
+            for f in files
+        ]
+
+    def read(self, partition: _FilePartition):
+        with open(partition.path, "rb") as fh:
+            content = fh.read()
+        mtime = datetime.fromtimestamp(
+            partition.mtime_us / 1e6, tz=timezone.utc
+        ).replace(tzinfo=None)
+        pdf = decode_grid_bytes(
+            content,
+            path=partition.path,
+            mtime=mtime,
+            bbox=self.bbox,
+            variable=self.variable,
+            t_slice=self.t_slice,
+            system_from_path=self.system_from_path,
+            open_dataset=self.codec,
+        )
+        if pdf is None:
+            return
+        # explicit native conversion: to_records would hand numpy
+        # datetime64[ns] scalars whose .item() is an int of NANOSECONDS
+        for t in pdf.itertuples(index=False):
+            yield (
+                str(t.wrf_system),
+                str(t.source_file),
+                t.fgt_utc.to_pydatetime(),
+                str(t.epoch_str),
+                int(t.t_idx),
+                int(t.xtime_min),
+                int(t.y),
+                int(t.x),
+                float(t.latitude),
+                float(t.longitude),
+                float(t.rainnc_cum),
+            )
+
+
+def register_wrfgrid(spark, codec=None) -> None:
+    """Register the ``wrfgrid`` format on a session.  ``codec``
+    (bytes → dataset-like) overrides the netCDF4 default — the stub
+    injection point in this container.  The codec rides on a
+    registration-time subclass so it survives the pickle hop into
+    Spark's Python data-source worker."""
+    if codec is None:
+        cls = WrfGridDataSource
+    else:
+        cls = type(
+            "WrfGridDataSource",
+            (WrfGridDataSource,),
+            {"_codec": staticmethod(codec)},
+        )
+    spark.dataSource.register(cls)

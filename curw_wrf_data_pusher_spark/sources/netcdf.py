@@ -110,79 +110,102 @@ def read_wrf_grid(
     bbox = bbox or SL_EXTENT
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as np
-
         for pdf in batches:
             for _, row in pdf.iterrows():
-                ds = open_dataset(bytes(row["content"]))
-                try:
-                    lats = ds.variables["XLAT"][0, :, 0]
-                    lons = ds.variables["XLONG"][0, 0, :]
-                    xtime = ds.variables["XTIME"]
-                    # epoch text: .description on current files, .units
-                    # on v1-era files
-                    desc = getattr(xtime, "description", None) or getattr(
-                        xtime, "units", ""
-                    )
-                    epoch_str = desc.split("since ")[-1].strip()
-                    lat_idx = np.where(
-                        (lats >= bbox["lat_min"]) & (lats <= bbox["lat_max"])
-                    )[0]
-                    lon_idx = np.where(
-                        (lons >= bbox["lon_min"]) & (lons <= bbox["lon_max"])
-                    )[0]
-                    # bbox outside this file's grid → zero rows, not an
-                    # executor IndexError on lat_idx[0]/[-1]
-                    if lat_idx.size == 0 or lon_idx.size == 0:
-                        continue
-                    # first:last slicing below assumes the matched index
-                    # set is contiguous, i.e. monotonic axes (true for
-                    # WRF grids; guard so a malformed file fails loudly)
-                    if not (
-                        np.all(np.diff(lats) >= 0) or np.all(np.diff(lats) <= 0)
-                    ) or not (
-                        np.all(np.diff(lons) >= 0) or np.all(np.diff(lons) <= 0)
-                    ):
-                        raise ValueError(
-                            f"non-monotonic XLAT/XLONG axes in {row['path']}"
-                        )
-                    t0, t1 = t_slice or (0, xtime.shape[0])
-                    var = ds.variables[variable][
-                        t0:t1, lat_idx[0]: lat_idx[-1] + 1,
-                        lon_idx[0]: lon_idx[-1] + 1,
-                    ]
-                    times = np.asarray(xtime[t0:t1]).astype("int64")
-                    system = (
-                        row["path"].rstrip("/").split("/")[-2]
-                        if system_from_path
-                        else ""
-                    )
-                    n_t, n_y, n_x = var.shape
-                    tt, yy, xx = np.meshgrid(
-                        np.arange(n_t), np.arange(n_y), np.arange(n_x),
-                        indexing="ij",
-                    )
-                    yield pd.DataFrame(
-                        {
-                            "wrf_system": system,
-                            "source_file": row["path"],
-                            "fgt_utc": row["modificationTime"],
-                            "epoch_str": epoch_str,
-                            "t_idx": (tt.ravel() + t0).astype("int32"),
-                            "xtime_min": times[tt.ravel()],
-                            "y": yy.ravel().astype("int32"),
-                            "x": xx.ravel().astype("int32"),
-                            "latitude": lats[lat_idx][yy.ravel()],
-                            "longitude": lons[lon_idx][xx.ravel()],
-                            "rainnc_cum": np.ma.filled(
-                                var, np.nan
-                            ).ravel().astype("float64"),
-                        }
-                    )
-                finally:
-                    ds.close()
+                out = decode_grid_bytes(
+                    bytes(row["content"]),
+                    path=row["path"],
+                    mtime=row["modificationTime"],
+                    bbox=bbox,
+                    variable=variable,
+                    t_slice=t_slice,
+                    system_from_path=system_from_path,
+                    open_dataset=open_dataset,
+                )
+                if out is not None:
+                    yield out
 
     return files.mapInPandas(decode, schema=GRID_SCHEMA)
+
+
+def decode_grid_bytes(
+    content: bytes,
+    path: str,
+    mtime,
+    bbox: dict,
+    variable: str,
+    t_slice: tuple[int, int] | None,
+    system_from_path: bool,
+    open_dataset,
+) -> "pd.DataFrame | None":
+    """Decode ONE file's bytes to the long grid frame (None when the
+    bbox misses the file's grid) — shared by the mapInPandas reader
+    above and the Spark-4 Python DataSource (nc_datasource.py), so the
+    two ingestion paths cannot drift."""
+    import numpy as np
+
+    ds = open_dataset(content)
+    try:
+        lats = ds.variables["XLAT"][0, :, 0]
+        lons = ds.variables["XLONG"][0, 0, :]
+        xtime = ds.variables["XTIME"]
+        # epoch text: .description on current files, .units on
+        # v1-era files
+        desc = getattr(xtime, "description", None) or getattr(
+            xtime, "units", ""
+        )
+        epoch_str = desc.split("since ")[-1].strip()
+        lat_idx = np.where(
+            (lats >= bbox["lat_min"]) & (lats <= bbox["lat_max"])
+        )[0]
+        lon_idx = np.where(
+            (lons >= bbox["lon_min"]) & (lons <= bbox["lon_max"])
+        )[0]
+        # bbox outside this file's grid → zero rows, not an executor
+        # IndexError on lat_idx[0]/[-1]
+        if lat_idx.size == 0 or lon_idx.size == 0:
+            return None
+        # first:last slicing below assumes the matched index set is
+        # contiguous, i.e. monotonic axes (true for WRF grids; guard
+        # so a malformed file fails loudly)
+        if not (
+            np.all(np.diff(lats) >= 0) or np.all(np.diff(lats) <= 0)
+        ) or not (
+            np.all(np.diff(lons) >= 0) or np.all(np.diff(lons) <= 0)
+        ):
+            raise ValueError(f"non-monotonic XLAT/XLONG axes in {path}")
+        t0, t1 = t_slice or (0, xtime.shape[0])
+        var = ds.variables[variable][
+            t0:t1, lat_idx[0]: lat_idx[-1] + 1,
+            lon_idx[0]: lon_idx[-1] + 1,
+        ]
+        times = np.asarray(xtime[t0:t1]).astype("int64")
+        system = (
+            path.rstrip("/").split("/")[-2] if system_from_path else ""
+        )
+        n_t, n_y, n_x = var.shape
+        tt, yy, xx = np.meshgrid(
+            np.arange(n_t), np.arange(n_y), np.arange(n_x), indexing="ij"
+        )
+        return pd.DataFrame(
+            {
+                "wrf_system": system,
+                "source_file": path,
+                "fgt_utc": mtime,
+                "epoch_str": epoch_str,
+                "t_idx": (tt.ravel() + t0).astype("int32"),
+                "xtime_min": times[tt.ravel()],
+                "y": yy.ravel().astype("int32"),
+                "x": xx.ravel().astype("int32"),
+                "latitude": lats[lat_idx][yy.ravel()],
+                "longitude": lons[lon_idx][xx.ravel()],
+                "rainnc_cum": np.ma.filled(var, np.nan)
+                .ravel()
+                .astype("float64"),
+            }
+        )
+    finally:
+        ds.close()
 
 
 def read_wrf_grid_parquet(

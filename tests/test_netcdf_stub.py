@@ -283,3 +283,81 @@ def test_write_then_read_roundtrip(spark, tmp_path):
         back["latitude"].to_numpy(), src["latitude"].to_numpy()
     )
     assert back["epoch_str"].unique().tolist() == ["2024-06-01 00:00:00"]
+
+
+def test_wrfgrid_datasource_matches_mapinpandas_reader(spark, tmp_path):
+    """spark.read.format('wrfgrid') must produce the same rows as
+    read_wrf_grid — they share decode_grid_bytes, and this pins the
+    DataSource plumbing (options parsing, partition planning, native
+    row conversion) on top of it."""
+    from curw_wrf_data_pusher_spark.sources.nc_datasource import (
+        register_wrfgrid,
+    )
+
+    cube = np.arange(2 * 4 * 5, dtype="f8").reshape(2, 4, 5)
+    root = _write_file(
+        tmp_path, "d03_RAINNC.nc",
+        _make_nc_bytes(LATS, LONS, [0, 15], cube, mask_cell=(1, 2, 2)),
+    )
+    # a second system directory → a second input partition
+    d2 = tmp_path / "wrfB"
+    d2.mkdir()
+    (d2 / "d03_RAINNC.nc").write_bytes(
+        _make_nc_bytes(LATS, LONS, [0, 15], cube + 100.0)
+    )
+
+    register_wrfgrid(spark, codec=stub_open)
+    ds = (
+        spark.read.format("wrfgrid")
+        .option("bbox", "6.6,7.4,79.6,81.0")
+        .load(root)
+    )
+    # one input partition per .nc file
+    assert ds.rdd.getNumPartitions() == 2
+
+    cols = [
+        "wrf_system", "source_file", "epoch_str", "t_idx", "xtime_min",
+        "y", "x", "latitude", "longitude", "rainnc_cum",
+    ]
+    key = ["source_file", "t_idx", "y", "x"]
+    got = ds.toPandas()[cols].sort_values(key).reset_index(drop=True)
+    want = (
+        read_wrf_grid(spark, root, bbox=KELANI, open_dataset=stub_open)
+        .toPandas()[cols]
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    # binaryFile reports URIs (file:/…), the DataSource local paths —
+    # normalize the scheme, everything else must match exactly
+    want["source_file"] = want["source_file"].str.replace(
+        "file:", "", regex=False
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(got, want)
+    assert set(got["wrf_system"]) == {"wrfA", "wrfB"}
+
+
+def test_wrfgrid_datasource_pushes_variable_and_t_slice(spark, tmp_path):
+    from curw_wrf_data_pusher_spark.sources.nc_datasource import (
+        register_wrfgrid,
+    )
+
+    cube = np.arange(3 * 4 * 5, dtype="f8").reshape(3, 4, 5)
+    root = _write_file(
+        tmp_path, "v1.nc",
+        _make_nc_bytes(LATS, LONS, [0, 15, 30], cube,
+                       epoch_attr="units"),
+    )
+    register_wrfgrid(spark, codec=stub_open)
+    out = (
+        spark.read.format("wrfgrid")
+        .option("bbox", "6.6,7.4,79.6,81.0")
+        .option("t0", "1").option("t1", "3")
+        .load(root)
+        .toPandas()
+    )
+    assert sorted(out["t_idx"].unique()) == [1, 2]
+    assert sorted(out["xtime_min"].unique()) == [15, 30]
+    # v1 epoch encoding surfaced through the units attribute
+    assert out["epoch_str"].unique().tolist() == ["2024-06-01 00:00:00"]
