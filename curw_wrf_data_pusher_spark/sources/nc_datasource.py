@@ -124,22 +124,30 @@ class WrfGridReader(DataSourceReader):
         )
         if pdf is None:
             return
-        # explicit native conversion: to_records would hand numpy
-        # datetime64[ns] scalars whose .item() is an int of NANOSECONDS
-        for t in pdf.itertuples(index=False):
-            yield (
-                str(t.wrf_system),
-                str(t.source_file),
-                t.fgt_utc.to_pydatetime(),
-                str(t.epoch_str),
-                int(t.t_idx),
-                int(t.xtime_min),
-                int(t.y),
-                int(t.x),
-                float(t.latitude),
-                float(t.longitude),
-                float(t.rainnc_cum),
-            )
+        # one Arrow batch per file: the DataSource API accepts
+        # pyarrow.RecordBatch from read(), which skips per-row Python
+        # tuple conversion entirely — the decode frame crosses into
+        # the JVM as columnar buffers
+        import pyarrow as pa
+
+        target = pa.schema(
+            [
+                ("wrf_system", pa.string()),
+                ("source_file", pa.string()),
+                ("fgt_utc", pa.timestamp("us")),
+                ("epoch_str", pa.string()),
+                ("t_idx", pa.int32()),
+                ("xtime_min", pa.int64()),
+                ("y", pa.int32()),
+                ("x", pa.int32()),
+                ("latitude", pa.float64()),
+                ("longitude", pa.float64()),
+                ("rainnc_cum", pa.float64()),
+            ]
+        )
+        yield pa.RecordBatch.from_pandas(
+            pdf, schema=target, preserve_index=False
+        )
 
 
 def register_wrfgrid(spark, codec=None) -> None:
