@@ -283,3 +283,86 @@ def test_asof_join_forward_matches_pandas(spark, left, right):
         on="t", by="k", direction="forward",
     ).sort_values(["k", "t"]).reset_index(drop=True)
     assert list(got["asof_v"].fillna(-1)) == list(want["v"].fillna(-1))
+
+
+# ---------------------------------------------------------------------------
+# mergeable-rollup algebra (operators/rollup.py): any batch slicing of
+# any input merges to the direct aggregation
+
+from curw_wrf_data_pusher_spark.operators.rollup import (  # noqa: E402
+    merge_partials,
+    rollup_partials,
+)
+
+
+@given(
+    data=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 4), cents),
+        min_size=1,
+        max_size=60,
+    )
+)
+@SETTINGS
+def test_rollup_merge_equals_direct_any_slicing(spark, data):
+    pdf = pd.DataFrame(data, columns=["k", "b", "v"])
+    pdf["v"] = pdf["v"].astype("float64")
+    df = spark.createDataFrame(pdf)
+    merged = {
+        r.k: r
+        for r in merge_partials(
+            rollup_partials(df, ["k", "b"], "v"), ["k"]
+        ).collect()
+    }
+    direct = pdf.groupby("k")["v"]
+    for k, g in direct:
+        m = merged[k]
+        assert m.n == len(g)
+        assert m.sum_v == pytest.approx(g.sum())
+        assert m.min_v == g.min() and m.max_v == g.max()
+        assert m.avg_v == pytest.approx(g.mean())
+        assert m.var_pop == pytest.approx(g.var(ddof=0), abs=1e-6)
+    assert set(merged) == set(direct.groups)
+
+
+# ---------------------------------------------------------------------------
+# snapshot diff (operators/snapshot.py) ≡ a pandas outer-merge mirror
+
+from curw_wrf_data_pusher_spark.operators.snapshot import (  # noqa: E402
+    snapshot_diff,
+)
+
+
+@given(
+    old=st.dictionaries(
+        st.integers(0, 9),
+        st.one_of(st.none(), st.text(alphabet="ab\x1f", max_size=3)),
+        max_size=8,
+    ),
+    new=st.dictionaries(
+        st.integers(0, 9),
+        st.one_of(st.none(), st.text(alphabet="ab\x1f", max_size=3)),
+        max_size=8,
+    ),
+)
+@SETTINGS
+def test_snapshot_diff_matches_dict_mirror(spark, old, new):
+    # \x1f in the alphabet deliberately attacks the digest separator;
+    # single-column compare means it cannot cause false equality
+    o = spark.createDataFrame(
+        [(k, v) for k, v in old.items()] or [(None, None)], "k int, v string"
+    ).filter(F.col("k").isNotNull())
+    n = spark.createDataFrame(
+        [(k, v) for k, v in new.items()] or [(None, None)], "k int, v string"
+    ).filter(F.col("k").isNotNull())
+    got = {r.k: r.status for r in snapshot_diff(o, n, ["k"]).collect()}
+    want = {}
+    for k in set(old) | set(new):
+        if k not in old:
+            want[k] = "added"
+        elif k not in new:
+            want[k] = "removed"
+        elif old[k] != new[k]:
+            want[k] = "changed"
+        else:
+            want[k] = "unchanged"
+    assert got == want
