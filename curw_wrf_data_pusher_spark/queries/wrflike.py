@@ -170,9 +170,17 @@ def wrf_e3_hybrid_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT DISTINCT date_trunc('hour', ts) AS t FROM events
     ),
     vals AS (
+      /* 3-dp HALF-UP of the mean via EXACT integer milli-units:
+         round(double, 3) diverges between engines on representation
+         boundaries (Spark rounds the shortest-string BigDecimal,
+         DuckDB the binary double — 11 rows differed at sf0.1).
+         values are DECIMAL(18,2) and non-negative, so sum*1000 is an
+         exact integer and floor((2*s + n) / (2*n)) is the exact
+         half-up milli-mean in both engines. */
       SELECT user_id % 100 AS cell, date_trunc('hour', ts) AS t,
-             round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
-                   / count(*), 3) AS mean_v
+             CAST(floor((2 * CAST(sum(CAST(value AS DECIMAL(18,2)))
+                                  * 1000 AS BIGINT) + count(*))
+                        / (2 * count(*))) AS DOUBLE) / 1000.0 AS mean_v
       FROM events GROUP BY cell, t
     ),
     dense AS (
@@ -201,14 +209,22 @@ def e2_rfield_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).alias("latitude")
     cells = ev.select(cell).distinct().select("cell", lon, lat)
     hours = ev.select(F.date_trunc("hour", "ts").alias("t")).distinct()
+    # exact half-up 3-dp mean in integer milli-units — see the oracle's
+    # vals CTE comment for why round(double, 3) is NOT engine-portable
+    # on a rational quotient
+    s_milli = (F.sum(F.col("value").cast(DEC)) * 1000).cast("long")
+    n = F.count("*")
     vals = (
         ev.groupBy(
             (F.col("user_id") % 100).alias("cell"),
             F.date_trunc("hour", "ts").alias("t"),
         )
         .agg(
-            F.round(
-                F.sum(F.col("value").cast(DEC)).cast("double") / F.count("*"), 3
+            (
+                F.floor(
+                    (F.lit(2) * s_milli + n) / (F.lit(2) * n)
+                ).cast("double")
+                / F.lit(1000.0)
             ).alias("mean_v")
         )
     )
