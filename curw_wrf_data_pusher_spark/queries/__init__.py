@@ -78,6 +78,7 @@ _TAIL = [
     "w8_window_suite",     # ntile/percent_rank/cume_dist/lead/lag
     "w9_funnel",           # ordered funnel (one-shuffle array walk)
     "a21_cohort_retention",  # weekly cohort retention matrix
+    "w10_attribution",     # last-touch attribution (as-of + tolerance)
 ]
 
 

@@ -2204,3 +2204,61 @@ def a21_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         "period_offset",
         "n_users",
     )
+
+
+# ---------------------------------------------------------------------------
+# W10 — last-touch attribution: each purchase credits the user's most
+# recent click at-or-before it, but only within a 1-hour window — the
+# as-of join (union-tag-window, one shuffle) composed with its
+# tolerance nulling, mirrored by DuckDB's native ASOF LEFT JOIN plus
+# the same inclusive window test.
+_ATTR_FMT = "%Y-%m-%d %H:%M:%S.%f"
+@register(
+    "w10_attribution",
+    oracle=f"""
+    WITH c0 AS (
+      SELECT user_id, ts, event_id,
+             row_number() OVER (PARTITION BY user_id, ts
+                                ORDER BY event_id DESC) AS rn
+      FROM events WHERE event_type = 'click'
+    ),
+    c AS (SELECT user_id, ts AS cts, event_id AS click_id
+          FROM c0 WHERE rn = 1),
+    p AS (SELECT user_id, event_id, ts, value FROM events
+          WHERE event_type = 'purchase')
+    SELECT p.user_id, p.event_id,
+           strftime(p.ts, '{_ATTR_FMT}') AS t, p.value,
+           CASE WHEN c.cts IS NOT NULL
+                 AND p.ts - c.cts <= INTERVAL 1 HOUR
+                THEN c.click_id END AS click_id,
+           CASE WHEN c.cts IS NOT NULL
+                 AND p.ts - c.cts <= INTERVAL 1 HOUR
+                THEN strftime(c.cts, '{_ATTR_FMT}') END AS click_t
+    FROM p ASOF LEFT JOIN c
+      ON p.user_id = c.user_id AND p.ts >= c.cts
+    """,
+)
+def w10_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import latest_per_series
+    from ..operators.joins import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = latest_per_series(
+        ev.filter(F.col("event_type") == "click"),
+        series_cols=["user_id", "ts"], version_cols=["event_id"],
+    ).select("user_id", "ts", F.col("event_id").alias("click_id"))
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    out = asof_join(
+        purchases, clicks, on=["user_id"], left_time="ts",
+        right_time="ts", value_cols=["click_id"],
+        tolerance="INTERVAL 1 HOUR",
+    )
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return out.select(
+        "user_id", "event_id",
+        F.date_format("ts", fmt).alias("t"), "value",
+        F.col("asof_click_id").alias("click_id"),
+        F.date_format("asof_time", fmt).alias("click_t"),
+    )

@@ -150,4 +150,6 @@ def test_tail_holds_only_redundant_demos():
         "w9_funnel",
         # weekly cohort retention (first-activity cohorts)
         "a21_cohort_retention",
+        # last-touch attribution: tolerance as-of vs DuckDB ASOF JOIN
+        "w10_attribution",
     ], tail
