@@ -116,3 +116,79 @@ def countmin_lookup(
             )
         )
     )
+
+
+HLL_BUCKETS = 64
+
+
+def hll_build(
+    df: DataFrame, col: str, m: int = HLL_BUCKETS
+) -> DataFrame:
+    """HyperLogLog registers over a column: (bucket, max_rank), ≤ m
+    rows — the distinct-count companion to the count-min frequency
+    sketch (Flajolet et al. '07).  Spark's builtin
+    ``approx_count_distinct`` answers one-shot queries (a10); THIS
+    form exposes the MERGEABLE STATE: registers from different
+    corpora/batches/streams combine by per-bucket max, so distinct
+    counts compose across stores and time like the rollup partials do
+    for sums.
+
+    Engine-portable and float-free by construction: bucket = h mod m,
+    and the rank is the first-set-bit position of h div m computed
+    with pure integer bit operations (no log2) — a DuckDB oracle
+    rebuilds every register bit-for-bit.  Plan: map-side hash + ONE
+    grouped max over ≤ m keys (map-side combine caps shuffle volume at
+    tasks·m rows)."""
+    if m & (m - 1):
+        raise ValueError("m must be a power of two")
+    shift = m.bit_length() - 1
+    item = F.col(col).cast("string")
+    h = F.conv(F.substring(F.md5(item), 1, 8), 16, 10).cast("long")
+    bucket = h % F.lit(m)
+    # integer shift, NOT h/m: DuckDB CASTs doubles to BIGINT by
+    # ROUNDING while Spark truncates — bit ops sidestep the class
+    w = F.shiftright(h, shift)
+    n_bits = 32 - shift
+    # rank = 1-based position of the lowest set bit of w; all-zero w
+    # (probability 2^-n_bits) takes the max rank n_bits + 1
+    first_set = F.expr(
+        f"array_position(transform(sequence(0, {n_bits - 1}),"
+        f" i -> shiftright({'__w'}, i) & 1), 1)"
+    )
+    ranked = df.select(
+        bucket.alias("bucket"), w.alias("__w")
+    ).select(
+        "bucket",
+        F.when(first_set > 0, first_set)
+        .otherwise(F.lit(n_bits + 1))
+        .cast("int")
+        .alias("rank"),
+    )
+    return ranked.groupBy("bucket").agg(F.max("rank").alias("max_rank"))
+
+
+def hll_merge(*registers: DataFrame) -> DataFrame:
+    """Merge register tables built with the same m: per-bucket max."""
+    merged = registers[0]
+    for r in registers[1:]:
+        merged = merged.unionByName(r)
+    return merged.groupBy("bucket").agg(
+        F.max("max_rank").alias("max_rank")
+    )
+
+
+def hll_estimate(registers: DataFrame, m: int = HLL_BUCKETS) -> float:
+    """Distinct-count estimate from the registers (driver-side scalar:
+    the registers are ≤ m rows — bounded metadata).  Standard HLL
+    harmonic mean with the small-range linear-counting correction;
+    expected relative error ≈ 1.04/√m."""
+    import math
+
+    regs = {r.bucket: r.max_rank for r in registers.collect()}
+    alpha = 0.709 if m == 64 else 0.7213 / (1 + 1.079 / m)
+    s = sum(2.0 ** -regs.get(b, 0) for b in range(m))
+    est = alpha * m * m / s
+    zeros = m - len(regs)
+    if est <= 2.5 * m and zeros > 0:
+        est = m * math.log(m / zeros)
+    return est

@@ -79,6 +79,7 @@ _TAIL = [
     "w9_funnel",           # ordered funnel (one-shuffle array walk)
     "a21_cohort_retention",  # weekly cohort retention matrix
     "w10_attribution",     # last-touch attribution (as-of + tolerance)
+    "a22_hll_registers",   # HyperLogLog mergeable distinct-count state
 ]
 
 

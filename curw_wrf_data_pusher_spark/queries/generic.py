@@ -2262,3 +2262,49 @@ def w10_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("asof_click_id").alias("click_id"),
         F.date_format("asof_time", fmt).alias("click_t"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A22 — HyperLogLog registers over the document word-bigram stream.
+# The oracle rebuilds every register bit-for-bit (md5 hash, bucket
+# mod, integer first-set-bit rank) — no floats anywhere, so the row
+# pins the full mergeable distinct-count STATE; the estimate +
+# merge-by-max law are pytest-gated (tests/test_sketch_snapshot.py).
+@register(
+    "a22_hll_registers",
+    oracle="""
+    WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+    tok AS (
+      SELECT unnest(list_transform(range(1, len(t)),
+                    i -> concat_ws(' ', t[i], t[i+1]))) AS token
+      FROM toks WHERE len(t) >= 2
+    ),
+    hx AS (SELECT ('0x' || substr(md5(token), 1, 8))::BIGINT AS h
+           FROM tok),
+    rk AS (
+      SELECT h % 64 AS bucket,
+             coalesce(list_position(list_transform(range(0, 26),
+                        i -> ((h >> 6) >> i) & 1), 1), 27) AS rank
+      FROM hx
+    )
+    SELECT bucket, CAST(max(rank) AS INT) AS max_rank
+    FROM rk GROUP BY bucket
+    """,
+)
+def a22_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketch import hll_build
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    tok = (
+        docs.select(F.split(F.col("text"), " ").alias("__t"))
+        .filter(F.size("__t") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(__t) - 2),"
+                    " i -> __t[i] || ' ' || __t[i + 1])"
+                )
+            ).alias("token")
+        )
+    )
+    return hll_build(tok, "token")

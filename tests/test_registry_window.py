@@ -152,4 +152,6 @@ def test_tail_holds_only_redundant_demos():
         "a21_cohort_retention",
         # last-touch attribution: tolerance as-of vs DuckDB ASOF JOIN
         "w10_attribution",
+        # HLL registers: float-free mergeable distinct-count state
+        "a22_hll_registers",
     ], tail

@@ -215,3 +215,48 @@ def test_wide_weight_chain_plan_json_stays_linear(spark):
     j = up._jdf.queryExecution().optimizedPlan().toJSON()
     assert len(j) < 4_000_000
     json.loads(j)
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog registers (distinct-count mergeable state)
+
+
+def test_hll_merge_equals_single_build_and_estimate_accuracy(spark):
+    from curw_wrf_data_pusher_spark.operators.sketch import (
+        hll_build,
+        hll_estimate,
+        hll_merge,
+    )
+
+    n_true = 700
+    items = spark.range(3000).select(
+        F.concat(F.lit("item"), (F.col("id") % n_true).cast("string")).alias(
+            "item"
+        )
+    )
+    full = hll_build(items, "item")
+    a = hll_build(items.filter(F.col("item").substr(5, 9).cast("long") % 2 == 0), "item")
+    b = hll_build(items.filter(F.col("item").substr(5, 9).cast("long") % 2 == 1), "item")
+    merged = {
+        (r.bucket, r.max_rank) for r in hll_merge(a, b).collect()
+    }
+    assert merged == {(r.bucket, r.max_rank) for r in full.collect()}
+    est = hll_estimate(full)
+    # m=64 → σ ≈ 13%; allow 3σ
+    assert abs(est - n_true) / n_true < 0.4
+    # duplicates never change the registers (set semantics)
+    doubled = hll_build(items.unionAll(items), "item")
+    assert {(r.bucket, r.max_rank) for r in doubled.collect()} == {
+        (r.bucket, r.max_rank) for r in full.collect()
+    }
+
+
+def test_hll_build_is_bounded_one_shuffle(spark):
+    from curw_wrf_data_pusher_spark.operators.sketch import hll_build
+
+    items = spark.range(5000).select(F.col("id").cast("string").alias("item"))
+    regs = hll_build(items, "item")
+    assert regs.count() <= 64
+    plan = regs._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    assert "partial_max" in plan
