@@ -47,10 +47,18 @@ def latest_per_series_join(
     series_cols: Sequence[str],
     version_col: str,
 ) -> DataFrame:
-    """max-version semi-join variant (broadcasts the aggregated side)."""
+    """max-version semi-join variant of :func:`latest_per_series`.
+
+    No broadcast hint: the aggregated side has one row per SERIES —
+    dim-like (~hundreds of stations) in the WRF domain but unbounded
+    in general, so the join strategy is left to AQE, which broadcasts
+    exactly when the measured aggregate is small and falls back to a
+    shuffled semi-join when it isn't.  The window form at
+    :func:`latest_per_series` (one shuffle, no join) is the primary
+    implementation."""
     latest = df.groupBy(*series_cols).agg(
         F.max(version_col).alias(version_col)
     )
     return df.join(
-        F.broadcast(latest), on=[*series_cols, version_col], how="left_semi"
+        latest, on=[*series_cols, version_col], how="left_semi"
     )

@@ -126,10 +126,13 @@ def mad_outliers(
     who also give the default cutoff k = 3.5).
 
     Plan shape / 100 TB: two grouped EXACT-percentile aggregations
-    (median of x, then median of |x − med|) + two broadcast joins of
-    the tiny per-group stat rows back onto the facts — the fact table
-    is scanned twice but never shuffled on anything wider than the
-    group key, and there are no global windows.  For a one-scan
+    (median of x, then median of |x − med|) + two equi-joins of the
+    per-group stat rows back onto the facts.  The stat frames are one
+    row per GROUP — unbounded in general — so they carry NO broadcast
+    hint: AQE broadcasts them when measured-small and shuffles on the
+    group key otherwise.  The fact table is scanned twice but never
+    shuffled on anything wider than the group key, and there are no
+    global windows.  For a one-scan
     approximate variant at extreme scale, substitute
     ``percentile_approx`` in the same shape.
 
@@ -140,14 +143,14 @@ def mad_outliers(
     med = df.groupBy(*gcols).agg(
         F.percentile(F.col(value_col), F.lit(0.5)).alias("group_median")
     )
-    with_med = df.join(F.broadcast(med), on=list(group_cols))
+    with_med = df.join(med, on=list(group_cols))
     dev = F.abs(F.col(value_col) - F.col("group_median"))
     mad = (
         with_med.select(*gcols, dev.alias("__dev"))
         .groupBy(*gcols)
         .agg(F.percentile(F.col("__dev"), F.lit(0.5)).alias("group_mad"))
     )
-    out = with_med.join(F.broadcast(mad), on=list(group_cols))
+    out = with_med.join(mad, on=list(group_cols))
     sigma = F.lit(scale) * F.col("group_mad")
     robust_z = F.when(sigma > 0, dev / sigma)
     return out.select(
@@ -180,8 +183,9 @@ def robust_scale(
 
     Plan: one grouped aggregation collects (percentile array, min,
     max), a second collects the MAD (median needs to exist first);
-    both stat frames are group-cardinality rows broadcast back onto
-    the facts — the fact table never shuffles."""
+    both stat frames are group-cardinality rows — unbounded in
+    general, so un-hinted: AQE broadcasts them when measured-small,
+    else the join shuffles on the group key."""
     gcols = [F.col(c) for c in group_cols]
     v = F.col(value_col)
     stats = df.groupBy(*gcols).agg(
@@ -191,14 +195,14 @@ def robust_scale(
         F.min(v).alias("__mn"),
         F.max(v).alias("__mx"),
     )
-    with_stats = df.join(F.broadcast(stats), on=list(group_cols))
+    with_stats = df.join(stats, on=list(group_cols))
     med = F.col("__q")[1]
     mad = (
         with_stats.select(*gcols, F.abs(v - med).alias("__dev"))
         .groupBy(*gcols)
         .agg(F.percentile(F.col("__dev"), F.lit(0.5)).alias("__mad"))
     )
-    out = with_stats.join(F.broadcast(mad), on=list(group_cols))
+    out = with_stats.join(mad, on=list(group_cols))
     span = F.col("__mx") - F.col("__mn")
     sigma = F.lit(scale) * F.col("__mad")
     return out.select(

@@ -659,7 +659,9 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = F.col("l_extendedprice").cast(DEC) * (F.lit(1) - F.col("l_discount").cast(DEC))
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        # no hint on customer: it scales with SF (unbounded at 100 TB);
+        # AQE broadcasts the filtered segment when measured-small
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(F.sum(rev).cast("double").alias("revenue"))
         .select(
@@ -2172,8 +2174,10 @@ def w9_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # A21 — weekly cohort retention matrix: cohort = the week of a user's
-# first event; n_users active per (cohort, whole-week offset).  Exact
-# integer epoch arithmetic on date_trunc boundaries on both sides.
+# first event; n_users active per (cohort, whole-week offset).
+# Offsets are calendar-day arithmetic (date_diff days / 7) on BOTH
+# sides — DST-safe (a 167/169-hour week never truncates off-by-one)
+# and engine-portable.
 @register(
     "a21_cohort_retention",
     oracle="""
@@ -2185,7 +2189,8 @@ def w9_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT DISTINCT user_id, date_trunc('week', ts) AS p FROM events
     )
     SELECT strftime(fi.c, '%Y-%m-%d %H:%M:%S') AS cohort_week,
-           CAST((epoch(ac.p) - epoch(fi.c)) / 604800 AS BIGINT)
+           CAST(floor(date_diff('day', CAST(fi.c AS DATE),
+                                CAST(ac.p AS DATE)) / 7.0) AS BIGINT)
              AS period_offset,
            count(*) AS n_users
     FROM ac JOIN fi USING (user_id)

@@ -58,9 +58,13 @@ def compact_small_files(
     Bytes-preserving: rows are rewritten verbatim (no reorder promise —
     parquet row order is not part of the store contract; tests pin the
     full multiset of rows).  The rewrite goes to a staging directory
-    and swaps in with two renames, so a crash leaves either the old or
-    the new layout, never a mix.  Skips (returns a no-op report) when
-    the directory already has fewer than ``min_files`` files.
+    and swaps in with two renames.  A crash between the two renames
+    leaves ``path`` ABSENT with the data intact at
+    ``path.__compact_old__`` — on the next call that leftover is
+    auto-recovered (renamed back to ``path``) before compacting, so
+    no manual intervention is needed and a mix of layouts can never
+    exist.  Skips (returns a no-op report) when the directory already
+    has fewer than ``min_files`` files.
 
     Target file count = ceil(total_bytes / target) on the DISK size —
     a deliberate underestimate of in-memory size (parquet is
@@ -72,6 +76,11 @@ def compact_small_files(
     import math
     import shutil
 
+    old = path.rstrip("/") + ".__compact_old__"
+    if os.path.exists(old) and not os.path.exists(path):
+        # Crash between the two swap renames of a previous run: the
+        # data is whole in the .__compact_old__ dir — restore it.
+        os.rename(old, path)
     files = [
         f for f in glob.glob(os.path.join(path, "*.parquet"))
         if os.path.isfile(f)
@@ -84,7 +93,6 @@ def compact_small_files(
         return {"compacted": False, "n_files_before": len(files)}
     df = spark.read.parquet(path)
     staging = path.rstrip("/") + ".__compact_staging__"
-    old = path.rstrip("/") + ".__compact_old__"
     if os.path.exists(staging):
         shutil.rmtree(staging)
     df.repartition(n_target).write.mode("overwrite").parquet(staging)

@@ -94,6 +94,13 @@ class WrfGridReader(DataSourceReader):
         else:
             self.bbox = dict(SL_EXTENT)
         t0, t1 = options.get("t0"), options.get("t1")
+        if (t0 is None) != (t1 is None):
+            missing = "t1" if t1 is None else "t0"
+            raise ValueError(
+                "wrfgrid: options t0 and t1 must be set together "
+                f"(got {'t0' if missing == 't1' else 't1'} without "
+                f"{missing})"
+            )
         self.t_slice = (int(t0), int(t1)) if t0 is not None else None
         self.codec = codec or _default_codec
 

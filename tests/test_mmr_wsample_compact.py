@@ -169,3 +169,21 @@ def test_compact_small_files_respects_target_size(spark, tmp_path):
     expect = math.ceil(total / target)
     assert report["compacted"]
     assert report["n_files_after"] == expect
+
+
+def test_compact_small_files_recovers_interrupted_swap(spark, tmp_path):
+    """A crash between the two swap renames leaves ``path`` absent and
+    the data whole at ``path.__compact_old__`` — the next call must
+    auto-restore it before compacting (round-6 advisor finding)."""
+    path = str(tmp_path / "store")
+    df = spark.range(5_000).select(F.col("id"))
+    df.repartition(32).write.parquet(path)
+    before = sorted(r.id for r in spark.read.parquet(path).collect())
+    # simulate the crash window: first rename done, second never ran
+    os.rename(path, path + ".__compact_old__")
+    assert not os.path.exists(path)
+    report = compact_small_files(spark, path, target_file_bytes=1 << 30)
+    assert report["compacted"]
+    after = sorted(r.id for r in spark.read.parquet(path).collect())
+    assert after == before
+    assert not os.path.exists(path + ".__compact_old__")

@@ -361,3 +361,23 @@ def test_wrfgrid_datasource_pushes_variable_and_t_slice(spark, tmp_path):
     assert sorted(out["xtime_min"].unique()) == [15, 30]
     # v1 epoch encoding surfaced through the units attribute
     assert out["epoch_str"].unique().tolist() == ["2024-06-01 00:00:00"]
+
+
+def test_wrfgrid_datasource_rejects_half_open_t_slice(spark, tmp_path):
+    """t0 without t1 (or vice versa) must raise a clear ValueError at
+    planning time, not TypeError: int(None) (round-6 advisor)."""
+    from curw_wrf_data_pusher_spark.sources.nc_datasource import (
+        register_wrfgrid,
+    )
+
+    cube = np.arange(3 * 4 * 5, dtype="f8").reshape(3, 4, 5)
+    root = _write_file(
+        tmp_path, "v1.nc",
+        _make_nc_bytes(LATS, LONS, [0, 15, 30], cube, epoch_attr="units"),
+    )
+    register_wrfgrid(spark, codec=stub_open)
+    for opt in ("t0", "t1"):
+        with pytest.raises(Exception) as ei:
+            (spark.read.format("wrfgrid").option(opt, "1").load(root)
+             .collect())
+        assert "must be set together" in str(ei.value)
