@@ -18,6 +18,35 @@ and individual sub-second queries by 2x. Round 4's broad "+2.6% drift"
 (15 of 21 queries slower with no code change) was this noise, not a
 regression. Compare rounds on the best of several runs, and treat
 per-query deltas under ~25% as unresolvable without n >= 6.
+
+ROUND-7 DRIFT RESOLUTION (judge task 2): two consecutive REPS=6
+best-of runs on the round-7 tree put the r5-identical 21-query subset
+at 9.88 s and 11.18 s vs r5's 8.97 s (+10% / +25%) — the r6 "+24% at
+min-of-3" drift sits inside the floor at n=6 and swings run-to-run
+with no code change in the subset's plans; no subset query stayed
+>1.3x on best-of. Conclusion: contention noise, not a regression.
+The big mover this round was real, though: llm_curate_corpus's 8.54 s
+r6 row was 75% an O(n²)-splits expression bug in dup_ngram_ratio
+(fixed, see llmops/textstats.py) plus the membership-audit md5s (the
+bench now runs llm_curate_pipeline, the production path): 8.54 s ->
+2.36 s at the same REPS=6.
+
+KNOWN-BENIGN LOG TAIL (round-7 root cause of the r6 "truncated
+DAGScheduler stack trace"): intermittent bursts of
+  ERROR DAGScheduler: Failed to update accumulator N (Unknown class)
+  ... SparkException: attempted to access non-existent accumulator N
+are a shutdown/cleanup race, not a correctness problem.  When AQE
+re-plans (or a query finishes early via TakeOrdered/limit), the
+driver abandons in-flight stages and the finished QueryExecution's
+SQL-metric accumulators are unregistered by the ContextCleaner;
+straggler tasks of the abandoned stage still complete and post
+accumulator updates for ids that no longer exist.  DAGScheduler
+catches the update failure, logs it with a stack trace, and carries
+on — only UI metrics are lost; results are unaffected (all bench
+queries are separately hash-verified against DuckDB).  Reproduction
+is load-dependent: 736 occurrences in one r7 probe run, 0 in the
+identical next run.  The `## bench rep=I query=NAME` stderr markers
+let any future tail be attributed to the query that was running.
 """
 
 from __future__ import annotations
@@ -61,8 +90,14 @@ HEADLINE = [
     "llm_seq_packing",
     # added round 6 (NEW vs the r1-r5 21-query set — compare totals
     # accordingly): the composed 5-stage curation pipeline row, plus
-    # the substring-granular and embedding-cluster dedup modalities
-    "llm_curate_corpus",
+    # the substring-granular and embedding-cluster dedup modalities.
+    # Round 7 (judge task 3): the curate row now benches the
+    # PRODUCTION path (final curated frame, one lazy plan) instead of
+    # the audit form — r6's 8.54 s measured llm_curate_corpus's
+    # per-stage membership md5 (6 global id sorts), a correctness-row
+    # artifact, not pipeline work.  The audit form remains the
+    # registered/oracle row.
+    "llm_curate_pipeline",
     "llm_winnow_pairs",
     "llm_substring_dedup",
     "llm_semantic_dedup",
@@ -114,8 +149,12 @@ def main() -> None:
     # building.  Local scheduler noise dominates sub-second queries
     # (round-2 showed ±15% swings at n=2 with unchanged plans).
     best: dict[str, float] = {}
-    for _ in range(REPS):
+    for rep in range(REPS):
         for name in HEADLINE:
+            # stderr marker so any JVM warning in the log tail can be
+            # attributed to the query that was running (stdout stays
+            # pure: one JSON line)
+            print(f"## bench rep={rep} query={name}", file=sys.stderr)
             fn = _resolve(name)
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)

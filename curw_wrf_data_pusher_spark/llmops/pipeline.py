@@ -50,7 +50,7 @@ from .dedup import (
     shingles,
     verify_candidates,
 )
-from .textstats import text_features
+from .textstats import dup_ngram_ratio_expr, text_features, token_count_expr  # noqa: F401
 
 
 @dataclass(frozen=True)
@@ -178,21 +178,29 @@ def curate_corpus(
             config.max_dup_2gram_ratio,
         )
     ):
-        feats = text_features(cur, text_col=text_col, id_col=id_col)
+        # Map-side filter on the shared feature EXPRESSIONS
+        # (textstats.token_count_expr / dup_ngram_ratio_expr — the
+        # same single definitions text_features projects), NOT a
+        # semi-join of `cur` against text_features(cur): that
+        # self-referential join duplicated the whole upstream subtree
+        # (both join sides re-ran exact-dedup + boilerplate) and
+        # computed all 15+ features when the predicate needs two.
+        # Profiled at sf0.1: the join form made quality_filter the
+        # most expensive stage of the pipeline (~+7 s); this form is
+        # one codegen'd filter, and at 100 TB it removes a full extra
+        # pass over the corpus.
+        n_tok = token_count_expr(text_col)
         cond = F.lit(True)
         if config.min_tokens is not None:
-            cond &= F.col("n_tokens") >= config.min_tokens
+            cond &= n_tok >= config.min_tokens
         if config.max_tokens is not None:
-            cond &= F.col("n_tokens") <= config.max_tokens
+            cond &= n_tok <= config.max_tokens
         if config.max_dup_2gram_ratio is not None:
             # short docs have NULL ratio — they pass (length rules
             # already police them)
-            cond &= (
-                F.col("dup_2gram_ratio").isNull()
-                | (F.col("dup_2gram_ratio") <= config.max_dup_2gram_ratio)
-            )
-        keep = feats.filter(cond).select(F.col(id_col))
-        cur = cur.join(keep, id_col, "left_semi")
+            ratio = dup_ngram_ratio_expr(text_col, 2)
+            cond &= ratio.isNull() | (ratio <= config.max_dup_2gram_ratio)
+        cur = cur.filter(cond)
         cur = _stage("quality_filter", cur)
 
     if config.neardup_jaccard is not None:

@@ -26,6 +26,44 @@ def _tokens(text_col: str) -> Column:
     return F.split(F.trim(F.col(text_col)), " ")
 
 
+def token_count_expr(text_col: str = "text") -> Column:
+    """Whitespace token count as a reusable COLUMN expression — the
+    single definition behind ``text_features.n_tokens`` and the
+    curation pipeline's length filter (one formula, no drift)."""
+    return F.size(_tokens(text_col)).cast("long")
+
+
+def dup_ngram_ratio_expr(text_col: str = "text", k: int = 2) -> Column:
+    """Gopher-style repetition signal as a reusable COLUMN expression:
+    1 − |distinct k-grams| / |k-grams| (0 = no repetition), NULL for
+    docs too short to have a k-gram.  Single definition behind
+    ``text_features.dup_{k}gram_ratio`` and the curation pipeline's
+    repetition filter.
+
+    PERFORMANCE: the k-gram list is built by ``zip_with`` over k
+    SLICES of the token array — never ``element_at(t, i)`` inside a
+    ``transform`` lambda.  Catalyst inlines the un-aliased ``split``
+    expression into every per-element lambda invocation, so the
+    element_at form re-splits the text once per array element —
+    O(n²) splits per row.  Measured at sf0.1 (5 000 docs × ~48
+    tokens): 102 s for the element_at form vs sub-second for the
+    slice/zip form, identical gram lists."""
+    t = _tokens(text_col)
+    n_grams = F.size(t) - (k - 1)
+    grams = F.slice(t, 1, n_grams)
+    for j in range(1, k):
+        grams = F.zip_with(
+            grams,
+            F.slice(t, 1 + j, n_grams),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+    return F.when(
+        F.size(t) >= k,
+        F.lit(1.0)
+        - F.size(F.array_distinct(grams)).cast("double") / F.size(grams),
+    )
+
+
 def quality_features(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -141,7 +179,7 @@ def text_features(
     preceding ``curation.redact_pii`` attached — so composed feature
     passes stay one scan instead of self-joining on id."""
     t = _tokens(text_col)
-    n_tok = F.size(t).cast("long")
+    n_tok = token_count_expr(text_col)
     n_char = F.length(F.col(text_col)).cast("long")
     n_punct = (
         F.length(F.col(text_col))
@@ -173,21 +211,7 @@ def text_features(
         )
         pred = F.when(cond, F.lit(lang)).otherwise(pred)
     def dup_ngram_ratio(k: int):
-        # Gopher-style repetition signal: 1 − |distinct k-grams| /
-        # |k-grams| (0 = no repetition).  NULL for docs too short to
-        # have a k-gram.
-        grams = F.transform(
-            F.sequence(F.lit(1), F.size(t) - (k - 1)),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(t, i + j) for j in range(k)]
-            ),
-        )
-        return F.when(
-            F.size(t) >= k,
-            F.lit(1.0)
-            - F.size(F.array_distinct(grams)).cast("double")
-            / F.size(grams),
-        )
+        return dup_ngram_ratio_expr(text_col, k)
 
     return df.select(
         F.col(id_col),

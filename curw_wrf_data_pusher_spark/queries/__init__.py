@@ -35,9 +35,35 @@ from . import llm  # noqa: E402,F401
 #: filters, partial aggs — are covered by q3/a1/j3/q18-shaped head
 #: rows).  tests/test_registry_window.py pins the head list so a
 #: future reorder cannot silently evict a unique operator.
+#: Round-7 head rotation (judge task 4): ten compound-redundant head
+#: rows moved here so ten round-6 operator families (fuzzy join, SCD2,
+#: snapshot diff, CMS, HLL, funnel, attribution, set-similarity,
+#: substring dedup, SemDeDup) earn driver-verified CORRECTNESS rows.
+#: Every eviction's operator keeps a head row (noted per entry).
 _TAIL = [
-    "q5_local_supplier_volume",  # join-chain demo: q3 + j3 + a1 cover it
-    "q18_large_orders",          # semi-join + agg demo: q3 + j5 cover it
+    "q5_local_supplier_volume",  # join-chain demo: j3 + a1 cover it
+    "q18_large_orders",          # semi-join + agg demo: j5 covers it
+    # -- round-7 evictions (operator → covering head row) --
+    "p6_station_names",     # P6 rounding → e2_rfield_contract (exact
+                            # 3-dp milli-units); P8 → p8_p12_hash_strings
+    "w2_latest_topk",       # A6/S7/W2 → a6_latest_fgt_join (same dedup);
+                            # rank windows → w3_nearest_neighbor
+    "u1_u5_union_forms",    # U1/U5 unions → llm_jaccard_verify's 3-stage
+                            # unionByName compound
+    "a7_a8_distinct_rollup",  # A7 distinct → j5_get_or_create;
+                              # rollup → a11_a12_cube_gsets
+    "a10_approx_aggs",      # approx distinct → a22_hll_registers (head;
+                            # register-level check is stronger); exact
+                            # percentiles → a9_o1_percentiles_ranked
+    "p11_null_safe_eq",     # P11 get-or-default → j5_get_or_create
+    "q3_shipping_priority",  # TPC-H join chain → j2_left_join +
+                             # j3_broadcast_lookup + a1_pricing_summary
+    "llm_exact_dedup_fingerprint",  # exact dedup → its apply form
+                                    # llm_survivor_corpus_stats
+    "llm_minhash_signatures",  # signatures → llm_minhash_lsh_pairs +
+                               # llm_jaccard_verify (estimated stage)
+    "p16_conditional_exprs",  # CASE WHEN/coalesce → llm_curate_corpus
+                              # (flat match_case weight chain)
     # upsample_by_group demo: llm_curate_corpus's mixed-stage ids_md5
     # hash-pins the same keep set AND copy multiplicities (weights
     # 0.25/2.0/2.5) inside the head window; the full (doc_id, source,
@@ -49,14 +75,10 @@ _TAIL = [
     "llm_bm25_tfidf",     # lexical retrieval: BM25 + TF-IDF compound
     "llm_quantized_topk",  # int8-quantized cosine ANN scan
     "llm_winnow_pairs",    # MOSS winnowing fingerprints + shared pairs
-    "llm_substring_dedup",  # repeated-window span removal report
-    "llm_semantic_dedup",  # SemDeDup cluster-then-compare dedup
     "llm_ngram_logfreq",   # corpus-frequency fluency scoring
     "a14_profile_table",   # ANALYZE-style one-scan column profiling
     "llm_vocab_topk",      # corpus vocabulary top-k (TakeOrdered path)
     "w5_rolling_stats",    # bounded-frame rolling window statistics
-    "j8_fuzzy_pairs",      # edit-distance fuzzy self-join
-    "k10_scd2_history",    # SCD type-2 history from the event log
     "llm_quality_classifier",  # NB model-based quality filter
     "w6_gap_fill",         # dense-grid interpolation of series gaps
     "p13_morton_zorder",   # Z-order layout key (bbox-prunable files)
@@ -65,21 +87,15 @@ _TAIL = [
     "a15_heavy_hitters",   # exact threshold heavy hitters (MG twin in pytest)
     "j9_bloom_semi_join",  # bloom-prefiltered exact semi-join
     "llm_train_test_split",  # leakage-safe grouped split + audit
-    "llm_setsim_pairs",    # exact prefix-filtered set-similarity join
     "llm_source_cap",      # deterministic per-source document cap
-    "a16_countmin_freq",   # count-min sketch frequency estimates
     "a17_mad_outliers",    # median/MAD robust outlier detection
-    "k11_snapshot_diff",   # keyed snapshot diff (added/removed/changed)
     "a18_mergeable_rollup",  # incremental-rollup partial-merge algebra
     "llm_setsim_cross",    # cross-corpus exact set-similarity join
     "a19_histograms",      # equi-width + equi-depth histograms
     "a20_feature_scaling",  # winsorize / min-max / robust-z scaling
     "llm_token_encode",    # vocabulary token-id encoding with OOV
     "w8_window_suite",     # ntile/percent_rank/cume_dist/lead/lag
-    "w9_funnel",           # ordered funnel (one-shuffle array walk)
     "a21_cohort_retention",  # weekly cohort retention matrix
-    "w10_attribution",     # last-touch attribution (as-of + tolerance)
-    "a22_hll_registers",   # HyperLogLog mergeable distinct-count state
 ]
 
 

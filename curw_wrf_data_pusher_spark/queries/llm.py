@@ -1112,6 +1112,29 @@ def llm_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation_report(wrapped, stages, with_membership=True)
 
 
+# Bench-only PRODUCTION path of the curation pipeline (unregistered —
+# no oracle row; the audited llm_curate_corpus above stays the
+# correctness row).  Executes the final curated frame end-to-end with
+# no per-stage membership audit: the audit's 6 global
+# string_agg(ORDER BY id) md5 sorts are a test artifact, not pipeline
+# work, and dominated the round-6 bench headline (8.5 s of 33.6 s —
+# judge task 3).  Same stages, same config, one lazy plan.
+def llm_curate_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llmops.pipeline import CurationConfig, curate_corpus
+
+    docs = load_table(spark, sf_dir, "documents")
+    wrapped = docs.select(
+        "doc_id", "source", _wrap_8_tokens().alias("text")
+    )
+    cfg = CurationConfig(
+        neardup_jaccard=None,
+        contamination_max=None,
+        mix_weights={"src0": 0.25, "src17": 2.0, "src18": 2.5},
+    )
+    final, _stages = curate_corpus(wrapped, config=cfg)
+    return final
+
+
 # ---------------------------------------------------------------------------
 # Lexical retrieval (BM25 + TF-IDF) compound row, registered in the
 # tail (the head window is full; tests/test_oracle_parity hash-gates

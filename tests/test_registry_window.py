@@ -5,6 +5,14 @@ queries; everything later rides on the local mirror only.  These tests
 make the window composition an explicit, reviewed artifact: a reorder
 or an added query that silently pushes a unique operator past position
 50 fails here, not in the next round's CORRECTNESS report.
+
+Round-7 rotation (judge task 4): ten compound-redundant rows were
+swapped out of the head so ten round-6 operator families — fuzzy
+edit-distance join, SCD2, snapshot diff, count-min sketch, HLL
+registers, ordered funnel, last-touch attribution, set-similarity
+join, substring dedup, SemDeDup — earn driver-verified rows.  The
+eviction→coverage mapping is documented per entry in
+``curw_wrf_data_pusher_spark/queries/__init__._TAIL``.
 """
 
 from __future__ import annotations
@@ -19,12 +27,10 @@ DRIVER_BUDGET = 50
 EXPECTED_HEAD = [
     "p2_bbox_filter",
     "p4_sql_string_filter",
-    "p6_station_names",
     "p7_timestamp_shift",
     "p9_key_parse",
     "w1_lag_diff",
     "a6_latest_fgt_join",
-    "w2_latest_topk",
     "w3_nearest_neighbor",
     "a1_pricing_summary",
     "a3_obs_window_start",
@@ -33,28 +39,28 @@ EXPECTED_HEAD = [
     "j3_broadcast_lookup",
     "j5_get_or_create",
     "u2_j1_outer_dropna",
-    "u1_u5_union_forms",
     "r1_unpivot",
-    "q3_shipping_priority",
-    "a7_a8_distinct_rollup",
     "u3_u4_intersect_except",
     "s10_window_resample",
     "p10_file_metadata",
     "a9_o1_percentiles_ranked",
     "w4_sessionize",
-    "a10_approx_aggs",
     "j6_j7_asof_range",
     "a11_a12_cube_gsets",
-    "p11_null_safe_eq",
     "p8_p12_hash_strings",
     "p14_p15_json_datetime",
-    "p16_conditional_exprs",
     "a13_salted_agg",
+    # round-7 promotions: round-6 operator families, driver-visible
+    "j8_fuzzy_pairs",
+    "k10_scd2_history",
+    "a16_countmin_freq",
+    "k11_snapshot_diff",
+    "w9_funnel",
+    "w10_attribution",
+    "a22_hll_registers",
     "wrf_e1_push_rows",
     "wrf_e3_hybrid_frame",
     "e2_rfield_contract",
-    "llm_exact_dedup_fingerprint",
-    "llm_minhash_signatures",
     "llm_minhash_lsh_pairs",
     "llm_ivf_topk",
     "llm_text_features",
@@ -67,6 +73,53 @@ EXPECTED_HEAD = [
     "llm_contamination",
     "llm_seq_packing",
     "llm_curate_corpus",
+    # round-7 promotions (LLM dedup families)
+    "llm_substring_dedup",
+    "llm_semantic_dedup",
+    "llm_setsim_pairs",
+]
+
+#: The exact tail (local-mirror-only order).  Each entry's operator is
+#: covered by a head row (mapping documented in queries/__init__).
+EXPECTED_TAIL = [
+    "q5_local_supplier_volume",
+    "q18_large_orders",
+    # round-7 evictions (coverage mapping in queries/__init__._TAIL)
+    "p6_station_names",
+    "w2_latest_topk",
+    "u1_u5_union_forms",
+    "a7_a8_distinct_rollup",
+    "a10_approx_aggs",
+    "p11_null_safe_eq",
+    "q3_shipping_priority",
+    "llm_exact_dedup_fingerprint",
+    "llm_minhash_signatures",
+    "p16_conditional_exprs",
+    "llm_stratified_sample",
+    "llm_bm25_tfidf",
+    "llm_quantized_topk",
+    "llm_winnow_pairs",
+    "llm_ngram_logfreq",
+    "a14_profile_table",
+    "llm_vocab_topk",
+    "w5_rolling_stats",
+    "llm_quality_classifier",
+    "w6_gap_fill",
+    "p13_morton_zorder",
+    "llm_temperature_mix",
+    "llm_normalize_text",
+    "a15_heavy_hitters",
+    "j9_bloom_semi_join",
+    "llm_train_test_split",
+    "llm_source_cap",
+    "a17_mad_outliers",
+    "a18_mergeable_rollup",
+    "llm_setsim_cross",
+    "a19_histograms",
+    "a20_feature_scaling",
+    "llm_token_encode",
+    "w8_window_suite",
+    "a21_cohort_retention",
 ]
 
 
@@ -86,72 +139,7 @@ def test_every_head_query_is_oracle_gated_except_p10():
 
 def test_tail_holds_only_redundant_demos():
     tail = list(QUERIES)[DRIVER_BUDGET:]
-    assert tail == [
-        "q5_local_supplier_volume",
-        "q18_large_orders",
-        # upsampling stays oracle-gated here AND hash-pinned in the
-        # head via llm_curate_corpus's mixed-stage membership
-        "llm_stratified_sample",
-        # round-6 retrieval/quantization rows: oracle-gated locally by
-        # tests/test_oracle_parity, past the driver's 50-row budget
-        "llm_bm25_tfidf",
-        "llm_quantized_topk",
-        # substring-granular dedup (winnowing + repeated-window
-        # removal): oracle-gated locally, same as above
-        "llm_winnow_pairs",
-        "llm_substring_dedup",
-        "llm_semantic_dedup",
-        "llm_ngram_logfreq",
-        "a14_profile_table",
-        "llm_vocab_topk",
-        "w5_rolling_stats",
-        "j8_fuzzy_pairs",
-        "k10_scd2_history",
-        # model-based quality filter (hashed-ngram Naive Bayes)
-        "llm_quality_classifier",
-        # dense-grid gap filling with linear interpolation
-        "w6_gap_fill",
-        # Morton/Z-order spatial layout keys
-        "p13_morton_zorder",
-        # temperature-alpha source rebalancing
-        "llm_temperature_mix",
-        # text canonicalization (control strip / WS collapse / NFC)
-        "llm_normalize_text",
-        # exact threshold heavy hitters (Misra-Gries twin in pytest)
-        "a15_heavy_hitters",
-        # bloom-prefiltered exact semi-join (catalyst-built bitset)
-        "j9_bloom_semi_join",
-        # leakage-safe grouped train/valid/test split + leak audit
-        "llm_train_test_split",
-        # exact prefix-filtered set-similarity join (AllPairs/PPJoin)
-        "llm_setsim_pairs",
-        # deterministic per-source document cap (hash-order rank)
-        "llm_source_cap",
-        # count-min sketch frequency estimation (cells oracle-rebuilt)
-        "a16_countmin_freq",
-        # median/MAD robust outlier detection (Iglewicz–Hoaglin)
-        "a17_mad_outliers",
-        # keyed snapshot diff: added/removed/changed classification
-        "k11_snapshot_diff",
-        # incremental-rollup mergeable-partial algebra (store lifecycle
-        # in tests/test_rollup.py)
-        "a18_mergeable_rollup",
-        # cross-corpus (R×S) prefix-filtered set-similarity join
-        "llm_setsim_cross",
-        # equi-width + equi-depth histograms (one row, union-tagged)
-        "a19_histograms",
-        # per-group feature scaling on exact order statistics
-        "a20_feature_scaling",
-        # vocabulary token-id encoding (broadcast lookup, OOV, order)
-        "llm_token_encode",
-        # ranking/distribution window-function suite
-        "w8_window_suite",
-        # ordered funnel: one-shuffle Catalyst array walk ≡ min-CTEs
-        "w9_funnel",
-        # weekly cohort retention (first-activity cohorts)
-        "a21_cohort_retention",
-        # last-touch attribution: tolerance as-of vs DuckDB ASOF JOIN
-        "w10_attribution",
-        # HLL registers: float-free mergeable distinct-count state
-        "a22_hll_registers",
-    ], tail
+    assert tail == EXPECTED_TAIL, (
+        "tail changed — if deliberate, update EXPECTED_TAIL "
+        f"(diff: {set(tail) ^ set(EXPECTED_TAIL)})"
+    )
