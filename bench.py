@@ -112,6 +112,12 @@ HEADLINE = [
     "a18_mergeable_rollup",
     "a19_histograms",
     "k11_snapshot_diff",
+    # added round 7 (NEW rows — compare totals accordingly): PQ ANN,
+    # KMV sketch, Gopher repetition signals, mix scheduler
+    "llm_pq_topk",
+    "a23_kmv_distinct",
+    "llm_repetition_signals",
+    "llm_mix_schedule",
 ]
 
 

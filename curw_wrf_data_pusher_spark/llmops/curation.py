@@ -727,3 +727,61 @@ def weighted_sample(
         .limit(k)
         .drop("__wkey")
     )
+
+
+def mix_schedule(
+    docs: DataFrame,
+    weights: dict[str, float],
+    token_budget: int,
+    default_weight: float = 1.0,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Training-mix planning: given per-source mixture ``weights`` and
+    a total ``token_budget``, report per source how many tokens the
+    mixture allocates and how many EPOCHS (passes over the source's
+    available tokens) that implies — the static planning step behind
+    epoch-weighted sampling (``upsample_by_group`` applies a computed
+    mixture; this computes one from a budget).
+
+    epochs > 1 flags sources the schedule would repeat (risking
+    memorization of small high-weight sources), epochs < 1 sources
+    only partially consumed.  Normalization is over the sources
+    PRESENT in the corpus — weights of absent sources don't consume
+    budget.
+
+    Returns (source, n_docs, available_tokens, weight, alloc_tokens,
+    epochs).
+
+    Plan: one grouped aggregation (count + token sum via
+    ``textstats.token_count_expr``), a single-row weight-total
+    crossed back on (bounded broadcast), map-side arithmetic.  Float
+    discipline: keep weights binary-representable (quarters/halves)
+    — their sum is then exact in any aggregation order, so results
+    are engine- and partitioning-independent; token sums are integer
+    (always exact)."""
+    from .textstats import token_count_expr
+
+    # flat k-branch CaseWhen — never the folded when().otherwise(prev)
+    # nest (exponential TreeNode.toJSON, see match_case docstring)
+    w_expr = match_case(F.col(group_col), weights, default_weight)
+
+    per_src = (
+        docs.select(F.col(group_col), token_count_expr(text_col).alias("__tok"))
+        .groupBy(group_col)
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("__tok").alias("available_tokens"),
+        )
+        .withColumn("weight", w_expr)
+    )
+    total = per_src.agg(F.sum("weight").alias("__tw"))
+    alloc = F.lit(float(token_budget)) * F.col("weight") / F.col("__tw")
+    return per_src.crossJoin(F.broadcast(total)).select(
+        group_col,
+        "n_docs",
+        "available_tokens",
+        "weight",
+        alloc.alias("alloc_tokens"),
+        (alloc / F.col("available_tokens")).alias("epochs"),
+    )

@@ -230,3 +230,99 @@ def text_features(
         pred.alias("lang_pred"),
         *[F.col(c) for c in carry],
     )
+
+
+def repetition_signals(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style intra-document repetition signals (Rae et al.,
+    arXiv:2112.11446 §A1.1 "repetition filters") — the within-doc
+    complement of the corpus-level dedup family:
+
+    - ``n_lines`` / ``dup_line_frac``: fraction of duplicate lines
+      (1 − distinct/total), the "same line over and over" signal;
+    - ``dup_line_char_frac``: fraction of line characters inside lines
+      occurring ≥ 2× — weighting repeats by how much text they cover;
+    - ``top_2gram`` / ``top_2gram_char_frac``: the most frequent word
+      2-gram (ties → lexicographically smallest) and the fraction of
+      document characters its occurrences cover, NULL when the doc has
+      no 2-gram.
+
+    Entirely map-side (one scan, zero shuffles).  Intermediate arrays
+    (lines, tokens, grams, per-distinct counts) are materialized as
+    projection columns BEFORE any lambda consumes them — referencing
+    an un-aliased array expression inside a lambda makes Catalyst
+    re-evaluate it per element (the O(n²)-splits trap documented on
+    ``dup_ngram_ratio_expr``)."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    staged = df.select(
+        F.col(id_col),
+        F.col(text_col).alias("__txt"),
+        F.split(F.col(text_col), "\n").alias("__lines"),
+        toks.alias("__t"),
+    ).withColumn(
+        "__grams",
+        F.when(
+            F.size("__t") >= 2,
+            F.zip_with(
+                F.slice(F.col("__t"), 1, F.size("__t") - 1),
+                F.slice(F.col("__t"), 2, F.size("__t") - 1),
+                lambda a, b: F.concat_ws(" ", a, b),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    ).withColumn(
+        "__linestats",
+        F.transform(
+            F.array_distinct("__lines"),
+            lambda d: F.struct(
+                d.alias("line"),
+                F.size(
+                    F.filter(F.col("__lines"), lambda x: x == d)
+                ).cast("long").alias("cnt"),
+            ),
+        ),
+    ).withColumn(
+        # (-cnt, gram): array_min picks highest count, ties to the
+        # lexicographically smallest gram
+        "__gramstats",
+        F.transform(
+            F.array_distinct("__grams"),
+            lambda g: F.struct(
+                (-F.size(F.filter(F.col("__grams"), lambda x: x == g)))
+                .cast("long").alias("neg"),
+                g.alias("gram"),
+            ),
+        ),
+    )
+    n_lines = F.size("__lines").cast("long")
+    n_line_chars = F.aggregate(
+        F.col("__lines"), F.lit(0).cast("long"),
+        lambda acc, x: acc + F.length(x).cast("long"),
+    )
+    dup_chars = F.aggregate(
+        F.col("__linestats"), F.lit(0).cast("long"),
+        lambda acc, s: acc + F.when(
+            s["cnt"] >= 2, s["cnt"] * F.length(s["line"]).cast("long")
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    top = F.array_min("__gramstats")
+    top_cnt = (-top["neg"]).cast("long")
+    return staged.select(
+        F.col(id_col),
+        n_lines.alias("n_lines"),
+        (
+            F.lit(1.0)
+            - F.size(F.array_distinct("__lines")).cast("double")
+            / n_lines.cast("double")
+        ).alias("dup_line_frac"),
+        F.when(
+            n_line_chars > 0,
+            dup_chars.cast("double") / n_line_chars.cast("double"),
+        ).alias("dup_line_char_frac"),
+        F.when(F.size("__grams") >= 1, top["gram"]).alias("top_2gram"),
+        F.when(
+            F.size("__grams") >= 1,
+            (top_cnt * F.length(top["gram"]).cast("long")).cast("double")
+            / F.length("__txt").cast("double"),
+        ).alias("top_2gram_char_frac"),
+    )

@@ -25,7 +25,9 @@ shape for incremental / streaming frequency state.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 CMS_DEPTH = 4
@@ -192,3 +194,121 @@ def hll_estimate(registers: DataFrame, m: int = HLL_BUCKETS) -> float:
     if est <= 2.5 * m and zeros > 0:
         est = m * math.log(m / zeros)
     return est
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct sketch — Bar-Yossef et al. 2002;
+# Beyer et al., "On Synopses for Distinct-Value Estimation Under
+# Multiset Operations", SIGMOD 2007.  The third mergeable
+# distinct-count state next to HLL (registers) and exact distinct:
+# keep the k smallest hash values per group; the k-th smallest,
+# viewed as a fraction of the hash space, estimates density.  Unlike
+# HLL the sketch supports SET OPERATIONS (union/intersection/Jaccard
+# between groups) — the overlap tool for corpus shards.
+#
+# The hash is md5 (engine-portable), ordered as hex text (fixed-width
+# lowercase hex orders identically to the integer value), so a SQL
+# oracle reproduces the sketch ROWS bit-for-bit — the same
+# determinism trick as the HLL register-level gate.
+#
+# Plan shape / 100 TB: one (group, hash) distinct shuffle, then a
+# per-group window bounded to k output rows.  Merge = union + re-rank
+# (associative/commutative/idempotent); estimates are driver-free
+# column arithmetic.
+
+
+def kmv_sketch(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    k: int = 32,
+) -> DataFrame:
+    """Per-group KMV sketch: the k smallest md5(value) over DISTINCT
+    values, as (group…, rank, h) with rank 1..k in hash order."""
+    w = Window.partitionBy(*group_cols).orderBy("h")
+    return (
+        df.select(
+            *group_cols,
+            F.md5(F.col(value_col).cast("string")).alias("h"),
+        )
+        .distinct()
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(*group_cols, "rank", "h")
+    )
+
+
+def kmv_merge(
+    a: DataFrame, b: DataFrame, group_cols: Sequence[str], k: int = 32
+) -> DataFrame:
+    """Merge two KMV sketches (same schema): union of hash sets,
+    re-ranked, k smallest kept — equals the sketch of the unioned
+    input (idempotent, order-independent)."""
+    w = Window.partitionBy(*group_cols).orderBy("h")
+    return (
+        a.select(*group_cols, "h")
+        .unionByName(b.select(*group_cols, "h"))
+        .distinct()
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(*group_cols, "rank", "h")
+    )
+
+
+def _hash_frac(h: F.Column) -> F.Column:
+    # first 48 bits of the hash as a fraction of the hash space —
+    # enough resolution for the estimator, exact in a double
+    return F.conv(F.substring(h, 1, 12), 16, 10).cast("double") / F.lit(
+        float(2 ** 48)
+    )
+
+
+def kmv_estimate(
+    sketch: DataFrame, group_cols: Sequence[str], k: int = 32
+) -> DataFrame:
+    """Distinct-count estimates from a KMV sketch: exact group count
+    when the group produced fewer than k hashes (the sketch IS the
+    distinct set), else (k − 1) / frac(k-th smallest hash)."""
+    agg = sketch.groupBy(*group_cols).agg(
+        F.count("*").alias("__n"),
+        F.max("h").alias("__hk"),  # rank-k == max of the kept k
+    )
+    est = F.when(
+        F.col("__n") < k, F.col("__n").cast("double")
+    ).otherwise(F.lit(float(k - 1)) / _hash_frac(F.col("__hk")))
+    return agg.select(*group_cols, est.alias("est_distinct"))
+
+
+def kmv_jaccard(
+    a: DataFrame,
+    b: DataFrame,
+    group_cols: Sequence[str],
+    k: int = 32,
+) -> DataFrame:
+    """Jaccard similarity estimate between two sketched sets per
+    group key (Beyer et al. §4): take the k smallest hashes of the
+    UNION, count how many are present in BOTH sketches — that
+    fraction estimates |A∩B| / |A∪B|.  Exact when both sets had
+    < k distinct values (sketches are then the full sets)."""
+    w = Window.partitionBy(*group_cols).orderBy("h")
+    ka = a.select(*group_cols, "h")
+    kb = b.select(*group_cols, "h")
+    union_k = (
+        ka.unionByName(kb)
+        .distinct()
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+    both = union_k.join(ka, [*group_cols, "h"], "left_semi").join(
+        kb, [*group_cols, "h"], "left_semi"
+    )
+    denom = union_k.groupBy(*group_cols).agg(F.count("*").alias("__u"))
+    num = both.groupBy(*group_cols).agg(F.count("*").alias("__i"))
+    return denom.join(num, list(group_cols), "left").select(
+        *group_cols,
+        (
+            F.coalesce(F.col("__i"), F.lit(0)).cast("double")
+            / F.col("__u").cast("double")
+        ).alias("est_jaccard"),
+    )

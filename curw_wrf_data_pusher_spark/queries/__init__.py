@@ -95,6 +95,12 @@ _TAIL = [
     "a20_feature_scaling",  # winsorize / min-max / robust-z scaling
     "llm_token_encode",    # vocabulary token-id encoding with OOV
     "w8_window_suite",     # ntile/percent_rank/cume_dist/lead/lag
+    # round-7 additions (tail: oracle-gated locally; driver-visible if
+    # the budget grows):
+    "llm_pq_topk",         # product-quantization ADC top-k (PQ ANN)
+    "llm_repetition_signals",  # Gopher intra-doc repetition signals
+    "a23_kmv_distinct",    # KMV distinct sketch + estimate vs exact
+    "llm_mix_schedule",    # token-budget mixture allocation / epochs
     "a21_cohort_retention",  # weekly cohort retention matrix
 ]
 

@@ -2313,3 +2313,82 @@ def a22_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return hll_build(tok, "token")
+
+
+# ---------------------------------------------------------------------------
+# A23 — KMV (k-minimum-values) distinct sketch over events:
+# per-event-type sketch ROWS (rank + hash — the mergeable state,
+# compared bit-for-bit like the HLL register gate), the KMV
+# distinct-count estimate, and the exact distinct count side by side.
+# operators/sketch.py::kmv_sketch / kmv_estimate.
+_KMV_K = 32
+
+
+@register(
+    "a23_kmv_distinct",
+    oracle=f"""
+    WITH d AS (
+      SELECT DISTINCT event_type, md5(CAST(user_id AS VARCHAR)) AS h
+      FROM events
+    ),
+    kept AS (
+      SELECT event_type, h, rank FROM (
+        SELECT event_type, h, row_number() OVER (
+                 PARTITION BY event_type ORDER BY h) AS rank
+        FROM d) WHERE rank <= {_KMV_K}
+    ),
+    agg AS (
+      SELECT event_type, count(*) AS n, max(h) AS hk
+      FROM kept GROUP BY 1
+    ),
+    est AS (
+      SELECT event_type,
+             CASE WHEN n < {_KMV_K} THEN CAST(n AS DOUBLE)
+                  ELSE {float(_KMV_K - 1)} /
+                       (CAST(('0x' || substr(hk, 1, 12))::BIGINT AS DOUBLE)
+                        / 281474976710656.0)
+             END AS v
+      FROM agg
+    ),
+    ex AS (
+      SELECT event_type, CAST(count(DISTINCT user_id) AS DOUBLE) AS v
+      FROM events GROUP BY 1
+    )
+    SELECT 'sketch' AS part, event_type,
+           CAST(rank AS BIGINT) AS rank, h, CAST(NULL AS DOUBLE) AS value
+    FROM kept
+    UNION ALL
+    SELECT 'estimate', event_type, NULL, NULL, v FROM est
+    UNION ALL
+    SELECT 'exact', event_type, NULL, NULL, v FROM ex
+    """,
+)
+def a23_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketch import kmv_estimate, kmv_sketch
+
+    ev = load_table(spark, sf_dir, "events")
+    sk = kmv_sketch(ev, ["event_type"], "user_id", k=_KMV_K)
+    est = kmv_estimate(sk, ["event_type"], k=_KMV_K)
+    nul_l = F.lit(None).cast("long")
+    nul_s = F.lit(None).cast("string")
+    return (
+        sk.select(
+            F.lit("sketch").alias("part"), "event_type", "rank", "h",
+            F.lit(None).cast("double").alias("value"),
+        )
+        .unionByName(
+            est.select(
+                F.lit("estimate").alias("part"), "event_type",
+                nul_l.alias("rank"), nul_s.alias("h"),
+                F.col("est_distinct").alias("value"),
+            )
+        )
+        .unionByName(
+            ev.groupBy("event_type")
+            .agg(F.count_distinct("user_id").cast("double").alias("value"))
+            .select(
+                F.lit("exact").alias("part"), "event_type",
+                nul_l.alias("rank"), nul_s.alias("h"), "value",
+            )
+        )
+    )

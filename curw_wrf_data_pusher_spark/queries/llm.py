@@ -1975,3 +1975,194 @@ def llm_token_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("ids_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Product-quantization ANN (llmops/pq.py): deterministic seed
+# codebooks → map-side encoding → ADC top-k.  The oracle re-derives
+# the ENTIRE quantizer in SQL — same (md5(id), id) seed sampling, the
+# same left-associated (e[i]−c[i])·(e[i]−c[i]) distance sums rounded
+# to 9 dp, the same (distance, centroid-index) argmin tie-break — so
+# codes AND distances are compared bit-for-bit, not just the final
+# ranking.
+_PQ_M, _PQ_KSUB, _PQ_DSUB, _PQ_K = 16, 32, 4, 5
+
+
+def _pq_dist_sql(vec: str, seed: str, s: int) -> str:
+    terms = [
+        f"({vec}[{i}] - {seed}[{i}]) * ({vec}[{i}] - {seed}[{i}])"
+        for i in range(s * _PQ_DSUB + 1, (s + 1) * _PQ_DSUB + 1)
+    ]
+    return "round(" + " + ".join(terms) + ", 9)"
+
+
+_PQ_CODE_CTES = ",\n    ".join(
+    f"""code{s} AS (
+      SELECT vec_id, c AS code_{s} FROM (
+        SELECT vec_id, c,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d{s}, c)
+                 AS rn
+        FROM enc) WHERE rn = 1)"""
+    for s in range(_PQ_M)
+)
+
+_PQ_ORACLE = f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    seeds AS (
+      SELECT row_number() OVER (
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS c,
+             e
+      FROM v
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+      LIMIT {_PQ_KSUB}
+    ),
+    enc AS (
+      SELECT v.vec_id, s.c,
+             {", ".join(f"{_pq_dist_sql('v.e', 's.e', s)} AS d{s}"
+                        for s in range(_PQ_M))}
+      FROM v CROSS JOIN seeds s
+    ),
+    {_PQ_CODE_CTES},
+    codes AS (
+      SELECT * FROM code0
+      {" ".join(f"JOIN code{s} USING (vec_id)" for s in range(1, _PQ_M))}
+    ),
+    q AS (SELECT vec_id AS q_id, e AS qe FROM v WHERE vec_id < 10),
+    pairs AS (
+      SELECT q.q_id, codes.vec_id AS n_id,
+             {" + ".join(_pq_dist_sql('q.qe', f's{s}.e', s)
+                         for s in range(_PQ_M))} AS adc
+      FROM q CROSS JOIN codes
+      {" ".join(f"JOIN seeds s{s} ON s{s}.c = codes.code_{s}"
+                for s in range(_PQ_M))}
+    )
+    SELECT q_id, n_id, CAST(rank AS BIGINT) AS rank, adc FROM (
+      SELECT *, row_number() OVER (
+               PARTITION BY q_id ORDER BY adc, n_id) AS rank
+      FROM pairs)
+    WHERE rank <= {_PQ_K}
+    """
+
+
+@register("llm_pq_topk", oracle=_PQ_ORACLE)
+def llm_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llmops.pq import pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_topk(
+        emb, emb.filter(F.col("vec_id") < 10),
+        m=_PQ_M, k_sub=_PQ_KSUB, k=_PQ_K,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style intra-document repetition signals
+# (llmops/textstats.repetition_signals) over the 8-token line re-wrap
+# — duplicate-line fractions (count and character-weighted) plus the
+# most frequent word 2-gram and the fraction of characters it covers.
+# One map-side scan; the oracle rebuilds every signal from unnested
+# (line, count) / consecutive-token-pair aggregates.
+@register(
+    "llm_repetition_signals",
+    oracle=f"""
+    WITH w AS ({_LINE_WRAP_SQL}),
+    lines AS (
+      SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM w
+    ),
+    lc AS (
+      SELECT doc_id, line, count(*) AS cnt FROM lines GROUP BY 1, 2
+    ),
+    lagg AS (
+      SELECT doc_id,
+             CAST(sum(cnt) AS BIGINT) AS n_lines,
+             count(*) AS n_distinct,
+             sum(cnt * length(line)) AS n_line_chars,
+             sum(CASE WHEN cnt >= 2 THEN cnt * length(line)
+                      ELSE 0 END) AS dup_chars
+      FROM lc GROUP BY doc_id
+    ),
+    toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+      FROM w
+    ),
+    g0 AS (
+      SELECT doc_id, unnest(t) AS tok,
+             generate_subscripts(t, 1) AS pos
+      FROM toks
+    ),
+    grams AS (
+      SELECT a.doc_id, a.tok || ' ' || b.tok AS gram
+      FROM g0 a JOIN g0 b
+        ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    ),
+    gc AS (
+      SELECT doc_id, gram, count(*) AS cnt FROM grams GROUP BY 1, 2
+    ),
+    topg AS (
+      SELECT doc_id, gram, cnt FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY doc_id ORDER BY cnt DESC, gram) AS rn
+        FROM gc) WHERE rn = 1
+    )
+    SELECT l.doc_id,
+           l.n_lines,
+           1.0 - CAST(l.n_distinct AS DOUBLE) / CAST(l.n_lines AS DOUBLE)
+             AS dup_line_frac,
+           CASE WHEN l.n_line_chars > 0
+                THEN CAST(l.dup_chars AS DOUBLE)
+                     / CAST(l.n_line_chars AS DOUBLE) END
+             AS dup_line_char_frac,
+           t.gram AS top_2gram,
+           CAST(t.cnt * length(t.gram) AS DOUBLE)
+             / CAST(length(w.text) AS DOUBLE) AS top_2gram_char_frac
+    FROM lagg l
+    JOIN w USING (doc_id)
+    LEFT JOIN topg t USING (doc_id)
+    """,
+)
+def llm_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llmops.textstats import repetition_signals
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", _wrap_8_tokens().alias("text")
+    )
+    return repetition_signals(docs)
+
+
+# ---------------------------------------------------------------------------
+# Training-mix planning (llmops/curation.mix_schedule): token budget ×
+# mixture weights → per-source allocation and epoch counts.  Weights
+# are quarters (binary-exact) so the weight-total is identical under
+# any aggregation order; token sums are integers.
+@register(
+    "llm_mix_schedule",
+    oracle="""
+    WITH t AS (
+      SELECT source, count(*) AS n_docs,
+             CAST(sum(len(string_split(trim(text), ' '))) AS BIGINT)
+               AS available_tokens
+      FROM documents GROUP BY 1
+    ),
+    w AS (
+      SELECT *, CASE source WHEN 'src0' THEN 0.25
+                            WHEN 'src17' THEN 2.0
+                            WHEN 'src18' THEN 2.5
+                            ELSE 1.0 END AS weight
+      FROM t
+    ),
+    tot AS (SELECT sum(weight) AS tw FROM w)
+    SELECT source, n_docs, available_tokens, weight,
+           1000000.0 * weight / tw AS alloc_tokens,
+           1000000.0 * weight / tw / available_tokens AS epochs
+    FROM w CROSS JOIN tot
+    """,
+)
+def llm_mix_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llmops.curation import mix_schedule
+
+    docs = load_table(spark, sf_dir, "documents")
+    return mix_schedule(
+        docs,
+        weights={"src0": 0.25, "src17": 2.0, "src18": 2.5},
+        token_budget=1_000_000,
+    )

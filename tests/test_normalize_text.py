@@ -58,3 +58,40 @@ def test_catalyst_tier_has_no_python_udf(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Gopher repetition signals (llmops/textstats.repetition_signals) —
+# the registered row pins the 2-gram path on real data; the corpus
+# never repeats a wrapped line, so the line-duplication signals are
+# pinned here on a synthetic doc.
+
+
+def test_repetition_signals_on_synthetic_doc(spark):
+    from curw_wrf_data_pusher_spark.llmops.textstats import (
+        repetition_signals,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            # 4 lines, "spam spam" twice → dup_line_frac = 1 - 3/4;
+            # dup chars = 2 * len("spam spam") = 18 of 9+9+5+3 = 26
+            (1, "spam spam\nspam spam\nhello\nend"),
+            # top 2-gram: "a b" occurs 3x in "a b a b a b" (overlap
+            # counts), covering 3*3=9 chars of 11
+            (2, "a b a b a b"),
+            (3, "single"),       # no 2-gram → NULL top columns
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in repetition_signals(docs).collect()}
+    r1 = out[1]
+    assert r1.n_lines == 4
+    assert abs(r1.dup_line_frac - 0.25) < 1e-12
+    assert abs(r1.dup_line_char_frac - 18 / 26) < 1e-12
+    r2 = out[2]
+    assert r2.top_2gram == "a b"
+    assert abs(r2.top_2gram_char_frac - 9 / 11) < 1e-12
+    r3 = out[3]
+    assert r3.top_2gram is None and r3.top_2gram_char_frac is None
+    assert r3.dup_line_frac == 0.0

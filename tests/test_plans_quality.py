@@ -248,6 +248,10 @@ def test_no_unbounded_broadcast_hints_in_registered_queries(spark, sf_dir):
       tiny query-vector side — the design that keeps the corpus from
       shuffling.
     - llm_ngram_logfreq: single-row percentile-boundary frame.
+    - llm_pq_topk: the query side with its per-subspace PQ distance
+      tables — a handful of vectors.
+    - llm_mix_schedule: single-row weight-total aggregate crossed onto
+      the per-source frame.
     - llm_quality_classifier: hashed-NB weights — ≤ 2^buckets rows.
     - llm_token_encode: top-k-bounded vocabulary.
     - q5_local_supplier_volume: nation (25 rows) + region (5 rows).
@@ -264,7 +268,9 @@ def test_no_unbounded_broadcast_hints_in_registered_queries(spark, sf_dir):
         "llm_bm25_tfidf": 4,
         "llm_ivf_topk": 1,
         "llm_cosine_topk_neardup": 1,
+        "llm_mix_schedule": 1,
         "llm_ngram_logfreq": 1,
+        "llm_pq_topk": 1,
         "llm_quality_classifier": 1,
         "llm_quantized_topk": 1,
         "llm_token_encode": 1,
@@ -308,6 +314,11 @@ def test_no_unreviewed_nested_loop_joins_in_registered_queries(
       scan — the design that keeps the corpus from shuffling.
     - llm_ngram_logfreq: single-row percentile-boundary frame from
       score_cut_buckets crossed onto the scored corpus.
+    - llm_pq_topk: the deliberately-broadcast PQ query side (a handful
+      of vectors with their distance tables) against the map-side
+      encoded corpus scan — the corpus never shuffles.
+    - llm_mix_schedule: single-row weight-total crossed onto the
+      per-source schedule frame.
     - a15_heavy_hitters: single-row corpus-total aggregate crossed
       onto the per-item counts for the frequency threshold.
     - j9_bloom_semi_join: the single-row Catalyst-built bloom bitset
@@ -324,7 +335,9 @@ def test_no_unreviewed_nested_loop_joins_in_registered_queries(
         "j9_bloom_semi_join": 1,
         "llm_bm25_tfidf": 2,
         "llm_cosine_topk_neardup": 1,
+        "llm_mix_schedule": 1,
         "llm_ngram_logfreq": 1,
+        "llm_pq_topk": 1,
         "llm_quantized_topk": 1,
     }
     offenders, cartesians = {}, {}

@@ -119,6 +119,11 @@ EXPECTED_TAIL = [
     "a20_feature_scaling",
     "llm_token_encode",
     "w8_window_suite",
+    # round-7 additions (oracle-gated locally)
+    "llm_pq_topk",
+    "llm_repetition_signals",
+    "a23_kmv_distinct",
+    "llm_mix_schedule",
     "a21_cohort_retention",
 ]
 

@@ -260,3 +260,77 @@ def test_hll_build_is_bounded_one_shuffle(spark):
     plan = regs._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1
     assert "partial_max" in plan
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) sketch: merge algebra and set-operation
+# estimates (the registered a23_kmv_distinct row pins sketch rows +
+# estimates vs DuckDB; these pin the parts SQL can't see).
+
+
+def test_kmv_merge_equals_sketch_of_union(spark):
+    from curw_wrf_data_pusher_spark.operators.sketch import (
+        kmv_merge,
+        kmv_sketch,
+    )
+
+    a = spark.createDataFrame(
+        [("g", i) for i in range(200)], "grp string, v long"
+    )
+    b = spark.createDataFrame(
+        [("g", i) for i in range(100, 350)], "grp string, v long"
+    )
+    sa = kmv_sketch(a, ["grp"], "v", k=16)
+    sb = kmv_sketch(b, ["grp"], "v", k=16)
+    merged = {(r.grp, r.rank, r.h) for r in
+              kmv_merge(sa, sb, ["grp"], k=16).collect()}
+    direct = {(r.grp, r.rank, r.h) for r in
+              kmv_sketch(a.unionByName(b), ["grp"], "v", k=16).collect()}
+    assert merged == direct
+    # idempotent: merging a sketch with itself is the sketch
+    self_m = {(r.grp, r.rank, r.h) for r in
+              kmv_merge(sa, sa, ["grp"], k=16).collect()}
+    assert self_m == {(r.grp, r.rank, r.h) for r in sa.collect()}
+
+
+def test_kmv_estimate_exact_below_k_and_close_above(spark):
+    from curw_wrf_data_pusher_spark.operators.sketch import (
+        kmv_estimate,
+        kmv_sketch,
+    )
+
+    df = spark.createDataFrame(
+        [("small", i) for i in range(10)]
+        + [("big", i) for i in range(5000)],
+        "grp string, v long",
+    )
+    sk = kmv_sketch(df, ["grp"], "v", k=64)
+    est = {r.grp: r.est_distinct
+           for r in kmv_estimate(sk, ["grp"], k=64).collect()}
+    assert est["small"] == 10.0          # below k: sketch IS the set
+    assert abs(est["big"] / 5000 - 1) < 0.30   # stderr ~ 1/sqrt(k)
+
+
+def test_kmv_jaccard_estimates_overlap(spark):
+    from curw_wrf_data_pusher_spark.operators.sketch import (
+        kmv_jaccard,
+        kmv_sketch,
+    )
+
+    # |A| = |B| = 600, |A∩B| = 300 → J = 300 / 900 = 1/3
+    a = spark.createDataFrame(
+        [("g", i) for i in range(600)], "grp string, v long"
+    )
+    b = spark.createDataFrame(
+        [("g", i) for i in range(300, 900)], "grp string, v long"
+    )
+    sa = kmv_sketch(a, ["grp"], "v", k=64)
+    sb = kmv_sketch(b, ["grp"], "v", k=64)
+    j = kmv_jaccard(sa, sb, ["grp"], k=64).collect()[0].est_jaccard
+    assert abs(j - 1 / 3) < 0.15
+    # exact when both sides fit in k
+    sa2 = kmv_sketch(a.filter("v < 40"), ["grp"], "v", k=64)
+    sb2 = kmv_sketch(b.filter("v < 340"), ["grp"], "v", k=64)
+    # A' = 0..39, B' = 300..339 → disjoint
+    j2 = kmv_jaccard(sa2, sb2, ["grp"], k=64).collect()[0].est_jaccard
+    assert j2 == 0.0
