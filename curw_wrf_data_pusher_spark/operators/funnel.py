@@ -14,16 +14,17 @@ a user's funnel-relevant history at any realistic scale is KBs.
 
 Cohort retention: users grouped by their first-activity period; for
 each (cohort, period-offset) the count of cohort members active in
-that period — two grouped aggregations plus one broadcast join of the
-per-user cohort row; the fact table never shuffles on anything wider
-than user_id.
+that period — two grouped aggregations plus one shuffled equi-join of
+the per-user cohort row (un-hinted: per-user cardinality is
+unbounded, AQE picks the strategy); the fact table never shuffles on
+anything wider than user_id.
 """
 
 from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -124,4 +125,81 @@ def cohort_retention(
             offset.alias("period_offset"),
         )
         .agg(F.count("*").alias("n_users"))
+    )
+
+
+def multi_touch_attribution(
+    events: DataFrame,
+    user_col: str = "user_id",
+    time_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    touch_type: str = "click",
+    conversion_type: str = "purchase",
+    window: str = "INTERVAL 1 HOUR",
+) -> DataFrame:
+    """Multi-touch attribution — the fractional-credit generalization
+    of last-touch (``w10``): every ``touch_type`` event of the same
+    user inside the lookback ``window`` before a conversion shares its
+    value, under two standard models emitted side by side:
+
+    - ``credit_linear``: value / n_touches, equal split;
+    - ``credit_u``: U-shaped (position-based) 40/20/40 — first and
+      last touch 40% each, the middle splits the remaining 20%;
+      degenerate paths: 1 touch → 100%, 2 touches → 50/50.
+
+    Returns one row per (conversion, touch): (user, conversion_id,
+    touch_id, touch_t, n_touches, touch_rank, value, credit_linear,
+    credit_u).
+
+    Plan / 100 TB: one shuffled equi-join on the user key with the
+    time-window predicate applied inside the join (touches and
+    conversions are both user-partitioned; the window bound keeps the
+    per-user fan-out to touches-within-an-hour), then ONE window
+    partitioning (user, conversion) serves both the count and the
+    rank.  No broadcast hints anywhere — both sides scale."""
+    touches = events.filter(F.col(type_col) == touch_type).select(
+        F.col(user_col),
+        F.col(time_col).alias("__tts"),
+        F.col(id_col).alias("touch_id"),
+    )
+    convs = events.filter(F.col(type_col) == conversion_type).select(
+        F.col(user_col),
+        F.col(id_col).alias("conversion_id"),
+        F.col(time_col).alias("__cts"),
+        F.col(value_col).alias("value"),
+    )
+    joined = convs.join(touches, on=user_col).filter(
+        (F.col("__tts") <= F.col("__cts"))
+        & (F.col("__tts") >= F.col("__cts") - F.expr(window))
+    )
+    part = Window.partitionBy(user_col, "conversion_id")
+    w = part.orderBy("__tts", "touch_id")
+    n = F.count("*").over(part)
+    rank = F.row_number().over(w).cast("long")
+    v = F.col("value")
+    credit_u = (
+        F.when(F.col("n_touches") == 1, v)
+        .when(F.col("n_touches") == 2, v * F.lit(0.5))
+        .otherwise(
+            F.when(F.col("touch_rank") == 1, v * F.lit(0.4))
+            .when(F.col("touch_rank") == F.col("n_touches"), v * F.lit(0.4))
+            .otherwise(v * F.lit(0.2) / (F.col("n_touches") - 2))
+        )
+    )
+    return (
+        joined.withColumn("n_touches", n.cast("long"))
+        .withColumn("touch_rank", rank)
+        .select(
+            user_col,
+            "conversion_id",
+            "touch_id",
+            F.col("__tts").alias("touch_t"),
+            "n_touches",
+            "touch_rank",
+            "value",
+            (v / F.col("n_touches")).alias("credit_linear"),
+            credit_u.alias("credit_u"),
+        )
     )

@@ -148,3 +148,114 @@ def equi_depth_histogram(df: DataFrame, col: str, k: int = 10) -> DataFrame:
             "n",
         )
     )
+
+
+def distribution_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    col: str,
+    k: int = 10,
+    scale: int = 9,
+) -> DataFrame:
+    """Distribution drift of one numeric column between a REFERENCE
+    sample and a CURRENT sample — the data-quality monitor that walks
+    a lake's daily partitions and alarms when an upstream feed shifts.
+
+    Buckets are the reference's exact equi-depth cuts (so the
+    reference occupies ~1/k per bucket by construction); two drift
+    statistics come out per run:
+
+    - ``chi2``: Pearson's Σ (observed − expected)² / expected of the
+      current counts against reference proportions;
+    - ``tvd``: total-variation distance, ½ Σ |cur_frac − ref_frac|.
+
+    Both avoid PSI's logarithm on purpose: log is the one primitive
+    whose last-bit behavior is NOT guaranteed identical across
+    engines, while +/−/×/÷ on identical operands are.  Per-bucket
+    terms are doubles derived from exact integer counts with a fixed
+    association; the scalar summaries quantize each term to integer
+    nano-units and SUM the integers — exact in any aggregation order,
+    so the result is partitioning- and engine-independent.
+
+    Returns k ``part='bucket'`` rows (bucket, ref_n, cur_n, chi_term,
+    tvd_term) plus one ``part='summary'`` row where ref_n/cur_n carry
+    the totals and chi_term/tvd_term carry chi² and TVD.
+
+    Plan: one percentile aggregation on ref (single boundary row,
+    broadcast), one map-side bucket assignment + count per side, a
+    k-row join — the fact tables stream once each."""
+    v = F.col(col).cast("double")
+    pcts = F.array(*[F.lit(i / k) for i in range(k + 1)])
+    cuts_row = ref.agg(F.percentile(v, pcts).alias("__cuts"))
+    bucket = F.least(
+        F.aggregate(
+            F.slice(F.col("__cuts"), 2, k - 1),
+            F.lit(0),
+            lambda acc, c: acc + F.when(v >= c, 1).otherwise(0),
+        ),
+        F.lit(k - 1),
+    ).alias("bucket")
+
+    def counts(df, name):
+        return (
+            df.join(F.broadcast(cuts_row))
+            .filter(v.isNotNull())
+            .select(bucket)
+            .groupBy("bucket")
+            .agg(F.count("*").alias(name))
+        )
+
+    rc = counts(ref, "ref_n")
+    cc = counts(cur, "cur_n")
+    buckets = rc.join(cc, "bucket", "full").select(
+        "bucket",
+        F.coalesce("ref_n", F.lit(0)).alias("ref_n"),
+        F.coalesce("cur_n", F.lit(0)).alias("cur_n"),
+    )
+    totals = buckets.agg(
+        F.sum("ref_n").alias("__rt"), F.sum("cur_n").alias("__ct")
+    )
+    rt = F.col("__rt").cast("double")
+    ct = F.col("__ct").cast("double")
+    expected = F.col("ref_n").cast("double") * ct / rt
+    diff = F.col("cur_n").cast("double") - expected
+    chi_term = F.when(F.col("ref_n") > 0, diff * diff / expected)
+    tvd_term = F.abs(
+        F.col("cur_n").cast("double") / ct
+        - F.col("ref_n").cast("double") / rt
+    )
+    per_bucket = buckets.crossJoin(F.broadcast(totals)).select(
+        F.lit("bucket").alias("part"),
+        F.col("bucket").cast("long").alias("bucket"),
+        "ref_n",
+        "cur_n",
+        chi_term.alias("chi_term"),
+        tvd_term.alias("tvd_term"),
+    )
+    # the summary re-aggregates the k bucket rows; without a
+    # materialization boundary the union's two branches would each
+    # re-run the whole subtree (both fact scans + the percentile row)
+    # — lazily checkpoint the k-row frame so everything upstream
+    # executes exactly once
+    per_bucket = per_bucket.localCheckpoint(eager=False)
+    q = 10 ** scale
+    summary = per_bucket.agg(
+        F.sum("ref_n").alias("ref_n"),
+        F.sum("cur_n").alias("cur_n"),
+        (
+            F.sum(
+                F.floor(F.coalesce("chi_term", F.lit(0.0)) * q + F.lit(0.5))
+                .cast("long")
+            )
+            / F.lit(float(q))
+        ).alias("chi_term"),
+        (
+            F.sum(F.floor(F.col("tvd_term") * q + F.lit(0.5)).cast("long"))
+            / F.lit(2.0 * q)
+        ).alias("tvd_term"),
+    ).select(
+        F.lit("summary").alias("part"),
+        F.lit(None).cast("long").alias("bucket"),
+        "ref_n", "cur_n", "chi_term", "tvd_term",
+    )
+    return per_bucket.unionByName(summary)

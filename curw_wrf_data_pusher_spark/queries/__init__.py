@@ -101,6 +101,8 @@ _TAIL = [
     "llm_repetition_signals",  # Gopher intra-doc repetition signals
     "a23_kmv_distinct",    # KMV distinct sketch + estimate vs exact
     "llm_mix_schedule",    # token-budget mixture allocation / epochs
+    "w11_multi_touch",     # linear + U-shaped multi-touch attribution
+    "k12_distribution_drift",  # chi-square/TVD drift monitor
     "a21_cohort_retention",  # weekly cohort retention matrix
 ]
 

@@ -2392,3 +2392,128 @@ def a23_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# W11 — multi-touch attribution (operators/funnel.py): every click in
+# the hour before a purchase shares the purchase value under linear
+# and U-shaped (40/20/40) credit models; one user-key join + one
+# window partitioning.  Literal credit fractions parse to the same
+# doubles in both engines and the arithmetic is association-matched.
+@register(
+    "w11_multi_touch",
+    oracle=f"""
+    WITH t AS (
+      SELECT user_id, ts AS tts, event_id AS touch_id
+      FROM events WHERE event_type = 'click'
+    ),
+    p AS (
+      SELECT user_id, event_id AS conversion_id, ts AS cts, value
+      FROM events WHERE event_type = 'purchase'
+    ),
+    j AS (
+      SELECT p.user_id, p.conversion_id, p.cts, p.value,
+             t.tts, t.touch_id
+      FROM p JOIN t ON p.user_id = t.user_id
+        AND t.tts <= p.cts AND t.tts >= p.cts - INTERVAL 1 HOUR
+    ),
+    r AS (
+      SELECT *,
+             count(*) OVER (PARTITION BY user_id, conversion_id) AS n,
+             row_number() OVER (PARTITION BY user_id, conversion_id
+                                ORDER BY tts, touch_id) AS touch_rank
+      FROM j
+    )
+    SELECT user_id, conversion_id, touch_id,
+           strftime(tts, '{_ATTR_FMT}') AS touch_t,
+           CAST(n AS BIGINT) AS n_touches,
+           CAST(touch_rank AS BIGINT) AS touch_rank,
+           value,
+           value / n AS credit_linear,
+           CASE WHEN n = 1 THEN value
+                WHEN n = 2 THEN value * 0.5
+                ELSE CASE WHEN touch_rank = 1 THEN value * 0.4
+                          WHEN touch_rank = n THEN value * 0.4
+                          ELSE value * 0.2 / (n - 2) END
+           END AS credit_u
+    FROM r
+    """,
+)
+def w11_multi_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.funnel import multi_touch_attribution
+
+    ev = load_table(spark, sf_dir, "events")
+    out = multi_touch_attribution(ev)
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return out.select(
+        "user_id", "conversion_id", "touch_id",
+        F.date_format("touch_t", fmt).alias("touch_t"),
+        "n_touches", "touch_rank", "value",
+        "credit_linear", "credit_u",
+    )
+
+
+# ---------------------------------------------------------------------------
+# K12 — distribution-drift monitor (operators/profile.py::
+# distribution_drift): purchase-value distribution vs the view-value
+# reference on the reference's equi-depth cuts; per-bucket chi²/TVD
+# terms plus nano-quantized (order-independent, engine-exact) scalar
+# summaries.  Deliberately log-free — see the operator docstring.
+@register(
+    "k12_distribution_drift",
+    oracle="""
+    WITH ref AS (SELECT value AS v FROM events
+                 WHERE event_type = 'view' AND value IS NOT NULL),
+    cur AS (SELECT value AS v FROM events
+            WHERE event_type = 'purchase' AND value IS NOT NULL),
+    cuts AS (
+      SELECT quantile_cont(v, [0.0, 0.1, 0.2, 0.3, 0.4, 0.5,
+                               0.6, 0.7, 0.8, 0.9, 1.0]) AS c
+      FROM ref
+    ),
+    rb AS (SELECT least(len(list_filter(c[2:10], x -> v >= x)), 9)
+             AS bucket FROM ref CROSS JOIN cuts),
+    cb AS (SELECT least(len(list_filter(c[2:10], x -> v >= x)), 9)
+             AS bucket FROM cur CROSS JOIN cuts),
+    rc AS (SELECT bucket, count(*) AS ref_n FROM rb GROUP BY 1),
+    cc AS (SELECT bucket, count(*) AS cur_n FROM cb GROUP BY 1),
+    b AS (
+      SELECT bucket, coalesce(ref_n, 0) AS ref_n,
+             coalesce(cur_n, 0) AS cur_n
+      FROM rc FULL JOIN cc USING (bucket)
+    ),
+    t AS (SELECT CAST(sum(ref_n) AS DOUBLE) AS rt,
+                 CAST(sum(cur_n) AS DOUBLE) AS ct FROM b),
+    pb AS (
+      SELECT part, bucket, ref_n, cur_n,
+             CASE WHEN ref_n > 0 THEN d * d / e END AS chi_term,
+             tvd AS tvd_term
+      FROM (
+        SELECT 'bucket' AS part, CAST(bucket AS BIGINT) AS bucket,
+               ref_n, cur_n,
+               CAST(ref_n AS DOUBLE) * ct / rt AS e,
+               CAST(cur_n AS DOUBLE)
+                 - CAST(ref_n AS DOUBLE) * ct / rt AS d,
+               abs(CAST(cur_n AS DOUBLE) / ct
+                   - CAST(ref_n AS DOUBLE) / rt) AS tvd
+        FROM b CROSS JOIN t)
+    )
+    SELECT part, bucket, ref_n, cur_n, chi_term, tvd_term FROM pb
+    UNION ALL
+    SELECT 'summary', NULL,
+           CAST(sum(ref_n) AS BIGINT), CAST(sum(cur_n) AS BIGINT),
+           CAST(sum(CAST(floor(coalesce(chi_term, 0) * 1000000000.0
+                               + 0.5) AS BIGINT)) AS DOUBLE)
+             / 1000000000.0,
+           CAST(sum(CAST(floor(tvd_term * 1000000000.0 + 0.5)
+                         AS BIGINT)) AS DOUBLE) / 2000000000.0
+    FROM pb
+    """,
+)
+def k12_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profile import distribution_drift
+
+    ev = load_table(spark, sf_dir, "events")
+    ref = ev.filter(F.col("event_type") == "view")
+    cur = ev.filter(F.col("event_type") == "purchase")
+    return distribution_drift(ref, cur, "value", k=10)

@@ -204,3 +204,81 @@ def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:
     """Register lake tables as temp views so queries can use spark.sql."""
     for name in tables:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+#: Safe widening chains for schema evolution: a file written with a
+#: narrower type may be read under the wider one losslessly.  Anything
+#: not on a chain (string→number, double→long, …) is an incompatible
+#: drift and must fail loudly, not coerce.
+_WIDENING_RANK = {
+    T.ByteType(): 0, T.ShortType(): 1, T.IntegerType(): 2,
+    T.LongType(): 3, T.FloatType(): 10, T.DoubleType(): 11,
+}
+
+
+def _can_widen(src: T.DataType, dst: T.DataType) -> bool:
+    if src == dst:
+        return True
+    rs, rd = _WIDENING_RANK.get(src), _WIDENING_RANK.get(dst)
+    if rs is None or rd is None:
+        return False
+    # integral chain (0-3) may also widen into the float chain's
+    # double (11) — the standard lossy-free promotions parquet readers
+    # accept; float→double stays within the float chain
+    if rs <= 3:
+        return rd >= rs
+    return rd >= rs
+
+
+def align_schema(df: DataFrame, target: T.StructType) -> DataFrame:
+    """Reconcile an evolving-lake scan onto ``target``: columns the
+    files don't have yet appear as typed NULLs, safely-widenable
+    columns (int→long, float/int→double, …) are cast, and
+    incompatible drift (string where a number is expected, narrowing)
+    raises with the offending column named.  Output column order is
+    the target's — stable for downstream unions and sinks."""
+    have = {f.name: f.dataType for f in df.schema.fields}
+    cols = []
+    for field in target.fields:
+        if field.name not in have:
+            cols.append(
+                F.lit(None).cast(field.dataType).alias(field.name)
+            )
+            continue
+        src = have[field.name]
+        if not _can_widen(src, field.dataType):
+            raise ValueError(
+                f"align_schema: column '{field.name}' has incompatible "
+                f"type {src.simpleString()} (expected "
+                f"{field.dataType.simpleString()}; only lossless "
+                "widening is allowed)"
+            )
+        cols.append(
+            F.col(field.name).cast(field.dataType).alias(field.name)
+        )
+    return df.select(*cols)
+
+
+def read_evolving(
+    spark: SparkSession, path: str, target: T.StructType | None = None
+) -> DataFrame:
+    """Scan a parquet directory whose files were written under several
+    schema versions (columns added over time, types widened).
+
+    With a ``target`` contract, the scan reads under that explicit
+    schema: Spark 4's parquet reader fills columns a vintage lacks
+    with NULLs and performs lossless type widening (int→long,
+    float→double) per file — AND no footer merging happens, so the
+    plan cost is independent of file count (the 100 TB path).
+    Incompatible drift (e.g. a string file column under a numeric
+    target) fails at read time per offending file.
+
+    Without a target, falls back to ``mergeSchema`` footer
+    reconciliation — which handles ADDED columns only (Spark refuses
+    float/double merges) and reads every footer at planning time;
+    acceptable for transition windows over thousands of files, not
+    millions.  For DataFrame-level reconciliation of already-loaded
+    mixed-vintage frames (before a union), use ``align_schema``."""
+    if target is not None:
+        return spark.read.schema(target).parquet(path)
+    return spark.read.option("mergeSchema", "true").parquet(path)

@@ -63,3 +63,35 @@ def test_expect_gate(spark):
     with pytest.raises(ValueError, match=r"unique_key\('s',\)"):
         expect(df, unique_key=["s"])
     expect(df, unique_key=["id"])  # id is unique — no raise
+
+
+def test_distribution_drift_zero_for_identical_sample(spark):
+    from curw_wrf_data_pusher_spark.operators.profile import (
+        distribution_drift,
+    )
+
+    df = spark.range(1000).select((F.col("id") % 97).cast("double")
+                                  .alias("v"))
+    out = distribution_drift(df, df, "v", k=10).collect()
+    s = [r for r in out if r.part == "summary"][0]
+    assert s.chi_term == 0.0 and s.tvd_term == 0.0
+    assert s.ref_n == s.cur_n == 1000
+    buckets = [r for r in out if r.part == "bucket"]
+    assert sum(r.cur_n for r in buckets) == 1000
+
+
+def test_distribution_drift_detects_shift(spark):
+    from curw_wrf_data_pusher_spark.operators.profile import (
+        distribution_drift,
+    )
+
+    ref = spark.range(2000).select((F.col("id") % 100).cast("double")
+                                   .alias("v"))
+    cur = spark.range(2000).select(
+        ((F.col("id") % 100) + 50).cast("double").alias("v")
+    )
+    s = [r for r in distribution_drift(ref, cur, "v", k=10).collect()
+         if r.part == "summary"][0]
+    # half the current mass sits above the reference's max bucket
+    assert s.chi_term > 100
+    assert 0.3 < s.tvd_term <= 1.0

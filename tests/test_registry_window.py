@@ -124,6 +124,8 @@ EXPECTED_TAIL = [
     "llm_repetition_signals",
     "a23_kmv_distinct",
     "llm_mix_schedule",
+    "w11_multi_touch",
+    "k12_distribution_drift",
     "a21_cohort_retention",
 ]
 

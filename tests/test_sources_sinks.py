@@ -344,3 +344,60 @@ def test_load_table_memo_sees_rewritten_files(spark, tmp_path):
     spark.range(5).selectExpr("id AS r_regionkey").coalesce(1).toPandas() \
         .to_parquet(path)
     assert load_table(spark, sf_dir, "region").count() == 5
+
+
+# ---------------------------------------------------------------------------
+# schema evolution (sources/lake.py::read_evolving / align_schema)
+
+
+def test_read_evolving_merges_vintages_and_aligns(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from curw_wrf_data_pusher_spark.sources.lake import read_evolving
+
+    lake = str(tmp_path / "lake")
+    # vintage 1: (id int, v float)
+    spark.createDataFrame([(1, 1.5), (2, 2.5)], "id int, v float") \
+        .write.parquet(lake)
+    # vintage 2: adds a string column AND widens v to double — beyond
+    # what mergeSchema accepts (Spark refuses float/double merges);
+    # the explicit-target read handles both per file
+    spark.createDataFrame(
+        [(3, 3.5, "x")], "id int, v double, tag string"
+    ).write.mode("append").parquet(lake)
+
+    target = T.StructType([
+        T.StructField("id", T.LongType()),      # widened int -> long
+        T.StructField("v", T.DoubleType()),     # widened float -> double
+        T.StructField("tag", T.StringType()),   # added mid-history
+        T.StructField("score", T.DoubleType()),  # not written yet
+    ])
+    out = read_evolving(spark, lake, target)
+    assert [f.name for f in out.schema.fields] == [
+        "id", "v", "tag", "score"
+    ]
+    rows = {r.id: r for r in out.collect()}
+    assert rows[1].tag is None and rows[1].score is None
+    assert rows[3].tag == "x"
+    assert abs(rows[2].v - 2.5) < 1e-9
+    assert out.schema["id"].dataType.simpleString() == "bigint"
+
+
+def test_align_schema_rejects_incompatible_drift(spark, tmp_path):
+    import pytest as _pytest
+    from pyspark.sql import types as T
+
+    from curw_wrf_data_pusher_spark.sources.lake import align_schema
+
+    df = spark.createDataFrame([(1, "oops")], "id int, v string")
+    target = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("v", T.DoubleType()),
+    ])
+    with _pytest.raises(ValueError, match="column 'v'"):
+        align_schema(df, target)
+    # narrowing long -> int is also refused
+    df2 = spark.createDataFrame([(1,)], "n long")
+    t2 = T.StructType([T.StructField("n", T.IntegerType())])
+    with _pytest.raises(ValueError, match="column 'n'"):
+        align_schema(df2, t2)

@@ -79,3 +79,65 @@ def test_robust_scale_degenerate_groups(spark):
     assert out[("g", 3)].v_winsor < 100.0  # clipped at p95
     # robust-z is signed
     assert out[("g", 0)].v_robust_z < 0 < out[("g", 3)].v_robust_z
+
+
+# ---------------------------------------------------------------------------
+# multi-touch attribution credit models (the registered w11 row only
+# sees single-touch paths at sf0.01 — the corpus rarely has two clicks
+# within an hour of a purchase — so the fractional models are pinned
+# here on synthetic paths)
+
+
+def test_multi_touch_credit_models(spark):
+    from datetime import datetime
+
+    from curw_wrf_data_pusher_spark.operators.funnel import (
+        multi_touch_attribution,
+    )
+
+    def t(minute):
+        return datetime(2024, 6, 1, 12, minute)
+
+    rows = [
+        # user 1: four clicks in-window, one outside (11:00 + 1h < 13:00)
+        (1, t(0).replace(hour=10), "click", 100, 0.0),
+        (1, t(5), "click", 101, 0.0),
+        (1, t(10), "click", 102, 0.0),
+        (1, t(20), "click", 103, 0.0),
+        (1, t(30), "click", 104, 0.0),
+        (1, t(40), "purchase", 110, 100.0),
+        # user 2: two clicks
+        (2, t(1), "click", 200, 0.0),
+        (2, t(2), "click", 201, 0.0),
+        (2, t(3), "purchase", 210, 80.0),
+        # user 3: one click
+        (3, t(1), "click", 300, 0.0),
+        (3, t(2), "purchase", 310, 60.0),
+        # user 4: no click in window
+        (4, t(2), "purchase", 410, 40.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string, "
+        "event_id long, value double"
+    )
+    out = multi_touch_attribution(ev).collect()
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r.user_id, []).append(r)
+
+    u1 = sorted(by_user[1], key=lambda r: r.touch_rank)
+    assert [r.touch_id for r in u1] == [101, 102, 103, 104]  # 100 outside
+    assert all(r.n_touches == 4 for r in u1)
+    assert [round(r.credit_linear, 10) for r in u1] == [25.0] * 4
+    # U-shape at n=4: 40 / 10 / 10 / 40
+    assert [round(r.credit_u, 10) for r in u1] == [40.0, 10.0, 10.0, 40.0]
+    assert abs(sum(r.credit_u for r in u1) - 100.0) < 1e-9
+
+    u2 = sorted(by_user[2], key=lambda r: r.touch_rank)
+    assert [round(r.credit_u, 10) for r in u2] == [40.0, 40.0]
+
+    u3 = by_user[3]
+    assert len(u3) == 1 and u3[0].credit_u == 60.0 and \
+        u3[0].credit_linear == 60.0
+
+    assert 4 not in by_user  # conversions without touches emit nothing
