@@ -141,3 +141,42 @@ def scd2_apply(
         .unionByName(newly_closed)
         .unionByName(newly_open)
     )
+
+
+def scd2_lookup(
+    facts: DataFrame,
+    history: DataFrame,
+    key_cols: Sequence[str],
+    fact_ts: str = "ts",
+    how: str = "left",
+) -> DataFrame:
+    """Temporal dimension lookup — join each fact to the SCD2 version
+    that was valid AT the fact's timestamp:
+    ``valid_from <= ts AND (valid_to IS NULL OR ts < valid_to)``.
+    The half-open intervals partition each key's timeline, so at most
+    one version matches; facts before a key's first version keep NULL
+    attributes under the default left join.
+
+    Plan / 100 TB: a shuffled equi-join on the key columns with the
+    interval predicate evaluated inside the join — both sides are
+    key-partitioned, the per-key fan-out is the (small) version count
+    before the predicate filters it to ≤ 1, and nothing is broadcast
+    by hint (dim histories grow with key cardinality; AQE decides).
+
+    Output: every fact column, then the history's non-key columns
+    (attributes + valid_from / valid_to / is_current)."""
+    f = facts.alias("f")
+    h = history.alias("h")
+    on = None
+    for k in key_cols:
+        term = F.col(f"f.{k}") == F.col(f"h.{k}")
+        on = term if on is None else on & term
+    ts = F.col(f"f.{fact_ts}")
+    pred = (ts >= F.col("h.valid_from")) & (
+        F.col("h.valid_to").isNull() | (ts < F.col("h.valid_to"))
+    )
+    hist_cols = [c for c in history.columns if c not in key_cols]
+    return f.join(h, on & pred, how).select(
+        *[F.col(f"f.{c}") for c in facts.columns],
+        *[F.col(f"h.{c}") for c in hist_cols],
+    )

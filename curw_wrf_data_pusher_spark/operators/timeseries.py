@@ -213,3 +213,61 @@ def robust_scale(
         F.when(span > 0, (v - F.col("__mn")) / span).alias("v_minmax"),
         F.when(sigma > 0, (v - med) / sigma).alias("v_robust_z"),
     )
+
+
+def interval_concurrency(
+    df: DataFrame,
+    start_col: str,
+    end_col: str,
+    bucket: str = "hour",
+) -> DataFrame:
+    """Sweep-line concurrency: for a table of [start, end) intervals,
+    the step function (t, n_active) of how many are open at each
+    boundary timestamp — concurrent sessions, device uptime overlap,
+    or any occupancy profile.
+
+    The naive form is ONE global window over every ±1 delta — all
+    rows to a single partition.  This implementation is the scalable
+    three-phase prefix sum:
+
+    1. deltas (+1 at start, −1 at end-exclusive) combine per distinct
+       timestamp, then a running sum WITHIN each ``bucket``
+       (date_trunc hour/day) — windows partitioned by bucket;
+    2. per-bucket totals cumulate over the bucket timeline — a global
+       window over BUCKET-cardinality rows only (hours in the data's
+       span: bounded, the allowlisted class);
+    3. each in-bucket running value adds its bucket's carry-in offset
+       — a map-side join against the bounded offset frame.
+
+    Equal start/end timestamps cancel before the scan (zero-length
+    intervals are never counted), and the counts are integer sums —
+    exact in any order."""
+    s = df.select(F.col(start_col).alias("t"), F.lit(1).alias("d"))
+    e = df.filter(F.col(end_col).isNotNull()).select(
+        F.col(end_col).alias("t"), F.lit(-1).alias("d")
+    )
+    per_t = (
+        s.unionByName(e)
+        .groupBy("t")
+        .agg(F.sum("d").alias("d"))
+        .withColumn("__b", F.date_trunc(bucket, F.col("t")))
+    )
+    w_local = Window.partitionBy("__b").orderBy("t")
+    local = per_t.withColumn("__run", F.sum("d").over(w_local))
+    # bounded: one row per bucket (hours/days spanned by the data)
+    w_glob = Window.orderBy("__b")
+    offsets = (
+        per_t.groupBy("__b")
+        .agg(F.sum("d").alias("__bt"))
+        .withColumn(
+            "__off", F.sum("__bt").over(w_glob) - F.col("__bt")
+        )
+        .select("__b", "__off")
+    )
+    return (
+        local.join(offsets, "__b")
+        .select(
+            "t",
+            (F.col("__run") + F.col("__off")).cast("long").alias("n_active"),
+        )
+    )

@@ -103,6 +103,8 @@ _TAIL = [
     "llm_mix_schedule",    # token-budget mixture allocation / epochs
     "w11_multi_touch",     # linear + U-shaped multi-touch attribution
     "k12_distribution_drift",  # chi-square/TVD drift monitor
+    "j10_scd2_lookup",     # SCD2 as-of temporal dimension join
+    "w12_concurrency",     # sweep-line occupancy (bucketed prefix sum)
     "a21_cohort_retention",  # weekly cohort retention matrix
 ]
 

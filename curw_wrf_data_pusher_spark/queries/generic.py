@@ -2517,3 +2517,104 @@ def k12_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ref = ev.filter(F.col("event_type") == "view")
     cur = ev.filter(F.col("event_type") == "purchase")
     return distribution_drift(ref, cur, "value", k=10)
+
+
+# ---------------------------------------------------------------------------
+# J10 — SCD2 as-of dimension lookup (operators/scd.py::scd2_lookup):
+# each purchase joined to the user's event_type version valid AT the
+# purchase timestamp — the warehouse temporal-dim join, composed from
+# the k10 history.  Key-shuffled equi-join with the interval predicate
+# in the join; half-open intervals guarantee ≤ 1 match.
+@register(
+    "j10_scd2_lookup",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER w AS prev_type
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    ch AS (
+      SELECT user_id, event_type, ts, event_id FROM c
+      WHERE prev_type IS NULL OR event_type <> prev_type
+    ),
+    hist AS (
+      SELECT user_id, event_type AS state, ts AS vf,
+             lead(ts) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS vt
+      FROM ch
+    ),
+    p AS (
+      SELECT user_id, event_id, ts, value FROM events
+      WHERE event_type = 'purchase'
+    )
+    SELECT p.user_id, p.event_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS t, p.value,
+           h.state,
+           strftime(h.vf, '%Y-%m-%d %H:%M:%S') AS valid_from,
+           strftime(h.vt, '%Y-%m-%d %H:%M:%S') AS valid_to
+    FROM p LEFT JOIN hist h
+      ON p.user_id = h.user_id
+     AND h.vf <= p.ts AND (h.vt IS NULL OR p.ts < h.vt)
+    """,
+)
+def j10_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.scd import scd2_from_events, scd2_lookup
+
+    ev = spread(load_table(spark, sf_dir, "events")).select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    hist = scd2_from_events(
+        ev, ["user_id"], ["event_type"], "ts", tiebreak_col="event_id"
+    ).select(
+        "user_id", F.col("event_type").alias("state"),
+        "valid_from", "valid_to",
+    )
+    facts = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    ).select("user_id", "event_id", "ts", "value")
+    out = scd2_lookup(facts, hist, ["user_id"], "ts")
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    return out.select(
+        "user_id", "event_id",
+        F.date_format("ts", fmt).alias("t"), "value", "state",
+        F.date_format("valid_from", fmt).alias("valid_from"),
+        F.date_format("valid_to", fmt).alias("valid_to"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W12 — interval concurrency (operators/timeseries.py::
+# interval_concurrency): how many 30-minute event sessions are open
+# at every boundary instant — the sweep-line occupancy profile, run
+# as the bucketed three-phase prefix sum (the oracle is the naive
+# single global window the operator deliberately avoids at scale).
+@register(
+    "w12_concurrency",
+    oracle="""
+    WITH iv AS (
+      SELECT ts AS s, ts + INTERVAL 30 MINUTE AS e FROM events
+    ),
+    d AS (
+      SELECT s AS t, 1 AS delta FROM iv
+      UNION ALL
+      SELECT e, -1 FROM iv
+    ),
+    g AS (SELECT t, sum(delta) AS d FROM d GROUP BY t)
+    SELECT strftime(t, '%Y-%m-%d %H:%M:%S.%f') AS t,
+           CAST(sum(d) OVER (ORDER BY t) AS BIGINT) AS n_active
+    FROM g
+    """,
+)
+def w12_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import interval_concurrency
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("e"),
+    )
+    out = interval_concurrency(ev, "s", "e")
+    return out.select(
+        F.date_format("t", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("t"),
+        "n_active",
+    )

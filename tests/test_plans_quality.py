@@ -185,6 +185,10 @@ def test_no_unbounded_global_windows_in_registered_queries(spark, sf_dir):
       frame joins the broadcast manifest instead of sorting globally.
     - j5_get_or_create: id assignment for NEW dim keys (joins.py) —
       dim-scale input (stations/sources), never the fact table.
+    - w12_concurrency: the bucket-offset cumulation of the three-phase
+      prefix sum (timeseries.py::interval_concurrency) — input is one
+      row per date_trunc bucket (hours spanned by the data), the
+      per-timestamp running sums are bucket-partitioned.
     """
     import json
 
@@ -192,6 +196,7 @@ def test_no_unbounded_global_windows_in_registered_queries(spark, sf_dir):
         "a9_o1_percentiles_ranked",
         "e2_rfield_contract",
         "j5_get_or_create",
+        "w12_concurrency",
     }
     offenders = {}
     for name, fn in sorted(QUERIES.items()):

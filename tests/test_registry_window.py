@@ -126,6 +126,8 @@ EXPECTED_TAIL = [
     "llm_mix_schedule",
     "w11_multi_touch",
     "k12_distribution_drift",
+    "j10_scd2_lookup",
+    "w12_concurrency",
     "a21_cohort_retention",
 ]
 

@@ -92,3 +92,41 @@ def test_scd2_sequential_apply_matches_rebuild(spark):
     assert sorted(map(tuple, hist.collect())) == sorted(
         map(tuple, rebuilt.collect())
     )
+
+
+def test_scd2_lookup_picks_version_valid_at_fact_time(spark):
+    from datetime import datetime
+
+    from curw_wrf_data_pusher_spark.operators.scd import scd2_lookup
+
+    def t(h):
+        return datetime(2024, 6, 1, h)
+
+    hist = spark.createDataFrame(
+        [
+            (1, "bronze", t(0), t(10), False),
+            (1, "silver", t(10), t(20), False),
+            (1, "gold", t(20), None, True),
+            (2, "bronze", t(5), None, True),
+        ],
+        "user_id long, tier string, valid_from timestamp, "
+        "valid_to timestamp, is_current boolean",
+    )
+    facts = spark.createDataFrame(
+        [
+            (1, 100, t(9)),    # inside bronze
+            (1, 101, t(10)),   # boundary: belongs to silver (half-open)
+            (1, 102, t(23)),   # open current version
+            (2, 200, t(4)),    # BEFORE user 2's first version → NULL
+            (3, 300, t(1)),    # unknown key → NULL
+        ],
+        "user_id long, event_id long, ts timestamp",
+    )
+    out = {r.event_id: r for r in
+           scd2_lookup(facts, hist, ["user_id"], "ts").collect()}
+    assert out[100].tier == "bronze"
+    assert out[101].tier == "silver"      # valid_to is exclusive
+    assert out[102].tier == "gold" and out[102].is_current
+    assert out[200].tier is None
+    assert out[300].tier is None
+    assert len(out) == 5                  # ≤1 version per fact

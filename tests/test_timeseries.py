@@ -141,3 +141,48 @@ def test_multi_touch_credit_models(spark):
         u3[0].credit_linear == 60.0
 
     assert 4 not in by_user  # conversions without touches emit nothing
+
+
+# ---------------------------------------------------------------------------
+# interval concurrency (sweep line as bucketed three-phase prefix sum)
+
+
+def test_interval_concurrency_matches_naive_and_properties(spark):
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import Window
+
+    from curw_wrf_data_pusher_spark.operators.timeseries import (
+        interval_concurrency,
+    )
+
+    base = datetime(2024, 6, 1, 0, 0)
+    rows = []
+    # staircase: intervals overlapping across HOUR boundaries (the
+    # carry-in path), plus a zero-length interval that must vanish
+    for i in range(50):
+        start = base + timedelta(minutes=7 * i)
+        rows.append((i, start, start + timedelta(minutes=45)))
+    rows.append((100, base, base))  # zero-length
+    df = spark.createDataFrame(rows, "id long, s timestamp, e timestamp")
+
+    out = {r.t: r.n_active
+           for r in interval_concurrency(df, "s", "e").collect()}
+
+    # naive single-global-window reference
+    d = df.select(F.col("s").alias("t"), F.lit(1).alias("d")).unionByName(
+        df.select(F.col("e").alias("t"), F.lit(-1).alias("d"))
+    ).groupBy("t").agg(F.sum("d").alias("d"))
+    naive = {
+        r.t: r.run
+        for r in d.withColumn(
+            "run", F.sum("d").over(Window.orderBy("t"))
+        ).collect()
+    }
+    assert out == naive
+    # 45-min intervals every 7 min → 7 concurrently open at steady state
+    assert max(out.values()) == 7
+    # after the last end, everything is closed
+    assert out[max(out)] == 0
+    # zero-length interval contributes nothing anywhere
+    assert all(v >= 0 for v in out.values())
