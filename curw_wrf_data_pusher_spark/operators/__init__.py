@@ -2,7 +2,7 @@ from .bloom import bloom_semi_join
 from .dedup import latest_per_series, latest_per_series_join
 from .diff import adjacent_diff
 from .expectations import check_expectations, expect
-from .funnel import cohort_retention, funnel_steps
+from .funnel import cohort_retention, funnel_steps, multi_touch_attribution
 from .fuzzy import fuzzy_self_pairs, resolve_entities
 from .graph import canonical_by_centrality, pagerank
 from .heavy import heavy_hitters_exact, heavy_hitters_mg
@@ -10,6 +10,7 @@ from .joins import asof_join, get_or_create, nearest_neighbor_map, range_join
 from .layout import zorder_keys, zorder_write
 from .pivot import pivot_by_source, unpivot
 from .profile import (
+    distribution_drift,
     equi_depth_histogram,
     equi_width_histogram,
     profile_table,
@@ -22,10 +23,23 @@ from .rollup import (
     read_rollup,
     rollup_partials,
 )
-from .scd import scd2_apply, scd2_from_events
-from .sketch import countmin_build, countmin_lookup, countmin_merge
+from .scd import scd2_apply, scd2_from_events, scd2_lookup
+from .sketch import (
+    countmin_build,
+    countmin_lookup,
+    countmin_merge,
+    kmv_estimate,
+    kmv_jaccard,
+    kmv_merge,
+    kmv_sketch,
+)
 from .snapshot import row_digest, snapshot_diff
-from .timeseries import gap_fill, mad_outliers, robust_scale
+from .timeseries import (
+    gap_fill,
+    interval_concurrency,
+    mad_outliers,
+    robust_scale,
+)
 
 __all__ = [
     "adjacent_diff",
@@ -34,6 +48,13 @@ __all__ = [
     "canonical_by_centrality",
     "check_expectations",
     "cohort_retention",
+    "distribution_drift",
+    "interval_concurrency",
+    "kmv_estimate",
+    "kmv_jaccard",
+    "kmv_merge",
+    "kmv_sketch",
+    "multi_touch_attribution",
     "commit_rollup",
     "compact_rollup",
     "countmin_build",
@@ -65,6 +86,7 @@ __all__ = [
     "row_digest",
     "scd2_apply",
     "scd2_from_events",
+    "scd2_lookup",
     "snapshot_diff",
     "unpivot",
     "zorder_keys",
