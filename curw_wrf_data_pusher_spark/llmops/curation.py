@@ -785,3 +785,63 @@ def mix_schedule(
         alloc.alias("alloc_tokens"),
         (alloc / F.col("available_tokens")).alias("epochs"),
     )
+
+
+def budget_sample(
+    docs: DataFrame,
+    weights: dict[str, float],
+    token_budget: int,
+    default_weight: float = 1.0,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "budget:v1",
+) -> DataFrame:
+    """The APPLY form of :func:`mix_schedule`: select, per source, a
+    deterministic subset whose token total fills (without exceeding)
+    the source's budget allocation.
+
+    Documents are ranked by the corpus-standard uniform hash order
+    (md5(salt:id), ties by id) and taken greedily while the source's
+    RUNNING token total stays ≤ its allocation — so the kept set is a
+    reproducible uniform draw, repartition-proof, and each distinct
+    ``salt`` draws an independent one.  Sources whose allocation
+    exceeds their available tokens keep everything (epochs > 1 is the
+    scheduler's signal to repeat data, not this operator's to invent
+    it).
+
+    Two window passes over ONE group-key partitioning (hash-rank,
+    then running token sum in the same order) + the single-row weight
+    total — the fact table shuffles once on the group key.
+
+    Returns the kept documents with ``n_tokens`` and the running
+    ``cum_tokens`` that justified each keep."""
+    from .textstats import token_count_expr
+
+    w_expr = match_case(F.col(group_col), weights, default_weight)
+    h = F.md5(
+        F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string"))
+    )
+    staged = docs.withColumn("__tok", token_count_expr(text_col))
+    total_w = (
+        staged.select(F.col(group_col)).distinct()
+        .select(F.sum(match_case(F.col(group_col), weights,
+                                 default_weight)).alias("__tw"))
+    )
+    order = Window.partitionBy(group_col).orderBy(h, F.col(id_col))
+    cum = (
+        staged.withColumn("__cum", F.sum("__tok").over(order))
+        .crossJoin(F.broadcast(total_w))
+        .withColumn(
+            "__alloc",
+            F.lit(float(token_budget)) * w_expr / F.col("__tw"),
+        )
+    )
+    return (
+        cum.filter(F.col("__cum") <= F.col("__alloc"))
+        .select(
+            *docs.columns,
+            F.col("__tok").alias("n_tokens"),
+            F.col("__cum").alias("cum_tokens"),
+        )
+    )

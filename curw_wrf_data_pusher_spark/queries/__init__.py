@@ -105,6 +105,7 @@ _TAIL = [
     "k12_distribution_drift",  # chi-square/TVD drift monitor
     "j10_scd2_lookup",     # SCD2 as-of temporal dimension join
     "w12_concurrency",     # sweep-line occupancy (bucketed prefix sum)
+    "llm_budget_sample",   # budget-filling greedy per-source sampling
     "a21_cohort_retention",  # weekly cohort retention matrix
 ]
 

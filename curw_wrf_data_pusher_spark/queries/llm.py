@@ -2166,3 +2166,56 @@ def llm_mix_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         weights={"src0": 0.25, "src17": 2.0, "src18": 2.5},
         token_budget=1_000_000,
     )
+
+
+# ---------------------------------------------------------------------------
+# Budget-aware sampling — the APPLY form of llm_mix_schedule
+# (llmops/curation.budget_sample): per source, greedy hash-order
+# selection while the running token total stays within the source's
+# share of a 10k-token budget.  One group-key shuffle serving both
+# window passes; the oracle re-derives ranks, running sums and
+# allocations.
+@register(
+    "llm_budget_sample",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, source,
+             len(string_split(trim(text), ' ')) AS tok,
+             md5('budget:v1:' || CAST(doc_id AS VARCHAR)) AS h
+      FROM documents
+    ),
+    tw AS (
+      SELECT sum(CASE source WHEN 'src0' THEN 0.25
+                             WHEN 'src17' THEN 2.0
+                             WHEN 'src18' THEN 2.5
+                             ELSE 1.0 END) AS w
+      FROM (SELECT DISTINCT source FROM documents)
+    ),
+    c AS (
+      SELECT doc_id, source, tok,
+             sum(tok) OVER (PARTITION BY source ORDER BY h, doc_id
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+             CASE source WHEN 'src0' THEN 0.25
+                         WHEN 'src17' THEN 2.0
+                         WHEN 'src18' THEN 2.5
+                         ELSE 1.0 END AS wt
+      FROM d
+    )
+    SELECT doc_id, source, CAST(tok AS BIGINT) AS n_tokens,
+           CAST(cum AS BIGINT) AS cum_tokens
+    FROM c CROSS JOIN tw
+    WHERE cum <= 10000.0 * wt / w
+    """,
+)
+def llm_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llmops.curation import budget_sample
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    out = budget_sample(
+        docs,
+        weights={"src0": 0.25, "src17": 2.0, "src18": 2.5},
+        token_budget=10_000,
+    )
+    return out.select("doc_id", "source", "n_tokens", "cum_tokens")

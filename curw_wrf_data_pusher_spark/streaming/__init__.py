@@ -1,4 +1,21 @@
-from .file_stream import stream_wrf_push, windowed_obs_resample
+from .doc_ingest import stream_ingest_documents
+from .file_stream import (
+    dedup_within_watermark,
+    session_window_agg,
+    stream_stream_join,
+    stream_wrf_push,
+    windowed_obs_resample,
+)
+from .quality_monitor import stream_quality_monitor
 from .stateful import running_gauge_totals
 
-__all__ = ["stream_wrf_push", "windowed_obs_resample", "running_gauge_totals"]
+__all__ = [
+    "dedup_within_watermark",
+    "running_gauge_totals",
+    "session_window_agg",
+    "stream_ingest_documents",
+    "stream_quality_monitor",
+    "stream_stream_join",
+    "stream_wrf_push",
+    "windowed_obs_resample",
+]

@@ -1,0 +1,101 @@
+"""Streaming data-quality gate: per-micro-batch expectations +
+distribution-drift metrics against a STATIC reference, with failing
+batches quarantined instead of appended.
+
+The production pattern behind it: a lake ingestion stream should not
+trust upstream feeds — each arriving batch is (1) checked against
+declarative expectations (null rates, ranges, uniqueness — the batch
+``check_expectations`` operator) and (2) compared to a frozen
+reference sample's distribution (``distribution_drift``'s chi²/TVD —
+log-free, engine-exact).  Batches that pass append to the clean
+corpus; batches that fail land whole in a quarantine directory for
+humans, and EVERY batch appends one metrics row — the time series a
+dashboard alarms on.
+
+foreachBatch reuses the BATCH operators unchanged (the repo-wide
+streaming discipline: one implementation, two execution modes), so
+the gate's semantics are exactly the batch monitors', and
+``available_now`` replays are idempotent per batch id (outputs are
+batch-keyed like the dedup store's commits)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.types import StructType
+
+
+def _batch_dir(base: str, batch_id: int) -> str:
+    return os.path.join(base, f"batch_id={batch_id}")
+
+
+def stream_quality_monitor(
+    spark: SparkSession,
+    watch_dir: str,
+    reference: DataFrame,
+    value_col: str,
+    out_dir: str,
+    quarantine_dir: str,
+    metrics_dir: str,
+    checkpoint_dir: str,
+    schema: StructType | str,
+    max_tvd: float = 0.5,
+    max_null_frac: float = 0.0,
+    k: int = 10,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Watch ``watch_dir`` for parquet drops; per micro-batch compute
+    the null fraction of ``value_col`` and its drift (chi², TVD on
+    the reference's equi-depth cuts) vs the static ``reference``
+    frame, then route the batch whole: ``out_dir`` when
+    ``tvd <= max_tvd`` and ``null_frac <= max_null_frac``, else
+    ``quarantine_dir``.  Every batch writes one row to
+    ``metrics_dir``: (batch_id, n_rows, null_frac, chi2, tvd,
+    passed).
+
+    All three sinks are batch-id-partitioned dynamic overwrites, so a
+    redelivered micro-batch replaces its own output instead of
+    duplicating it (same idempotence contract as the ingest store).
+
+    The reference should be a bounded sample (it participates in
+    every batch's percentile aggregation); freeze it with
+    ``localCheckpoint`` or persist it to parquet once."""
+    from ..operators.profile import distribution_drift
+
+    arrivals = spark.readStream.schema(schema).parquet(watch_dir)
+
+    def _gate(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        n_rows = batch_df.count()
+        n_null = batch_df.filter(F.col(value_col).isNull()).count()
+        null_frac = n_null / n_rows
+        summary = [
+            r
+            for r in distribution_drift(
+                reference, batch_df, value_col, k=k
+            ).collect()
+            if r.part == "summary"
+        ][0]
+        chi2, tvd = summary.chi_term, summary.tvd_term
+        passed = tvd <= max_tvd and null_frac <= max_null_frac
+        target = out_dir if passed else quarantine_dir
+        batch_df.write.mode("overwrite").parquet(
+            _batch_dir(target, batch_id)
+        )
+        spark.createDataFrame(
+            [(batch_id, n_rows, float(null_frac), float(chi2),
+              float(tvd), passed)],
+            "batch_id long, n_rows long, null_frac double, "
+            "chi2 double, tvd double, passed boolean",
+        ).write.mode("overwrite").parquet(_batch_dir(metrics_dir, batch_id))
+
+    writer = arrivals.writeStream.foreachBatch(_gate).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -257,6 +257,8 @@ def test_no_unbounded_broadcast_hints_in_registered_queries(spark, sf_dir):
       tables — a handful of vectors.
     - llm_mix_schedule: single-row weight-total aggregate crossed onto
       the per-source frame.
+    - llm_budget_sample: the same single-row weight total crossed onto
+      the ranked corpus.
     - llm_quality_classifier: hashed-NB weights — ≤ 2^buckets rows.
     - llm_token_encode: top-k-bounded vocabulary.
     - q5_local_supplier_volume: nation (25 rows) + region (5 rows).
@@ -273,6 +275,7 @@ def test_no_unbounded_broadcast_hints_in_registered_queries(spark, sf_dir):
         "llm_bm25_tfidf": 4,
         "llm_ivf_topk": 1,
         "llm_cosine_topk_neardup": 1,
+        "llm_budget_sample": 1,
         "llm_mix_schedule": 1,
         "llm_ngram_logfreq": 1,
         "llm_pq_topk": 1,
@@ -324,6 +327,8 @@ def test_no_unreviewed_nested_loop_joins_in_registered_queries(
       encoded corpus scan — the corpus never shuffles.
     - llm_mix_schedule: single-row weight-total crossed onto the
       per-source schedule frame.
+    - llm_budget_sample: the same single-row total onto the ranked
+      corpus.
     - a15_heavy_hitters: single-row corpus-total aggregate crossed
       onto the per-item counts for the frequency threshold.
     - j9_bloom_semi_join: the single-row Catalyst-built bloom bitset
@@ -340,6 +345,7 @@ def test_no_unreviewed_nested_loop_joins_in_registered_queries(
         "j9_bloom_semi_join": 1,
         "llm_bm25_tfidf": 2,
         "llm_cosine_topk_neardup": 1,
+        "llm_budget_sample": 1,
         "llm_mix_schedule": 1,
         "llm_ngram_logfreq": 1,
         "llm_pq_topk": 1,

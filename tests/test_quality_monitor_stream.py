@@ -1,0 +1,109 @@
+"""Streaming quality gate: in-distribution batches append to the
+clean dir, drifted/null-ridden batches land in quarantine, every
+batch emits one metrics row, and redelivery replaces (not duplicates)
+batch outputs."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from curw_wrf_data_pusher_spark.streaming.quality_monitor import (
+    stream_quality_monitor,
+)
+
+SCHEMA = "id long, v double"
+
+
+def _drop(spark, path, rows):
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+
+
+def _dirs(tmp_path):
+    d = {n: str(tmp_path / n)
+         for n in ("incoming", "clean", "quarantine", "metrics", "ckpt")}
+    os.makedirs(d["incoming"])
+    return d
+
+
+def _reference(spark):
+    # frozen uniform reference over [0, 100)
+    return spark.range(1000).select(
+        F.col("id"), (F.col("id") % 100).cast("double").alias("v")
+    ).localCheckpoint()
+
+
+def test_quality_monitor_routes_and_reports(spark, tmp_path):
+    d = _dirs(tmp_path)
+    ref = _reference(spark)
+
+    # batch 0: same distribution → clean
+    _drop(spark, d["incoming"], [(i, float(i % 100)) for i in range(500)])
+    q = stream_quality_monitor(
+        spark, d["incoming"], ref, "v", d["clean"], d["quarantine"],
+        d["metrics"], d["ckpt"], SCHEMA, max_tvd=0.3,
+    )
+    q.awaitTermination(120)
+
+    # batch 1: shifted by +500 → every row above the reference's range
+    _drop(spark, d["incoming"],
+          [(1000 + i, 500.0 + i % 100) for i in range(500)])
+    q = stream_quality_monitor(
+        spark, d["incoming"], ref, "v", d["clean"], d["quarantine"],
+        d["metrics"], d["ckpt"], SCHEMA, max_tvd=0.3,
+    )
+    q.awaitTermination(120)
+
+    clean = spark.read.parquet(d["clean"])
+    quar = spark.read.parquet(d["quarantine"])
+    assert clean.count() == 500 and quar.count() == 500
+    assert clean.agg(F.max("v")).collect()[0][0] < 100
+    assert quar.agg(F.min("v")).collect()[0][0] >= 500
+
+    m = {r.batch_id: r for r in spark.read.parquet(d["metrics"]).collect()}
+    assert len(m) == 2
+    passed = [r for r in m.values() if r.passed]
+    failed = [r for r in m.values() if not r.passed]
+    assert len(passed) == 1 and len(failed) == 1
+    assert passed[0].tvd <= 0.3 and failed[0].tvd > 0.3
+    assert failed[0].chi2 > passed[0].chi2
+    assert all(r.n_rows == 500 and r.null_frac == 0.0 for r in m.values())
+
+
+def test_quality_monitor_null_gate_and_idempotent_redelivery(
+    spark, tmp_path
+):
+    d = _dirs(tmp_path)
+    ref = _reference(spark)
+
+    rows = [(i, float(i % 100)) for i in range(99)] + [(99, None)]
+    _drop(spark, d["incoming"], rows)
+    q = stream_quality_monitor(
+        spark, d["incoming"], ref, "v", d["clean"], d["quarantine"],
+        d["metrics"], d["ckpt"], SCHEMA, max_tvd=0.5, max_null_frac=0.0,
+    )
+    q.awaitTermination(120)
+
+    # one NULL → quarantined despite in-distribution values
+    assert not os.path.exists(d["clean"]) or \
+        spark.read.parquet(d["clean"]).count() == 0
+    assert spark.read.parquet(d["quarantine"]).count() == 100
+    m = spark.read.parquet(d["metrics"]).collect()
+    assert len(m) == 1 and not m[0].passed and m[0].null_frac == 0.01
+
+    # redelivery: wipe the checkpoint so the same files replay as a
+    # fresh batch 0 — outputs must be REPLACED (batch-keyed overwrite),
+    # not duplicated
+    import shutil
+
+    shutil.rmtree(d["ckpt"])
+    q = stream_quality_monitor(
+        spark, d["incoming"], ref, "v", d["clean"], d["quarantine"],
+        d["metrics"], d["ckpt"], SCHEMA, max_tvd=0.5, max_null_frac=0.0,
+    )
+    q.awaitTermination(120)
+    assert spark.read.parquet(d["quarantine"]).count() == 100
+    assert len(spark.read.parquet(d["metrics"]).collect()) == 1

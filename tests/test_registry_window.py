@@ -128,6 +128,7 @@ EXPECTED_TAIL = [
     "k12_distribution_drift",
     "j10_scd2_lookup",
     "w12_concurrency",
+    "llm_budget_sample",
     "a21_cohort_retention",
 ]
 
