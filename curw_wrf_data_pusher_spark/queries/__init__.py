@@ -106,6 +106,7 @@ _TAIL = [
     "j10_scd2_lookup",     # SCD2 as-of temporal dimension join
     "w12_concurrency",     # sweep-line occupancy (bucketed prefix sum)
     "llm_budget_sample",   # budget-filling greedy per-source sampling
+    "llm_pq_rerank",       # PQ shortlist + exact re-rank (production ANN)
     "a21_cohort_retention",  # weekly cohort retention matrix
 ]
 

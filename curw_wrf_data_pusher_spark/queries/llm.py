@@ -2006,7 +2006,9 @@ _PQ_CODE_CTES = ",\n    ".join(
     for s in range(_PQ_M)
 )
 
-_PQ_ORACLE = f"""
+#: shared CTE prefix: seeds → per-subspace distances → codes → ADC
+#: pairs (used by both the plain ADC row and the rerank row)
+_PQ_CTES = f"""
     WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
     seeds AS (
       SELECT row_number() OVER (
@@ -2035,11 +2037,40 @@ _PQ_ORACLE = f"""
       FROM q CROSS JOIN codes
       {" ".join(f"JOIN seeds s{s} ON s{s}.c = codes.code_{s}"
                 for s in range(_PQ_M))}
-    )
+    )"""
+
+_PQ_ORACLE = f"""{_PQ_CTES}
     SELECT q_id, n_id, CAST(rank AS BIGINT) AS rank, adc FROM (
       SELECT *, row_number() OVER (
                PARTITION BY q_id ORDER BY adc, n_id) AS rank
       FROM pairs)
+    WHERE rank <= {_PQ_K}
+    """
+
+_PQ_RERANK_OVERFETCH = 4
+_PQ_EXACT_DIST = "round(" + " + ".join(
+    f"(qv.e[{i}] - nv.e[{i}]) * (qv.e[{i}] - nv.e[{i}])"
+    for i in range(1, 65)
+) + ", 9)"
+
+_PQ_RERANK_ORACLE = f"""{_PQ_CTES},
+    cand AS (
+      SELECT q_id, n_id FROM (
+        SELECT *, row_number() OVER (
+                 PARTITION BY q_id ORDER BY adc, n_id) AS rn
+        FROM pairs)
+      WHERE rn <= {_PQ_RERANK_OVERFETCH * _PQ_K}
+    ),
+    rr AS (
+      SELECT c.q_id, c.n_id, {_PQ_EXACT_DIST} AS dist
+      FROM cand c
+      JOIN v nv ON nv.vec_id = c.n_id
+      JOIN v qv ON qv.vec_id = c.q_id
+    )
+    SELECT q_id, n_id, CAST(rank AS BIGINT) AS rank, dist FROM (
+      SELECT *, row_number() OVER (
+               PARTITION BY q_id ORDER BY dist, n_id) AS rank
+      FROM rr)
     WHERE rank <= {_PQ_K}
     """
 
@@ -2219,3 +2250,19 @@ def llm_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         token_budget=10_000,
     )
     return out.select("doc_id", "source", "n_tokens", "cum_tokens")
+
+
+# The PRODUCTION PQ shape as its own oracle row: ADC shortlist of
+# overfetch·k, exact squared-euclidean re-rank of just the shortlist
+# — the oracle re-derives quantizer, shortlist AND the 64-term exact
+# distances (same left-associated fold the engine computes).
+@register("llm_pq_rerank", oracle=_PQ_RERANK_ORACLE)
+def llm_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llmops.pq import pq_topk_rerank
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_topk_rerank(
+        emb, emb.filter(F.col("vec_id") < 10),
+        m=_PQ_M, k_sub=_PQ_KSUB, k=_PQ_K,
+        overfetch=_PQ_RERANK_OVERFETCH,
+    )

@@ -255,6 +255,9 @@ def test_no_unbounded_broadcast_hints_in_registered_queries(spark, sf_dir):
     - llm_ngram_logfreq: single-row percentile-boundary frame.
     - llm_pq_topk: the query side with its per-subspace PQ distance
       tables — a handful of vectors.
+    - llm_pq_rerank: the same ADC query side plus the query-vector
+      frame hinted into the shortlist's exact re-rank — both a
+      handful of vectors.
     - llm_mix_schedule: single-row weight-total aggregate crossed onto
       the per-source frame.
     - llm_budget_sample: the same single-row weight total crossed onto
@@ -278,6 +281,7 @@ def test_no_unbounded_broadcast_hints_in_registered_queries(spark, sf_dir):
         "llm_budget_sample": 1,
         "llm_mix_schedule": 1,
         "llm_ngram_logfreq": 1,
+        "llm_pq_rerank": 2,
         "llm_pq_topk": 1,
         "llm_quality_classifier": 1,
         "llm_quantized_topk": 1,
@@ -325,6 +329,7 @@ def test_no_unreviewed_nested_loop_joins_in_registered_queries(
     - llm_pq_topk: the deliberately-broadcast PQ query side (a handful
       of vectors with their distance tables) against the map-side
       encoded corpus scan — the corpus never shuffles.
+    - llm_pq_rerank: the same ADC scan inside the shortlist stage.
     - llm_mix_schedule: single-row weight-total crossed onto the
       per-source schedule frame.
     - llm_budget_sample: the same single-row total onto the ranked
@@ -348,6 +353,7 @@ def test_no_unreviewed_nested_loop_joins_in_registered_queries(
         "llm_budget_sample": 1,
         "llm_mix_schedule": 1,
         "llm_ngram_logfreq": 1,
+        "llm_pq_rerank": 1,
         "llm_pq_topk": 1,
         "llm_quantized_topk": 1,
     }

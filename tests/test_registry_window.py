@@ -129,6 +129,7 @@ EXPECTED_TAIL = [
     "j10_scd2_lookup",
     "w12_concurrency",
     "llm_budget_sample",
+    "llm_pq_rerank",
     "a21_cohort_retention",
 ]
 
