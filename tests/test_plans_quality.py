@@ -232,6 +232,13 @@ def test_no_unbounded_broadcast_hints_in_registered_queries(spark, sf_dir):
     each ``strategy=broadcast`` join-side hint must match the reviewed
     allowlist below, where every entry's hinted side is bounded.
 
+    KNOWN LIMIT (applies to every plan-walk gate in this file): a
+    ``localCheckpoint(eager=False)`` boundary truncates the visible
+    plan — the subtree behind it (e.g. k12's bucket build, setsim's
+    token frame) is reviewed at its definition site, not re-walked
+    here.  Checkpoints are used exactly where a subtree must execute
+    once (documented per site), so the trade is deliberate.
+
     Allowlisted sites (hinted-side cardinality reviewed):
     - a15_heavy_hitters: single-row corpus-total aggregate.
     - a16_countmin_freq: sketch cells — ≤ depth × width rows by

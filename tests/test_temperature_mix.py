@@ -66,3 +66,46 @@ def test_mix_realized_counts_near_expectation_and_deterministic(spark):
 def test_target_total_scales_expected_size(spark):
     w = temperature_weights(_docs(spark), alpha=0.5, target_total=2000)
     assert 900 * w["big"] + 100 * w["small"] == pytest.approx(2000.0)
+
+
+# ---------------------------------------------------------------------------
+# budget_sample (apply form of mix_schedule)
+
+
+def test_budget_sample_respects_allocations_and_determinism(spark):
+    from curw_wrf_data_pusher_spark.llmops.curation import budget_sample
+
+    rows = []
+    for i in range(300):
+        src = f"s{i % 3}"
+        rows.append((i, src, " ".join(["w"] * (5 + i % 7))))
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    weights = {"s0": 2.0, "s1": 1.0, "s2": 1.0}
+    budget = 1200
+
+    out = budget_sample(docs, weights, budget).collect()
+    # per-source totals stay within their allocation (Σw = 4)
+    alloc = {"s0": budget * 2.0 / 4.0, "s1": budget / 4.0,
+             "s2": budget / 4.0}
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.source, []).append(r)
+    for src, rs in by_src.items():
+        assert sum(r.n_tokens for r in rs) <= alloc[src]
+        # running totals are consistent with the kept set
+        assert max(r.cum_tokens for r in rs) == sum(
+            r.n_tokens for r in rs
+        )
+    # the double-weight source gets roughly double the tokens
+    t0 = sum(r.n_tokens for r in by_src["s0"])
+    t1 = sum(r.n_tokens for r in by_src["s1"])
+    assert t0 > 1.5 * t1
+    # deterministic + repartition-proof
+    again = budget_sample(docs.repartition(7), weights, budget).collect()
+    assert {r.doc_id for r in again} == {r.doc_id for r in out}
+    # monotone: a bigger budget keeps a superset
+    bigger = budget_sample(docs, weights, budget * 2).collect()
+    assert {r.doc_id for r in out} <= {r.doc_id for r in bigger}
+    # allocation beyond availability keeps everything
+    everything = budget_sample(docs, weights, 10_000_000).collect()
+    assert len(everything) == 300
