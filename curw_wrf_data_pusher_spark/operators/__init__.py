@@ -32,6 +32,9 @@ from .sketch import (
     kmv_jaccard,
     kmv_merge,
     kmv_sketch,
+    quantile_sketch,
+    quantile_sketch_estimate,
+    quantile_sketch_merge,
 )
 from .snapshot import row_digest, snapshot_diff
 from .timeseries import (
@@ -76,6 +79,9 @@ __all__ = [
     "merge_partials",
     "nearest_neighbor_map",
     "pagerank",
+    "quantile_sketch",
+    "quantile_sketch_estimate",
+    "quantile_sketch_merge",
     "pivot_by_source",
     "profile_table",
     "range_join",

@@ -312,3 +312,108 @@ def kmv_jaccard(
             / F.col("__u").cast("double")
         ).alias("est_jaccard"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-grid quantile sketch — the quantile member of the mergeable-
+# state family (CMS = frequencies, HLL/KMV = distinct counts, this =
+# order statistics).  A bounded equi-width histogram over a declared
+# [lo, hi) value domain: the state is ≤ n_bins (bin, count) rows per
+# group, mergeable by bin-count SUM (associative/commutative — the
+# same algebra as rollup partials), and any quantile is answered from
+# the state alone by within-bin linear interpolation, with error
+# bounded by one bin width.  The deliberate contrast with t-digest /
+# KLL: those adapt bins to the data (tighter error, but the state is
+# float-laden and merge order leaks into results); the fixed grid
+# trades resolution for EXACT integer state that is bit-identical in
+# any engine and any merge order — the property every other sketch in
+# this module holds and the one that lets a SQL oracle verify the
+# state itself.
+
+
+def quantile_sketch(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 64,
+) -> DataFrame:
+    """Per-group quantile-sketch state: (group…, bin, n) where bin =
+    clamp(floor((v − lo) / width)) into [0, n_bins − 1] — values at or
+    beyond the declared domain land in the edge bins (counted, never
+    dropped).  One map-side-combined shuffle; ≤ n_bins rows per
+    group."""
+    width = (hi - lo) / n_bins
+    v = F.col(value_col).cast("double")
+    b = F.least(
+        F.greatest(
+            F.floor((v - F.lit(lo)) / F.lit(width)).cast("int"), F.lit(0)
+        ),
+        F.lit(n_bins - 1),
+    )
+    return (
+        df.filter(v.isNotNull())
+        .select(*group_cols, b.alias("bin"))
+        .groupBy(*group_cols, "bin")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def quantile_sketch_merge(
+    a: DataFrame, b: DataFrame, group_cols: Sequence[str]
+) -> DataFrame:
+    """Merge two sketch states over the SAME grid: bin-count sums —
+    equals the sketch of the concatenated input in any merge order."""
+    return (
+        a.select(*group_cols, "bin", "n")
+        .unionByName(b.select(*group_cols, "bin", "n"))
+        .groupBy(*group_cols, "bin")
+        .agg(F.sum("n").alias("n"))
+    )
+
+
+def quantile_sketch_estimate(
+    sketch: DataFrame,
+    group_cols: Sequence[str],
+    q: float,
+    lo: float,
+    hi: float,
+    n_bins: int = 64,
+) -> DataFrame:
+    """Quantile estimate from the state alone: find the bin where the
+    running count crosses q·total, interpolate linearly inside it.
+    Exact integer rank arithmetic (ceil via integer identities, no
+    float rank), then one fixed-form float expression — identical in
+    any engine.  Error ≤ one bin width for in-domain values."""
+    width = (hi - lo) / n_bins
+    w = Window.partitionBy(*group_cols).orderBy("bin")
+    tot = Window.partitionBy(*group_cols)
+    ranked = sketch.withColumn("__cum", F.sum("n").over(w)).withColumn(
+        "__tot", F.sum("n").over(tot)
+    )
+    # target rank: ceil(q * total), ≥ 1 — computed in exact integer
+    # arithmetic when q is a terminating decimal (q = qn/qd)
+    from fractions import Fraction
+
+    fr = Fraction(q).limit_denominator(10**6)
+    qn, qd = fr.numerator, fr.denominator
+    # `div` is true integral division (Spark's `/` is always double):
+    # floor((a + d - 1) / d) = ceil(a / d), exact at any magnitude
+    rank = F.greatest(
+        F.expr(f"(__tot * {qn} + {qd - 1}) div {qd}"),
+        F.lit(1).cast("long"),
+    )
+    hit = ranked.filter(
+        (F.col("__cum") >= rank)
+        & ((F.col("__cum") - F.col("n")) < rank)
+    )
+    frac_in_bin = (
+        (rank - (F.col("__cum") - F.col("n"))).cast("double")
+        / F.col("n").cast("double")
+    )
+    est = (
+        F.lit(lo)
+        + (F.col("bin").cast("double") + frac_in_bin) * F.lit(width)
+    )
+    return hit.select(*group_cols, est.alias("q_est"))

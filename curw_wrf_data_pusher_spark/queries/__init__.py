@@ -107,6 +107,7 @@ _TAIL = [
     "w12_concurrency",     # sweep-line occupancy (bucketed prefix sum)
     "llm_budget_sample",   # budget-filling greedy per-source sampling
     "llm_pq_rerank",       # PQ shortlist + exact re-rank (production ANN)
+    "a24_quantile_sketch", # mergeable fixed-grid quantile sketch
     "a21_cohort_retention",  # weekly cohort retention matrix
 ]
 

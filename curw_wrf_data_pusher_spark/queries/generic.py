@@ -2618,3 +2618,104 @@ def w12_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("t", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("t"),
         "n_active",
     )
+
+
+# ---------------------------------------------------------------------------
+# A24 — mergeable quantile sketch (operators/sketch.py::
+# quantile_sketch*): the quantile member of the sketch family.  The
+# compound row pins the STATE (bin counts — exact integers, the
+# mergeable part), the p50/p95 estimates interpolated from the state
+# alone, and the exact interpolated percentiles beside them.
+_QS_LO, _QS_HI, _QS_BINS = 0.0, 1000.0, 100
+
+
+@register(
+    "a24_quantile_sketch",
+    oracle=f"""
+    WITH v AS (
+      SELECT event_type, CAST(value AS DOUBLE) AS v FROM events
+      WHERE value IS NOT NULL
+    ),
+    st AS (
+      SELECT event_type,
+             least(greatest(CAST(floor(v / 10.0) AS INT), 0),
+                   {_QS_BINS - 1}) AS bin,
+             count(*) AS n
+      FROM v GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT event_type, bin, n,
+             sum(n) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+             sum(n) OVER (PARTITION BY event_type) AS tot
+      FROM st
+    ),
+    est AS (
+      SELECT part, event_type,
+             0.0 + (CAST(bin AS DOUBLE)
+                    + CAST(rank - (cum - n) AS DOUBLE)
+                      / CAST(n AS DOUBLE)) * 10.0 AS value
+      FROM (
+        SELECT 'est_p50' AS part, event_type, bin, n, cum,
+               greatest((tot * 1 + 1) // 2, 1) AS rank
+        FROM r
+        UNION ALL
+        SELECT 'est_p95', event_type, bin, n, cum,
+               greatest((tot * 19 + 19) // 20, 1)
+        FROM r)
+      WHERE cum >= rank AND (cum - n) < rank
+    ),
+    ex AS (
+      SELECT 'exact_p50' AS part, event_type,
+             quantile_cont(v, 0.5) AS value
+      FROM v GROUP BY 2
+      UNION ALL
+      SELECT 'exact_p95', event_type, quantile_cont(v, 0.95)
+      FROM v GROUP BY 2
+    )
+    SELECT 'state' AS part, event_type, CAST(bin AS INT) AS bin,
+           CAST(n AS BIGINT) AS n, CAST(NULL AS DOUBLE) AS value
+    FROM st
+    UNION ALL
+    SELECT part, event_type, NULL, NULL, value FROM est
+    UNION ALL
+    SELECT part, event_type, NULL, NULL, value FROM ex
+    """,
+)
+def a24_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketch import quantile_sketch, quantile_sketch_estimate
+
+    ev = load_table(spark, sf_dir, "events")
+    sk = quantile_sketch(
+        ev, ["event_type"], "value", _QS_LO, _QS_HI, _QS_BINS
+    ).localCheckpoint(eager=False)  # state feeds 3 consumers once
+    nul_i = F.lit(None).cast("int")
+    nul_l = F.lit(None).cast("long")
+    parts = sk.select(
+        F.lit("state").alias("part"), "event_type", "bin", "n",
+        F.lit(None).cast("double").alias("value"),
+    )
+    for label, q in (("est_p50", 0.5), ("est_p95", 0.95)):
+        est = quantile_sketch_estimate(
+            sk, ["event_type"], q, _QS_LO, _QS_HI, _QS_BINS
+        )
+        parts = parts.unionByName(
+            est.select(
+                F.lit(label).alias("part"), "event_type",
+                nul_i.alias("bin"), nul_l.alias("n"),
+                F.col("q_est").alias("value"),
+            )
+        )
+    v = F.col("value").cast("double")
+    for label, q in (("exact_p50", 0.5), ("exact_p95", 0.95)):
+        ex = (
+            ev.filter(v.isNotNull())
+            .groupBy("event_type")
+            .agg(F.percentile(v, F.lit(q)).alias("value"))
+        )
+        parts = parts.unionByName(
+            ex.select(
+                F.lit(label).alias("part"), "event_type",
+                nul_i.alias("bin"), nul_l.alias("n"), "value",
+            )
+        )
+    return parts

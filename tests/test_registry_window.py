@@ -130,6 +130,7 @@ EXPECTED_TAIL = [
     "w12_concurrency",
     "llm_budget_sample",
     "llm_pq_rerank",
+    "a24_quantile_sketch",
     "a21_cohort_retention",
 ]
 

@@ -334,3 +334,53 @@ def test_kmv_jaccard_estimates_overlap(spark):
     # A' = 0..39, B' = 300..339 → disjoint
     j2 = kmv_jaccard(sa2, sb2, ["grp"], k=64).collect()[0].est_jaccard
     assert j2 == 0.0
+
+
+# ---------------------------------------------------------------------------
+# fixed-grid quantile sketch (the quantile member of the mergeable
+# family; a24_quantile_sketch pins the state + estimates vs DuckDB)
+
+
+def test_quantile_sketch_merge_law_and_error_bound(spark):
+    from curw_wrf_data_pusher_spark.operators.sketch import (
+        quantile_sketch,
+        quantile_sketch_estimate,
+        quantile_sketch_merge,
+    )
+
+    LO, HI, BINS = 0.0, 100.0, 50  # bin width 2
+    a = spark.createDataFrame(
+        [("g", float(i % 100)) for i in range(1000)], "grp string, v double"
+    )
+    b = spark.createDataFrame(
+        [("g", float((i * 7) % 100)) for i in range(500)],
+        "grp string, v double",
+    )
+    sa = quantile_sketch(a, ["grp"], "v", LO, HI, BINS)
+    sb = quantile_sketch(b, ["grp"], "v", LO, HI, BINS)
+    merged = {(r.bin, r.n) for r in
+              quantile_sketch_merge(sa, sb, ["grp"]).collect()}
+    direct = {(r.bin, r.n) for r in
+              quantile_sketch(a.unionByName(b), ["grp"], "v",
+                              LO, HI, BINS).collect()}
+    assert merged == direct  # merge ≡ sketch of the union, exactly
+
+    # error bound: estimate within one bin width of the true quantile
+    import numpy as np
+
+    vals = np.array([r.v for r in a.unionByName(b).collect()])
+    sk = quantile_sketch(a.unionByName(b), ["grp"], "v", LO, HI, BINS)
+    for q in (0.1, 0.5, 0.9, 0.99):
+        est = quantile_sketch_estimate(
+            sk, ["grp"], q, LO, HI, BINS
+        ).collect()[0].q_est
+        true = np.quantile(vals, q)
+        assert abs(est - true) <= 2.0 + 1e-9, (q, est, true)
+
+    # out-of-domain values land in edge bins, never dropped
+    c = spark.createDataFrame(
+        [("g", -50.0), ("g", 500.0)], "grp string, v double"
+    )
+    sc = quantile_sketch(c, ["grp"], "v", LO, HI, BINS)
+    rows = {r.bin: r.n for r in sc.collect()}
+    assert rows == {0: 1, BINS - 1: 1}
