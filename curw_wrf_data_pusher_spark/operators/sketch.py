@@ -222,17 +222,40 @@ def kmv_sketch(
     group_cols: Sequence[str],
     value_col: str,
     k: int = 32,
+    n_salts: int = 32,
 ) -> DataFrame:
     """Per-group KMV sketch: the k smallest md5(value) over DISTINCT
-    values, as (group…, rank, h) with rank 1..k in hash order."""
-    w = Window.partitionBy(*group_cols).orderBy("h")
+    values, as (group…, rank, h) with rank 1..k in hash order.
+
+    Two-phase top-k so no window ever ranks the full distinct set:
+    phase 1 keeps each (group, salt)-subgroup's k smallest — the salt
+    is carved from the hash itself, so the phase is deterministic and
+    adds no shuffle key material — leaving ≤ n_salts·k rows per
+    group; phase 2 ranks only those survivors.  A group with billions
+    of distinct values therefore never feeds more than n_salts·k rows
+    to its final rank — in particular the SINGLE-SET usage (a
+    constant group column, as in set-overlap estimation) stays
+    bounded where a direct rank would be a corpus-cardinality global
+    window.  The result is identical to the direct rank: every
+    group-wide k-smallest hash is also among its salt-subgroup's k
+    smallest."""
+    base = df.select(
+        *group_cols,
+        F.md5(F.col(value_col).cast("string")).alias("h"),
+    ).distinct()
+    salt = (
+        F.conv(F.substring("h", 29, 4), 16, 10).cast("long")
+        % F.lit(n_salts)
+    ).alias("__salt")
+    w1 = Window.partitionBy(*group_cols, "__salt").orderBy("h")
+    survivors = (
+        base.select(*group_cols, "h", salt)
+        .withColumn("__rn", F.row_number().over(w1))
+        .filter(F.col("__rn") <= k)
+    )
+    w2 = Window.partitionBy(*group_cols).orderBy("h")
     return (
-        df.select(
-            *group_cols,
-            F.md5(F.col(value_col).cast("string")).alias("h"),
-        )
-        .distinct()
-        .withColumn("rank", F.row_number().over(w).cast("long"))
+        survivors.withColumn("rank", F.row_number().over(w2).cast("long"))
         .filter(F.col("rank") <= k)
         .select(*group_cols, "rank", "h")
     )

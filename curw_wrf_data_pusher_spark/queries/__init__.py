@@ -108,6 +108,7 @@ _TAIL = [
     "llm_budget_sample",   # budget-filling greedy per-source sampling
     "llm_pq_rerank",       # PQ shortlist + exact re-rank (production ANN)
     "a24_quantile_sketch", # mergeable fixed-grid quantile sketch
+    "a25_kmv_overlap",     # KMV Jaccard set-overlap vs exact
     "a21_cohort_retention",  # weekly cohort retention matrix
 ]
 

@@ -2719,3 +2719,85 @@ def a24_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return parts
+
+
+# ---------------------------------------------------------------------------
+# A25 — KMV set-overlap estimation (operators/sketch.py::kmv_jaccard):
+# the Jaccard similarity of two user sets — high spenders (any
+# purchase with value > 200) vs error-affected users — estimated from
+# the two KMV sketches alone, with the exact Jaccard beside it.  The
+# oracle re-derives both sketches, the union's k smallest, the
+# membership count, and the exact set arithmetic.
+_KMV_J_K = 64
+
+
+@register(
+    "a25_kmv_overlap",
+    oracle=f"""
+    WITH a AS (
+      SELECT DISTINCT md5(CAST(user_id AS VARCHAR)) AS h FROM events
+      WHERE event_type = 'purchase' AND value > 200
+    ),
+    b AS (
+      SELECT DISTINCT md5(CAST(user_id AS VARCHAR)) AS h FROM events
+      WHERE event_type = 'error'
+    ),
+    ka AS (SELECT h FROM a ORDER BY h LIMIT {_KMV_J_K}),
+    kb AS (SELECT h FROM b ORDER BY h LIMIT {_KMV_J_K}),
+    uk AS (
+      SELECT h FROM (SELECT h FROM ka UNION SELECT h FROM kb)
+      ORDER BY h LIMIT {_KMV_J_K}
+    ),
+    est AS (
+      SELECT CAST(count(*) FILTER (
+               WHERE h IN (SELECT h FROM ka)
+                 AND h IN (SELECT h FROM kb)) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS v
+      FROM uk
+    ),
+    exact AS (
+      SELECT CAST((SELECT count(*) FROM
+                    (SELECT h FROM a INTERSECT SELECT h FROM b))
+                  AS DOUBLE)
+             / CAST((SELECT count(*) FROM
+                      (SELECT h FROM a UNION SELECT h FROM b))
+                    AS DOUBLE) AS v
+    )
+    SELECT 'est_jaccard' AS part, v AS value FROM est
+    UNION ALL
+    SELECT 'exact_jaccard', v FROM exact
+    """,
+)
+def a25_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketch import kmv_jaccard, kmv_sketch
+
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.filter(
+        (F.col("event_type") == "purchase") & (F.col("value") > 200)
+    ).withColumn("__g", F.lit("g"))
+    b = ev.filter(F.col("event_type") == "error").withColumn(
+        "__g", F.lit("g")
+    )
+    sa = kmv_sketch(a, ["__g"], "user_id", k=_KMV_J_K)
+    sb = kmv_sketch(b, ["__g"], "user_id", k=_KMV_J_K)
+    est = kmv_jaccard(sa, sb, ["__g"], k=_KMV_J_K).select(
+        F.lit("est_jaccard").alias("part"),
+        F.col("est_jaccard").alias("value"),
+    )
+    ua = a.select(F.md5(F.col("user_id").cast("string")).alias("h")).distinct()
+    ub = b.select(F.md5(F.col("user_id").cast("string")).alias("h")).distinct()
+    exact = (
+        ua.intersect(ub).agg(F.count("*").alias("__i"))
+        .crossJoin(
+            F.broadcast(
+                ua.union(ub).distinct().agg(F.count("*").alias("__u"))
+            )
+        )
+        .select(
+            F.lit("exact_jaccard").alias("part"),
+            (
+                F.col("__i").cast("double") / F.col("__u").cast("double")
+            ).alias("value"),
+        )
+    )
+    return est.unionByName(exact)

@@ -189,12 +189,19 @@ def test_no_unbounded_global_windows_in_registered_queries(spark, sf_dir):
       prefix sum (timeseries.py::interval_concurrency) — input is one
       row per date_trunc bucket (hours spanned by the data), the
       per-timestamp running sums are bucket-partitioned.
+    - a25_kmv_overlap: KMV on a CONSTANT group column folds the
+      partition spec empty, but every such window's input is bounded
+      by construction — kmv_sketch's phase-2 rank sees ≤ n_salts·k
+      salt-survivors (the corpus-cardinality rank happens in the
+      salt-partitioned phase 1), and the union re-rank in kmv_jaccard
+      sees ≤ 2k sketch rows.
     """
     import json
 
     bounded_ok = {
         "a9_o1_percentiles_ranked",
         "e2_rfield_contract",
+        "a25_kmv_overlap",
         "j5_get_or_create",
         "w12_concurrency",
     }
@@ -269,6 +276,8 @@ def test_no_unbounded_broadcast_hints_in_registered_queries(spark, sf_dir):
       the per-source frame.
     - llm_budget_sample: the same single-row weight total crossed onto
       the ranked corpus.
+    - a25_kmv_overlap: single-row union-count aggregate crossed onto
+      the single-row intersection count for the exact-Jaccard arm.
     - llm_quality_classifier: hashed-NB weights — ≤ 2^buckets rows.
     - llm_token_encode: top-k-bounded vocabulary.
     - q5_local_supplier_volume: nation (25 rows) + region (5 rows).
@@ -278,6 +287,7 @@ def test_no_unbounded_broadcast_hints_in_registered_queries(spark, sf_dir):
         "a15_heavy_hitters": 1,
         "a16_countmin_freq": 1,
         "a19_histograms": 2,
+        "a25_kmv_overlap": 1,
         "e2_rfield_contract": 2,
         "j3_broadcast_lookup": 1,
         "j5_get_or_create": 1,
@@ -348,10 +358,13 @@ def test_no_unreviewed_nested_loop_joins_in_registered_queries(
     - a19_histograms: two single-row stat frames (min/max span;
       percentile-boundary array) crossed onto the fact scan — one per
       histogram shape in the compound row.
+    - a25_kmv_overlap: single-row union count onto the single-row
+      intersection count.
     """
     bnl_ok = {
         "a15_heavy_hitters": 1,
         "a19_histograms": 2,
+        "a25_kmv_overlap": 1,
         "e2_rfield_contract": 1,
         "j5_get_or_create": 1,
         "j9_bloom_semi_join": 1,

@@ -131,6 +131,7 @@ EXPECTED_TAIL = [
     "llm_budget_sample",
     "llm_pq_rerank",
     "a24_quantile_sketch",
+    "a25_kmv_overlap",
     "a21_cohort_retention",
 ]
 
