@@ -215,8 +215,12 @@ def distribution_drift(
     totals = buckets.agg(
         F.sum("ref_n").alias("__rt"), F.sum("cur_n").alias("__ct")
     )
-    rt = F.col("__rt").cast("double")
-    ct = F.col("__ct").cast("double")
+    # a side with zero non-null values (the exact bad feed the
+    # quality gate quarantines) must degrade to NULL terms, not die
+    # with ANSI DIVIDE_BY_ZERO inside foreachBatch — callers treat a
+    # NULL tvd as "drifted/unmeasurable" (see streaming/quality_monitor)
+    rt = F.when(F.col("__rt") > 0, F.col("__rt").cast("double"))
+    ct = F.when(F.col("__ct") > 0, F.col("__ct").cast("double"))
     expected = F.col("ref_n").cast("double") * ct / rt
     diff = F.col("cur_n").cast("double") - expected
     chi_term = F.when(F.col("ref_n") > 0, diff * diff / expected)

@@ -164,7 +164,11 @@ def scd2_lookup(
     by hint (dim histories grow with key cardinality; AQE decides).
 
     Output: every fact column, then the history's non-key columns
-    (attributes + valid_from / valid_to / is_current)."""
+    (attributes + valid_from / valid_to / is_current).  A history
+    attribute that shares its name with a fact column would produce a
+    duplicate output column (breaking every downstream by-name select
+    or write), so that collision raises up front with the offending
+    names."""
     f = facts.alias("f")
     h = history.alias("h")
     on = None
@@ -176,6 +180,13 @@ def scd2_lookup(
         F.col("h.valid_to").isNull() | (ts < F.col("h.valid_to"))
     )
     hist_cols = [c for c in history.columns if c not in key_cols]
+    clash = sorted(set(hist_cols) & set(facts.columns))
+    if clash:
+        raise ValueError(
+            "scd2_lookup: history attribute column(s) "
+            f"{clash} collide with fact columns; rename one side "
+            "before the lookup"
+        )
     return f.join(h, on & pred, how).select(
         *[F.col(f"f.{c}") for c in facts.columns],
         *[F.col(f"h.{c}") for c in hist_cols],

@@ -81,6 +81,12 @@ def compact_small_files(
         # Crash between the two swap renames of a previous run: the
         # data is whole in the .__compact_old__ dir — restore it.
         os.rename(old, path)
+    elif os.path.exists(old) and os.path.exists(path):
+        # Crash after the second rename but before the cleanup rmtree:
+        # the swap completed (``path`` is the compacted data), the old
+        # dir is leftover garbage — finish the interrupted cleanup so
+        # this run's own ``os.rename(path, old)`` can't collide.
+        shutil.rmtree(old)
     files = [
         f for f in glob.glob(os.path.join(path, "*.parquet"))
         if os.path.isfile(f)

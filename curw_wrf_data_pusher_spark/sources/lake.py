@@ -222,11 +222,16 @@ def _can_widen(src: T.DataType, dst: T.DataType) -> bool:
     rs, rd = _WIDENING_RANK.get(src), _WIDENING_RANK.get(dst)
     if rs is None or rd is None:
         return False
-    # integral chain (0-3) may also widen into the float chain's
-    # double (11) — the standard lossy-free promotions parquet readers
-    # accept; float→double stays within the float chain
+    # integral chain (0-3) may widen within itself or into DoubleType
+    # (11) — the promotions parquet readers accept.  FloatType is NOT a
+    # valid destination for integrals (int 2**60+1 → float loses 36
+    # bits silently), and long→double is likewise lossy above 2**53,
+    # which we accept deliberately: it is the conventional SQL
+    # promotion and the alternative (rejecting it) would break every
+    # count→ratio evolution; the exactness loss is bounded to 1 ulp at
+    # 2**53+. float→double stays within the float chain.
     if rs <= 3:
-        return rd >= rs
+        return (rd <= 3 and rd >= rs) or rd == 11
     return rd >= rs
 
 

@@ -81,14 +81,24 @@ def stream_quality_monitor(
             if r.part == "summary"
         ][0]
         chi2, tvd = summary.chi_term, summary.tvd_term
-        passed = tvd <= max_tvd and null_frac <= max_null_frac
+        # a NULL tvd means the drift was unmeasurable (e.g. zero
+        # non-null values in the batch — exactly the bad feed this
+        # gate exists for): treat it as FAILED so the batch
+        # quarantines and still emits its metrics row, rather than
+        # crashing the stream on a None comparison
+        passed = (
+            tvd is not None
+            and tvd <= max_tvd
+            and null_frac <= max_null_frac
+        )
         target = out_dir if passed else quarantine_dir
         batch_df.write.mode("overwrite").parquet(
             _batch_dir(target, batch_id)
         )
         spark.createDataFrame(
-            [(batch_id, n_rows, float(null_frac), float(chi2),
-              float(tvd), passed)],
+            [(batch_id, n_rows, float(null_frac),
+              None if chi2 is None else float(chi2),
+              None if tvd is None else float(tvd), passed)],
             "batch_id long, n_rows long, null_frac double, "
             "chi2 double, tvd double, passed boolean",
         ).write.mode("overwrite").parquet(_batch_dir(metrics_dir, batch_id))

@@ -95,3 +95,23 @@ def test_distribution_drift_detects_shift(spark):
     # half the current mass sits above the reference's max bucket
     assert s.chi_term > 100
     assert 0.3 < s.tvd_term <= 1.0
+
+
+def test_distribution_drift_survives_empty_side(spark):
+    """Round-8 advisor fix: a side with zero non-null values must
+    yield NULL chi²/TVD (unmeasurable), not ANSI DIVIDE_BY_ZERO —
+    the all-null bad feed is exactly what the streaming gate
+    quarantines, so the operator can't be allowed to crash on it."""
+    from curw_wrf_data_pusher_spark.operators.profile import (
+        distribution_drift,
+    )
+
+    ref = spark.range(500).select((F.col("id") % 50).cast("double")
+                                  .alias("v"))
+    all_null = spark.range(100).select(
+        F.lit(None).cast("double").alias("v")
+    )
+    s = [r for r in distribution_drift(ref, all_null, "v", k=10).collect()
+         if r.part == "summary"][0]
+    assert s.tvd_term is None
+    assert s.cur_n == 0 and s.ref_n == 500

@@ -187,3 +187,24 @@ def test_compact_small_files_recovers_interrupted_swap(spark, tmp_path):
     after = sorted(r.id for r in spark.read.parquet(path).collect())
     assert after == before
     assert not os.path.exists(path + ".__compact_old__")
+
+
+def test_compact_small_files_recovers_post_swap_crash(spark, tmp_path):
+    """Round-8 advisor fix: a crash AFTER the second rename but before
+    the rmtree leaves BOTH ``path`` (compacted) and
+    ``path.__compact_old__`` present; the next run must clean the
+    leftover instead of failing its own rename."""
+    path = str(tmp_path / "store")
+    spark.range(5_000).select(F.col("id")).repartition(32).write.parquet(
+        path
+    )
+    before = sorted(r.id for r in spark.read.parquet(path).collect())
+    # simulate: swap completed, cleanup never ran — old dir is stale junk
+    os.makedirs(path + ".__compact_old__")
+    with open(os.path.join(path + ".__compact_old__", "stale"), "w") as f:
+        f.write("junk")
+    report = compact_small_files(spark, path, target_file_bytes=1 << 30)
+    assert report["compacted"]
+    assert not os.path.exists(path + ".__compact_old__")
+    after = sorted(r.id for r in spark.read.parquet(path).collect())
+    assert after == before

@@ -107,3 +107,25 @@ def test_quality_monitor_null_gate_and_idempotent_redelivery(
     q.awaitTermination(120)
     assert spark.read.parquet(d["quarantine"]).count() == 100
     assert len(spark.read.parquet(d["metrics"]).collect()) == 1
+
+
+def test_quality_monitor_quarantines_all_null_batch(spark, tmp_path):
+    """Round-8 advisor fix: a batch whose value column is ENTIRELY
+    null made distribution_drift raise DIVIDE_BY_ZERO inside
+    foreachBatch — the stream died with no quarantine write and no
+    metrics row.  Now the drift degenerates to NULL tvd, the batch
+    quarantines whole, and the metrics row records the failure."""
+    d = _dirs(tmp_path)
+    ref = _reference(spark)
+
+    _drop(spark, d["incoming"], [(i, None) for i in range(50)])
+    q = stream_quality_monitor(
+        spark, d["incoming"], ref, "v", d["clean"], d["quarantine"],
+        d["metrics"], d["ckpt"], SCHEMA, max_tvd=0.5, max_null_frac=0.1,
+    )
+    q.awaitTermination(120)
+    assert q.exception() is None
+    assert spark.read.parquet(d["quarantine"]).count() == 50
+    m = spark.read.parquet(d["metrics"]).collect()
+    assert len(m) == 1 and not m[0].passed
+    assert m[0].tvd is None and m[0].null_frac == 1.0

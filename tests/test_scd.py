@@ -130,3 +130,24 @@ def test_scd2_lookup_picks_version_valid_at_fact_time(spark):
     assert out[200].tier is None
     assert out[300].tier is None
     assert len(out) == 5                  # ≤1 version per fact
+
+
+def test_scd2_lookup_raises_on_attribute_name_collision(spark):
+    """Round-8 advisor fix: a history attribute named like a fact
+    column would emit duplicate output columns; raise up front."""
+    from datetime import datetime
+
+    import pytest as _pytest
+
+    from curw_wrf_data_pusher_spark.operators.scd import scd2_lookup
+
+    hist = spark.createDataFrame(
+        [(1, "gold", datetime(2024, 1, 1), None, True)],
+        "user_id long, ts string, valid_from timestamp, "
+        "valid_to timestamp, is_current boolean",
+    )
+    facts = spark.createDataFrame(
+        [(1, datetime(2024, 6, 1))], "user_id long, ts timestamp"
+    )
+    with _pytest.raises(ValueError, match=r"\['ts'\]"):
+        scd2_lookup(facts, hist, ["user_id"], "ts")

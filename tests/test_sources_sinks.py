@@ -401,3 +401,28 @@ def test_align_schema_rejects_incompatible_drift(spark, tmp_path):
     t2 = T.StructType([T.StructField("n", T.IntegerType())])
     with _pytest.raises(ValueError, match="column 'n'"):
         align_schema(df2, t2)
+
+
+def test_align_schema_refuses_integral_to_float(spark):
+    """Round-8 advisor fix: FloatType must not accept integral
+    sources — casting long→float silently loses up to 40 bits
+    (2**60+1 → 1.15e18), violating the lossless-widening contract.
+    long→double stays allowed as the conventional SQL promotion."""
+    import pytest as _pytest
+    from pyspark.sql import types as T
+
+    from curw_wrf_data_pusher_spark.sources.lake import align_schema
+
+    df = spark.createDataFrame([(2**60 + 1,)], "n long")
+    t_float = T.StructType([T.StructField("n", T.FloatType())])
+    with _pytest.raises(ValueError, match="column 'n'"):
+        align_schema(df, t_float)
+    # int → float is equally refused (int doesn't fit a 24-bit mantissa)
+    df_i = spark.createDataFrame([(1,)], "n int")
+    with _pytest.raises(ValueError, match="column 'n'"):
+        align_schema(df_i, t_float)
+    # the accepted promotions still work
+    t_double = T.StructType([T.StructField("n", T.DoubleType())])
+    assert align_schema(df, t_double).schema["n"].dataType == T.DoubleType()
+    t_long = T.StructType([T.StructField("n", T.LongType())])
+    assert align_schema(df_i, t_long).collect()[0].n == 1
