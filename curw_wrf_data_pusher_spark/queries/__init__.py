@@ -40,6 +40,13 @@ from . import llm  # noqa: E402,F401
 #: snapshot diff, CMS, HLL, funnel, attribution, set-similarity,
 #: substring dedup, SemDeDup) earn driver-verified CORRECTNESS rows.
 #: Every eviction's operator keeps a head row (noted per entry).
+#: Round-9 head rotation (judge r8 task 1): ten round-7 operator
+#: families (PQ ANN encode/ADC + shortlist re-rank, KMV distinct +
+#: overlap, mergeable quantile sketch, SCD2 as-of lookup, sweep-line
+#: concurrency, distribution-drift monitor, budget sampling, Gopher
+#: repetition signals) promoted into the driver window; the ten
+#: evictions below each keep their operator covered by a named head
+#: row.
 _TAIL = [
     "q5_local_supplier_volume",  # join-chain demo: j3 + a1 cover it
     "q18_large_orders",          # semi-join + agg demo: j5 covers it
@@ -95,21 +102,39 @@ _TAIL = [
     "a20_feature_scaling",  # winsorize / min-max / robust-z scaling
     "llm_token_encode",    # vocabulary token-id encoding with OOV
     "w8_window_suite",     # ntile/percent_rank/cume_dist/lead/lag
-    # round-7 additions (tail: oracle-gated locally; driver-visible if
-    # the budget grows):
-    "llm_pq_topk",         # product-quantization ADC top-k (PQ ANN)
-    "llm_repetition_signals",  # Gopher intra-doc repetition signals
-    "a23_kmv_distinct",    # KMV distinct sketch + estimate vs exact
-    "llm_mix_schedule",    # token-budget mixture allocation / epochs
-    "w11_multi_touch",     # linear + U-shaped multi-touch attribution
-    "k12_distribution_drift",  # chi-square/TVD drift monitor
-    "j10_scd2_lookup",     # SCD2 as-of temporal dimension join
-    "w12_concurrency",     # sweep-line occupancy (bucketed prefix sum)
-    "llm_budget_sample",   # budget-filling greedy per-source sampling
-    "llm_pq_rerank",       # PQ shortlist + exact re-rank (production ANN)
-    "a24_quantile_sketch", # mergeable fixed-grid quantile sketch
-    "a25_kmv_overlap",     # KMV Jaccard set-overlap vs exact
+    # round-7 additions still tail-resident (driver-visible if the
+    # budget grows; oracle-gated by tests/test_oracle_parity):
+    "llm_mix_schedule",    # token-budget mix → llm_budget_sample (head)
+                           # covers the budget-allocation family
+    "w11_multi_touch",     # linear/U-shaped attribution → w10_attribution
+                           # (head) covers the attribution family
     "a21_cohort_retention",  # weekly cohort retention matrix
+    # -- round-9 evictions (operator → covering head row) --
+    "p4_sql_string_filter",  # P4 where(sql-string) → p2_bbox_filter's
+                             # pushed predicate gate; stack/expr string
+                             # parsing also inside j1_pivot_sources
+    "p7_timestamp_shift",    # P7 +05:30/minute → wrf_e1_push_rows
+                             # (utc_to_lk + format_minute in its output)
+    "r1_unpivot",            # R1 melt/stack → j1_pivot_sources (R2
+                             # inverse) + wrf_e1 long-form pipeline
+    "u3_u4_intersect_except",  # intersect→llm_contamination semi-join;
+                               # except→exact-dedup anti-join inside
+                               # llm_survivor_corpus_stats
+    "w4_sessionize",         # gap-based sessions → w9_funnel (ordered
+                             # event-sequence window family)
+    "a13_salted_agg",        # two-phase salted agg → a23_kmv_distinct's
+                             # salted two-phase top-k; partial aggs →
+                             # a1_pricing_summary
+    "a22_hll_registers",     # HLL distinct sketch → a23_kmv_distinct
+                             # (distinct-estimate sketch family; register
+                             # math stays pytest + local-oracle)
+    "llm_minhash_lsh_pairs",  # MinHash+LSH stage runs inside head rows
+                              # llm_jaccard_verify AND llm_dedup_clusters
+    "llm_cosine_topk_neardup",  # exact cosine top-k → llm_pq_rerank's
+                                # exact re-rank + llm_ivf_topk ANN scan
+    "k11_snapshot_diff",     # snapshot diff → k10_scd2_history (CDC
+                             # build) + j10_scd2_lookup (temporal join)
+                             # + u2_j1_outer_dropna (full-outer shape)
 ]
 
 

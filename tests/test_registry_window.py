@@ -6,12 +6,13 @@ make the window composition an explicit, reviewed artifact: a reorder
 or an added query that silently pushes a unique operator past position
 50 fails here, not in the next round's CORRECTNESS report.
 
-Round-7 rotation (judge task 4): ten compound-redundant rows were
-swapped out of the head so ten round-6 operator families — fuzzy
-edit-distance join, SCD2, snapshot diff, count-min sketch, HLL
-registers, ordered funnel, last-touch attribution, set-similarity
-join, substring dedup, SemDeDup — earn driver-verified rows.  The
-eviction→coverage mapping is documented per entry in
+Round-7 rotation (judge task 4) promoted the round-6 operator
+families; round-9 rotation (judge r8 task 1) promoted the round-7
+families — PQ ANN ADC top-k + shortlist re-rank, KMV distinct +
+overlap sketches, mergeable quantile sketch, SCD2 as-of lookup,
+sweep-line concurrency, distribution-drift monitor, budget-filling
+sampling, Gopher repetition signals — evicting ten compound-redundant
+rows.  The eviction→coverage mapping is documented per entry in
 ``curw_wrf_data_pusher_spark/queries/__init__._TAIL``.
 """
 
@@ -26,8 +27,6 @@ DRIVER_BUDGET = 50
 #: is a compound row folding several.
 EXPECTED_HEAD = [
     "p2_bbox_filter",
-    "p4_sql_string_filter",
-    "p7_timestamp_shift",
     "p9_key_parse",
     "w1_lag_diff",
     "a6_latest_fgt_join",
@@ -39,33 +38,30 @@ EXPECTED_HEAD = [
     "j3_broadcast_lookup",
     "j5_get_or_create",
     "u2_j1_outer_dropna",
-    "r1_unpivot",
-    "u3_u4_intersect_except",
     "s10_window_resample",
     "p10_file_metadata",
     "a9_o1_percentiles_ranked",
-    "w4_sessionize",
     "j6_j7_asof_range",
     "a11_a12_cube_gsets",
     "p8_p12_hash_strings",
     "p14_p15_json_datetime",
-    "a13_salted_agg",
-    # round-7 promotions: round-6 operator families, driver-visible
     "j8_fuzzy_pairs",
     "k10_scd2_history",
     "a16_countmin_freq",
-    "k11_snapshot_diff",
     "w9_funnel",
     "w10_attribution",
-    "a22_hll_registers",
+    "a23_kmv_distinct",
+    "k12_distribution_drift",
+    "j10_scd2_lookup",
+    "w12_concurrency",
+    "a24_quantile_sketch",
+    "a25_kmv_overlap",
     "wrf_e1_push_rows",
     "wrf_e3_hybrid_frame",
     "e2_rfield_contract",
-    "llm_minhash_lsh_pairs",
     "llm_ivf_topk",
     "llm_text_features",
     "llm_binary_metadata",
-    "llm_cosine_topk_neardup",
     "llm_dedup_clusters",
     "llm_simhash_neighbors",
     "llm_jaccard_verify",
@@ -73,10 +69,13 @@ EXPECTED_HEAD = [
     "llm_contamination",
     "llm_seq_packing",
     "llm_curate_corpus",
-    # round-7 promotions (LLM dedup families)
     "llm_substring_dedup",
     "llm_semantic_dedup",
     "llm_setsim_pairs",
+    "llm_pq_topk",
+    "llm_repetition_signals",
+    "llm_budget_sample",
+    "llm_pq_rerank",
 ]
 
 #: The exact tail (local-mirror-only order).  Each entry's operator is
@@ -84,7 +83,6 @@ EXPECTED_HEAD = [
 EXPECTED_TAIL = [
     "q5_local_supplier_volume",
     "q18_large_orders",
-    # round-7 evictions (coverage mapping in queries/__init__._TAIL)
     "p6_station_names",
     "w2_latest_topk",
     "u1_u5_union_forms",
@@ -119,20 +117,19 @@ EXPECTED_TAIL = [
     "a20_feature_scaling",
     "llm_token_encode",
     "w8_window_suite",
-    # round-7 additions (oracle-gated locally)
-    "llm_pq_topk",
-    "llm_repetition_signals",
-    "a23_kmv_distinct",
     "llm_mix_schedule",
     "w11_multi_touch",
-    "k12_distribution_drift",
-    "j10_scd2_lookup",
-    "w12_concurrency",
-    "llm_budget_sample",
-    "llm_pq_rerank",
-    "a24_quantile_sketch",
-    "a25_kmv_overlap",
     "a21_cohort_retention",
+    "p4_sql_string_filter",
+    "p7_timestamp_shift",
+    "r1_unpivot",
+    "u3_u4_intersect_except",
+    "w4_sessionize",
+    "a13_salted_agg",
+    "a22_hll_registers",
+    "llm_minhash_lsh_pairs",
+    "llm_cosine_topk_neardup",
+    "k11_snapshot_diff",
 ]
 
 
