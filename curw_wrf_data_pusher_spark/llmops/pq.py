@@ -41,8 +41,11 @@ both engines, so ranks never flip across the oracle.
 
 from __future__ import annotations
 
+from decimal import ROUND_HALF_UP, Decimal
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def pq_codebooks(
@@ -165,6 +168,95 @@ def pq_encode(
     )
 
 
+def _spark_round(x: float, scale: int) -> float:
+    """Spark's ``F.round`` on DoubleType: HALF_UP on the SHORTEST
+    decimal representation of the double (Scala ``BigDecimal.decimal``
+    = ``BigDecimal(Double.toString(x))``).  Python's ``repr(float)``
+    produces the same shortest round-tripping decimal, so quantizing
+    that string HALF_UP reproduces the JVM result exactly — unlike
+    ``numpy.round`` (half-even on the binary value)."""
+    q = Decimal(1).scaleb(-scale)
+    return float(Decimal(repr(x)).quantize(q, rounding=ROUND_HALF_UP))
+
+
+def pq_encode_arrow(
+    corpus: DataFrame,
+    books: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    score_scale: int = 9,
+) -> DataFrame:
+    """Arrow/numpy PQ encoding — the PRODUCTION twin of ``pq_encode``.
+
+    Same map-only plan shape (the codebooks ride to the executors
+    inside the cloudpickled closure; zero shuffles, zero joins), but
+    the per-row work is vectorized numpy instead of interpreted
+    Catalyst higher-order functions: ``pq_encode``'s
+    transform/zip_with/aggregate lambdas evaluate OUTSIDE whole-stage
+    codegen, a constant-factor CPU tax on what is the hottest map
+    stage of the 100-TB regime (m·k_sub·d_sub lambda evals per row).
+    Here each batch does m batched (n × k_sub × d_sub) subtract/
+    multiply/accumulate passes.
+
+    Bit-compatibility with the HOF/SQL form (and hence the DuckDB
+    oracle) is engineered, not hoped for:
+
+    - the squared-distance accumulation is a strict left fold in
+      dimension order starting from +0.0 (a Python loop of vectorized
+      adds, NOT ``numpy.sum`` whose pairwise association differs) —
+      float64 ops in the same order are bit-identical across numpy
+      and the JVM;
+    - ``numpy.argmin`` picks the FIRST minimum, matching
+      ``array_position(d, array_min(d))``;
+    - the HOF form takes argmin over distances ROUNDED to
+      ``score_scale`` decimals.  Unrounded argmin can only disagree
+      with rounded argmin when the two smallest distances lie within
+      one rounding grid step, so rows where ``d2 − d1 ≤ 2·10^−scale``
+      take a slow path that reproduces Spark's exact rounding
+      (``_spark_round``) before the argmin; everywhere else the
+      rounded order is provably the unrounded order.
+
+    ``tests/test_pq.py`` pins code-for-code equality of the two
+    encoders on the real embeddings table."""
+    import numpy as np
+    import pandas as pd
+
+    m = len(books)
+    d_sub = len(books[0][0])
+    k_sub = len(books[0])
+    cents = [np.asarray(books[s], dtype=np.float64) for s in range(m)]
+    grid = 10.0 ** (-score_scale)
+    out_schema = T.StructType(
+        [corpus.schema[id_col]]
+        + [T.StructField(f"code_{s}", T.IntegerType(), False) for s in range(m)]
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if not n:
+                continue
+            V = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            out = {id_col: pdf[id_col].to_numpy()}
+            for s in range(m):
+                sub = V[:, s * d_sub:(s + 1) * d_sub]
+                diff = sub[:, None, :] - cents[s][None, :, :]
+                sq = diff * diff
+                acc = np.zeros((n, k_sub), dtype=np.float64)
+                for j in range(d_sub):  # strict left fold, oracle order
+                    acc += sq[:, :, j]
+                idx = np.argmin(acc, axis=1)
+                two = np.partition(acc, 1, axis=1)
+                close = np.nonzero(two[:, 1] - two[:, 0] <= 2.0 * grid)[0]
+                for r in close:  # rare: grid-adjacent → exact rounding
+                    rounded = [_spark_round(v, score_scale) for v in acc[r]]
+                    idx[r] = rounded.index(min(rounded))
+                out[f"code_{s}"] = idx.astype(np.int32)
+            yield pd.DataFrame(out)
+
+    return corpus.select(id_col, vec_col).mapInPandas(encode, out_schema)
+
+
 def pq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -175,6 +267,7 @@ def pq_topk(
     vec_col: str = "embedding",
     score_scale: int = 9,
     books: list[list[list[float]]] | None = None,
+    encoder: str = "arrow",
 ) -> DataFrame:
     """ADC top-k: exact query vs PQ-compressed corpus.  Returns
     (q_id, n_id, rank, adc) — rank by (adc, n_id), ``adc`` the
@@ -183,13 +276,21 @@ def pq_topk(
     The query side precomputes one k_sub-entry distance table per
     subspace (rounded doubles) and broadcasts; the corpus side is the
     map-only encoded scan, so scoring a pair is m array lookups and
-    m−1 additions."""
+    m−1 additions.
+
+    ``encoder`` picks the corpus-encode implementation: ``"arrow"``
+    (default, production — vectorized numpy ``pq_encode_arrow``) or
+    ``"hof"`` (the Catalyst higher-order-function reference form the
+    SQL oracle mirrors term-for-term).  Both produce identical codes
+    (pinned by tests/test_pq.py); arrow won the sf0.1 A/B by ~4×
+    end-to-end on the llm_pq_topk bench row (numbers in NEXT.md)."""
     from ..sources.lake import spread
 
     if books is None:
         books = pq_codebooks(corpus, m, k_sub, id_col, vec_col)
     d_sub = len(books[0][0])
-    codes = spread(pq_encode(corpus, books, id_col, vec_col, score_scale))
+    enc = pq_encode_arrow if encoder == "arrow" else pq_encode
+    codes = spread(enc(corpus, books, id_col, vec_col, score_scale))
 
     q = queries.select(
         F.col(id_col).alias("q_id"),
@@ -304,7 +405,10 @@ def refine_codebooks(
     d_sub = len(books[0][0])
     k_sub = len(books[0])
     for _ in range(n_iters):
-        enc = pq_encode(corpus, books, id_col, vec_col, score_scale)
+        # arrow encoder: same codes as the HOF form (test-pinned), and
+        # the n_iters× repeated encode is exactly where the interpreted
+        # HOF tax multiplies
+        enc = pq_encode_arrow(corpus, books, id_col, vec_col, score_scale)
         vecs = corpus.select(
             F.col(id_col),
             *[

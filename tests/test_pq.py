@@ -152,3 +152,30 @@ def test_lloyd_refinement_improves_recall(spark, emb):
         ).collect()
     )
     assert r_lloyd >= r_seed + 0.05, (r_seed, r_lloyd)
+
+
+def test_arrow_encoder_matches_hof_code_for_code(spark, emb):
+    """The production Arrow/numpy encoder and the HOF reference form
+    (the one the SQL oracle mirrors) must agree on EVERY code — the
+    bit-compatibility contract pq_encode_arrow's docstring states."""
+    from curw_wrf_data_pusher_spark.llmops.pq import pq_encode_arrow
+
+    books = pq_codebooks(emb, m=M, k_sub=KSUB)
+    hof = {r.vec_id: r for r in pq_encode(emb, books).collect()}
+    arw = {r.vec_id: r for r in pq_encode_arrow(emb, books).collect()}
+    assert set(hof) == set(arw)
+    for i, r in hof.items():
+        for s in range(M):
+            assert arw[i][f"code_{s}"] == r[f"code_{s}"], (i, s)
+
+
+def test_spark_round_matches_engine_half_up():
+    """_spark_round reproduces F.round's shortest-repr HALF_UP —
+    including the boundary cases where numpy.round (binary half-even)
+    diverges."""
+    from curw_wrf_data_pusher_spark.llmops.pq import _spark_round
+
+    # 2.5e-9 at scale 9: HALF_UP -> 3e-9; numpy half-even -> 2e-9
+    assert _spark_round(2.5e-9, 9) == 3e-9
+    assert _spark_round(0.1234567894999, 9) == 0.123456789
+    assert _spark_round(1.0000000005, 9) == 1.000000001
