@@ -27,28 +27,73 @@ def get_or_create(
     key_cols: Sequence[str],
     id_col: str = "id",
     id_offset: int | None = None,
+    n_buckets: int = 64,
 ) -> DataFrame:
     """Idempotent dim MERGE: rows of ``incoming_keys`` missing from
     ``dim`` get appended with new dense ids above the current max.
 
-    New ids are assigned with row_number over a deterministic key order,
-    offset by max(existing id) — one tiny agg + one window over only the
-    *missing* keys (usually ≈0 rows), so the big side never shuffles.
+    New ids are assigned by a SALTED TWO-PHASE dense rank (the
+    ``operators/sketch.py`` two-phase pattern), so a fact-scale first
+    load never funnels through a single partition:
+
+    1. each missing key gets a deterministic bucket — the first 8 hex
+       digits of ``md5(concat_ws(':', keys))`` mod ``n_buckets`` (the
+       engine-portable hash the oracle re-derives);
+    2. ``row_number`` ranks WITHIN each bucket in parallel
+       (``partitionBy(bucket)`` — no global sort of the data);
+    3. per-bucket offsets come from a cumulative sum over the bucket
+       COUNTS — a ≤ ``n_buckets``-row metadata frame (the only global
+       window; bounded by construction) broadcast back onto the ranks.
+
+    The resulting ids are dense above ``max(existing id)`` in the
+    deterministic total order ``(bucket, key)`` — equal to
+    ``row_number() OVER (ORDER BY bucket, key)``, which is what the
+    SQL oracle computes.  Only the *missing* keys (usually ≈0 rows)
+    ever shuffle; the dim and fact sides never globally sort.
     """
     missing = incoming_keys.select(*key_cols).dropDuplicates(list(key_cols)).join(
         dim.select(*key_cols), on=list(key_cols), how="left_anti"
     )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":", *[F.col(c).cast("string") for c in key_cols]
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % n_buckets
+    )
+    bucketed = missing.withColumn("__b", bucket)
+    w_local = Window.partitionBy("__b").orderBy(*key_cols)
+    ranked = bucketed.withColumn("__r", F.row_number().over(w_local))
+    counts = bucketed.groupBy("__b").agg(F.count(F.lit(1)).alias("__n"))
+    # bounded: ≤ n_buckets rows (bucket metadata, never data-scale) —
+    # CI-gated allowlist entry in test_plans_quality
+    w_off = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.withColumn(
+        "__off", F.coalesce(F.sum("__n").over(w_off), F.lit(0))
+    ).select("__b", "__off")
+    ranked = ranked.join(F.broadcast(offsets), "__b")
+    # the max-id base attaches ONCE, after the rank/offset join — it
+    # must not sit upstream of the bucketed frame, or the single-row
+    # cross join (and the anti-join feeding it) duplicates into both
+    # the rank and the count branches of the plan
     if id_offset is None:
         base = dim.agg(F.coalesce(F.max(id_col), F.lit(0)).alias("m"))
-        missing = missing.crossJoin(F.broadcast(base))
+        ranked = ranked.crossJoin(F.broadcast(base))
     else:
-        missing = missing.withColumn("m", F.lit(id_offset))
-    # bounded: input is the NEW dim keys only (dim-scale, never the
-    # fact table) — CI-gated allowlist entry in test_plans_quality
-    w = Window.orderBy(*key_cols)
-    created = missing.withColumn(
-        id_col, (F.col("m") + F.row_number().over(w)).cast("long")
-    ).drop("m")
+        ranked = ranked.withColumn("m", F.lit(id_offset))
+    created = ranked.withColumn(
+        id_col,
+        (F.col("m") + F.col("__off") + F.col("__r")).cast("long"),
+    ).drop("m", "__b", "__r", "__off")
     return dim.select(id_col, *key_cols).unionByName(
         created.select(id_col, *key_cols)
     )

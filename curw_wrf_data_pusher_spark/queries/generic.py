@@ -468,10 +468,21 @@ def j3_broadcast_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE nationkey NOT IN (SELECT nationkey FROM dim)
     ),
     mx AS (SELECT coalesce(max(id), 0) AS m FROM dim),
+    /* salted two-phase id order: bucket = md5-prefix hash of the key
+       mod 64 (joins.get_or_create n_buckets default); global rank
+       over (bucket, key) == the engine's per-bucket rank + cumulative
+       bucket offsets */
+    bkt AS (
+      SELECT nationkey,
+             ('0x' || substr(md5(CAST(nationkey AS VARCHAR)), 1, 8))::BIGINT
+               % 64 AS bk
+      FROM missing
+    ),
     created AS (
-      SELECT CAST(m + row_number() OVER (ORDER BY nationkey) AS BIGINT) AS id,
+      SELECT CAST(m + row_number() OVER (ORDER BY bk, nationkey)
+                  AS BIGINT) AS id,
              nationkey
-      FROM missing, mx
+      FROM bkt, mx
     )
     SELECT id, nationkey FROM dim
     UNION ALL SELECT id, nationkey FROM created

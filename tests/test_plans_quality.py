@@ -183,8 +183,10 @@ def test_no_unbounded_global_windows_in_registered_queries(spark, sf_dir):
     - e2_rfield_contract: xy.csv manifest rank over the grid-cell dim
       (wrflike.py) — grid cells are a fixed ~10^4 set; the fact-scale
       frame joins the broadcast manifest instead of sorting globally.
-    - j5_get_or_create: id assignment for NEW dim keys (joins.py) —
-      dim-scale input (stations/sources), never the fact table.
+    - j5_get_or_create: the bucket-OFFSET cumulation of the salted
+      two-phase id assigner (joins.py) — input is the per-bucket
+      COUNT frame, <= n_buckets (64) rows by construction; the
+      data-scale rank is bucket-partitioned.
     - w12_concurrency: the bucket-offset cumulation of the three-phase
       prefix sum (timeseries.py::interval_concurrency) — input is one
       row per date_trunc bucket (hours spanned by the data), the
@@ -256,7 +258,9 @@ def test_no_unbounded_broadcast_hints_in_registered_queries(spark, sf_dir):
       fixed ~10⁴-cell WRF d01 grid.
     - j3_broadcast_lookup: THE dim-lookup operator (reference J3 —
       station dim ≈ hundreds of rows; `part` plays that role here).
-    - j5_get_or_create: single-row max-existing-id aggregate.
+    - j5_get_or_create: single-row max-existing-id aggregate + the
+      <= n_buckets-row bucket-offset frame of the salted two-phase
+      id assigner.
     - j9_bloom_semi_join: single-row Catalyst-built bloom bitset.
     - llm_ivf_topk: the query side exploded by its probe list — a
       handful of vectors × nprobe.
@@ -290,7 +294,7 @@ def test_no_unbounded_broadcast_hints_in_registered_queries(spark, sf_dir):
         "a25_kmv_overlap": 1,
         "e2_rfield_contract": 2,
         "j3_broadcast_lookup": 1,
-        "j5_get_or_create": 1,
+        "j5_get_or_create": 2,
         "j9_bloom_semi_join": 1,
         "llm_bm25_tfidf": 4,
         "llm_ivf_topk": 1,

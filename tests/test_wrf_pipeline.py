@@ -124,7 +124,51 @@ def test_get_or_create_idempotent_and_dense(spark):
     out1 = get_or_create(dim, incoming, key_cols=["k"], id_col="id")
     pdf = out1.toPandas().sort_values("k").reset_index(drop=True)
     assert list(pdf["k"]) == ["a", "b", "c", "d"]
-    assert list(pdf["id"]) == [1, 2, 3, 4]
+    # new ids are dense above max(id) in (md5-bucket, key) order — the
+    # salted two-phase assigner's deterministic total order
+    import hashlib
+
+    def bucket(k: str) -> int:
+        return int(hashlib.md5(k.encode()).hexdigest()[:8], 16) % 64
+
+    new = sorted(["c", "d"], key=lambda k: (bucket(k), k))
+    want = {"a": 1, "b": 2, new[0]: 3, new[1]: 4}
+    assert {r.k: r.id for _, r in pdf.iterrows()} == want
     # idempotent: re-merging the same keys changes nothing
     out2 = get_or_create(out1, incoming, key_cols=["k"], id_col="id")
     assert _canon(out2.toPandas()).equals(_canon(pdf))
+
+
+def test_get_or_create_fact_scale_load_avoids_global_sort(spark):
+    """Scale gate for the salted two-phase id assigner: on a large
+    first load, the data-scale row_number must be BUCKET-partitioned;
+    the only partition-less Window allowed in the plan is the bucket-
+    offset cumulation whose input is the <= n_buckets-row count frame
+    (bounded metadata, never data)."""
+    import json
+
+    dim = spark.createDataFrame([], "id long, k string")
+    incoming = spark.range(0, 100_000).select(
+        F.concat(F.lit("key_"), F.col("id").cast("string")).alias("k")
+    )
+    out = get_or_create(dim, incoming, key_cols=["k"], id_col="id")
+    nodes = json.loads(
+        out._jdf.queryExecution().optimizedPlan().toJSON()
+    )
+    windows = [
+        n for n in nodes if n.get("class", "").endswith(".Window")
+    ]
+    global_w = [n for n in windows if not n.get("partitionSpec")]
+    partitioned_w = [n for n in windows if n.get("partitionSpec")]
+    # exactly one global window (the bounded offset cumulation) and at
+    # least one bucket-partitioned window (the data-scale rank)
+    assert len(global_w) == 1
+    assert len(partitioned_w) >= 1
+    # the ids are still a dense 1..N permutation
+    got = out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("id").alias("lo"),
+        F.max("id").alias("hi"),
+        F.countDistinct("id").alias("d"),
+    ).collect()[0]
+    assert (got.n, got.lo, got.hi, got.d) == (100_000, 1, 100_000, 100_000)
