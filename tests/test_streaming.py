@@ -376,3 +376,87 @@ def test_stream_stream_join_batch_parity(spark):
     lo = stream_stream_join(obs, fcst, how="left_outer").collect()
     assert len(lo) == 2
     assert {r.fcst_value for r in lo} == {1.0, None}
+
+
+def test_windowed_obs_resample_streaming_late_arrivals(spark, tmp_path):
+    """Watermarked 15-min tumbling windows across micro-batches (the
+    reference's obs cadence, wrf_data_pusher.py:264-268 semantics):
+
+    - a late reading WITHIN the 30-min watermark still lands in its
+      (not-yet-finalized) window;
+    - a reading arriving BEYOND the watermark — its window already
+      emitted — is dropped, and the emitted row never changes
+      (append-mode finality).
+
+    s10_window_resample is this plan's oracle-gated batch twin; this
+    test pins the streaming-only semantics (state, lateness, emission)
+    the batch oracle can't see."""
+    watch = str(tmp_path / "w")
+    store = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(watch)
+    schema = "hash_id string, time timestamp, value double"
+
+    def _drop(rows, name):
+        (
+            spark.createDataFrame(
+                rows, "hash_id string, time string, value double"
+            )
+            .withColumn("time", F.col("time").cast("timestamp"))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(watch, name))
+        )
+
+    def _run():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("recursiveFileLookup", "true")
+            .parquet(watch)
+        )
+        q = (
+            windowed_obs_resample(
+                stream, window="15 minutes", watermark="30 minutes"
+            )
+            .writeStream.format("parquet")
+            .option("path", store)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    _drop(
+        [("h1", "2024-06-01 00:03:00", 1.0),
+         ("h1", "2024-06-01 00:07:00", 2.0),
+         ("h1", "2024-06-01 01:00:00", 16.0)],  # advances watermark to 00:30
+        "drop1",
+    )
+    _run()
+    emitted1 = {
+        (r.hash_id, str(r.time)): r.value
+        for r in spark.read.parquet(store).collect()
+    }
+    # only [00:00,00:15) is past the watermark -> finalized and emitted
+    assert emitted1 == {("h1", "2024-06-01 00:15:00"): 3.0}
+
+    _drop(
+        [("h1", "2024-06-01 00:05:00", 100.0),  # beyond watermark: window
+                                                # end 00:15 < wm 00:30 -> drop
+         ("h1", "2024-06-01 00:40:00", 4.0),    # late but within watermark:
+                                                # window [00:30,00:45) open
+         ("h1", "2024-06-01 06:00:00", 99.0)],  # watermark flush
+        "drop2",
+    )
+    _run()
+    emitted2 = {
+        (r.hash_id, str(r.time)): r.value
+        for r in spark.read.parquet(store).collect()
+    }
+    assert emitted2 == {
+        ("h1", "2024-06-01 00:15:00"): 3.0,   # unchanged: too-late dropped
+        ("h1", "2024-06-01 00:45:00"): 4.0,   # within-watermark late landed
+        ("h1", "2024-06-01 01:15:00"): 16.0,  # finalized by the flush
+        # the 06:00 flush event's own window stays open -> absent
+    }
