@@ -118,6 +118,10 @@ HEADLINE = [
     "a23_kmv_distinct",
     "llm_repetition_signals",
     "llm_mix_schedule",
+    # added round 9 (NEW row — compare totals accordingly): the
+    # production PQ quantizer — 3 Lloyd sweeps (arrow encode + grouped
+    # agg each) before the ADC scan; recall numbers in SCALING.md
+    "llm_pq_lloyd_topk",
 ]
 
 

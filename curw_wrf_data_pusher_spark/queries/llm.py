@@ -2266,3 +2266,21 @@ def llm_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         m=_PQ_M, k_sub=_PQ_KSUB, k=_PQ_K,
         overfetch=_PQ_RERANK_OVERFETCH,
     )
+
+
+# Lloyd-refined PQ (UNREGISTERED bench row — refine_codebooks is
+# iterative, so no SQL oracle exists; search quality is pinned by the
+# numpy-mirror pytest in tests/test_pq.py and the recall note in
+# SCALING.md).  Benches the PRODUCTION quantizer path: seed codebooks
+# → n_iters Lloyd sweeps (each one arrow encode + one grouped agg,
+# corpus never collected) → ADC top-k with the refined books.
+def llm_pq_lloyd_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llmops.pq import pq_codebooks, pq_topk, refine_codebooks
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = pq_codebooks(emb, m=_PQ_M, k_sub=_PQ_KSUB)
+    books = refine_codebooks(emb, books, n_iters=3)
+    return pq_topk(
+        emb, emb.filter(F.col("vec_id") < 10),
+        m=_PQ_M, k_sub=_PQ_KSUB, k=_PQ_K, books=books,
+    )
