@@ -21,10 +21,13 @@ reader before the hyperslab read).  At 100 TB (≈ thousands of daily
 per-file output (~4.6 M rows) stays well under a task's memory because
 the reader yields one Arrow batch per timestep block.
 
-The container lacks netCDF4/xarray, so the binary decode step is
-import-gated; ``read_wrf_grid_parquet`` reads the same logical grid
+Codec resolution: ``netCDF4`` when installed (all formats); otherwise
+the pure-numpy CLASSIC-format codec (``sources/netcdf3.py``, CDF-1/
+CDF-2 read + CDF-2 write from the public spec) decodes real ``.nc``
+bytes in-container — only netCDF-4/HDF5-backed files remain gated on
+the C library.  ``read_wrf_grid_parquet`` reads the same logical grid
 from the F1-shaped parquet fixture and feeds the identical downstream
-plan — the plan, not the codec, is what this engine owns.
+plan.
 """
 
 from __future__ import annotations
@@ -84,17 +87,18 @@ def read_wrf_grid(
     only the C-library call itself stays environment-gated.
     """
     if open_dataset is None:
-        if not _netcdf_available():
-            raise RuntimeError(
-                "netCDF4 is not installed in this environment; use "
-                "read_wrf_grid_parquet on an F1-shaped lake table, pass "
-                "open_dataset=, or install netCDF4 for raw .nc ingestion"
-            )
+        if _netcdf_available():
 
-        def open_dataset(content: bytes):
-            from netCDF4 import Dataset
+            def open_dataset(content: bytes):
+                from netCDF4 import Dataset
 
-            return Dataset("inmem", memory=content)
+                return Dataset("inmem", memory=content)
+
+        else:
+            # pure-numpy classic-format (CDF-1/CDF-2) fallback — real
+            # .nc byte decode without the C library; netCDF-4/HDF5
+            # files still raise with a clear install hint
+            from .netcdf3 import open_classic as open_dataset
 
     # recursiveFileLookup: the reference's lake nests files under
     # {version}/{run}/{date}/{system}/ (wrf_data_pusher.py:321-327) —
@@ -312,17 +316,17 @@ def write_netcdf_grid(
     stays environment-gated.  Returns the manifest DataFrame (one row
     per written file)."""
     if create_dataset is None:
-        if not _netcdf_available():
-            raise RuntimeError(
-                "netCDF4 is not installed in this environment; "
-                "write_netcdf_grid needs it for the encode step, or pass "
-                "create_dataset= (assemble_grid_cube is testable without it)"
-            )
+        if _netcdf_available():
 
-        def create_dataset(out_path: str):
-            from netCDF4 import Dataset
+            def create_dataset(out_path: str):
+                from netCDF4 import Dataset
 
-            return Dataset(out_path, "w")
+                return Dataset(out_path, "w")
+
+        else:
+            # pure-numpy CDF-2 writer — real classic .nc bytes without
+            # the C library (sources/netcdf3.py)
+            from .netcdf3 import create_classic as create_dataset
 
     import os
 

@@ -1,0 +1,462 @@
+"""Pure-numpy classic NetCDF (CDF-1 / CDF-2) codec.
+
+The container has no netCDF4/xarray C stack, but the CLASSIC NetCDF
+format is a fully public, simple binary layout (Unidata NetCDF User's
+Guide, Appendix B "File Format Specification" — the CDF-1 magic
+``CDF\\x01`` / 64-bit-offset CDF-2 ``CDF\\x02`` grammar).  This module
+implements enough of it, from the spec, to run the engine's S1/S2/K8
+paths (reference: wrf_data_pusher.py:172-196,
+mwrf/extract_n_export_mwrf.py:42-45) on REAL ``.nc`` bytes:
+
+- ``NetCDF3Reader(content)`` — parses the header (dim/gatt/var lists),
+  exposes ``.variables[name]`` with numpy slicing, per-variable
+  attributes, ``.shape``, fill-value masking, and RECORD variables
+  (unlimited first dimension, interleaved record blocks, including the
+  single-record-variable no-padding special case the spec calls out).
+- ``NetCDF3Writer(path)`` — the ``netCDF4.Dataset(path, "w")`` write
+  surface ``write_netcdf_grid`` uses (``createDimension`` /
+  ``createVariable`` / ``var[:] = ...`` / attribute assignment /
+  ``close``), emitting CDF-2 bytes; supports an unlimited dimension
+  (record layout) so exports are WRF-shaped.
+
+Scope: the classic data model only — netCDF-4/HDF5 files (magic
+``\\x89HDF``) still require the C library and raise a clear error.
+Classic supports no 64-bit integer type, so ``i8`` variables are
+written as NC_INT after a range check (WRF ``XTIME`` minutes fit with
+five orders of magnitude to spare).
+
+No code here derives from the netCDF C library or any reader
+implementation — it is written against the published format grammar.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+NC_BYTE, NC_CHAR, NC_SHORT, NC_INT, NC_FLOAT, NC_DOUBLE = 1, 2, 3, 4, 5, 6
+_TAG_DIM, _TAG_VAR, _TAG_ATT = 0x0A, 0x0B, 0x0C
+_DTYPES = {
+    NC_BYTE: np.dtype(">i1"),
+    NC_CHAR: np.dtype("S1"),
+    NC_SHORT: np.dtype(">i2"),
+    NC_INT: np.dtype(">i4"),
+    NC_FLOAT: np.dtype(">f4"),
+    NC_DOUBLE: np.dtype(">f8"),
+}
+_NC_TYPE_OF = {  # native-kind lookup for the writer
+    "i1": NC_BYTE, "i2": NC_SHORT, "i4": NC_INT,
+    "f4": NC_FLOAT, "f8": NC_DOUBLE,
+}
+
+
+def _pad4(n: int) -> int:
+    return (n + 3) & ~3
+
+
+class _Cursor:
+    def __init__(self, buf: bytes):
+        self.buf = buf
+        self.pos = 0
+
+    def read(self, n: int) -> bytes:
+        b = self.buf[self.pos:self.pos + n]
+        if len(b) != n:
+            raise ValueError("truncated NetCDF header")
+        self.pos += n
+        return b
+
+    def u4(self) -> int:
+        return struct.unpack(">I", self.read(4))[0]
+
+    def u8(self) -> int:
+        return struct.unpack(">Q", self.read(8))[0]
+
+    def name(self) -> str:
+        n = self.u4()
+        s = self.read(n).decode("utf-8")
+        self.pos += _pad4(n) - n
+        return s
+
+
+def _read_attrs(cur: _Cursor) -> dict:
+    tag = cur.u4()
+    nelems = cur.u4()
+    if tag == 0:  # ABSENT: two zero words
+        return {}
+    if tag != _TAG_ATT:
+        raise ValueError(f"bad attribute-list tag 0x{tag:X}")
+    attrs = {}
+    for _ in range(nelems):
+        aname = cur.name()
+        atype = cur.u4()
+        n = cur.u4()
+        dt = _DTYPES[atype]
+        nbytes = n * dt.itemsize
+        raw = cur.read(nbytes)
+        cur.pos += _pad4(nbytes) - nbytes
+        if atype == NC_CHAR:
+            attrs[aname] = raw.decode("utf-8", errors="replace")
+        else:
+            vals = np.frombuffer(raw, dtype=dt)
+            attrs[aname] = vals[0] if n == 1 else vals
+    return attrs
+
+
+class _ReadVar:
+    """One variable: lazily decoded numpy array + attributes.
+
+    Attributes surface as instance attributes (``xtime.description``)
+    to match the ``netCDF4.Variable`` access pattern the decode uses.
+    """
+
+    def __init__(self, reader, name, shape, dtype, begin, is_record,
+                 rec_count, rec_vsize, rec_stride, attrs):
+        self._reader = reader
+        self._name = name
+        self._shape = shape
+        self._dtype = dtype
+        self._begin = begin
+        self._is_record = is_record
+        self._rec_count = rec_count
+        self._rec_vsize = rec_vsize
+        self._rec_stride = rec_stride
+        self._data = None
+        self.__dict__.update(attrs)
+        self._attrs = attrs
+
+    @property
+    def shape(self):
+        return self._shape
+
+    def _load(self) -> np.ndarray:
+        if self._data is not None:
+            return self._data
+        buf = self._reader._buf
+        if not self._is_record:
+            count = int(np.prod(self._shape, dtype=np.int64)) if self._shape else 1
+            arr = np.frombuffer(
+                buf, dtype=self._dtype, count=count, offset=self._begin
+            ).reshape(self._shape)
+        else:
+            per_rec = self._shape[1:]
+            count = int(np.prod(per_rec, dtype=np.int64)) if per_rec else 1
+            recs = [
+                np.frombuffer(
+                    buf, dtype=self._dtype, count=count,
+                    offset=self._begin + r * self._rec_stride,
+                ).reshape(per_rec)
+                for r in range(self._rec_count)
+            ]
+            arr = (
+                np.stack(recs) if recs
+                else np.empty((0,) + per_rec, dtype=self._dtype)
+            )
+        arr = arr.astype(self._dtype.newbyteorder("="))
+        fill = self._attrs.get("_FillValue")
+        if fill is not None:
+            if arr.dtype.kind == "f" and np.isnan(fill):
+                arr = np.ma.masked_invalid(arr)
+            else:
+                arr = np.ma.masked_equal(arr, fill)
+        self._data = arr
+        return arr
+
+    def __getitem__(self, idx):
+        return self._load()[idx]
+
+    def __array__(self, dtype=None):
+        a = np.ma.getdata(self._load())
+        return a if dtype is None else a.astype(dtype)
+
+
+class NetCDF3Reader:
+    """Parse classic NetCDF bytes (CDF-1 / CDF-2) into variables."""
+
+    def __init__(self, content: bytes):
+        if content[:4] == b"\x89HDF":
+            raise ValueError(
+                "netCDF-4/HDF5 file: the classic-format fallback cannot "
+                "decode it; install netCDF4 for HDF5-backed files"
+            )
+        if content[:3] != b"CDF" or content[3] not in (1, 2):
+            raise ValueError(
+                f"not a classic NetCDF file (magic {content[:4]!r}; "
+                "CDF-5 and netCDF-4 are out of the fallback's scope)"
+            )
+        version = content[3]
+        self._buf = content
+        cur = _Cursor(content)
+        cur.pos = 4
+        numrecs = cur.u4()
+        # dim list
+        tag, nelems = cur.u4(), cur.u4()
+        dims: list[tuple[str, int]] = []
+        if tag == _TAG_DIM:
+            for _ in range(nelems):
+                dname = cur.name()
+                dims.append((dname, cur.u4()))
+        elif tag != 0:
+            raise ValueError(f"bad dimension-list tag 0x{tag:X}")
+        self.dimensions = {
+            n: (numrecs if size == 0 else size) for n, size in dims
+        }
+        rec_dimid = next(
+            (i for i, (_, size) in enumerate(dims) if size == 0), None
+        )
+        self.attrs = _read_attrs(cur)
+        # var list
+        tag, nelems = cur.u4(), cur.u4()
+        raw_vars = []
+        if tag == _TAG_VAR:
+            for _ in range(nelems):
+                vname = cur.name()
+                rank = cur.u4()
+                dimids = [cur.u4() for _ in range(rank)]
+                vattrs = _read_attrs(cur)
+                nc_type = cur.u4()
+                cur.u4()  # stored vsize — recomputed below per spec note
+                begin = cur.u8() if version == 2 else cur.u4()
+                raw_vars.append((vname, dimids, vattrs, nc_type, begin))
+        elif tag != 0:
+            raise ValueError(f"bad variable-list tag 0x{tag:X}")
+
+        rec_vars = [
+            v for v in raw_vars if v[1] and v[1][0] == rec_dimid
+            and rec_dimid is not None
+        ]
+        # per-record block size: padded to 4 unless there is exactly
+        # one record variable (the spec's alignment special case)
+        def per_rec_size(v):
+            _, dimids, _, nc_type, _ = v
+            n = 1
+            for d in dimids[1:]:
+                n *= dims[d][1]
+            return n * _DTYPES[nc_type].itemsize
+
+        if len(rec_vars) == 1:
+            rec_stride = per_rec_size(rec_vars[0])
+        else:
+            rec_stride = sum(_pad4(per_rec_size(v)) for v in rec_vars)
+
+        self.variables = {}
+        for vname, dimids, vattrs, nc_type, begin in raw_vars:
+            is_rec = rec_dimid is not None and dimids and dimids[0] == rec_dimid
+            shape = tuple(
+                numrecs if d == rec_dimid else dims[d][1] for d in dimids
+            )
+            self.variables[vname] = _ReadVar(
+                self, vname, shape, _DTYPES[nc_type], begin, is_rec,
+                numrecs, per_rec_size((vname, dimids, vattrs, nc_type, begin)),
+                rec_stride, vattrs,
+            )
+
+    def close(self):
+        pass
+
+
+class _WriteVar:
+    """Write-side variable: collects data + attributes before close."""
+
+    def __init__(self):
+        object.__setattr__(self, "attrs", {})
+        object.__setattr__(self, "data", None)
+
+    def __setitem__(self, idx, value):
+        object.__setattr__(self, "data", np.asarray(value))
+
+    def __setattr__(self, k, v):
+        self.attrs[k] = v
+
+
+class NetCDF3Writer:
+    """``netCDF4.Dataset(path, "w")``-shaped writer emitting CDF-2."""
+
+    def __init__(self, path: str):
+        self._path = path
+        self._dims: list[tuple[str, int | None]] = []
+        self._dimidx: dict[str, int] = {}
+        self._vars: list[tuple[str, int, tuple[int, ...], _WriteVar]] = []
+
+    def createDimension(self, name: str, size: int | None):
+        self._dimidx[name] = len(self._dims)
+        self._dims.append((name, size))
+
+    def createVariable(self, name, dtype, dims, fill_value=None):
+        kind = np.dtype(dtype).str.lstrip("<>=|")
+        if kind == "i8":
+            nc_type = NC_INT  # classic has no 64-bit int; range-checked
+        elif kind in _NC_TYPE_OF:
+            nc_type = _NC_TYPE_OF[kind]
+        else:
+            raise ValueError(f"unsupported classic-NetCDF dtype {dtype!r}")
+        v = _WriteVar()
+        if fill_value is not None:
+            v.attrs["_FillValue"] = fill_value
+        dimids = tuple(self._dimidx[d] for d in dims)
+        for d in dimids[1:]:
+            if self._dims[d][1] is None:
+                raise ValueError(
+                    "only the first dimension may be unlimited in the "
+                    "classic format"
+                )
+        self._vars.append((name, nc_type, dimids, v))
+        return v
+
+    # -- serialization -------------------------------------------------
+    @staticmethod
+    def _w_name(out: bytearray, s: str):
+        b = s.encode("utf-8")
+        out += struct.pack(">I", len(b)) + b + b"\x00" * (_pad4(len(b)) - len(b))
+
+    @classmethod
+    def _w_attrs(cls, out: bytearray, attrs: dict):
+        if not attrs:
+            out += struct.pack(">II", 0, 0)
+            return
+        out += struct.pack(">II", _TAG_ATT, len(attrs))
+        for k, v in attrs.items():
+            cls._w_name(out, k)
+            if isinstance(v, str):
+                b = v.encode("utf-8")
+                out += struct.pack(">II", NC_CHAR, len(b)) + b
+                out += b"\x00" * (_pad4(len(b)) - len(b))
+            else:
+                arr = np.atleast_1d(np.asarray(v))
+                if arr.dtype.kind == "f":
+                    arr = arr.astype(">f8")
+                    t = NC_DOUBLE
+                else:
+                    arr = arr.astype(">i4")
+                    t = NC_INT
+                raw = arr.tobytes()
+                out += struct.pack(">II", t, arr.size) + raw
+                out += b"\x00" * (_pad4(len(raw)) - len(raw))
+
+    def close(self):
+        dims = self._dims
+        rec_dimid = next(
+            (i for i, (_, s) in enumerate(dims) if s is None), None
+        )
+
+        def dim_len(i):
+            return dims[i][1]
+
+        numrecs = 0
+        payloads = []  # (name, nc_type, dimids, data_big_endian, attrs, is_rec, vsize)
+        for name, nc_type, dimids, wv in self._vars:
+            if wv.data is None:
+                raise ValueError(f"variable {name!r} written without data")
+            dt = _DTYPES[nc_type]
+            data = np.ascontiguousarray(wv.data)
+            if nc_type == NC_INT and data.dtype == np.int64:
+                if data.size and (
+                    data.max() > 2**31 - 1 or data.min() < -(2**31)
+                ):
+                    raise ValueError(
+                        f"variable {name!r}: int64 values exceed NC_INT "
+                        "range — classic NetCDF has no 64-bit integer; "
+                        "write as f8 instead"
+                    )
+            data = data.astype(dt)
+            is_rec = rec_dimid is not None and dimids and dimids[0] == rec_dimid
+            if is_rec:
+                numrecs = max(numrecs, data.shape[0])
+                per = int(np.prod(data.shape[1:], dtype=np.int64)) * dt.itemsize
+                vsize = per
+            else:
+                vsize = _pad4(data.size * dt.itemsize)
+            payloads.append(
+                [name, nc_type, dimids, data, wv.attrs, is_rec, vsize]
+            )
+        rec_vars = [p for p in payloads if p[5]]
+        multi_rec = len(rec_vars) > 1
+        if multi_rec:
+            for p in rec_vars:
+                p[6] = _pad4(p[6])
+        rec_stride = sum(p[6] for p in rec_vars)
+
+        # header size must be known before begins can be laid out —
+        # serialize with zero begins first, then patch (begins sit at
+        # fixed offsets since everything before them is length-stable)
+        def serialize(begins):
+            out = bytearray(b"CDF\x02")
+            out += struct.pack(">I", numrecs)
+            if dims:
+                out += struct.pack(">II", _TAG_DIM, len(dims))
+                for dname, dsize in dims:
+                    self._w_name(out, dname)
+                    out += struct.pack(">I", 0 if dsize is None else dsize)
+            else:
+                out += struct.pack(">II", 0, 0)
+            self._w_attrs(out, {})  # no global attributes
+            if payloads:
+                out += struct.pack(">II", _TAG_VAR, len(payloads))
+                for (name, nc_type, dimids, data, attrs, is_rec,
+                     vsize), begin in zip(payloads, begins):
+                    self._w_name(out, name)
+                    out += struct.pack(">I", len(dimids))
+                    for d in dimids:
+                        out += struct.pack(">I", d)
+                    self._w_attrs(out, attrs)
+                    out += struct.pack(
+                        ">II", nc_type, min(vsize, 2**32 - 1)
+                    )
+                    out += struct.pack(">Q", begin)
+            else:
+                out += struct.pack(">II", 0, 0)
+            return out
+
+        header_len = len(serialize([0] * len(payloads)))
+        pos = _pad4(header_len)
+        begins = []
+        for p in payloads:
+            if p[5]:
+                begins.append(None)  # record vars laid out after fixed
+            else:
+                begins.append(pos)
+                pos += p[6]
+        rec_start = _pad4(pos)
+        off = 0
+        for i, p in enumerate(payloads):
+            if p[5]:
+                begins[i] = rec_start + off
+                off += p[6]
+
+        out = serialize(begins)
+        out += b"\x00" * (_pad4(header_len) - header_len)
+        body = bytearray()
+        for p, begin in zip(payloads, begins):
+            if p[5]:
+                continue
+            at = begin - _pad4(header_len)
+            if len(body) < at:
+                body += b"\x00" * (at - len(body))
+            raw = p[3].tobytes()
+            body += raw + b"\x00" * (p[6] - len(raw))
+        if rec_vars:
+            at = rec_start - _pad4(header_len)
+            if len(body) < at:
+                body += b"\x00" * (at - len(body))
+            for r in range(numrecs):
+                for p in rec_vars:
+                    # slice (not index): indexing a 1-D big-endian
+                    # array yields a NATIVE-endian numpy scalar, whose
+                    # tobytes() silently flips the byte order
+                    raw = p[3][r:r + 1].tobytes()
+                    body += raw + b"\x00" * (p[6] - len(raw))
+        with open(self._path, "wb") as f:
+            f.write(bytes(out) + bytes(body))
+
+
+def open_classic(content: bytes) -> NetCDF3Reader:
+    """``bytes -> dataset`` adapter matching read_wrf_grid's
+    ``open_dataset`` injection point."""
+    return NetCDF3Reader(content)
+
+
+def create_classic(out_path: str) -> NetCDF3Writer:
+    """``path -> dataset`` adapter matching write_netcdf_grid's
+    ``create_dataset`` injection point."""
+    return NetCDF3Writer(out_path)

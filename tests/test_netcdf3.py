@@ -1,0 +1,205 @@
+"""Pure-numpy classic NetCDF codec (sources/netcdf3.py): byte-level
+round trips against the public CDF format grammar, the record-layout
+special cases, and the FULL Spark S1→K8 path on real .nc bytes —
+write_netcdf_grid → files on disk → read_wrf_grid — with no injected
+stubs (the container-default codec path)."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from curw_wrf_data_pusher_spark.sources.netcdf3 import (
+    NetCDF3Reader,
+    NetCDF3Writer,
+)
+
+
+def _roundtrip(build):
+    """Write via NetCDF3Writer into a temp path, reread the bytes."""
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "t.nc")
+        w = NetCDF3Writer(p)
+        build(w)
+        w.close()
+        content = open(p, "rb").read()
+    return content, NetCDF3Reader(content)
+
+
+def test_fixed_vars_attrs_and_magic():
+    def build(w):
+        w.createDimension("y", 2)
+        w.createDimension("x", 3)
+        v = w.createVariable("grid", "f8", ("y", "x"))
+        v[:] = np.arange(6, dtype="f8").reshape(2, 3)
+        v.units = "mm"
+        t = w.createVariable("tag", "i4", ("y",))
+        t[:] = np.array([7, -9], dtype="i4")
+
+    content, ds = _roundtrip(build)
+    assert content[:4] == b"CDF\x02"
+    assert ds.dimensions == {"y": 2, "x": 3}
+    assert ds.variables["grid"].shape == (2, 3)
+    assert ds.variables["grid"].units == "mm"
+    np.testing.assert_array_equal(
+        ds.variables["grid"][:], np.arange(6).reshape(2, 3)
+    )
+    np.testing.assert_array_equal(ds.variables["tag"][:], [7, -9])
+
+
+def test_record_vars_interleaved_and_numrecs():
+    def build(w):
+        w.createDimension("Time", None)  # unlimited → record layout
+        w.createDimension("y", 2)
+        a = w.createVariable("a", "f8", ("Time", "y"))
+        a[:] = np.arange(6, dtype="f8").reshape(3, 2)
+        b = w.createVariable("b", "i4", ("Time",))
+        b[:] = np.array([10, 20, 30], dtype="i4")
+        c = w.createVariable("fixed", "f4", ("y",))
+        c[:] = np.array([1.5, 2.5], dtype="f4")
+
+    content, ds = _roundtrip(build)
+    assert struct.unpack(">I", content[4:8])[0] == 3  # numrecs
+    assert ds.variables["a"].shape == (3, 2)
+    np.testing.assert_array_equal(
+        ds.variables["a"][:], np.arange(6).reshape(3, 2)
+    )
+    np.testing.assert_array_equal(ds.variables["b"][:], [10, 20, 30])
+    np.testing.assert_array_equal(ds.variables["fixed"][:], [1.5, 2.5])
+    # slicing hits the record path, not just full loads
+    np.testing.assert_array_equal(ds.variables["a"][1:3, 0], [2.0, 4.0])
+
+
+def test_single_record_var_unpadded_special_case():
+    """The spec drops 4-byte record padding when exactly ONE record
+    variable exists: three i2 records then occupy 6 contiguous bytes,
+    which a padded reader would mis-stride."""
+
+    def build(w):
+        w.createDimension("t", None)
+        v = w.createVariable("v", "i2", ("t",))
+        v[:] = np.array([1, 2, 3], dtype="i2")
+
+    content, ds = _roundtrip(build)
+    np.testing.assert_array_equal(ds.variables["v"][:], [1, 2, 3])
+    # record section is exactly 3×2 bytes at the tail
+    assert content[-6:] == struct.pack(">3h", 1, 2, 3)
+
+
+def test_fill_value_masks_and_i8_range_check():
+    def build(w):
+        w.createDimension("y", 3)
+        v = w.createVariable("v", "f8", ("y",), fill_value=float("nan"))
+        v[:] = np.array([1.0, np.nan, 3.0])
+        t = w.createVariable("mins", "i8", ("y",))
+        t[:] = np.array([0, 15, 30], dtype="i8")  # NC_INT downcast
+
+    _, ds = _roundtrip(build)
+    got = ds.variables["v"][:]
+    assert np.ma.is_masked(got[1]) and not np.ma.is_masked(got[0])
+    np.testing.assert_array_equal(
+        np.ma.filled(got, -1.0), [1.0, -1.0, 3.0]
+    )
+    np.testing.assert_array_equal(ds.variables["mins"][:], [0, 15, 30])
+    # out-of-range i8 refuses loudly instead of wrapping
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as d:
+        w = NetCDF3Writer(os.path.join(d, "bad.nc"))
+        w.createDimension("y", 1)
+        v = w.createVariable("v", "i8", ("y",))
+        v[:] = np.array([2**40], dtype="i8")
+        with pytest.raises(ValueError, match="NC_INT range"):
+            w.close()
+
+
+def test_cdf1_header_with_4_byte_offsets():
+    """Hand-built CDF-1 bytes (version byte 1 → 4-byte begin): one
+    fixed f4 variable, per the published grammar."""
+    out = bytearray(b"CDF\x01")
+    out += struct.pack(">I", 0)          # numrecs
+    out += struct.pack(">II", 0x0A, 1)   # dim list, 1 dim
+    out += struct.pack(">I", 1) + b"y\x00\x00\x00"  # name "y" padded
+    out += struct.pack(">I", 2)          # size 2
+    out += struct.pack(">II", 0, 0)      # no global attrs
+    out += struct.pack(">II", 0x0B, 1)   # var list, 1 var
+    out += struct.pack(">I", 1) + b"v\x00\x00\x00"
+    out += struct.pack(">I", 1) + struct.pack(">I", 0)  # rank 1, dimid 0
+    out += struct.pack(">II", 0, 0)      # no var attrs
+    out += struct.pack(">II", 5, 8)      # NC_FLOAT, vsize 8
+    begin = len(out) + 4                 # 4-byte begin field (CDF-1)
+    out += struct.pack(">I", begin)
+    out += struct.pack(">2f", 1.5, -2.5)
+    ds = NetCDF3Reader(bytes(out))
+    np.testing.assert_array_equal(ds.variables["v"][:], [1.5, -2.5])
+
+
+def test_hdf5_and_garbage_magic_rejected():
+    with pytest.raises(ValueError, match="HDF5"):
+        NetCDF3Reader(b"\x89HDF\r\n\x1a\n" + b"\x00" * 64)
+    with pytest.raises(ValueError, match="not a classic"):
+        NetCDF3Reader(b"PK\x03\x04junk")
+
+
+def test_spark_roundtrip_real_nc_bytes_no_stubs(spark, tmp_path):
+    """S1+S2+K8 on REAL bytes, default codecs end to end: the long
+    grid → write_netcdf_grid (pure CDF-2 writer) → .nc files on disk →
+    binaryFile scan + read_wrf_grid (pure classic reader) → the same
+    long grid.  This is the exact plan the reference's daily cron
+    drives (wrf_data_pusher.py:143-279), minus nothing."""
+    from curw_wrf_data_pusher_spark.sources.netcdf import (
+        read_wrf_grid,
+        write_netcdf_grid,
+    )
+    from .wrf_fixture import make_grid_pdf
+
+    pdf = make_grid_pdf()
+    grid = (
+        spark.createDataFrame(pdf)
+        .withColumn("source_file", F.lit("d03_RAINNC.nc"))
+        .withColumn(
+            "fgt_utc", F.lit("2024-06-02 03:17:00").cast("timestamp")
+        )
+        .withColumn("epoch_str", F.lit("2024-06-01 00:00:00"))
+    )
+    out_dir = str(tmp_path / "wrfA")
+    manifest = write_netcdf_grid(grid, out_dir).toPandas()
+    assert len(manifest) == len(pdf[["wrf_system"]].drop_duplicates())
+
+    back = read_wrf_grid(
+        spark, str(tmp_path),
+        bbox={"lat_min": -90, "lat_max": 90,
+              "lon_min": -180, "lon_max": 180},
+    ).toPandas()
+    want = pdf.copy()
+    # the writer names files {system}_{basename}_{variable}.nc (all
+    # under out_dir), so the original system label is the filename
+    # prefix; read_wrf_grid's dir-derived wrf_system ("wrfA" here) is
+    # irrelevant to the value round trip
+    key = ["wrf_system", "t_idx", "y", "x"]
+    got = back.copy()
+    got["wrf_system"] = got["source_file"].map(
+        lambda p: p.rsplit("/", 1)[-1].split("_")[0]
+    )
+    assert set(got["wrf_system"]) == set(want["wrf_system"])
+    g = got.set_index(key).sort_index()
+    w = want.set_index(key).sort_index()
+    assert len(g) == len(w)
+    np.testing.assert_allclose(
+        g["rainnc_cum"].to_numpy(), w["rainnc_cum"].to_numpy()
+    )
+    np.testing.assert_allclose(
+        g["latitude"].to_numpy(), w["latitude"].to_numpy()
+    )
+    np.testing.assert_allclose(
+        g["longitude"].to_numpy(), w["longitude"].to_numpy()
+    )
+    np.testing.assert_array_equal(
+        g["xtime_min"].to_numpy(), w["xtime_min"].to_numpy()
+    )
+    assert (g["epoch_str"] == "2024-06-01 00:00:00").all()
