@@ -247,9 +247,20 @@ def distribution_drift(
         F.sum("ref_n").alias("ref_n"),
         F.sum("cur_n").alias("cur_n"),
         (
+            # measurability gate: tvd_term is NULL on every bucket row
+            # exactly when a side's total is zero (unmeasurable run) —
+            # sum over all-NULL then yields NULL, so chi2 is NULL
+            # alongside tvd instead of a misleading "no drift" 0.0.
+            # On measurable runs tvd_term is non-null everywhere and
+            # the per-bucket ref_n==0 → coalesce-to-0 behavior is
+            # unchanged.
             F.sum(
-                F.floor(F.coalesce("chi_term", F.lit(0.0)) * q + F.lit(0.5))
-                .cast("long")
+                F.when(
+                    F.col("tvd_term").isNotNull(),
+                    F.floor(
+                        F.coalesce("chi_term", F.lit(0.0)) * q + F.lit(0.5)
+                    ).cast("long"),
+                )
             )
             / F.lit(float(q))
         ).alias("chi_term"),

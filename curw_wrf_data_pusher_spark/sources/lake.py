@@ -223,13 +223,18 @@ def _can_widen(src: T.DataType, dst: T.DataType) -> bool:
     if rs is None or rd is None:
         return False
     # integral chain (0-3) may widen within itself or into DoubleType
-    # (11) — the promotions parquet readers accept.  FloatType is NOT a
-    # valid destination for integrals (int 2**60+1 → float loses 36
-    # bits silently), and long→double is likewise lossy above 2**53,
-    # which we accept deliberately: it is the conventional SQL
-    # promotion and the alternative (rejecting it) would break every
-    # count→ratio evolution; the exactness loss is bounded to 1 ulp at
-    # 2**53+. float→double stays within the float chain.
+    # (11).  NOTE this is an align_schema-level (cast) promotion set,
+    # wider than what the parquet READER's type widening accepts —
+    # Spark 4's reader widens within the integral chain and
+    # int→double, but NOT long→double, so read_evolving(target) fails
+    # at read time on a long→double evolution where align_schema
+    # succeeds.  FloatType is NOT a valid destination for integrals
+    # (int 2**60+1 → float loses 36 bits silently); long→double is
+    # likewise lossy above 2**53, which we accept deliberately at the
+    # cast level: it is the conventional SQL promotion and rejecting
+    # it would break every count→ratio evolution; the exactness loss
+    # is bounded to 1 ulp at 2**53+. float→double stays within the
+    # float chain.
     if rs <= 3:
         return (rd <= 3 and rd >= rs) or rd == 11
     return rd >= rs

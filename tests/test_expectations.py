@@ -114,4 +114,8 @@ def test_distribution_drift_survives_empty_side(spark):
     s = [r for r in distribution_drift(ref, all_null, "v", k=10).collect()
          if r.part == "summary"][0]
     assert s.tvd_term is None
+    # round-9 advisor fix: chi² must be NULL alongside tvd on an
+    # unmeasurable run — a 0.0 here read as "no drift" for the worst
+    # possible feed (and made quality_monitor's chi2-None guard dead)
+    assert s.chi_term is None
     assert s.cur_n == 0 and s.ref_n == 500
