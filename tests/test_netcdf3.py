@@ -203,3 +203,72 @@ def test_spark_roundtrip_real_nc_bytes_no_stubs(spark, tmp_path):
         g["xtime_min"].to_numpy(), w["xtime_min"].to_numpy()
     )
     assert (g["epoch_str"] == "2024-06-01 00:00:00").all()
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@st.composite
+def _nc_payload(draw):
+    n_rec = draw(st.integers(0, 4))
+    n_y = draw(st.integers(1, 5))
+    n_x = draw(st.integers(1, 4))
+    dtypes = draw(
+        st.lists(
+            st.sampled_from(["i1", "i2", "i4", "f4", "f8"]),
+            min_size=1, max_size=4,
+        )
+    )
+    vars_ = []
+    for i, dt in enumerate(dtypes):
+        is_rec = draw(st.booleans())
+        shape = (n_rec, n_y) if is_rec else (n_y, n_x)
+        if dt.startswith("i"):
+            bits = int(dt[1]) * 8 - 1
+            vals = draw(
+                st.lists(
+                    st.integers(-(2**bits) + 1, 2**bits - 1),
+                    min_size=int(np.prod(shape)),
+                    max_size=int(np.prod(shape)),
+                )
+            )
+            arr = np.array(vals, dtype=dt).reshape(shape)
+        else:
+            vals = draw(
+                st.lists(
+                    st.floats(
+                        allow_nan=False, allow_infinity=False,
+                        width=32 if dt == "f4" else 64,
+                    ),
+                    min_size=int(np.prod(shape)),
+                    max_size=int(np.prod(shape)),
+                )
+            )
+            arr = np.array(vals, dtype=dt).reshape(shape)
+        vars_.append((f"v{i}", dt, is_rec, arr))
+    return n_rec, n_y, n_x, vars_
+
+
+@settings(max_examples=25, deadline=None)
+@given(_nc_payload())
+def test_roundtrip_property_any_shape_dtype_mix(payload):
+    """Any mix of fixed/record variables across all five classic
+    dtypes round-trips bit-exactly (record interleaving, padding,
+    single-record-var special case included by construction)."""
+    n_rec, n_y, n_x, vars_ = payload
+
+    def build(w):
+        w.createDimension("t", None)
+        w.createDimension("y", n_y)
+        w.createDimension("x", n_x)
+        for name, dt, is_rec, arr in vars_:
+            v = w.createVariable(
+                name, dt, ("t", "y") if is_rec else ("y", "x")
+            )
+            v[:] = arr
+
+    _, ds = _roundtrip(build)
+    for name, dt, is_rec, arr in vars_:
+        got = ds.variables[name][:]
+        assert got.dtype == np.dtype(dt)
+        np.testing.assert_array_equal(got, arr)
