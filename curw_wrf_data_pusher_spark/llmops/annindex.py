@@ -132,3 +132,92 @@ def search_ivf_index(
         .select("q_id", "n_id", "rank", "cos")
         .dropDuplicates(["q_id", "n_id"])
     )
+
+
+# ---------------------------------------------------------------------------
+# Persisted PQ index — the compressed-serving tier next to the IVF
+# lists above.  Where the IVF layout saves I/O by PRUNING partitions,
+# the PQ layout saves it by COMPRESSION: the codes table stores m
+# small ints per vector (m·~1-4 bytes after parquet dictionary/bit-
+# pack encoding) instead of dim floats, so the per-query serving scan
+# reads a fraction of the corpus bytes and never re-encodes.  Build
+# cost is one map-only Arrow encode + the write.  ADC scoring over
+# the persisted codes is byte-identical to pq_topk with the same
+# codebooks (shared adc_topk_over_codes stage; pinned by
+# tests/test_annindex.py).
+
+def build_pq_index(
+    corpus: DataFrame,
+    path: str,
+    m: int = 4,
+    k_sub: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    score_scale: int = 9,
+    refine_iterations: int = 0,
+) -> list[list[list[float]]]:
+    """Encode the corpus once and persist:
+
+    ``<path>/codes``      (id, code_0 … code_{m−1}) parquet
+    ``<path>/codebooks``  (s, c, centroid array<double>) — m·k_sub rows
+
+    ``refine_iterations`` > 0 runs Lloyd refinement on the seed
+    codebooks before encoding (better recall, loses SQL-oracle
+    reproducibility — see pq.refine_codebooks)."""
+    from .pq import pq_codebooks, pq_encode_arrow, refine_codebooks
+
+    spark = corpus.sparkSession
+    books = pq_codebooks(corpus, m, k_sub, id_col, vec_col)
+    if refine_iterations:
+        books = refine_codebooks(
+            corpus, books, n_iters=refine_iterations,
+            id_col=id_col, vec_col=vec_col, score_scale=score_scale,
+        )
+    pq_encode_arrow(
+        corpus, books, id_col, vec_col, score_scale
+    ).write.mode("overwrite").parquet(f"{path}/codes")
+    spark.createDataFrame(
+        [
+            (s, c, books[s][c])
+            for s in range(len(books))
+            for c in range(len(books[s]))
+        ],
+        "s int, c int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+    return books
+
+
+def load_pq_codebooks(
+    spark: SparkSession, path: str
+) -> list[list[list[float]]]:
+    """The persisted codebooks, ordered (subspace, centroid)."""
+    rows = spark.read.parquet(f"{path}/codebooks").collect()
+    m = 1 + max(r.s for r in rows)
+    k_sub = 1 + max(r.c for r in rows)
+    books = [[None] * k_sub for _ in range(m)]
+    for r in rows:
+        books[r.s][r.c] = [float(x) for x in r.centroid]
+    return books
+
+
+def search_pq_index(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    score_scale: int = 9,
+) -> DataFrame:
+    """ADC top-k against the persisted codes — (q_id, n_id, rank,
+    adc), identical to ``pq_topk`` with the same codebooks.  The scan
+    reads only the m-int codes table; the exact query side broadcasts
+    its per-subspace distance tables as in pq_topk."""
+    from .pq import adc_topk_over_codes
+
+    books = load_pq_codebooks(spark, path)
+    codes = spark.read.parquet(f"{path}/codes")
+    return adc_topk_over_codes(
+        codes, queries, books, k=k, id_col=id_col, vec_col=vec_col,
+        score_scale=score_scale,
+    )

@@ -301,10 +301,28 @@ def pq_topk(
 
     if books is None:
         books = pq_codebooks(corpus, m, k_sub, id_col, vec_col)
-    d_sub = len(books[0][0])
     enc = pq_encode_arrow if encoder == "arrow" else pq_encode
     codes = spread(enc(corpus, books, id_col, vec_col, score_scale))
+    return adc_topk_over_codes(
+        codes, queries, books, k=k, id_col=id_col, vec_col=vec_col,
+        score_scale=score_scale,
+    )
 
+
+def adc_topk_over_codes(
+    codes: DataFrame,
+    queries: DataFrame,
+    books: list[list[list[float]]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    score_scale: int = 9,
+) -> DataFrame:
+    """The ADC scoring stage over an ALREADY-ENCODED codes frame —
+    shared by ``pq_topk`` (encode-on-the-fly) and the persisted PQ
+    index (``llmops/annindex.py``), so the two paths cannot drift."""
+    m = len(books)
+    d_sub = len(books[0][0])
     q = queries.select(
         F.col(id_col).alias("q_id"),
         *[

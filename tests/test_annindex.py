@@ -78,3 +78,49 @@ def test_probe_all_equals_bruteforce_via_index(spark, sf_dir, tmp_path):
     indexed = sorted(map(tuple, search_ivf_index(
         spark, path, queries, k=5, n_probe=4).collect()))
     assert indexed == exact
+
+
+def test_pq_index_search_matches_pq_topk(spark, sf_dir, tmp_path):
+    """build→persist→search must equal the on-the-fly pq_topk with the
+    same codebooks (shared adc_topk_over_codes stage), and the
+    persisted codebooks must round-trip exactly."""
+    from curw_wrf_data_pusher_spark.llmops.annindex import (
+        build_pq_index,
+        load_pq_codebooks,
+        search_pq_index,
+    )
+    from curw_wrf_data_pusher_spark.llmops.pq import pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    path = str(tmp_path / "pq")
+    books = build_pq_index(emb, path, m=16, k_sub=32)
+    assert load_pq_codebooks(spark, path) == books
+    fresh = sorted(map(tuple, pq_topk(
+        emb, queries, m=16, k_sub=32, k=5, books=books).collect()))
+    indexed = sorted(map(tuple, search_pq_index(
+        spark, path, queries, k=5).collect()))
+    assert indexed == fresh and len(indexed) == 25
+    # the serving scan reads the m-int codes table, not embeddings:
+    # codes parquet carries id + 16 code columns and no vector column
+    import pyarrow.parquet as pa
+    import glob
+
+    f = glob.glob(f"{path}/codes/*.parquet")[0]
+    names = pa.read_schema(f).names
+    assert "embedding" not in names and len(names) == 17
+
+
+def test_pq_index_with_lloyd_refinement(spark, sf_dir, tmp_path):
+    from curw_wrf_data_pusher_spark.llmops.annindex import (
+        build_pq_index,
+        search_pq_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    path = str(tmp_path / "pqr")
+    build_pq_index(emb, path, m=16, k_sub=32, refine_iterations=2)
+    out = search_pq_index(spark, path, queries, k=5).collect()
+    assert len(out) == 15
+    assert {r.q_id for r in out} == {0, 1, 2}
