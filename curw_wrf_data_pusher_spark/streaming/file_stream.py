@@ -219,3 +219,21 @@ def stream_stream_join(
         "fcst_value",
         (F.col("obs_value") - F.col("fcst_value")).alias("residual"),
     )
+
+
+def enrich_with_dim(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: "str | list[str]",
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static dim enrichment — the reference's J3 station/
+    source lookup (wrf_data_pusher.py:222-260) applied to a live
+    stream: each micro-batch joins the STATIC dim with an explicit
+    broadcast hint, so the stream side never shuffles and no join
+    state accrues (stream-static joins are stateless by definition —
+    the static side is re-resolved per micro-batch, which also picks
+    up dim-table updates between batches).
+
+    Works identically on batch frames (same broadcast plan)."""
+    return stream.join(F.broadcast(dim), on, how)

@@ -460,3 +460,58 @@ def test_windowed_obs_resample_streaming_late_arrivals(spark, tmp_path):
         ("h1", "2024-06-01 01:15:00"): 16.0,  # finalized by the flush
         # the 06:00 flush event's own window stays open -> absent
     }
+
+
+def test_stream_static_dim_enrichment(spark, tmp_path):
+    """Stream-static broadcast join: readings stream in, the station
+    dim is static — every emitted row carries its dim attributes, with
+    no state and no watermark needed."""
+    from curw_wrf_data_pusher_spark.streaming.file_stream import (
+        enrich_with_dim,
+    )
+
+    watch = str(tmp_path / "w")
+    store = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(watch)
+    dim = spark.createDataFrame(
+        [("h1", "Colombo", 6.93), ("h2", "Kandy", 7.29)],
+        "hash_id string, station string, lat double",
+    )
+    (
+        spark.createDataFrame(
+            [("h1", "2024-06-01 00:03:00", 1.0),
+             ("h2", "2024-06-01 00:04:00", 2.0),
+             ("h9", "2024-06-01 00:05:00", 9.0)],  # no dim row
+            "hash_id string, time string, value double",
+        )
+        .withColumn("time", F.col("time").cast("timestamp"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(os.path.join(watch, "drop1"))
+    )
+    stream = (
+        spark.readStream
+        .schema("hash_id string, time timestamp, value double")
+        .option("recursiveFileLookup", "true")
+        .parquet(watch)
+    )
+    q = (
+        enrich_with_dim(stream, dim, on="hash_id")
+        .writeStream.format("parquet")
+        .option("path", store)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.hash_id, r.station, r.value)
+        for r in spark.read.parquet(store).collect()
+    }
+    assert got == {
+        ("h1", "Colombo", 1.0),
+        ("h2", "Kandy", 2.0),
+        ("h9", None, 9.0),  # left join: unmatched keys survive
+    }
