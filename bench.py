@@ -118,10 +118,14 @@ HEADLINE = [
     "a23_kmv_distinct",
     "llm_repetition_signals",
     "llm_mix_schedule",
-    # added round 9 (NEW row — compare totals accordingly): the
+    # added round 9 (NEW rows — compare totals accordingly): the
     # production PQ quantizer — 3 Lloyd sweeps (arrow encode + grouped
-    # agg each) before the ADC scan; recall numbers in SCALING.md
+    # agg each) before the ADC scan (recall numbers in SCALING.md) —
+    # and the persisted-index SERVING scan (the first rep builds the
+    # index into a per-sf temp dir; best-of-REPS reports the standing-
+    # index query cost: codebook load + compressed codes scan + ADC)
     "llm_pq_lloyd_topk",
+    "llm_pq_index_search",
 ]
 
 

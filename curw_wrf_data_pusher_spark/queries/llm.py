@@ -2268,6 +2268,35 @@ def llm_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Persisted-PQ serving scan (UNREGISTERED bench row).  Separates the
+# two costs llm_pq_topk/llm_pq_lloyd_topk fuse: the index BUILD
+# (codebooks + arrow encode + parquet write — paid once per corpus)
+# happens only when the per-(sf,mtime) index directory is missing, so
+# under the bench's best-of-REPS the reported time is the SERVING
+# path alone — codebook load + compressed codes scan + ADC — the cost
+# a query actually pays against a standing index.
+def llm_pq_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from ..llmops.annindex import build_pq_index, search_pq_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # key the cache on (sf_dir, source mtime): a regenerated dataset
+    # must rebuild, not serve a stale index
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    mtime = int(os.stat(src).st_mtime) if os.path.exists(src) else 0
+    tag = f'{sf_dir.strip("/").replace("/", "_")}_{mtime}'
+    path = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_pq_index_{tag}"
+    )
+    if not os.path.exists(os.path.join(path, "codebooks")):
+        build_pq_index(emb, path, m=_PQ_M, k_sub=_PQ_KSUB)
+    return search_pq_index(
+        spark, path, emb.filter(F.col("vec_id") < 10), k=_PQ_K,
+    )
+
+
 # Lloyd-refined PQ (UNREGISTERED bench row — refine_codebooks is
 # iterative, so no SQL oracle exists; search quality is pinned by the
 # numpy-mirror pytest in tests/test_pq.py and the recall note in
