@@ -228,7 +228,8 @@ def _can_widen(src: T.DataType, dst: T.DataType) -> bool:
     # Spark 4's reader widens within the integral chain and
     # int→double, but NOT long→double, so read_evolving(target) fails
     # at read time on a long→double evolution where align_schema
-    # succeeds.  FloatType is NOT a valid destination for integrals
+    # succeeds (read_evolving(..., reconcile="cast") routes through
+    # align_schema for exactly that window).  FloatType is NOT a valid destination for integrals
     # (int 2**60+1 → float loses 36 bits silently); long→double is
     # likewise lossy above 2**53, which we accept deliberately at the
     # cast level: it is the conventional SQL promotion and rejecting
@@ -270,25 +271,76 @@ def align_schema(df: DataFrame, target: T.StructType) -> DataFrame:
 
 
 def read_evolving(
-    spark: SparkSession, path: str, target: T.StructType | None = None
+    spark: SparkSession,
+    path: str,
+    target: T.StructType | None = None,
+    reconcile: str = "reader",
 ) -> DataFrame:
     """Scan a parquet directory whose files were written under several
     schema versions (columns added over time, types widened).
 
-    With a ``target`` contract, the scan reads under that explicit
-    schema: Spark 4's parquet reader fills columns a vintage lacks
-    with NULLs and performs lossless type widening (int→long,
+    With a ``target`` contract and ``reconcile="reader"`` (default),
+    the scan reads under that explicit schema: Spark 4's parquet
+    reader fills columns a vintage lacks with NULLs and performs its
+    supported type widening (within the integral chain, int→double,
     float→double) per file — AND no footer merging happens, so the
     plan cost is independent of file count (the 100 TB path).
     Incompatible drift (e.g. a string file column under a numeric
     target) fails at read time per offending file.
 
-    Without a target, falls back to ``mergeSchema`` footer
-    reconciliation — which handles ADDED columns only (Spark refuses
-    float/double merges) and reads every footer at planning time;
-    acceptable for transition windows over thousands of files, not
-    millions.  For DataFrame-level reconciliation of already-loaded
-    mixed-vintage frames (before a union), use ``align_schema``."""
+    The reader's widening set is NARROWER than ``align_schema``'s cast
+    promotions — notably long→double is a valid cast promotion but NOT
+    a reader widening (and mergeSchema refuses the long/double footer
+    merge outright), so a lake holding long-vintage files under a
+    double target fails the fast path at execution time.  For that
+    window use ``reconcile="cast"``: footers are walked driver-side
+    (pyarrow), files GROUP by their physical schema, each homogeneous
+    group reads under its own schema and ``align_schema`` casts it
+    onto the target before a unionByName.  Always correct, but plans
+    in O(footers) and lists files on the driver — a transition-window
+    tool for a driver-visible filesystem; compact/rewrite the lake to
+    retire it and return to the O(1)-planning reader path.
+
+    Without a target, falls back to plain ``mergeSchema`` footer
+    reconciliation — ADDED columns only (Spark refuses float/double
+    merges), every footer read at planning time; acceptable over
+    thousands of files, not millions.  For DataFrame-level
+    reconciliation of already-loaded mixed-vintage frames (before a
+    union), use ``align_schema``."""
     if target is not None:
+        if reconcile == "cast":
+            return _read_cast_reconciled(spark, path, target)
+        if reconcile != "reader":
+            raise ValueError(
+                f"reconcile must be 'reader' or 'cast': {reconcile!r}"
+            )
         return spark.read.schema(target).parquet(path)
     return spark.read.option("mergeSchema", "true").parquet(path)
+
+
+def _read_cast_reconciled(
+    spark: SparkSession, path: str, target: T.StructType
+) -> DataFrame:
+    """Per-vintage scan for type drift the reader cannot widen: group
+    files by footer schema, read each group homogeneously (basePath
+    keeps partition columns derivable), align_schema onto the target,
+    union."""
+    from pathlib import Path
+
+    import pyarrow.parquet as papq
+
+    files = sorted(str(p) for p in Path(path).rglob("*.parquet"))
+    if not files:
+        raise ValueError(f"read_evolving: no parquet files under {path}")
+    groups: dict[tuple, list[str]] = {}
+    for f in files:
+        sch = papq.read_schema(f)
+        key = tuple((n, str(t)) for n, t in zip(sch.names, sch.types))
+        groups.setdefault(key, []).append(f)
+    out = None
+    for grp in groups.values():
+        part = align_schema(
+            spark.read.option("basePath", path).parquet(*grp), target
+        )
+        out = part if out is None else out.unionByName(part)
+    return out

@@ -426,3 +426,39 @@ def test_align_schema_refuses_integral_to_float(spark):
     assert align_schema(df, t_double).schema["n"].dataType == T.DoubleType()
     t_long = T.StructType([T.StructField("n", T.LongType())])
     assert align_schema(df_i, t_long).collect()[0].n == 1
+
+
+def test_read_evolving_cast_reconcile_covers_long_to_double(
+    spark, tmp_path
+):
+    """long→double is an align_schema cast promotion but NOT a parquet
+    reader widening: the fast reader path fails at execution on a
+    long-vintage file under a double target, and reconcile='cast'
+    (mergeSchema + align_schema) is the documented transition-window
+    escape hatch."""
+    import pytest
+    from pyspark.sql import types as T
+
+    from curw_wrf_data_pusher_spark.sources.lake import read_evolving
+
+    lake = str(tmp_path / "lake")
+    spark.createDataFrame([(1, 10)], "id long, v long").write.parquet(
+        f"{lake}/part=a"
+    )
+    spark.createDataFrame([(2, 2.5)], "id long, v double").write.parquet(
+        f"{lake}/part=b"
+    )
+    target = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("v", T.DoubleType()),
+        ]
+    )
+    with pytest.raises(Exception):  # reader widening lacks long→double
+        read_evolving(spark, lake, target).collect()
+    out = read_evolving(spark, lake, target, reconcile="cast")
+    assert [f.dataType.simpleString() for f in out.schema.fields] == [
+        "bigint", "double",
+    ]
+    got = {(r.id, r.v) for r in out.collect()}
+    assert got == {(1, 10.0), (2, 2.5)}
