@@ -1,4 +1,4 @@
-"""Pure-numpy classic NetCDF (CDF-1 / CDF-2) codec.
+"""Pure-numpy classic NetCDF (CDF-1 / CDF-2 / CDF-5-read) codec.
 
 The container has no netCDF4/xarray C stack, but the CLASSIC NetCDF
 format is a fully public, simple binary layout (Unidata NetCDF User's
@@ -8,7 +8,9 @@ implements enough of it, from the spec, to run the engine's S1/S2/K8
 paths (reference: wrf_data_pusher.py:172-196,
 mwrf/extract_n_export_mwrf.py:42-45) on REAL ``.nc`` bytes:
 
-- ``NetCDF3Reader(content)`` — parses the header (dim/gatt/var lists),
+- ``NetCDF3Reader(content)`` — parses CDF-1/2 and CDF-5 ("64-bit
+  data": 8-byte sizes, unsigned/64-bit integer types) headers
+  (dim/gatt/var lists),
   exposes ``.variables[name]`` with numpy slicing, per-variable
   attributes, ``.shape``, fill-value masking, and RECORD variables
   (unlimited first dimension, interleaved record blocks, including the
@@ -44,6 +46,12 @@ _DTYPES = {
     NC_INT: np.dtype(">i4"),
     NC_FLOAT: np.dtype(">f4"),
     NC_DOUBLE: np.dtype(">f8"),
+    # CDF-5 ("64-bit data") additions
+    7: np.dtype(">u1"),   # NC_UBYTE
+    8: np.dtype(">u2"),   # NC_USHORT
+    9: np.dtype(">u4"),   # NC_UINT
+    10: np.dtype(">i8"),  # NC_INT64
+    11: np.dtype(">u8"),  # NC_UINT64
 }
 _NC_TYPE_OF = {  # native-kind lookup for the writer
     "i1": NC_BYTE, "i2": NC_SHORT, "i4": NC_INT,
@@ -56,9 +64,12 @@ def _pad4(n: int) -> int:
 
 
 class _Cursor:
-    def __init__(self, buf: bytes):
+    def __init__(self, buf: bytes, wide: bool = False):
         self.buf = buf
         self.pos = 0
+        #: CDF-5 widens every NON_NEG size/length field to 8 bytes
+        #: (tags and nc_type stay 4); CDF-1/2 use 4 throughout.
+        self.wide = wide
 
     def read(self, n: int) -> bytes:
         b = self.buf[self.pos:self.pos + n]
@@ -73,8 +84,13 @@ class _Cursor:
     def u8(self) -> int:
         return struct.unpack(">Q", self.read(8))[0]
 
+    def nn(self) -> int:
+        """A NON_NEG per the format version (4-byte in CDF-1/2,
+        8-byte in CDF-5)."""
+        return self.u8() if self.wide else self.u4()
+
     def name(self) -> str:
-        n = self.u4()
+        n = self.nn()
         s = self.read(n).decode("utf-8")
         self.pos += _pad4(n) - n
         return s
@@ -82,7 +98,7 @@ class _Cursor:
 
 def _read_attrs(cur: _Cursor) -> dict:
     tag = cur.u4()
-    nelems = cur.u4()
+    nelems = cur.nn()
     if tag == 0:  # ABSENT: two zero words
         return {}
     if tag != _TAG_ATT:
@@ -91,7 +107,7 @@ def _read_attrs(cur: _Cursor) -> dict:
     for _ in range(nelems):
         aname = cur.name()
         atype = cur.u4()
-        n = cur.u4()
+        n = cur.nn()
         dt = _DTYPES[atype]
         nbytes = n * dt.itemsize
         raw = cur.read(nbytes)
@@ -180,23 +196,23 @@ class NetCDF3Reader:
                 "netCDF-4/HDF5 file: the classic-format fallback cannot "
                 "decode it; install netCDF4 for HDF5-backed files"
             )
-        if content[:3] != b"CDF" or content[3] not in (1, 2):
+        if content[:3] != b"CDF" or content[3] not in (1, 2, 5):
             raise ValueError(
                 f"not a classic NetCDF file (magic {content[:4]!r}; "
-                "CDF-5 and netCDF-4 are out of the fallback's scope)"
+                "netCDF-4 is out of the fallback's scope)"
             )
         version = content[3]
         self._buf = content
-        cur = _Cursor(content)
+        cur = _Cursor(content, wide=(version == 5))
         cur.pos = 4
-        numrecs = cur.u4()
+        numrecs = cur.nn()
         # dim list
-        tag, nelems = cur.u4(), cur.u4()
+        tag, nelems = cur.u4(), cur.nn()
         dims: list[tuple[str, int]] = []
         if tag == _TAG_DIM:
             for _ in range(nelems):
                 dname = cur.name()
-                dims.append((dname, cur.u4()))
+                dims.append((dname, cur.nn()))
         elif tag != 0:
             raise ValueError(f"bad dimension-list tag 0x{tag:X}")
         self.dimensions = {
@@ -207,17 +223,17 @@ class NetCDF3Reader:
         )
         self.attrs = _read_attrs(cur)
         # var list
-        tag, nelems = cur.u4(), cur.u4()
+        tag, nelems = cur.u4(), cur.nn()
         raw_vars = []
         if tag == _TAG_VAR:
             for _ in range(nelems):
                 vname = cur.name()
-                rank = cur.u4()
+                rank = cur.nn()
                 dimids = [cur.u4() for _ in range(rank)]
                 vattrs = _read_attrs(cur)
                 nc_type = cur.u4()
-                cur.u4()  # stored vsize — recomputed below per spec note
-                begin = cur.u8() if version == 2 else cur.u4()
+                cur.nn()  # stored vsize — recomputed below per spec note
+                begin = cur.u4() if version == 1 else cur.u8()
                 raw_vars.append((vname, dimids, vattrs, nc_type, begin))
         elif tag != 0:
             raise ValueError(f"bad variable-list tag 0x{tag:X}")

@@ -272,3 +272,29 @@ def test_roundtrip_property_any_shape_dtype_mix(payload):
         got = ds.variables[name][:]
         assert got.dtype == np.dtype(dt)
         np.testing.assert_array_equal(got, arr)
+
+
+def test_cdf5_header_wide_sizes_and_int64():
+    """Hand-built CDF-5 bytes (version 5 → 8-byte NON_NEG sizes,
+    NC_INT64 type) per the published 64-bit-data grammar: one fixed
+    i8 variable of two elements."""
+    out = bytearray(b"CDF\x05")
+    out += struct.pack(">Q", 0)          # numrecs (8-byte)
+    out += struct.pack(">I", 0x0A) + struct.pack(">Q", 1)  # dim list
+    out += struct.pack(">Q", 1) + b"y\x00\x00\x00"  # name len 8-byte
+    out += struct.pack(">Q", 2)          # dim size (8-byte)
+    out += struct.pack(">I", 0) + struct.pack(">Q", 0)  # no gattrs
+    out += struct.pack(">I", 0x0B) + struct.pack(">Q", 1)  # var list
+    out += struct.pack(">Q", 1) + b"v\x00\x00\x00"
+    out += struct.pack(">Q", 1)          # rank (8-byte)
+    out += struct.pack(">I", 0)          # dimid (4-byte)
+    out += struct.pack(">I", 0) + struct.pack(">Q", 0)  # no vattrs
+    out += struct.pack(">I", 10)         # NC_INT64
+    out += struct.pack(">Q", 16)         # vsize (8-byte)
+    begin = len(out) + 8
+    out += struct.pack(">Q", begin)      # begin (8-byte)
+    out += struct.pack(">2q", 2**40, -7)
+    ds = NetCDF3Reader(bytes(out))
+    got = ds.variables["v"][:]
+    assert got.dtype == np.dtype("i8")
+    np.testing.assert_array_equal(got, [2**40, -7])
