@@ -62,9 +62,17 @@ def test_multimodal_metadata_plumbing(spark):
     assert out.loc[4, "n_bytes"] == 0
 
 
-def test_netcdf_reader_is_import_gated(spark, tmp_path):
-    with pytest.raises(RuntimeError, match="netCDF4 is not installed"):
-        read_wrf_grid(spark, str(tmp_path))
+def test_netcdf_reader_defaults_to_classic_codec(spark, tmp_path):
+    """With netCDF4 absent the reader falls back to the pure-numpy
+    classic codec (round 9) instead of raising — an empty watch dir
+    simply yields zero rows, and an HDF5-backed file raises the
+    codec's clear install hint at decode time."""
+    assert read_wrf_grid(spark, str(tmp_path)).count() == 0
+    d = tmp_path / "wrfA"
+    d.mkdir()
+    (d / "h5.nc").write_bytes(b"\x89HDF\r\n\x1a\n" + b"\x00" * 64)
+    with pytest.raises(Exception, match="netCDF4"):
+        read_wrf_grid(spark, str(tmp_path)).count()
 
 
 def test_decoder_registry_is_pluggable(spark):
@@ -312,24 +320,17 @@ def test_media_pointer_ingestion_path_mode(spark, tmp_path):
 
 
 def test_netcdf_writer_gated_and_cube_assembly(spark, tmp_path):
-    """write_netcdf_grid is import-gated (no netCDF4 here), but the
-    cube reassembly — the writer's actual logic — must invert the
-    reader's meshgrid flatten exactly, including bbox-sliced grids."""
+    """The cube reassembly — the writer's actual logic — must invert
+    the reader's meshgrid flatten exactly, including bbox-sliced
+    grids.  (The writer itself no longer gates on netCDF4: round 9's
+    classic codec writes real CDF-2 bytes — the full Spark round trip
+    lives in tests/test_netcdf3.py.)"""
     import numpy as np
 
     from curw_wrf_data_pusher_spark.sources.netcdf import (
         assemble_grid_cube,
-        write_netcdf_grid,
     )
     from tests.wrf_fixture import make_grid_pdf
-
-    with pytest.raises(RuntimeError, match="netCDF4 is not installed"):
-        write_netcdf_grid(
-            spark.createDataFrame(make_grid_pdf()).withColumn(
-                "source_file", F.lit("f.nc")
-            ),
-            str(tmp_path),
-        )
 
     # one (wrf_system, source_file) group — the writer's per-task unit
     pdf = make_grid_pdf()
