@@ -135,6 +135,10 @@ _TAIL = [
     "k11_snapshot_diff",     # snapshot diff → k10_scd2_history (CDC
                              # build) + j10_scd2_lookup (temporal join)
                              # + u2_j1_outer_dropna (full-outer shape)
+    # round-9 additions (tail: oracle-gated locally; driver-visible if
+    # the budget grows):
+    "w13_seasonal_anomaly",  # broadcast seasonal profile + z-score
+    "w14_cusum_changepoint",  # Page's max-|CUSUM| change point
 ]
 
 

@@ -2812,3 +2812,157 @@ def a25_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return est.unionByName(exact)
+
+
+# W13 — seasonal anomaly detection (round 9, beyond ref): per
+# (event_type, hour-of-day) seasonal profile → per-event z-score →
+# |z| > 2 flag.  The profile is a tiny (|types|×24-row) aggregate the
+# fact side joins (AQE broadcasts it on stats, unhinted), so the
+# fact table never shuffles — the 100 TB shape for seasonal scoring.
+# Float parity: mean/variance from EXACT decimal sums (Σx, Σx²) cast
+# to double, with the identical expression shape in both engines
+# (two-pass textbook form, NOT stddev_samp whose accumulation order
+# differs across engines); variance clamped at 0 before sqrt so float
+# error cannot produce NaN.
+@register(
+    "w13_seasonal_anomaly",
+    oracle="""
+    WITH prof AS (
+      SELECT event_type, extract(hour FROM ts) AS hr,
+             count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s,
+             CAST(sum(CAST(value AS DECIMAL(18,2))
+                      * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s2
+      FROM events GROUP BY event_type, hr
+    ),
+    scored AS (
+      SELECT e.event_id, e.event_type, p.hr,
+             CASE WHEN p.n > 1
+                       AND greatest((p.s2 - p.s * p.s / p.n)
+                                    / (p.n - 1), 0.0) > 0.0
+                  THEN round((CAST(e.value AS DOUBLE) - p.s / p.n)
+                             / sqrt(greatest((p.s2 - p.s * p.s / p.n)
+                                             / (p.n - 1), 0.0)), 6)
+             END AS z
+      FROM events e
+      JOIN prof p ON p.event_type = e.event_type
+                 AND p.hr = extract(hour FROM e.ts)
+    )
+    SELECT event_id, event_type, CAST(hr AS BIGINT) AS hr, z,
+           coalesce(abs(z) > 2.0, FALSE) AS anomaly
+    FROM scored
+    """,
+)
+def w13_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    dv = F.col("value").cast(DEC)
+    prof = (
+        ev.groupBy("event_type", F.hour("ts").alias("hr"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(dv).cast("double").alias("s"),
+            F.sum(dv * dv).cast("double").alias("s2"),
+        )
+    )
+    var = F.greatest(
+        (F.col("s2") - F.col("s") * F.col("s") / F.col("n"))
+        / (F.col("n") - 1),
+        F.lit(0.0),
+    )
+    z = F.when(
+        (F.col("n") > 1) & (var > 0.0),
+        F.round(
+            (F.col("value").cast("double") - F.col("s") / F.col("n"))
+            / F.sqrt(var),
+            6,
+        ),
+    )
+    return (
+        ev.withColumn("hr", F.hour("ts"))
+        .join(prof, ["event_type", "hr"])
+        .select(
+            "event_id",
+            "event_type",
+            F.col("hr").cast("long").alias("hr"),
+            z.alias("z"),
+            F.coalesce(F.abs(z) > 2.0, F.lit(False)).alias("anomaly"),
+        )
+    )
+
+
+# W14 — CUSUM change-point detection (round 9, beyond ref): per-user
+# cumulative sum of deviations from the corpus mean; the change point
+# is the timestamp maximizing |CUSUM| (Page's classic statistic, the
+# offline max-|S_k| form).  Float discipline: cusum_k = S_k − k·μ
+# with μ = S_total/N multiplies through to N·cusum_k = N·S_k −
+# k·S_total — an EXACT BIGINT in centi-units (values are
+# DECIMAL(18,2)), so the |CUSUM| argmax compares exact integers and
+# the reported value is one identical IEEE division away; no
+# round(double) anywhere (the first draft's round(…, 6) diverged
+# between engines on two sf0.1 representation boundaries).  The
+# single-row total crosses onto the fact scan
+# (BroadcastNestedLoopJoin — reviewed in the test_plans_quality
+# allowlist); the per-user windows partition by user, so nothing
+# global touches the fact table.
+@register(
+    "w14_cusum_changepoint",
+    oracle="""
+    WITH tot AS (
+      SELECT CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+               AS sc, count(*) AS n
+      FROM events
+    ),
+    walk AS (
+      SELECT user_id, event_id, ts, n,
+             n * CAST(sum(CAST(value AS DECIMAL(18,2)))
+                      OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) * 100 AS BIGINT)
+             - (row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id)) * sc
+               AS num
+      FROM events, tot
+    )
+    SELECT user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS change_time,
+           CAST(num AS DOUBLE) / (100.0 * n) AS max_cusum
+    FROM (
+      SELECT *, row_number() OVER (
+               PARTITION BY user_id
+               ORDER BY abs(num) DESC, ts, event_id) AS rn
+      FROM walk)
+    WHERE rn = 1
+    """,
+)
+def w14_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    tot = ev.agg(
+        (F.sum(F.col("value").cast(DEC)) * 100).cast("long").alias("sc"),
+        F.count("*").alias("n"),
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_rank = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run_c = (
+        F.sum(F.col("value").cast(DEC)).over(w_run) * 100
+    ).cast("long")
+    walk = ev.crossJoin(F.broadcast(tot)).withColumn(
+        "num",
+        F.col("n") * run_c - F.row_number().over(w_rank) * F.col("sc"),
+    )
+    w_pick = Window.partitionBy("user_id").orderBy(
+        F.abs(F.col("num")).desc(), "ts", "event_id"
+    )
+    return (
+        walk.withColumn("rn", F.row_number().over(w_pick))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("change_time"),
+            (F.col("num").cast("double") / (F.lit(100.0) * F.col("n")))
+            .alias("max_cusum"),
+        )
+    )

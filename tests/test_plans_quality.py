@@ -286,6 +286,8 @@ def test_no_unbounded_broadcast_hints_in_registered_queries(spark, sf_dir):
     - llm_token_encode: top-k-bounded vocabulary.
     - q5_local_supplier_volume: nation (25 rows) + region (5 rows).
     - w3_nearest_neighbor: WRF d03 grid-station dim.
+    - w14_cusum_changepoint: single-row corpus-mean aggregate crossed
+      onto the fact scan for the CUSUM deviation walk.
     """
     hint_ok = {
         "a15_heavy_hitters": 1,
@@ -309,6 +311,7 @@ def test_no_unbounded_broadcast_hints_in_registered_queries(spark, sf_dir):
         "llm_token_encode": 1,
         "q5_local_supplier_volume": 2,
         "w3_nearest_neighbor": 1,
+        "w14_cusum_changepoint": 1,
     }
     offenders = {}
     for name, fn in sorted(QUERIES.items()):
@@ -364,6 +367,8 @@ def test_no_unreviewed_nested_loop_joins_in_registered_queries(
       histogram shape in the compound row.
     - a25_kmv_overlap: single-row union count onto the single-row
       intersection count.
+    - w14_cusum_changepoint: the single-row corpus-mean aggregate
+      crossed onto the fact scan.
     """
     bnl_ok = {
         "a15_heavy_hitters": 1,
@@ -380,6 +385,7 @@ def test_no_unreviewed_nested_loop_joins_in_registered_queries(
         "llm_pq_rerank": 1,
         "llm_pq_topk": 1,
         "llm_quantized_topk": 1,
+        "w14_cusum_changepoint": 1,
     }
     offenders, cartesians = {}, {}
     for name, fn in sorted(QUERIES.items()):

@@ -130,6 +130,9 @@ EXPECTED_TAIL = [
     "llm_minhash_lsh_pairs",
     "llm_cosine_topk_neardup",
     "k11_snapshot_diff",
+    # round-9 additions (oracle-gated locally)
+    "w13_seasonal_anomaly",
+    "w14_cusum_changepoint",
 ]
 
 
