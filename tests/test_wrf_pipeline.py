@@ -172,3 +172,22 @@ def test_get_or_create_fact_scale_load_avoids_global_sort(spark):
         F.countDistinct("id").alias("d"),
     ).collect()[0]
     assert (got.n, got.lo, got.hi, got.d) == (100_000, 1, 100_000, 100_000)
+
+
+def test_get_or_create_ids_invariant_to_input_order(spark):
+    """The salted two-phase assigner's ids must depend only on the KEY
+    SET, not on input row order or partitioning — the property that
+    makes concurrent loaders and replays deterministic."""
+    keys = [f"k{i:03d}" for i in range(57)]
+    dim = spark.createDataFrame([(10, "seed")], "id long, k string")
+    fwd = spark.createDataFrame([(k,) for k in keys], "k string")
+    rev = spark.createDataFrame(
+        [(k,) for k in reversed(keys)], "k string"
+    ).repartition(7)
+    out_f = {r.k: r.id for r in
+             get_or_create(dim, fwd, key_cols=["k"], id_col="id").collect()}
+    out_r = {r.k: r.id for r in
+             get_or_create(dim, rev, key_cols=["k"], id_col="id").collect()}
+    assert out_f == out_r
+    new_ids = sorted(v for k, v in out_f.items() if k != "seed")
+    assert new_ids == list(range(11, 11 + len(keys)))  # dense above max
