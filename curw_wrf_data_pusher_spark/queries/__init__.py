@@ -139,6 +139,7 @@ _TAIL = [
     # the budget grows):
     "w13_seasonal_anomaly",  # broadcast seasonal profile + z-score
     "w14_cusum_changepoint",  # Page's max-|CUSUM| change point
+    "q17_small_quantity_revenue",  # decorrelated scalar-subquery shape
 ]
 
 

@@ -2966,3 +2966,62 @@ def w14_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("max_cusum"),
         )
     )
+
+
+# Q17-shape: correlated scalar subquery (per-part average driving a
+# row filter) in its DECORRELATED form — the per-partkey aggregate
+# joins back to the fact rows (AQE broadcasts the tiny brand-filtered
+# agg on stats, unhinted).  Float discipline: the 0.2·avg threshold
+# comparison multiplies through to exact BIGINT centi-units
+# (5·q_c·n < s_c ⟺ q < 0.2·(s/n)) so row selection never compares
+# doubles; only the final revenue sum divides once, identically, in
+# both engines.
+@register(
+    "q17_small_quantity_revenue",
+    oracle="""
+    WITH pl AS (
+      SELECT l.l_partkey,
+             CAST(CAST(l.l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS q_c,
+             CAST(l.l_extendedprice AS DECIMAL(18,2)) AS price
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_brand = 'Brand#23'
+    ),
+    stats AS (
+      SELECT l_partkey, count(*) AS n,
+             CAST(sum(q_c) AS BIGINT) AS s_c
+      FROM pl GROUP BY l_partkey
+    )
+    SELECT CAST(sum(pl.price) AS DOUBLE) / 7.0 AS avg_yearly,
+           count(*) AS n_rows
+    FROM pl JOIN stats USING (l_partkey)
+    WHERE 5 * pl.q_c * stats.n < stats.s_c
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    pl = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .filter(F.col("p_brand") == "Brand#23")
+        .select(
+            "l_partkey",
+            (F.col("l_quantity").cast(DEC) * 100)
+            .cast("long").alias("q_c"),
+            F.col("l_extendedprice").cast(DEC).alias("price"),
+        )
+    )
+    stats = pl.groupBy("l_partkey").agg(
+        F.count("*").alias("n"),
+        F.sum("q_c").cast("long").alias("s_c"),
+    )
+    return (
+        pl.join(stats, "l_partkey")
+        .filter(F.lit(5) * F.col("q_c") * F.col("n") < F.col("s_c"))
+        .agg(
+            (F.sum("price").cast("double") / F.lit(7.0))
+            .alias("avg_yearly"),
+            F.count("*").alias("n_rows"),
+        )
+    )

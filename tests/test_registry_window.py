@@ -133,6 +133,7 @@ EXPECTED_TAIL = [
     # round-9 additions (oracle-gated locally)
     "w13_seasonal_anomaly",
     "w14_cusum_changepoint",
+    "q17_small_quantity_revenue",
 ]
 
 
