@@ -140,6 +140,7 @@ _TAIL = [
     "w13_seasonal_anomaly",  # broadcast seasonal profile + z-score
     "w14_cusum_changepoint",  # Page's max-|CUSUM| change point
     "q17_small_quantity_revenue",  # decorrelated scalar-subquery shape
+    "wrf_e4_skill_scores",   # forecast-vs-obs bias/MAE/RMSE verification
 ]
 
 

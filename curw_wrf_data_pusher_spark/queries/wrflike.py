@@ -267,3 +267,78 @@ def e2_rfield_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _dsum_value():
     return F.sum(F.col("value").cast(DEC)).cast("double")
+
+
+# E4 — forecast-verification skill scores (round 9, beyond ref but
+# squarely the reference's domain: the hybrid frame E3 builds —
+# gen_active_stations_rfields.py:161-251 — exists to compare forecast
+# against gauge observation; this scores that comparison).  Per
+# station over the hours where BOTH sides report: bias, MAE, RMSE of
+# the hourly forecast total vs the observed total.
+#
+# Float discipline: hourly totals, their differences, |diff| and
+# diff² all stay EXACT BIGINT centi-units; each metric is then one
+# identical chain of IEEE ops (a division; a division+sqrt) in both
+# engines — no round(double) anywhere.
+@register(
+    "wrf_e4_skill_scores",
+    oracle="""
+    WITH hourly AS (
+      SELECT user_id % 5 AS station_id, date_trunc('hour', ts) AS t,
+             CAST(sum(CASE WHEN event_type = 'click'
+                           THEN CAST(value AS DECIMAL(18,2)) END)
+                  * 100 AS BIGINT) AS fc_c,
+             CAST(sum(CASE WHEN event_type = 'purchase'
+                           THEN CAST(value AS DECIMAL(18,2)) END)
+                  * 100 AS BIGINT) AS obs_c
+      FROM events
+      WHERE event_type IN ('click', 'purchase')
+      GROUP BY station_id, t
+    ),
+    err AS (
+      SELECT station_id, fc_c - obs_c AS e
+      FROM hourly WHERE fc_c IS NOT NULL AND obs_c IS NOT NULL
+    )
+    SELECT station_id, count(*) AS n_hours,
+           CAST(sum(e) AS DOUBLE) / (100.0 * count(*)) AS bias,
+           CAST(sum(abs(e)) AS DOUBLE) / (100.0 * count(*)) AS mae,
+           sqrt(CAST(sum(e * e) AS DOUBLE) / count(*)) / 100.0 AS rmse
+    FROM err GROUP BY station_id
+    """,
+)
+def wrf_e4_skill_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+
+    def side_c(source: str):
+        return (
+            F.sum(
+                F.when(
+                    F.col("event_type") == source,
+                    F.col("value").cast(DEC),
+                )
+            )
+            * 100
+        ).cast("long")
+
+    hourly = (
+        ev.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy(
+            (F.col("user_id") % 5).alias("station_id"),
+            F.date_trunc("hour", "ts").alias("t"),
+        )
+        .agg(side_c("click").alias("fc_c"), side_c("purchase").alias("obs_c"))
+    )
+    err = hourly.filter(
+        F.col("fc_c").isNotNull() & F.col("obs_c").isNotNull()
+    ).select("station_id", (F.col("fc_c") - F.col("obs_c")).alias("e"))
+    n = F.count("*")
+    return err.groupBy("station_id").agg(
+        n.alias("n_hours"),
+        (F.sum("e").cast("double") / (F.lit(100.0) * n)).alias("bias"),
+        (F.sum(F.abs(F.col("e"))).cast("double") / (F.lit(100.0) * n))
+        .alias("mae"),
+        (
+            F.sqrt(F.sum(F.col("e") * F.col("e")).cast("double") / n)
+            / F.lit(100.0)
+        ).alias("rmse"),
+    )

@@ -134,6 +134,7 @@ EXPECTED_TAIL = [
     "w13_seasonal_anomaly",
     "w14_cusum_changepoint",
     "q17_small_quantity_revenue",
+    "wrf_e4_skill_scores",
 ]
 
 
