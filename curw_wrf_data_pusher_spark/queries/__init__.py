@@ -141,6 +141,7 @@ _TAIL = [
     "w14_cusum_changepoint",  # Page's max-|CUSUM| change point
     "q17_small_quantity_revenue",  # decorrelated scalar-subquery shape
     "wrf_e4_skill_scores",   # forecast-vs-obs bias/MAE/RMSE verification
+    "wrf_e5_skill_correlation",  # exact wide-decimal Pearson skill r
 ]
 
 

@@ -342,3 +342,93 @@ def wrf_e4_skill_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(100.0)
         ).alias("rmse"),
     )
+
+
+# E5 — forecast-vs-obs Pearson skill correlation (companion to E4).
+# Demonstrates EXACT wide-integer aggregation: the five sufficient
+# statistics (Σx, Σy, Σxy, Σx², Σy²) accumulate in DECIMAL(38,0)
+# (Spark) / HUGEINT (DuckDB) over centi-unit integers — products
+# reach ~10^20, beyond BIGINT but exact in both engines' wide types —
+# and r = (nΣxy − ΣxΣy) / (√(nΣx²−Σx²·…) …) is then one fixed chain
+# of IEEE double ops.  No float enters any aggregate.
+@register(
+    "wrf_e5_skill_correlation",
+    oracle="""
+    WITH hourly AS (
+      SELECT user_id % 5 AS station_id, date_trunc('hour', ts) AS t,
+             CAST(sum(CASE WHEN event_type = 'click'
+                           THEN CAST(value AS DECIMAL(18,2)) END)
+                  * 100 AS BIGINT) AS x,
+             CAST(sum(CASE WHEN event_type = 'purchase'
+                           THEN CAST(value AS DECIMAL(18,2)) END)
+                  * 100 AS BIGINT) AS y
+      FROM events
+      WHERE event_type IN ('click', 'purchase')
+      GROUP BY station_id, t
+    ),
+    stats AS (
+      SELECT station_id, count(*) AS n,
+             sum(CAST(x AS HUGEINT)) AS sx,
+             sum(CAST(y AS HUGEINT)) AS sy,
+             sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy,
+             sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+             sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy
+      FROM hourly WHERE x IS NOT NULL AND y IS NOT NULL
+      GROUP BY station_id
+    )
+    SELECT station_id, n AS n_hours,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS pearson_r
+    FROM stats WHERE n > 1 AND n * sxx > sx * sx AND n * syy > sy * sy
+    """,
+)
+def wrf_e5_skill_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    WIDE = "decimal(38,0)"
+
+    def side_c(source: str):
+        return (
+            F.sum(
+                F.when(
+                    F.col("event_type") == source,
+                    F.col("value").cast(DEC),
+                )
+            )
+            * 100
+        ).cast("long")
+
+    hourly = (
+        ev.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy(
+            (F.col("user_id") % 5).alias("station_id"),
+            F.date_trunc("hour", "ts").alias("t"),
+        )
+        .agg(side_c("click").alias("x"), side_c("purchase").alias("y"))
+        .filter(F.col("x").isNotNull() & F.col("y").isNotNull())
+    )
+    xw, yw = F.col("x").cast(WIDE), F.col("y").cast(WIDE)
+    stats = hourly.groupBy("station_id").agg(
+        F.count("*").alias("n"),
+        F.sum(xw).alias("sx"),
+        F.sum(yw).alias("sy"),
+        F.sum(xw * yw).alias("sxy"),
+        F.sum(xw * xw).alias("sxx"),
+        F.sum(yw * yw).alias("syy"),
+    )
+    n = F.col("n")
+    num = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    d1 = (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    d2 = (n * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return (
+        stats.filter(
+            (n > 1)
+            & (n * F.col("sxx") > F.col("sx") * F.col("sx"))
+            & (n * F.col("syy") > F.col("sy") * F.col("sy"))
+        )
+        .select(
+            "station_id",
+            n.alias("n_hours"),
+            (num / (F.sqrt(d1) * F.sqrt(d2))).alias("pearson_r"),
+        )
+    )

@@ -135,6 +135,7 @@ EXPECTED_TAIL = [
     "w14_cusum_changepoint",
     "q17_small_quantity_revenue",
     "wrf_e4_skill_scores",
+    "wrf_e5_skill_correlation",
 ]
 
 
