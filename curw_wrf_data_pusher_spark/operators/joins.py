@@ -51,6 +51,8 @@ def get_or_create(
     SQL oracle computes.  Only the *missing* keys (usually ≈0 rows)
     ever shuffle; the dim and fact sides never globally sort.
     """
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1: {n_buckets}")
     missing = incoming_keys.select(*key_cols).dropDuplicates(list(key_cols)).join(
         dim.select(*key_cols), on=list(key_cols), how="left_anti"
     )

@@ -344,6 +344,14 @@ class NetCDF3Writer:
                     arr = arr.astype(">f8")
                     t = NC_DOUBLE
                 else:
+                    if arr.size and (
+                        arr.max() > 2**31 - 1 or arr.min() < -(2**31)
+                    ):
+                        raise ValueError(
+                            f"attribute {k!r}: integer value exceeds "
+                            "NC_INT range — classic NetCDF attributes "
+                            "have no 64-bit integer type; use a float"
+                        )
                     arr = arr.astype(">i4")
                     t = NC_INT
                 raw = arr.tobytes()

@@ -298,3 +298,16 @@ def test_cdf5_header_wide_sizes_and_int64():
     got = ds.variables["v"][:]
     assert got.dtype == np.dtype("i8")
     np.testing.assert_array_equal(got, [2**40, -7])
+
+
+def test_int64_attribute_out_of_range_refuses():
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as d:
+        w = NetCDF3Writer(os.path.join(d, "a.nc"))
+        w.createDimension("y", 1)
+        v = w.createVariable("v", "f8", ("y",))
+        v[:] = np.array([1.0])
+        v.big = 2**40  # int attr beyond NC_INT
+        with pytest.raises(ValueError, match="NC_INT range"):
+            w.close()
