@@ -142,6 +142,7 @@ _TAIL = [
     "q17_small_quantity_revenue",  # decorrelated scalar-subquery shape
     "wrf_e4_skill_scores",   # forecast-vs-obs bias/MAE/RMSE verification
     "wrf_e5_skill_correlation",  # exact wide-decimal Pearson skill r
+    "p17_file_stats",        # footer-verified per-file row counts
 ]
 
 

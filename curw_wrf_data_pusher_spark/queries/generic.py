@@ -3025,3 +3025,27 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_rows"),
         )
     )
+
+
+# P17 — file-level statistics: Spark counts rows per file through the
+# `_metadata` hidden column; tests/test_file_stats.py verifies the
+# same numbers against the parquet FOOTERS via DuckDB's
+# parquet_file_metadata — two independent sources (data scan vs
+# footer metadata) that must agree file-for-file.  Driver-side the
+# row is rows-only like P10 (the oracle needs a filesystem path,
+# which the driver's view-only contract cannot carry); the
+# path-parameterized oracle runs in the local suite.  The at-scale
+# use is lake health: per-file row counts drive the compaction
+# planner (sinks/maintenance.py) without a data scan.
+@register("p17_file_stats")
+def p17_file_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = None
+    for tbl in ("lineitem", "orders", "events"):
+        part = (
+            spark.read.parquet(f"{sf_dir}/{tbl}.parquet")
+            .groupBy(F.col("_metadata.file_name").alias("file_name"))
+            .agg(F.count("*").alias("num_rows"))
+            .select("file_name", F.lit(tbl).alias("tbl"), "num_rows")
+        )
+        out = part if out is None else out.unionByName(part)
+    return out

@@ -47,7 +47,9 @@ def test_all_queries_have_oracles():
     missing = set(QUERIES) - set(ORACLES)
     # non-SQL-expressible ops may legitimately omit oracles; keep the
     # list explicit so additions are deliberate.
-    # p10: file-metadata columns can't be expressed through the
-    # oracle's pre-registered views → driver records a rows-only check
-    allowed_missing = {"p10_file_metadata"}
+    # p10/p17: file-metadata oracles need filesystem paths the
+    # driver's view-only contract can't carry → driver records a
+    # rows-only check; p17's footer-vs-scan oracle runs locally in
+    # tests/test_file_stats.py
+    allowed_missing = {"p10_file_metadata", "p17_file_stats"}
     assert missing <= allowed_missing, f"queries without oracles: {missing}"

@@ -136,6 +136,7 @@ EXPECTED_TAIL = [
     "q17_small_quantity_revenue",
     "wrf_e4_skill_scores",
     "wrf_e5_skill_correlation",
+    "p17_file_stats",
 ]
 
 
