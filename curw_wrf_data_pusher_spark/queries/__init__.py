@@ -130,19 +130,41 @@ _TAIL = [
                              # math stays pytest + local-oracle)
     "llm_minhash_lsh_pairs",  # MinHash+LSH stage runs inside head rows
                               # llm_jaccard_verify AND llm_dedup_clusters
-    "llm_cosine_topk_neardup",  # exact cosine top-k → llm_pq_rerank's
-                                # exact re-rank + llm_ivf_topk ANN scan
-    "k11_snapshot_diff",     # snapshot diff → k10_scd2_history (CDC
-                             # build) + j10_scd2_lookup (temporal join)
-                             # + u2_j1_outer_dropna (full-outer shape)
-    # round-9 additions (tail: oracle-gated locally; driver-visible if
-    # the budget grows):
-    "w13_seasonal_anomaly",  # broadcast seasonal profile + z-score
-    "w14_cusum_changepoint",  # Page's max-|CUSUM| change point
-    "q17_small_quantity_revenue",  # decorrelated scalar-subquery shape
-    "wrf_e4_skill_scores",   # forecast-vs-obs bias/MAE/RMSE verification
-    "wrf_e5_skill_correlation",  # exact wide-decimal Pearson skill r
+    "llm_cosine_topk_neardup",  # exact cosine top-k → llm_pq_topk's ADC
+                                # scan + llm_ivf_topk exact re-rank path
+    "k11_snapshot_diff",     # snapshot diff → j10_scd2_lookup (temporal
+                             # join) + k12_distribution_drift (full-outer
+                             # join shape, profile.py:210)
     "p17_file_stats",        # footer-verified per-file row counts
+                             # (rows-only, like head row p10 — a head
+                             # slot would add no hash signal)
+    # -- round-9 second rotation: evictions so the five NEW round-9
+    #    operator families (seasonal anomaly, CUSUM change point,
+    #    decorrelated scalar subquery, forecast skill scores, exact
+    #    wide-decimal correlation) earn driver CORRECTNESS rows.
+    #    Each eviction's operator keeps a named head row: --
+    "a25_kmv_overlap",       # KMV sketch family → a23_kmv_distinct
+                             # (head); the Jaccard overlap estimator
+                             # stays local-oracle + pytest
+    "llm_pq_rerank",         # PQ ANN family → llm_pq_topk (head: same
+                             # codebooks/encode/ADC); the exact
+                             # shortlist re-rank stays local-oracle;
+                             # exact top-k re-rank shape also inside
+                             # llm_ivf_topk (head)
+    "k10_scd2_history",      # SCD2 family → j10_scd2_lookup (head:
+                             # temporal validity semantics); the CDC
+                             # history build stays local-oracle
+    "llm_survivor_corpus_stats",  # exact-dedup anti-join + survivor
+                                  # stats → llm_curate_corpus (head:
+                                  # stage-1 exact dedup hash-pinned in
+                                  # its ids_md5) + llm_text_features
+                                  # (head: corpus stats)
+    "u2_j1_outer_dropna",    # J1 full-outer → j1_pivot_sources (head,
+                             # the idiomatic pivot form) and the
+                             # full-outer JOIN shape → k12_distribution_
+                             # drift (head); U2 dropna-any semantics →
+                             # wrf_e3_hybrid_frame (head, na.drop after
+                             # the pivot)
 ]
 
 

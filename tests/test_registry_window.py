@@ -12,7 +12,11 @@ families — PQ ANN ADC top-k + shortlist re-rank, KMV distinct +
 overlap sketches, mergeable quantile sketch, SCD2 as-of lookup,
 sweep-line concurrency, distribution-drift monitor, budget-filling
 sampling, Gopher repetition signals — evicting ten compound-redundant
-rows.  The eviction→coverage mapping is documented per entry in
+rows.  A second round-9 rotation promoted the five NEW round-9
+families (seasonal anomaly, CUSUM change point, decorrelated scalar
+subquery, forecast skill scores, exact wide-decimal Pearson
+correlation), evicting five more compound-redundant rows.  The
+eviction→coverage mapping is documented per entry in
 ``curw_wrf_data_pusher_spark/queries/__init__._TAIL``.
 """
 
@@ -37,7 +41,6 @@ EXPECTED_HEAD = [
     "j2_left_join",
     "j3_broadcast_lookup",
     "j5_get_or_create",
-    "u2_j1_outer_dropna",
     "s10_window_resample",
     "p10_file_metadata",
     "a9_o1_percentiles_ranked",
@@ -46,7 +49,6 @@ EXPECTED_HEAD = [
     "p8_p12_hash_strings",
     "p14_p15_json_datetime",
     "j8_fuzzy_pairs",
-    "k10_scd2_history",
     "a16_countmin_freq",
     "w9_funnel",
     "w10_attribution",
@@ -55,17 +57,20 @@ EXPECTED_HEAD = [
     "j10_scd2_lookup",
     "w12_concurrency",
     "a24_quantile_sketch",
-    "a25_kmv_overlap",
+    "w13_seasonal_anomaly",
+    "w14_cusum_changepoint",
+    "q17_small_quantity_revenue",
     "wrf_e1_push_rows",
     "wrf_e3_hybrid_frame",
     "e2_rfield_contract",
+    "wrf_e4_skill_scores",
+    "wrf_e5_skill_correlation",
     "llm_ivf_topk",
     "llm_text_features",
     "llm_binary_metadata",
     "llm_dedup_clusters",
     "llm_simhash_neighbors",
     "llm_jaccard_verify",
-    "llm_survivor_corpus_stats",
     "llm_contamination",
     "llm_seq_packing",
     "llm_curate_corpus",
@@ -75,7 +80,6 @@ EXPECTED_HEAD = [
     "llm_pq_topk",
     "llm_repetition_signals",
     "llm_budget_sample",
-    "llm_pq_rerank",
 ]
 
 #: The exact tail (local-mirror-only order).  Each entry's operator is
@@ -130,13 +134,12 @@ EXPECTED_TAIL = [
     "llm_minhash_lsh_pairs",
     "llm_cosine_topk_neardup",
     "k11_snapshot_diff",
-    # round-9 additions (oracle-gated locally)
-    "w13_seasonal_anomaly",
-    "w14_cusum_changepoint",
-    "q17_small_quantity_revenue",
-    "wrf_e4_skill_scores",
-    "wrf_e5_skill_correlation",
     "p17_file_stats",
+    "a25_kmv_overlap",
+    "llm_pq_rerank",
+    "k10_scd2_history",
+    "llm_survivor_corpus_stats",
+    "u2_j1_outer_dropna",
 ]
 
 
