@@ -1,0 +1,137 @@
+"""Bucketed fact-store lifecycle — K1 upserts, A6 latest dedup and the
+run-dim join over a layout that pays its shuffle ONCE at ingest
+(SURVEY §2.9 K1 wrf_data_pusher.py:119-140, §2.4 A6
+gen_active_stations_rfields.py:191-193; scale work beyond the
+reference's MySQL store).
+
+The reference's MySQL store gives every reader a clustered primary key
+``(tms_id, time)`` for free; a parquet lake does not.  Hive-style
+bucketing by ``tms_id`` restores the property Spark can exploit: a
+scan of the table already satisfies ``HashPartitioning(tms_id, N)``,
+and EnsureRequirements accepts that for ANY required clustering that
+*contains* ``tms_id`` (hash keys ⊆ clustering keys).  So every per-run
+operation on the store plans with ZERO Exchange on the fact side:
+
+- **merge-on-read latest-wins** (the K1 upsert semantics):
+  ``row_number() over (partition by tms_id, time order by fgt desc)``
+  — the window's required ``ClusteredDistribution(tms_id, time)`` is
+  satisfied by the bucket partitioning; only the in-partition Sort
+  remains (and that is O(bucket), not a shuffle).
+- **A6 latest-fgt-per-series**: ``groupBy(tms_id).agg(max(fgt))`` —
+  complete aggregation directly over the bucketed scan.
+- **equi-join against a dim bucketed with the same (key, N)** —
+  SortMergeJoin with no Exchange on either side (see
+  ``sinks/bucketed.py`` for the generic contracts).
+
+Upserts APPEND into the bucket layout (each batch adds ≤ one file per
+bucket) so the push path is O(new batch) — no store rewrite, exactly
+the cost profile of the reference's ``INSERT … ON DUPLICATE KEY
+UPDATE``.  Readers resolve duplicates via the merge-on-read window;
+:func:`compact_fact_store` folds the accumulated versions back to one
+file per bucket when read amplification grows (same pattern as
+``operators/rollup.py``'s compact-to-fresh-store).
+
+At 100 TB: N buckets sized so one bucket ≈ one executor-core task
+(e.g. 100 TB / 128 MB-256 MB targets ⇒ bucket COUNT in the hundreds of
+thousands is wrong — buckets are not files; pick N ≈ 2-4× total
+cluster cores and let each bucket hold many row groups).  The
+merge-on-read window never shuffles, so the only full-shuffle job left
+in the store's life is the initial ingest and each compaction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sinks.bucketed import write_bucketed
+
+#: Store identity (the reference's PRIMARY KEY (id, time) —
+#: wrf_data_pusher.py:268 row shape [tms_id, time, fgt, value]).
+KEY_COLS = ("tms_id", "time")
+#: Version column: later forecast-generation-time wins (K1's
+#: ``ON DUPLICATE KEY UPDATE value=VALUES(value)`` + K3's fgt pointer).
+VERSION_COL = "fgt"
+
+
+def create_fact_store(
+    spark: SparkSession,
+    fact: DataFrame,
+    table: str,
+    num_buckets: int,
+    path: str | None = None,
+) -> None:
+    """Initial ingest: one full shuffle into ``num_buckets`` buckets on
+    ``tms_id``, sorted by (tms_id, time) within each bucket file."""
+    write_bucketed(
+        fact, table, ["tms_id"], num_buckets,
+        sort_cols=["tms_id", "time"], path=path,
+    )
+
+
+def store_bucket_count(spark: SparkSession, table: str) -> int:
+    """Bucket count recorded in the catalog for ``table``."""
+    for row in spark.sql(f"DESCRIBE EXTENDED {table}").collect():
+        if row.col_name == "Num Buckets":
+            return int(row.data_type)
+    raise ValueError(f"{table} is not a bucketed table")
+
+
+def append_fact_rows(
+    spark: SparkSession, table: str, new_rows: DataFrame
+) -> None:
+    """K1 upsert, append-only: land ``new_rows`` inside the existing
+    bucket layout (same key, same N — read from the catalog so a drift
+    is impossible).  Cost is O(new batch): shuffle of the batch into N
+    buckets, no touch of standing data.  Duplicate (tms_id, time) keys
+    are resolved at read time by :func:`read_fact_latest`; re-delivery
+    of an identical batch is therefore idempotent by construction."""
+    n = store_bucket_count(spark, table)
+    (
+        new_rows.repartition(n, new_rows["tms_id"])
+        .write.format("parquet")
+        .mode("append")
+        .bucketBy(n, "tms_id")
+        .sortBy("tms_id", "time")
+        .saveAsTable(table)
+    )
+
+
+def read_fact_latest(spark: SparkSession, table: str) -> DataFrame:
+    """Merge-on-read view of the store: latest fgt wins per
+    (tms_id, time).  Zero Exchange — the window's clustering
+    requirement (tms_id, time) is satisfied by the tms_id bucket
+    partitioning; plan-gated in tests/test_bucketed_fact.py."""
+    w = Window.partitionBy(*KEY_COLS).orderBy(F.col(VERSION_COL).desc())
+    return (
+        spark.table(table)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def latest_fgt_per_series(spark: SparkSession, table: str) -> DataFrame:
+    """A6 over the store: newest forecast-generation-time per series —
+    a complete aggregation directly on the bucketed scan (no
+    Exchange), feeding K3's latest-fgt pointer updates."""
+    return spark.table(table).groupBy("tms_id").agg(
+        F.max(VERSION_COL).alias(VERSION_COL)
+    )
+
+
+def compact_fact_store(
+    spark: SparkSession,
+    src_table: str,
+    dest_table: str,
+    path: str | None = None,
+) -> None:
+    """Fold the merge-on-read backlog into a fresh one-file-per-bucket
+    store (writing a NEW table: Spark refuses to overwrite a table it
+    is reading, and the two-table swap keeps readers consistent —
+    same pattern as rollup.compact_partials)."""
+    n = store_bucket_count(spark, src_table)
+    write_bucketed(
+        read_fact_latest(spark, src_table), dest_table,
+        ["tms_id"], n, sort_cols=["tms_id", "time"], path=path,
+    )

@@ -1,0 +1,161 @@
+"""Bucketed fact-store lifecycle (plans/bucketed_lake.py): K1 upsert
+semantics on an append-only bucket layout, with the no-Exchange plan
+contracts that make the layout worth its ingest shuffle at 100 TB."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from curw_wrf_data_pusher_spark.plans.bucketed_lake import (
+    append_fact_rows,
+    compact_fact_store,
+    create_fact_store,
+    latest_fgt_per_series,
+    read_fact_latest,
+    store_bucket_count,
+)
+from curw_wrf_data_pusher_spark.sinks.bucketed import (
+    drop_bucketed,
+    write_bucketed,
+)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _facts(spark, fgt: str, tms_ids, times):
+    rows = [
+        (t, f"2024-01-01 {h:02d}:00:00", fgt, float(t * 100 + h))
+        for t in tms_ids
+        for h in times
+    ]
+    return spark.createDataFrame(
+        rows, "tms_id INT, time STRING, fgt STRING, value DOUBLE"
+    ).select(
+        "tms_id",
+        F.to_timestamp("time").alias("time"),
+        F.to_timestamp("fgt").alias("fgt"),
+        "value",
+    )
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    table = "t_fact_store"
+    create_fact_store(
+        spark,
+        _facts(spark, "2024-01-01 00:00:00", range(20), range(6)),
+        table,
+        num_buckets=4,
+        path=str(tmp_path / "fact"),
+    )
+    yield table
+    drop_bucketed(spark, table)
+
+
+def test_append_preserves_bucket_spec_and_upsert_wins(spark, store):
+    assert store_bucket_count(spark, store) == 4
+    # second push: same keys for tms 0-9 at a newer fgt, new values
+    newer = _facts(spark, "2024-01-01 06:00:00", range(10), range(6)) \
+        .withColumn("value", F.col("value") + 0.5)
+    append_fact_rows(spark, store, newer)
+    assert store_bucket_count(spark, store) == 4
+
+    latest = read_fact_latest(spark, store)
+    # key set unchanged: 20 series × 6 instants
+    assert latest.count() == 120
+    # updated series carry the newer push's values, others the original
+    got = {
+        (r.tms_id, r.time.hour): r.value
+        for r in latest.collect()
+    }
+    for t in range(20):
+        for h in range(6):
+            want = t * 100 + h + (0.5 if t < 10 else 0.0)
+            assert got[(t, h)] == want, (t, h)
+
+
+def test_redelivery_is_idempotent(spark, store):
+    batch = _facts(spark, "2024-01-01 06:00:00", range(5), range(6))
+    append_fact_rows(spark, store, batch)
+    once = sorted(map(tuple, read_fact_latest(spark, store).collect()))
+    append_fact_rows(spark, store, batch)  # redelivery of same batch
+    twice = sorted(map(tuple, read_fact_latest(spark, store).collect()))
+    assert once == twice
+
+
+def test_merge_on_read_has_no_exchange(spark, store):
+    append_fact_rows(
+        spark, store, _facts(spark, "2024-01-01 06:00:00", range(10), range(6))
+    )
+    plan = _plan(read_fact_latest(spark, store))
+    # the (tms_id, time) window clustering is satisfied by the tms_id
+    # bucketing: Sort yes (in-partition), Exchange no
+    assert "Window" in plan
+    assert "Exchange" not in plan, plan
+
+
+def test_latest_fgt_per_series_has_no_exchange(spark, store):
+    df = latest_fgt_per_series(spark, store)
+    plan = _plan(df)
+    assert "Exchange" not in plan, plan
+    assert df.count() == 20
+
+
+def test_store_join_with_cobucketed_dim_has_no_exchange(
+    spark, store, tmp_path
+):
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        runs = spark.createDataFrame(
+            [(t, f"station_{t % 7}") for t in range(20)],
+            "tms_id INT, station STRING",
+        )
+        write_bucketed(
+            runs, "t_fact_runs", ["tms_id"], 4,
+            path=str(tmp_path / "runs"),
+        )
+        joined = read_fact_latest(spark, store).join(
+            spark.table("t_fact_runs"), "tms_id"
+        )
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        assert joined.count() == 120
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        drop_bucketed(spark, "t_fact_runs")
+
+
+def test_compact_folds_to_one_file_per_bucket(spark, store, tmp_path):
+    append_fact_rows(
+        spark, store, _facts(spark, "2024-01-01 06:00:00", range(20), range(6))
+    )
+    append_fact_rows(
+        spark, store, _facts(spark, "2024-01-01 12:00:00", range(20), range(6))
+    )
+    before = sorted(map(tuple, read_fact_latest(spark, store).collect()))
+
+    dest_path = str(tmp_path / "fact_c")
+    try:
+        compact_fact_store(spark, store, "t_fact_compact", path=dest_path)
+        files = [
+            f for f in os.listdir(dest_path)
+            if f.endswith(".parquet") and not f.startswith("_")
+        ]
+        assert len(files) == 4  # one file per bucket again
+        after = sorted(
+            map(tuple, spark.table("t_fact_compact").collect())
+        )
+        assert after == before
+        # compacted store needs no merge window at all, but the
+        # merge-on-read view over it stays Exchange-free too
+        plan = _plan(read_fact_latest(spark, "t_fact_compact"))
+        assert "Exchange" not in plan, plan
+    finally:
+        drop_bucketed(spark, "t_fact_compact")
