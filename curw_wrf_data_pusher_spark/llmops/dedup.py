@@ -203,12 +203,18 @@ def simhash_from_text(
     return hashed.selectExpr(f"`{id_col}`", f"{sig} as simhash")
 
 
-def _lsh_band_groups(
-    sig_df: DataFrame, id_col: str, bands: int, rows_per_band: int
+def band_buckets(
+    sig_df: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 4,
+    rows_per_band: int = 2,
 ) -> DataFrame:
-    """Shared band-bucket grouping: (band, bucket, ids sorted).  One
-    shuffle on the (band, bucket) key; the id list per bucket is the
-    only state carried."""
+    """Map-side LSH banding of a signature frame: (id, band, bucket)
+    rows, ``bands`` per document, ZERO shuffles.  The bucket is the md5
+    of the band's signature components, so two frames banded with the
+    same (bands, rows_per_band) are join-compatible — the primitive
+    behind both the in-corpus pair expansion and the cross-batch store
+    probe (``llmops/incremental.py``)."""
     band_cols = []
     for b in range(bands):
         cols = [
@@ -221,9 +227,18 @@ def _lsh_band_groups(
                 F.md5(F.concat_ws(":", *cols)).alias("bucket"),
             )
         )
-    buckets = sig_df.select(
+    return sig_df.select(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")
     ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
+def _lsh_band_groups(
+    sig_df: DataFrame, id_col: str, bands: int, rows_per_band: int
+) -> DataFrame:
+    """Shared band-bucket grouping: (band, bucket, ids sorted).  One
+    shuffle on the (band, bucket) key; the id list per bucket is the
+    only state carried."""
+    buckets = band_buckets(sig_df, id_col, bands, rows_per_band)
     ids = F.sort_array(F.collect_list(id_col))
     return buckets.groupBy("band", "bucket").agg(ids.alias("ids"))
 

@@ -89,3 +89,192 @@ def update_dedup_store(
         .partitionBy("batch")
         .parquet(store_path)
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental NEAR-dedup against a persisted MinHash signature store
+# ---------------------------------------------------------------------------
+# The near-dup twin of the content-hash store above: each crawl batch
+# is near-dedup'd against everything already ingested without ever
+# touching the standing corpus TEXT.  The store carries k=8 signature
+# longs + id per document (~80 bytes/doc — a 100 TB corpus's store is
+# tens of GB), partitioned by batch with the same append/replay
+# contract as the exact store.
+#
+# Probe plan (all sizes relative to the BATCH, never the corpus):
+#   1. batch signatures  — map-only (minhash_signatures_from_text)
+#   2. store probe       — both sides banded map-side (band_buckets),
+#                          ONE equi-join on the uniform (band, bucket)
+#                          key; candidate pairs carry ids only
+#   3. verification      — signature-estimated Jaccard (agreeing
+#                          components / k): two id-joins against the
+#                          k-long signatures, no shingle fan-out
+#   4. in-batch dedup    — lsh_candidate_pairs within the batch, same
+#                          estimator, exists-earlier drop rule
+#
+# Drop rule: a batch document is dropped iff a verified match exists in
+# the store, or a verified in-batch partner with a SMALLER id exists.
+# The in-batch rule is greedy non-transitive (the partner may itself be
+# store-dropped) — deterministic, order-free, and conservative in the
+# right direction for a dedup: near-dup chains collapse to their
+# earliest member.  Documents with fewer than n tokens have no
+# signature and trivially survive.
+
+from .dedup import (  # noqa: E402  (section-local imports, see header)
+    MINHASH_COEFFS,
+    band_buckets,
+    estimated_jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_signatures_from_text,
+)
+
+NEARDUP_K = len(MINHASH_COEFFS)
+_SIG_COLS = ", ".join(f"mh_{j} bigint" for j in range(NEARDUP_K))
+_NEARDUP_STORE_SCHEMA = f"doc_id bigint, {_SIG_COLS}, batch string"
+
+
+def read_neardup_store(spark: SparkSession, store_path: str) -> DataFrame:
+    """The persisted signature rows (doc_id, mh_0..mh_k-1, batch); an
+    empty typed frame when no store exists yet (first ingest)."""
+    try:
+        return spark.read.schema(_NEARDUP_STORE_SCHEMA).parquet(store_path)
+    except Exception:
+        return spark.createDataFrame([], _NEARDUP_STORE_SCHEMA)
+
+
+def _neardup_drops(
+    sig_new: DataFrame,
+    store_sigs: DataFrame,
+    bands: int,
+    rows_per_band: int,
+    threshold: float,
+    in_batch: bool,
+) -> DataFrame:
+    """(doc_id, reason, matched_id, est_jaccard) rows for every
+    verified match of a batch document; a document may carry several
+    rows (one per matched partner)."""
+    k = NEARDUP_K
+    agree = sum(
+        F.when(F.col(f"a_mh_{j}") == F.col(f"b_mh_{j}"), 1).otherwise(0)
+        for j in range(k)
+    )
+    a_sig = sig_new.select(
+        F.col("doc_id"),
+        *[F.col(f"mh_{j}").alias(f"a_mh_{j}") for j in range(k)],
+    )
+    b_sig = store_sigs.select(
+        F.col("doc_id").alias("matched_id"),
+        *[F.col(f"mh_{j}").alias(f"b_mh_{j}") for j in range(k)],
+    )
+    new_b = band_buckets(sig_new, "doc_id", bands, rows_per_band)
+    store_b = band_buckets(
+        store_sigs.select("doc_id", *[f"mh_{j}" for j in range(k)]),
+        "doc_id", bands, rows_per_band,
+    ).withColumnRenamed("doc_id", "matched_id")
+    store_cand = (
+        new_b.join(store_b, ["band", "bucket"])
+        .select("doc_id", "matched_id")
+        .distinct()
+    )
+    store_drops = (
+        store_cand.join(a_sig, "doc_id")
+        .join(b_sig, "matched_id")
+        .withColumn("est_jaccard", agree.cast("double") / F.lit(float(k)))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select(
+            "doc_id", F.lit("store").alias("reason"),
+            "matched_id", "est_jaccard",
+        )
+    )
+    if not in_batch:
+        return store_drops
+    cand = lsh_candidate_pairs(
+        sig_new, bands=bands, rows_per_band=rows_per_band
+    )
+    batch_drops = (
+        estimated_jaccard_pairs(sig_new, cand)
+        .filter(F.col("est_jaccard") >= threshold)
+        .select(
+            F.col("id_b").alias("doc_id"),  # id_a < id_b: earlier wins
+            F.lit("batch").alias("reason"),
+            F.col("id_a").alias("matched_id"),
+            "est_jaccard",
+        )
+    )
+    return store_drops.unionByName(batch_drops)
+
+
+def neardup_batch_drops(
+    new_docs: DataFrame,
+    store_sigs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    bands: int = 4,
+    rows_per_band: int = 2,
+    threshold: float = 0.5,
+    in_batch: bool = True,
+) -> DataFrame:
+    """Accounting view: every verified (batch doc, matched partner)
+    with its estimated Jaccard — what a production ingest should log
+    next to the survivor count.  ``store_sigs`` is a signature frame
+    (from ``read_neardup_store`` or built in-line for tests)."""
+    sig_new = minhash_signatures_from_text(
+        new_docs.select(F.col(id_col).alias("doc_id"), F.col(text_col)),
+        text_col=text_col, id_col="doc_id", n=n,
+    )
+    return _neardup_drops(
+        sig_new, store_sigs, bands, rows_per_band, threshold, in_batch
+    ).withColumnRenamed("doc_id", id_col)
+
+
+def neardup_filter_batch(
+    new_docs: DataFrame,
+    store_sigs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    bands: int = 4,
+    rows_per_band: int = 2,
+    threshold: float = 0.5,
+    in_batch: bool = True,
+) -> DataFrame:
+    """The batch's surviving documents: every input column plus the
+    signature columns mh_0..mh_k-1 (NULL for sub-n-token documents),
+    ready for ``update_neardup_store``."""
+    sig_new = minhash_signatures_from_text(
+        new_docs.select(F.col(id_col).alias("doc_id"), F.col(text_col)),
+        text_col=text_col, id_col="doc_id", n=n,
+    )
+    drops = _neardup_drops(
+        sig_new, store_sigs, bands, rows_per_band, threshold, in_batch
+    ).select(F.col("doc_id").alias(id_col)).distinct()
+    return new_docs.join(drops, id_col, "left_anti").join(
+        sig_new.withColumnRenamed("doc_id", id_col), id_col, "left"
+    )
+
+
+def update_neardup_store(
+    spark: SparkSession,
+    survivors: DataFrame,
+    store_path: str,
+    batch: str,
+    id_col: str = "doc_id",
+) -> None:
+    """Append the batch survivors' signatures as one store partition
+    (dynamic partition overwrite — replaying a batch id rewrites only
+    its own partition, same idempotence contract as the exact store).
+    Signature-less rows (sub-n-token docs) are skipped: they can never
+    be near-dup matches."""
+    (
+        survivors.select(
+            F.col(id_col).cast("bigint").alias("doc_id"),
+            *[f"mh_{j}" for j in range(NEARDUP_K)],
+        )
+        .filter(F.col("mh_0").isNotNull())
+        .withColumn("batch", F.lit(batch))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch")
+        .parquet(store_path)
+    )

@@ -159,6 +159,11 @@ _TAIL = [
                                   # stage-1 exact dedup hash-pinned in
                                   # its ids_md5) + llm_text_features
                                   # (head: corpus stats)
+    "llm_incremental_neardup",  # cross-batch near-dedup vs the MinHash
+                                # signature store — LSH/estimate family
+                                # → llm_jaccard_verify + llm_dedup_
+                                # clusters (head); store lifecycle is
+                                # pytest (test_incremental.py)
     "u2_j1_outer_dropna",    # J1 full-outer → j1_pivot_sources (head,
                              # the idiomatic pivot form) and the
                              # full-outer JOIN shape → k12_distribution_

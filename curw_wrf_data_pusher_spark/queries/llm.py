@@ -2313,3 +2313,86 @@ def llm_pq_lloyd_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, emb.filter(F.col("vec_id") < 10),
         m=_PQ_M, k_sub=_PQ_KSUB, k=_PQ_K, books=books,
     )
+
+
+# Incremental near-dedup: a new crawl batch (doc_id % 4 == 0) probed
+# against the already-ingested corpus's persisted MinHash signature
+# store (doc_id % 4 != 0) — llmops/incremental.py's near-dup twin of
+# the exact content-hash store, hermetic here by deriving the store
+# signatures in-query.  Output: one row per verified (batch doc,
+# matched partner) with reason 'store' (cross-batch match) or 'batch'
+# (in-batch exists-earlier match), plus a 'survivor' row per batch doc
+# with no verified match.  est_jaccard = agreeing components / 8 —
+# exact eighths, no cross-engine float hazard.
+@register(
+    "llm_incremental_neardup",
+    oracle=f"""
+    {_SHINGLE_CTE},
+    hashed AS (
+      SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS x
+      FROM sh
+    ),
+    sig AS (
+      SELECT doc_id, {_MH_TERMS}
+      FROM hashed GROUP BY doc_id
+    ),
+    buckets AS ({_BAND_BUCKETS}),
+    nb AS (SELECT * FROM buckets WHERE doc_id % 4 = 0),
+    sb AS (SELECT * FROM buckets WHERE doc_id % 4 <> 0),
+    store_cand AS (
+      SELECT DISTINCT n.doc_id, s.doc_id AS matched_id
+      FROM nb n JOIN sb s ON n.band = s.band AND n.bucket = s.bucket
+    ),
+    store_drops AS (
+      SELECT c.doc_id, 'store' AS reason, c.matched_id,
+             CAST({_MH_AGREE} AS DOUBLE) / 8.0 AS est_jaccard
+      FROM store_cand c
+      JOIN sig a ON a.doc_id = c.doc_id
+      JOIN sig b ON b.doc_id = c.matched_id
+      WHERE CAST({_MH_AGREE} AS DOUBLE) / 8.0 >= 0.5
+    ),
+    batch_cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM nb a JOIN nb b
+        ON a.band = b.band AND a.bucket = b.bucket
+       AND a.doc_id < b.doc_id
+    ),
+    batch_drops AS (
+      SELECT c.id_b AS doc_id, 'batch' AS reason, c.id_a AS matched_id,
+             CAST({_MH_AGREE} AS DOUBLE) / 8.0 AS est_jaccard
+      FROM batch_cand c
+      JOIN sig a ON a.doc_id = c.id_a
+      JOIN sig b ON b.doc_id = c.id_b
+      WHERE CAST({_MH_AGREE} AS DOUBLE) / 8.0 >= 0.5
+    ),
+    drops AS (
+      SELECT * FROM store_drops UNION ALL SELECT * FROM batch_drops
+    )
+    SELECT doc_id, reason, matched_id, est_jaccard FROM drops
+    UNION ALL
+    SELECT d.doc_id, 'survivor' AS reason,
+           CAST(NULL AS BIGINT) AS matched_id,
+           CAST(NULL AS DOUBLE) AS est_jaccard
+    FROM documents d
+    WHERE d.doc_id % 4 = 0
+      AND d.doc_id NOT IN (SELECT doc_id FROM drops)
+    """,
+)
+def llm_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llmops.incremental import neardup_batch_drops
+    from ..sources.lake import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    batch = docs.filter(F.col("doc_id") % 4 == 0)
+    corpus = docs.filter(F.col("doc_id") % 4 != 0)
+    store_sigs = minhash_signatures_from_text(corpus)
+    drops = neardup_batch_drops(batch, store_sigs, threshold=0.5)
+    survivors = batch.join(
+        drops.select("doc_id").distinct(), "doc_id", "left_anti"
+    ).select(
+        "doc_id",
+        F.lit("survivor").alias("reason"),
+        F.lit(None).cast("bigint").alias("matched_id"),
+        F.lit(None).cast("double").alias("est_jaccard"),
+    )
+    return drops.unionByName(survivors)

@@ -60,3 +60,81 @@ def test_update_store_without_hash_column(spark, tmp_path):
     s = dedup_against_store(spark, _batch(spark, [(3, "x"), (4, "z")]),
                             store)
     assert [r.doc_id for r in s.collect()] == [4]
+
+
+# --- near-dup signature store ------------------------------------------
+
+from curw_wrf_data_pusher_spark.llmops.incremental import (  # noqa: E402
+    neardup_batch_drops,
+    neardup_filter_batch,
+    read_neardup_store,
+    update_neardup_store,
+)
+
+_TEMPLATE = ("the quick brown fox jumps over the lazy dog near the old "
+             "river bank every single morning before sunrise")
+_NOVEL = ("completely different content about distributed query engines "
+          "and columnar storage formats with vectorized execution")
+
+
+def _mutate(text, i):
+    words = text.split()
+    words[i] = f"tok{i}"
+    return " ".join(words)
+
+
+def test_neardup_store_lifecycle(spark, tmp_path):
+    store = str(tmp_path / "ndstore")
+
+    # first ingest against an empty store: in-batch near-dups collapse
+    b1 = _batch(spark, [(1, _TEMPLATE), (2, _mutate(_TEMPLATE, 3)),
+                        (3, _NOVEL)])
+    s1 = neardup_filter_batch(b1, read_neardup_store(spark, store))
+    ids1 = sorted(r.doc_id for r in s1.collect())
+    assert 1 in ids1 and 3 in ids1          # earliest template + novel
+    assert 2 not in ids1                    # in-batch near-dup of 1
+    update_neardup_store(spark, s1, store, batch="b1")
+    assert read_neardup_store(spark, store).count() == len(ids1)
+
+    # second batch: near-copy of stored template dies with reason
+    # 'store'; fresh doc survives; sub-n-token doc trivially survives
+    b2 = _batch(spark, [(10, _mutate(_TEMPLATE, 7)),
+                        (11, "short text"),
+                        (12, "an entirely new subject covering spectral "
+                             "graph partitioning and network flows")])
+    drops = neardup_batch_drops(b2, read_neardup_store(spark, store))
+    d = {(r.doc_id, r.reason, r.matched_id) for r in drops.collect()}
+    assert (10, "store", 1) in d
+    assert all(doc != 11 and doc != 12 for doc, _, _ in d)
+
+    s2 = neardup_filter_batch(b2, read_neardup_store(spark, store))
+    ids2 = sorted(r.doc_id for r in s2.collect())
+    assert ids2 == [11, 12]
+    # signature columns ride along; the sub-n-token doc's are NULL
+    rows = {r.doc_id: r.mh_0 for r in s2.collect()}
+    assert rows[11] is None and rows[12] is not None
+
+    # store update skips the signature-less survivor
+    update_neardup_store(spark, s2, store, batch="b2")
+    before = read_neardup_store(spark, store).count()
+    assert read_neardup_store(spark, store).filter(
+        "batch = 'b2'"
+    ).count() == 1
+
+    # replay of b2 is idempotent (dynamic overwrite of its partition)
+    update_neardup_store(spark, s2, store, batch="b2")
+    assert read_neardup_store(spark, store).count() == before
+
+
+def test_neardup_filter_and_drops_are_consistent(spark, tmp_path):
+    store_sigs = read_neardup_store(spark, str(tmp_path / "none"))
+    batch = _batch(spark, [
+        (i, _mutate(_TEMPLATE, i % 5)) for i in range(6)
+    ] + [(100, _NOVEL)])
+    survivors = {r.doc_id for r in
+                 neardup_filter_batch(batch, store_sigs).collect()}
+    dropped = {r.doc_id for r in
+               neardup_batch_drops(batch, store_sigs).collect()}
+    assert survivors & dropped == set()
+    assert survivors | dropped == {0, 1, 2, 3, 4, 5, 100}
+    assert 0 in survivors and 100 in survivors  # earliest + novel
