@@ -21,8 +21,9 @@ batch-keyed like the dedup store's commits)."""
 from __future__ import annotations
 
 import os
+from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 from pyspark.sql.types import StructType
@@ -46,6 +47,8 @@ def stream_quality_monitor(
     max_null_frac: float = 0.0,
     k: int = 10,
     available_now: bool = True,
+    rules: Sequence[tuple[str, Column]] | None = None,
+    max_violation_frac: float = 0.0,
 ) -> StreamingQuery:
     """Watch ``watch_dir`` for parquet drops; per micro-batch compute
     the null fraction of ``value_col`` and its drift (chi², TVD on
@@ -62,7 +65,17 @@ def stream_quality_monitor(
 
     The reference should be a bounded sample (it participates in
     every batch's percentile aggregation); freeze it with
-    ``localCheckpoint`` or persist it to parquet once."""
+    ``localCheckpoint`` or persist it to parquet once.
+
+    ``rules`` are declarative per-row expectations — the batch
+    ``check_expectations`` rule list ((name, boolean Column) pairs,
+    NULL counting as a violation).  A batch passes the rule gate only
+    when EVERY rule's violation fraction is ≤ ``max_violation_frac``;
+    a failing rule quarantines the batch exactly like drift does, and
+    the metrics row carries (n_rule_violations, rules_passed) so the
+    dashboard can tell a schema/contract break from a distribution
+    shift.  All rules fold into ONE aggregate over one batch scan."""
+    from ..operators.expectations import check_expectations
     from ..operators.profile import distribution_drift
 
     arrivals = spark.readStream.schema(schema).parquet(watch_dir)
@@ -86,10 +99,20 @@ def stream_quality_monitor(
         # gate exists for): treat it as FAILED so the batch
         # quarantines and still emits its metrics row, rather than
         # crashing the stream on a None comparison
+        rules_passed = True
+        n_rule_violations = 0
+        if rules:
+            res = check_expectations(batch_df, list(rules)).collect()
+            n_rule_violations = int(sum(r.n_violations for r in res))
+            rules_passed = all(
+                r.n_violations <= max_violation_frac * r.n_rows
+                for r in res
+            )
         passed = (
             tvd is not None
             and tvd <= max_tvd
             and null_frac <= max_null_frac
+            and rules_passed
         )
         target = out_dir if passed else quarantine_dir
         batch_df.write.mode("overwrite").parquet(
@@ -98,9 +121,11 @@ def stream_quality_monitor(
         spark.createDataFrame(
             [(batch_id, n_rows, float(null_frac),
               None if chi2 is None else float(chi2),
-              None if tvd is None else float(tvd), passed)],
+              None if tvd is None else float(tvd),
+              n_rule_violations, rules_passed, passed)],
             "batch_id long, n_rows long, null_frac double, "
-            "chi2 double, tvd double, passed boolean",
+            "chi2 double, tvd double, n_rule_violations long, "
+            "rules_passed boolean, passed boolean",
         ).write.mode("overwrite").parquet(_batch_dir(metrics_dir, batch_id))
 
     writer = arrivals.writeStream.foreachBatch(_gate).option(

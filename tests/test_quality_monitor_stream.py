@@ -129,3 +129,55 @@ def test_quality_monitor_quarantines_all_null_batch(spark, tmp_path):
     m = spark.read.parquet(d["metrics"]).collect()
     assert len(m) == 1 and not m[0].passed
     assert m[0].tvd is None and m[0].null_frac == 1.0
+
+
+def test_quality_monitor_expectation_rules_gate(spark, tmp_path):
+    d = _dirs(tmp_path)
+    ref = _reference(spark)
+    rules = [
+        ("v_in_range", F.col("v").between(0, 200)),
+        ("id_positive", F.col("id") >= 0),
+    ]
+
+    # batch 0: in-distribution AND rule-clean → clean dir
+    _drop(spark, d["incoming"], [(i, float(i % 100)) for i in range(200)])
+    q = stream_quality_monitor(
+        spark, d["incoming"], ref, "v", d["clean"], d["quarantine"],
+        d["metrics"], d["ckpt"], SCHEMA, max_tvd=0.3, rules=rules,
+    )
+    q.awaitTermination(120)
+
+    # batch 1: distribution still fine (same shape) but two rows break
+    # the id_positive rule → quarantined by the RULE gate alone
+    rows = [(1000 + i, float(i % 100)) for i in range(198)]
+    rows += [(-1, 50.0), (-2, 60.0)]
+    _drop(spark, d["incoming"], rows)
+    q = stream_quality_monitor(
+        spark, d["incoming"], ref, "v", d["clean"], d["quarantine"],
+        d["metrics"], d["ckpt"], SCHEMA, max_tvd=0.3, rules=rules,
+    )
+    q.awaitTermination(120)
+
+    clean = spark.read.parquet(d["clean"])
+    quar = spark.read.parquet(d["quarantine"])
+    assert clean.count() == 200 and quar.count() == 200
+
+    m = {r.batch_id: r for r in spark.read.parquet(d["metrics"]).collect()}
+    ok = [r for r in m.values() if r.passed][0]
+    bad = [r for r in m.values() if not r.passed][0]
+    assert ok.n_rule_violations == 0 and ok.rules_passed
+    assert bad.n_rule_violations == 2 and not bad.rules_passed
+    # the drift gate itself did NOT fire — rule break is the only cause
+    assert bad.tvd is not None and bad.tvd <= 0.3
+    # tolerance: the same 1% violation rate passes at a loose threshold
+    d2 = {n: str(tmp_path / ("t2_" + n))
+          for n in ("incoming", "clean", "quarantine", "metrics", "ckpt")}
+    os.makedirs(d2["incoming"])
+    _drop(spark, d2["incoming"], rows)
+    q = stream_quality_monitor(
+        spark, d2["incoming"], ref, "v", d2["clean"], d2["quarantine"],
+        d2["metrics"], d2["ckpt"], SCHEMA, max_tvd=0.3, rules=rules,
+        max_violation_frac=0.05,
+    )
+    q.awaitTermination(120)
+    assert spark.read.parquet(d2["clean"]).count() == 200
