@@ -149,6 +149,7 @@ def _neardup_drops(
     rows_per_band: int,
     threshold: float,
     in_batch: bool,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """(doc_id, reason, matched_id, est_jaccard) rows for every
     verified match of a batch document; a document may carry several
@@ -171,6 +172,20 @@ def _neardup_drops(
         store_sigs.select("doc_id", *[f"mh_{j}" for j in range(k)]),
         "doc_id", bands, rows_per_band,
     ).withColumnRenamed("doc_id", "matched_id")
+    if max_bucket_size is not None:
+        # hot-bucket cap: a boilerplate/template bucket with 10^5 store
+        # members would fan every probing batch doc out 10^5× — the
+        # same skew lsh_candidate_pairs caps.  Degree is counted over
+        # one extra pass of the (small) bucket frame; dropped buckets
+        # are reportable via neardup_hot_store_buckets.
+        degree = store_b.groupBy("band", "bucket").agg(
+            F.count("*").alias("__deg")
+        )
+        store_b = (
+            store_b.join(degree, ["band", "bucket"])
+            .filter(F.col("__deg") <= max_bucket_size)
+            .drop("__deg")
+        )
     store_cand = (
         new_b.join(store_b, ["band", "bucket"])
         .select("doc_id", "matched_id")
@@ -204,6 +219,26 @@ def _neardup_drops(
     return store_drops.unionByName(batch_drops)
 
 
+def neardup_hot_store_buckets(
+    store_sigs: DataFrame,
+    bands: int = 4,
+    rows_per_band: int = 2,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Accounting companion to ``max_bucket_size``: the store buckets a
+    capped probe ignores, as (band, bucket, n_members).  Empty when no
+    cap is set.  Log its count next to the drop metrics — a growing
+    hot-bucket population means template content that belongs in the
+    EXACT dedup store, not the near-dup probe."""
+    grouped = band_buckets(
+        store_sigs.select("doc_id", *[f"mh_{j}" for j in range(NEARDUP_K)]),
+        "doc_id", bands, rows_per_band,
+    ).groupBy("band", "bucket").agg(F.count("*").alias("n_members"))
+    if max_bucket_size is None:
+        return grouped.filter(F.lit(False))
+    return grouped.filter(F.col("n_members") > max_bucket_size)
+
+
 def neardup_batch_drops(
     new_docs: DataFrame,
     store_sigs: DataFrame,
@@ -214,6 +249,7 @@ def neardup_batch_drops(
     rows_per_band: int = 2,
     threshold: float = 0.5,
     in_batch: bool = True,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Accounting view: every verified (batch doc, matched partner)
     with its estimated Jaccard — what a production ingest should log
@@ -224,7 +260,8 @@ def neardup_batch_drops(
         text_col=text_col, id_col="doc_id", n=n,
     )
     return _neardup_drops(
-        sig_new, store_sigs, bands, rows_per_band, threshold, in_batch
+        sig_new, store_sigs, bands, rows_per_band, threshold, in_batch,
+        max_bucket_size,
     ).withColumnRenamed("doc_id", id_col)
 
 
@@ -238,6 +275,7 @@ def neardup_filter_batch(
     rows_per_band: int = 2,
     threshold: float = 0.5,
     in_batch: bool = True,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """The batch's surviving documents: every input column plus the
     signature columns mh_0..mh_k-1 (NULL for sub-n-token documents),
@@ -247,7 +285,8 @@ def neardup_filter_batch(
         text_col=text_col, id_col="doc_id", n=n,
     )
     drops = _neardup_drops(
-        sig_new, store_sigs, bands, rows_per_band, threshold, in_batch
+        sig_new, store_sigs, bands, rows_per_band, threshold, in_batch,
+        max_bucket_size,
     ).select(F.col("doc_id").alias(id_col)).distinct()
     return new_docs.join(drops, id_col, "left_anti").join(
         sig_new.withColumnRenamed("doc_id", id_col), id_col, "left"

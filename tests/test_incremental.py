@@ -138,3 +138,39 @@ def test_neardup_filter_and_drops_are_consistent(spark, tmp_path):
     assert survivors & dropped == set()
     assert survivors | dropped == {0, 1, 2, 3, 4, 5, 100}
     assert 0 in survivors and 100 in survivors  # earliest + novel
+
+
+def test_neardup_hot_bucket_cap(spark, tmp_path):
+    # store = 30 near-identical template docs (a hot bucket family) +
+    # one distinct doc; probing with a cap skips the template family
+    store_docs = _batch(spark, [
+        (i, _mutate(_TEMPLATE, i % 3)) for i in range(30)
+    ] + [(500, _NOVEL)])
+    from curw_wrf_data_pusher_spark.llmops.dedup import (
+        minhash_signatures_from_text,
+    )
+    from curw_wrf_data_pusher_spark.llmops.incremental import (
+        neardup_hot_store_buckets,
+    )
+    store_sigs = minhash_signatures_from_text(store_docs)
+
+    batch = _batch(spark, [(1000, _mutate(_TEMPLATE, 1)),
+                           (1001, _mutate(_NOVEL, 2))])
+    uncapped = neardup_batch_drops(batch, store_sigs, in_batch=False)
+    capped = neardup_batch_drops(
+        batch, store_sigs, in_batch=False, max_bucket_size=5
+    )
+    un = {(r.doc_id, r.matched_id) for r in uncapped.collect()}
+    cp = {(r.doc_id, r.matched_id) for r in capped.collect()}
+    assert cp <= un                      # cap only removes matches
+    # the template match set shrinks; the novel match (small bucket,
+    # cluster of 1) survives the cap
+    assert any(d == 1001 for d, _ in cp)
+    assert len([1 for d, _ in un if d == 1000]) > \
+        len([1 for d, _ in cp if d == 1000])
+
+    hot = neardup_hot_store_buckets(store_sigs, max_bucket_size=5)
+    assert hot.count() > 0
+    assert hot.agg({"n_members": "max"}).collect()[0][0] >= 6
+    # no cap → empty accounting frame
+    assert neardup_hot_store_buckets(store_sigs).count() == 0
