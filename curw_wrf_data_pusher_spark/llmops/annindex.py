@@ -23,7 +23,9 @@ by tests/test_annindex.py).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .simsearch import _dot, _nearest_centroid_expr, _norm, ivf_centroids
@@ -155,15 +157,22 @@ def build_pq_index(
     vec_col: str = "embedding",
     score_scale: int = 9,
     refine_iterations: int = 0,
+    extra_cols: Sequence[str] = (),
 ) -> list[list[list[float]]]:
     """Encode the corpus once and persist:
 
-    ``<path>/codes``      (id, code_0 … code_{m−1}) parquet
+    ``<path>/codes``      (id, code_0 … code_{m−1} [, extra…]) parquet
     ``<path>/codebooks``  (s, c, centroid array<double>) — m·k_sub rows
 
     ``refine_iterations`` > 0 runs Lloyd refinement on the seed
     codebooks before encoding (better recall, loses SQL-oracle
-    reproducibility — see pq.refine_codebooks)."""
+    reproducibility — see pq.refine_codebooks).
+
+    ``extra_cols`` persists metadata columns (label, source, date…)
+    alongside each row's codes, enabling FILTERED serving: a
+    ``codes_filter`` at :func:`search_pq_index` then pushes into the
+    codes parquet scan itself, so a selective predicate prunes I/O and
+    ADC work before any distance math."""
     from .pq import pq_codebooks, pq_encode_arrow, refine_codebooks
 
     spark = corpus.sparkSession
@@ -173,9 +182,12 @@ def build_pq_index(
             corpus, books, n_iters=refine_iterations,
             id_col=id_col, vec_col=vec_col, score_scale=score_scale,
         )
-    pq_encode_arrow(
-        corpus, books, id_col, vec_col, score_scale
-    ).write.mode("overwrite").parquet(f"{path}/codes")
+    codes = pq_encode_arrow(corpus, books, id_col, vec_col, score_scale)
+    if extra_cols:
+        codes = codes.join(
+            corpus.select(id_col, *extra_cols), id_col
+        )
+    codes.write.mode("overwrite").parquet(f"{path}/codes")
     spark.createDataFrame(
         [
             (s, c, books[s][c])
@@ -208,15 +220,24 @@ def search_pq_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     score_scale: int = 9,
+    codes_filter: Column | str | None = None,
 ) -> DataFrame:
     """ADC top-k against the persisted codes — (q_id, n_id, rank,
     adc), identical to ``pq_topk`` with the same codebooks.  The scan
     reads only the m-int codes table; the exact query side broadcasts
-    its per-subspace distance tables as in pq_topk."""
+    its per-subspace distance tables as in pq_topk.
+
+    ``codes_filter`` (over the codes table's columns — persist
+    metadata via build_pq_index(extra_cols=…)) gives filter-then-rank
+    semantics and is applied DIRECTLY on the parquet read, so Spark
+    pushes it into the scan (plan-gated: PushedFilters) — the filtered
+    serving path reads only matching row groups."""
     from .pq import adc_topk_over_codes
 
     books = load_pq_codebooks(spark, path)
     codes = spark.read.parquet(f"{path}/codes")
+    if codes_filter is not None:
+        codes = codes.filter(codes_filter)
     return adc_topk_over_codes(
         codes, queries, books, k=k, id_col=id_col, vec_col=vec_col,
         score_scale=score_scale,

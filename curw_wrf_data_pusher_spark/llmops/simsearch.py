@@ -39,15 +39,26 @@ def cosine_topk(
     vec_col: str = "embedding",
     k: int = 5,
     score_scale: int = 9,
+    corpus_filter: Column | str | None = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbours of each query vector.
 
     Returns (q_id, n_id, rank, cos).  Ranking uses the score rounded to
     ``score_scale`` decimals with an id tie-break so results are
     deterministic.  The (small) query side is broadcast: the plan is a
-    single pass over the corpus, no shuffle of corpus vectors."""
+    single pass over the corpus, no shuffle of corpus vectors.
+
+    ``corpus_filter`` (a Column or SQL string over the corpus frame's
+    columns) restricts the NEIGHBOR side before scoring —
+    filter-then-rank semantics, the standard contract of filtered
+    vector search: every query gets its k best neighbors among the
+    rows satisfying the predicate.  The predicate lands in the corpus
+    scan (pushed to the reader for source columns), so a selective
+    filter cuts the dot-product work proportionally."""
     from ..sources.lake import spread
 
+    if corpus_filter is not None:
+        corpus = corpus.filter(corpus_filter)
     q = queries.select(
         F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
     ).withColumn("q_norm", _norm(F.col("q_vec")))
@@ -191,6 +202,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     refine_iterations: int = 0,
+    corpus_filter: Column | str | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: corpus vectors are
     assigned to their nearest centroid; each query probes only the
@@ -207,6 +219,15 @@ def ivf_topk(
     scanned once, shuffled once on centroid id.  Search cost drops
     from |Q|×|C| to |Q| × (n_probe/n_centroids) × |C| on average.
 
+    ``corpus_filter`` restricts the CANDIDATE side at the list scan —
+    the index (centroids) stays full-corpus, matching the production
+    shape where one shared index serves many filtered queries.  With
+    ``n_probe == n_centroids`` the filtered search is exactly
+    ``cosine_topk(corpus_filter=...)``; at lower n_probe the usual
+    IVF recall trade-off applies within the filtered set.  Highly
+    selective filters deserve a larger n_probe (fewer candidates per
+    probed list).
+
     Returns (q_id, n_id, rank, cos)."""
     from ..sources.lake import spread
 
@@ -215,6 +236,8 @@ def ivf_topk(
         refine_iterations=refine_iterations,
     )
 
+    if corpus_filter is not None:
+        corpus = corpus.filter(corpus_filter)
     c = spread(corpus.select(
         F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec")
     )).withColumn(

@@ -159,6 +159,9 @@ _TAIL = [
                                   # stage-1 exact dedup hash-pinned in
                                   # its ids_md5) + llm_text_features
                                   # (head: corpus stats)
+    "llm_filtered_ann",      # filter-then-rank vector search (exact +
+                             # probe-all IVF coincidence) — ANN family
+                             # → llm_ivf_topk + llm_pq_topk (head)
     "llm_incremental_neardup",  # cross-batch near-dedup vs the MinHash
                                 # signature store — LSH/estimate family
                                 # → llm_jaccard_verify + llm_dedup_

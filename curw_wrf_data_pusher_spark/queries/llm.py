@@ -2396,3 +2396,53 @@ def llm_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("double").alias("est_jaccard"),
     )
     return drops.unionByName(survivors)
+
+
+# Filtered vector search: top-k among neighbors satisfying a metadata
+# predicate (label = 1) — filter-then-rank, the standard contract of
+# production vector stores.  Compound row pinning BOTH paths: the
+# exact filtered scan and the shared-index IVF with every list probed
+# (n_probe == n_centroids), which must coincide with the exact result
+# by construction — the oracle emits the same exact rows under both op
+# tags, so any divergence between the two Spark paths hash-fails.
+@register(
+    "llm_filtered_ann",
+    oracle="""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e, label
+               FROM embeddings),
+    n AS (SELECT vec_id, e, label,
+                 sqrt(list_inner_product(e, e)) AS nrm FROM v),
+    q AS (SELECT vec_id AS q_id, e AS q_e, nrm AS q_norm
+          FROM n WHERE vec_id < 10),
+    scored AS (
+      SELECT q_id, n_id, cos,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY cos DESC, n_id) AS rank
+      FROM (
+        SELECT q_id, c.vec_id AS n_id,
+               round(list_inner_product(q_e, c.e) / (q_norm * c.nrm), 9)
+                 AS cos
+        FROM q, n c WHERE c.vec_id <> q_id AND c.label = 1
+      )
+    ),
+    topk AS (SELECT q_id, n_id, rank, cos FROM scored WHERE rank <= 5)
+    SELECT 'exact' AS op, q_id, n_id, rank, cos FROM topk
+    UNION ALL
+    SELECT 'ivf_probe_all' AS op, q_id, n_id, rank, cos FROM topk
+    """,
+)
+def llm_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llmops.simsearch import cosine_topk, ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = cosine_topk(
+        emb, queries, k=5, corpus_filter=F.col("label") == 1
+    ).select(F.lit("exact").alias("op"), "q_id", "n_id", "rank", "cos")
+    ivf = ivf_topk(
+        emb, queries, k=5, n_centroids=8, n_probe=8,
+        corpus_filter="label = 1",
+    ).select(
+        F.lit("ivf_probe_all").alias("op"), "q_id", "n_id", "rank", "cos"
+    )
+    return exact.unionByName(ivf)

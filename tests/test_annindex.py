@@ -124,3 +124,65 @@ def test_pq_index_with_lloyd_refinement(spark, sf_dir, tmp_path):
     out = search_pq_index(spark, path, queries, k=5).collect()
     assert len(out) == 15
     assert {r.q_id for r in out} == {0, 1, 2}
+
+
+def test_filtered_pq_index_serving_pushes_predicate(
+    spark, sf_dir, tmp_path
+):
+    """Filtered serving: metadata persisted with the codes via
+    extra_cols, a codes_filter at search time (a) equals ADC ranking
+    over only the matching rows and (b) reaches the codes parquet scan
+    as a pushed filter."""
+    from curw_wrf_data_pusher_spark.llmops.annindex import (
+        build_pq_index,
+        search_pq_index,
+    )
+    from curw_wrf_data_pusher_spark.llmops.pq import (
+        adc_topk_over_codes,
+        pq_encode_arrow,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    path = str(tmp_path / "pqf")
+    books = build_pq_index(emb, path, m=16, k_sub=32,
+                           extra_cols=["label"])
+
+    filtered = search_pq_index(
+        spark, path, queries, k=5, codes_filter=F.col("label") == 1
+    )
+    # semantic twin: ADC over the pre-filtered freshly-encoded corpus
+    want = sorted(map(tuple, adc_topk_over_codes(
+        pq_encode_arrow(emb.filter("label = 1"), books),
+        queries, books, k=5,
+    ).collect()))
+    got = sorted(map(tuple, filtered.collect()))
+    assert got == want and len(got) == 25
+
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(label), EqualTo(label,1)]" in plan \
+        or "EqualTo(label,1)" in plan, plan
+
+
+def test_filtered_ivf_probe_all_equals_filtered_exact(spark, sf_dir):
+    from curw_wrf_data_pusher_spark.llmops.simsearch import (
+        cosine_topk,
+        ivf_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = sorted(map(tuple, cosine_topk(
+        emb, queries, k=5, corpus_filter="label = 2").collect()))
+    probe_all = sorted(map(tuple, ivf_topk(
+        emb, queries, k=5, n_centroids=8, n_probe=8,
+        corpus_filter="label = 2").collect()))
+    assert exact == probe_all and len(exact) == 25
+    # fewer probes: still filter-respecting, ranks stay 1..k dense
+    few = ivf_topk(emb, queries, k=5, n_centroids=8, n_probe=2,
+                   corpus_filter="label = 2")
+    rows = few.collect()
+    assert all(r.rank <= 5 for r in rows)
+    ok = {r.vec_id for r in emb.filter("label = 2")
+          .select("vec_id").collect()}
+    assert all(r.n_id in ok for r in rows)
