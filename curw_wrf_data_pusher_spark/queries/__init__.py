@@ -159,6 +159,14 @@ _TAIL = [
                                   # stage-1 exact dedup hash-pinned in
                                   # its ids_md5) + llm_text_features
                                   # (head: corpus stats)
+    "q4_order_priority_check",  # correlated-inequality EXISTS → semi
+                                # join: semi-join family → llm_
+                                # contamination (head); join chains →
+                                # j2/j3/a1 (head)
+    "w15_range_frame",       # RANGE-frame sliding window — window
+                             # family → w5/w9/w1 heads (ROWS frame,
+                             # ordered sequences, lag); the RANGE frame
+                             # class itself is new, local-oracle-gated
     "llm_filtered_ann",      # filter-then-rank vector search (exact +
                              # probe-all IVF coincidence) — ANN family
                              # → llm_ivf_topk + llm_pq_topk (head)

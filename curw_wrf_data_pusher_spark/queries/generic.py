@@ -3049,3 +3049,112 @@ def p17_file_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = part if out is None else out.unionByName(part)
     return out
+
+
+# Q4 shape — correlated-inequality EXISTS decorrelated to a semi-join
+# (TPC-H Q4's "orders with any late lineitem", adapted to this
+# dataset's columns: a lineitem shipped more than 60 days after its
+# order date).  The optimizer lesson: the EXISTS subquery carries BOTH
+# an equi-key (orderkey) and a correlated inequality (shipdate vs
+# orderdate); Spark plans the left-semi join with the inequality as a
+# join residual — one shuffle pair, no per-row subquery execution.
+@register(
+    "q4_order_priority_check",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1995-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1995-04-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1995-04-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    late = o.join(
+        li,
+        (o["o_orderkey"] == li["l_orderkey"])
+        & (li["l_shipdate"]
+           > o["o_orderdate"] + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count("*").alias("order_count")
+    )
+
+
+# W15 — time-based sliding window via a RANGE frame: per user, the
+# trailing-hour count/sum/avg and the leading-hour count at every
+# event, WITHOUT resampling to a dense grid (the window key is the
+# event's own epoch second; Spark requires a numeric orderBy for
+# rangeBetween, so ts is projected to a long first).  The RANGE frame
+# is the one frame class no other registered row exercises (w5 = ROWS,
+# s10 = tumbling resample, w12 = sweep line).
+#
+# Float discipline: a 1-hour RANGE frame holds many rows and DuckDB
+# aggregates frames via segment trees — a DIFFERENT addition order
+# than Spark's running accumulation, so round(sum(double), 9) diverged
+# at sf0.1 representation boundaries (the first draft; caught by the
+# both-SF verify drive).  The sum therefore runs in exact centi-units:
+# floor(value*100) is bit-deterministic (one IEEE multiply + floor on
+# identical doubles), BIGINT sums are order-free, and the avg is ONE
+# division of two exact integers — bit-identical without any rounding.
+@register(
+    "w15_range_frame",
+    oracle="""
+    /* whole-second order key: Spark's unix_timestamp truncates
+       sub-second precision, DuckDB's epoch() keeps it — without the
+       floor, two events .06 s apart stop being RANGE peers */
+    WITH e AS (SELECT event_id, user_id, ts,
+                      CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+                      CAST(floor(value * 100) AS BIGINT) AS cents
+               FROM events)
+    SELECT event_id, user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS t,
+           count(*) OVER wb AS n_trail_1h,
+           CAST(sum(cents) OVER wb AS BIGINT) AS sum_trail_cents,
+           CAST(sum(cents) OVER wb AS DOUBLE) / (count(*) OVER wb)
+             AS avg_trail_cents,
+           count(*) OVER wf AS n_lead_1h
+    FROM e
+    WINDOW
+      wb AS (PARTITION BY user_id ORDER BY sec
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW),
+      wf AS (PARTITION BY user_id ORDER BY sec
+             RANGE BETWEEN CURRENT ROW AND 3600 FOLLOWING)
+    """,
+)
+def w15_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        spread(load_table(spark, sf_dir, "events"))
+        .withColumn("__sec", F.unix_timestamp("ts"))
+        .withColumn("cents", F.floor(F.col("value") * 100))
+    )
+    wb = (
+        Window.partitionBy("user_id").orderBy("__sec")
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id").orderBy("__sec")
+        .rangeBetween(Window.currentRow, 3600)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("t"),
+        F.count("*").over(wb).alias("n_trail_1h"),
+        F.sum("cents").over(wb).alias("sum_trail_cents"),
+        (
+            F.sum("cents").over(wb).cast("double")
+            / F.count("*").over(wb)
+        ).alias("avg_trail_cents"),
+        F.count("*").over(wf).alias("n_lead_1h"),
+    )

@@ -139,6 +139,8 @@ EXPECTED_TAIL = [
     "llm_pq_rerank",
     "k10_scd2_history",
     "llm_survivor_corpus_stats",
+    "q4_order_priority_check",
+    "w15_range_frame",
     "llm_filtered_ann",
     "llm_incremental_neardup",
     "u2_j1_outer_dropna",
