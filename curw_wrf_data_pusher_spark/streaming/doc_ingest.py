@@ -8,9 +8,12 @@ operators the offline pipeline uses — one code path to trust):
     arrivals → text_features (map-only quality/token stats)
              → dedup_against_store (in-batch fold + anti-join vs the
                persisted hash store)
+             → [optional] neardup_filter_batch (MinHash signature
+               store probe — cross-batch NEAR-dup survivors only)
              → append survivors to the curated corpus dir
-             → update_dedup_store (batch = micro-batch id; dynamic
-               partition overwrite makes redelivery idempotent)
+             → update_dedup_store (+ update_neardup_store) (batch =
+               micro-batch id; dynamic partition overwrite makes
+               redelivery idempotent)
 
 Exactly-once story: the streaming checkpoint guarantees each source
 file lands in exactly one micro-batch; within a batch the store
@@ -28,7 +31,13 @@ from pyspark.sql import SparkSession
 from pyspark.sql.streaming import StreamingQuery
 from pyspark.sql.types import StructType
 
-from ..llmops.incremental import dedup_against_store, update_dedup_store
+from ..llmops.incremental import (
+    dedup_against_store,
+    neardup_filter_batch,
+    read_neardup_store,
+    update_dedup_store,
+    update_neardup_store,
+)
 from ..llmops.textstats import text_features
 
 DOC_SCHEMA = (
@@ -45,12 +54,21 @@ def stream_ingest_documents(
     schema: StructType | str = DOC_SCHEMA,
     min_tokens: int | None = None,
     available_now: bool = True,
+    neardup_store_path: str | None = None,
+    neardup_threshold: float = 0.5,
+    neardup_max_bucket_size: int | None = None,
 ) -> StreamingQuery:
     """Watch ``watch_dir`` for parquet document drops; append deduped,
     featurized survivors to ``out_dir`` and their content hashes to
     the store.  ``min_tokens`` optionally drops too-short documents
     before they cost a store probe.  ``available_now=True`` processes
-    the backlog then stops (the cron-equivalent trigger)."""
+    the backlog then stops (the cron-equivalent trigger).
+
+    ``neardup_store_path`` additionally probes the persisted MinHash
+    signature store after the exact stage (exact goes first: it is
+    cheaper and removes byte-identical copies before any banding);
+    survivors' signatures commit to the same micro-batch partition id,
+    so the two stores advance in lockstep under replay."""
     arrivals = spark.readStream.schema(schema).parquet(watch_dir)
 
     def _ingest(batch_df, batch_id: int) -> None:
@@ -65,17 +83,29 @@ def stream_ingest_documents(
         )
         if min_tokens is not None:
             feats = feats.filter(feats.n_tokens >= min_tokens)
-        survivors = dedup_against_store(
-            spark, feats, store_path
-        ).localCheckpoint()
-        # corpus append first, store commit second: a crash between
+        survivors = dedup_against_store(spark, feats, store_path)
+        if neardup_store_path is not None:
+            survivors = neardup_filter_batch(
+                survivors,
+                read_neardup_store(spark, neardup_store_path),
+                threshold=neardup_threshold,
+                max_bucket_size=neardup_max_bucket_size,
+            )
+        survivors = survivors.localCheckpoint()
+        # corpus append first, store commits second: a crash between
         # them replays into the same batch partition (idempotent)
-        survivors.drop("content_hash").write.mode("append").parquet(
-            out_dir
-        )
+        sig_cols = [c for c in survivors.columns if c.startswith("mh_")]
+        survivors.drop("content_hash", *sig_cols).write.mode(
+            "append"
+        ).parquet(out_dir)
         update_dedup_store(
             spark, survivors, store_path, batch=f"b{batch_id:08d}"
         )
+        if neardup_store_path is not None:
+            update_neardup_store(
+                spark, survivors, neardup_store_path,
+                batch=f"b{batch_id:08d}",
+            )
 
     writer = arrivals.writeStream.foreachBatch(_ingest).option(
         "checkpointLocation", checkpoint_dir

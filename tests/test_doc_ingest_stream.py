@@ -74,3 +74,58 @@ def test_stream_ingest_min_tokens_filter(spark, tmp_path):
     q.awaitTermination(120)
     got = spark.read.parquet(str(tmp_path / "out2")).collect()
     assert [r.doc_id for r in got] == [2]
+
+
+def test_stream_ingest_with_neardup_store(spark, tmp_path):
+    from curw_wrf_data_pusher_spark.llmops.incremental import (
+        read_neardup_store,
+    )
+
+    watch = str(tmp_path / "incoming")
+    store = str(tmp_path / "store")
+    nd_store = str(tmp_path / "ndstore")
+    out = str(tmp_path / "curated")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(watch)
+
+    base = ("the quick brown fox jumps over the lazy dog near the old "
+            "river bank every single morning before sunrise")
+
+    def mut(i):
+        w = base.split(); w[i] = f"tok{i}"; return " ".join(w)
+
+    _drop(spark, watch, [
+        (1, base, "en", "web", len(base)),
+        (2, "a completely different document body here today",
+         "en", "web", 47),
+    ])
+    q = stream_ingest_documents(
+        spark, watch, store, out, ckpt, neardup_store_path=nd_store,
+    )
+    q.awaitTermination(120)
+    assert sorted(r.doc_id for r in
+                  spark.read.parquet(out).collect()) == [1, 2]
+    assert read_neardup_store(spark, nd_store).count() == 2
+
+    # second drop: exact copy (exact stage), near-copy of doc 1
+    # (signature store), and a fresh doc
+    _drop(spark, watch, [
+        (10, base, "en", "web", len(base)),
+        (11, mut(5), "en", "web", 0),
+        (12, "spectral graph partitioning with maximum network flows",
+         "en", "papers", 55),
+    ])
+    q2 = stream_ingest_documents(
+        spark, watch, store, out, ckpt, neardup_store_path=nd_store,
+    )
+    q2.awaitTermination(120)
+
+    ids = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    assert ids == [1, 2, 12]
+    # both stores advanced in lockstep: same batch partition ids
+    nd = read_neardup_store(spark, nd_store)
+    assert {r.batch for r in nd.collect()} == \
+        {r.batch for r in read_dedup_store(spark, store).collect()}
+    # the curated output never carries signature columns
+    assert not [c for c in spark.read.parquet(out).columns
+                if c.startswith("mh_")]
