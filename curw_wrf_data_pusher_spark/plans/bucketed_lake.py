@@ -52,6 +52,11 @@ KEY_COLS = ("tms_id", "time")
 #: Version column: later forecast-generation-time wins (K1's
 #: ``ON DUPLICATE KEY UPDATE value=VALUES(value)`` + K3's fgt pointer).
 VERSION_COL = "fgt"
+#: Ingest-batch label column: every row carries the push that wrote it,
+#: giving the store Delta-style time travel (``read_fact_latest
+#: (as_of_batch=…)``) for free — the label is data, not layout, so the
+#: bucket spec and every no-Exchange contract are untouched.
+BATCH_COL = "ingest_batch"
 
 
 def create_fact_store(
@@ -60,11 +65,13 @@ def create_fact_store(
     table: str,
     num_buckets: int,
     path: str | None = None,
+    batch: str = "b00000000",
 ) -> None:
     """Initial ingest: one full shuffle into ``num_buckets`` buckets on
     ``tms_id``, sorted by (tms_id, time) within each bucket file."""
     write_bucketed(
-        fact, table, ["tms_id"], num_buckets,
+        fact.withColumn(BATCH_COL, F.lit(batch)), table,
+        ["tms_id"], num_buckets,
         sort_cols=["tms_id", "time"], path=path,
     )
 
@@ -78,17 +85,22 @@ def store_bucket_count(spark: SparkSession, table: str) -> int:
 
 
 def append_fact_rows(
-    spark: SparkSession, table: str, new_rows: DataFrame
+    spark: SparkSession, table: str, new_rows: DataFrame, batch: str
 ) -> None:
     """K1 upsert, append-only: land ``new_rows`` inside the existing
     bucket layout (same key, same N — read from the catalog so a drift
     is impossible).  Cost is O(new batch): shuffle of the batch into N
     buckets, no touch of standing data.  Duplicate (tms_id, time) keys
     are resolved at read time by :func:`read_fact_latest`; re-delivery
-    of an identical batch is therefore idempotent by construction."""
+    of an identical batch is therefore idempotent by construction.
+
+    ``batch`` labels every row with this push (sortable labels —
+    zero-padded counters or ISO timestamps — make ``as_of_batch``
+    reads meaningful)."""
     n = store_bucket_count(spark, table)
     (
-        new_rows.repartition(n, new_rows["tms_id"])
+        new_rows.withColumn(BATCH_COL, F.lit(batch))
+        .repartition(n, new_rows["tms_id"])
         .write.format("parquet")
         .mode("append")
         .bucketBy(n, "tms_id")
@@ -97,15 +109,28 @@ def append_fact_rows(
     )
 
 
-def read_fact_latest(spark: SparkSession, table: str) -> DataFrame:
+def read_fact_latest(
+    spark: SparkSession, table: str, as_of_batch: str | None = None
+) -> DataFrame:
     """Merge-on-read view of the store: latest fgt wins per
-    (tms_id, time).  Zero Exchange — the window's clustering
-    requirement (tms_id, time) is satisfied by the tms_id bucket
-    partitioning; plan-gated in tests/test_bucketed_fact.py."""
-    w = Window.partitionBy(*KEY_COLS).orderBy(F.col(VERSION_COL).desc())
+    (tms_id, time), equal-fgt replays resolved by the later ingest
+    batch.  Zero Exchange — the window's clustering requirement
+    (tms_id, time) is satisfied by the tms_id bucket partitioning and
+    the as-of predicate is a plain pushed filter; plan-gated in
+    tests/test_bucketed_fact.py.
+
+    ``as_of_batch`` time-travels: the state the store had after that
+    batch (rows with a later label are ignored).  History lives in the
+    appends, so time travel reaches back to the last compaction —
+    compacting collapses history exactly like VACUUM does."""
+    df = spark.table(table)
+    if as_of_batch is not None:
+        df = df.filter(F.col(BATCH_COL) <= as_of_batch)
+    w = Window.partitionBy(*KEY_COLS).orderBy(
+        F.col(VERSION_COL).desc(), F.col(BATCH_COL).desc()
+    )
     return (
-        spark.table(table)
-        .withColumn("__rn", F.row_number().over(w))
+        df.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )

@@ -62,7 +62,7 @@ def test_append_preserves_bucket_spec_and_upsert_wins(spark, store):
     # second push: same keys for tms 0-9 at a newer fgt, new values
     newer = _facts(spark, "2024-01-01 06:00:00", range(10), range(6)) \
         .withColumn("value", F.col("value") + 0.5)
-    append_fact_rows(spark, store, newer)
+    append_fact_rows(spark, store, newer, batch="b00000001")
     assert store_bucket_count(spark, store) == 4
 
     latest = read_fact_latest(spark, store)
@@ -81,16 +81,19 @@ def test_append_preserves_bucket_spec_and_upsert_wins(spark, store):
 
 def test_redelivery_is_idempotent(spark, store):
     batch = _facts(spark, "2024-01-01 06:00:00", range(5), range(6))
-    append_fact_rows(spark, store, batch)
+    append_fact_rows(spark, store, batch, batch="b00000001")
     once = sorted(map(tuple, read_fact_latest(spark, store).collect()))
-    append_fact_rows(spark, store, batch)  # redelivery of same batch
+    # redelivery of the same push under the same label
+    append_fact_rows(spark, store, batch, batch="b00000001")
     twice = sorted(map(tuple, read_fact_latest(spark, store).collect()))
     assert once == twice
 
 
 def test_merge_on_read_has_no_exchange(spark, store):
     append_fact_rows(
-        spark, store, _facts(spark, "2024-01-01 06:00:00", range(10), range(6))
+        spark, store,
+        _facts(spark, "2024-01-01 06:00:00", range(10), range(6)),
+        batch="b00000001",
     )
     plan = _plan(read_fact_latest(spark, store))
     # the (tms_id, time) window clustering is satisfied by the tms_id
@@ -134,10 +137,14 @@ def test_store_join_with_cobucketed_dim_has_no_exchange(
 
 def test_compact_folds_to_one_file_per_bucket(spark, store, tmp_path):
     append_fact_rows(
-        spark, store, _facts(spark, "2024-01-01 06:00:00", range(20), range(6))
+        spark, store,
+        _facts(spark, "2024-01-01 06:00:00", range(20), range(6)),
+        batch="b00000001",
     )
     append_fact_rows(
-        spark, store, _facts(spark, "2024-01-01 12:00:00", range(20), range(6))
+        spark, store,
+        _facts(spark, "2024-01-01 12:00:00", range(20), range(6)),
+        batch="b00000002",
     )
     before = sorted(map(tuple, read_fact_latest(spark, store).collect()))
 
@@ -159,3 +166,38 @@ def test_compact_folds_to_one_file_per_bucket(spark, store, tmp_path):
         assert "Exchange" not in plan, plan
     finally:
         drop_bucketed(spark, "t_fact_compact")
+
+
+def test_time_travel_reads_prior_store_states(spark, store):
+    # push 1 updates tms 0-4, push 2 updates tms 0-1 again
+    append_fact_rows(
+        spark, store,
+        _facts(spark, "2024-01-01 06:00:00", range(5), range(6))
+        .withColumn("value", F.col("value") + 0.25),
+        batch="b00000001",
+    )
+    append_fact_rows(
+        spark, store,
+        _facts(spark, "2024-01-01 12:00:00", range(2), range(6))
+        .withColumn("value", F.col("value") + 0.75),
+        batch="b00000002",
+    )
+
+    def val(df, t, h):
+        return {(r.tms_id, r.time.hour): r.value
+                for r in df.collect()}[(t, h)]
+
+    asof0 = read_fact_latest(spark, store, as_of_batch="b00000000")
+    asof1 = read_fact_latest(spark, store, as_of_batch="b00000001")
+    head = read_fact_latest(spark, store)
+    assert asof0.count() == asof1.count() == head.count() == 120
+    # initial state: no updates visible
+    assert val(asof0, 0, 3) == 3.0
+    # after push 1: +0.25 on tms 0-4, push 2 invisible
+    assert val(asof1, 0, 3) == 3.25 and val(asof1, 4, 3) == 403.25
+    # head: push 2 wins on tms 0-1, push 1 still on tms 2-4
+    assert val(head, 0, 3) == 3.75 and val(head, 4, 3) == 403.25
+    # the as-of read keeps the no-Exchange contract (plain pushed
+    # filter above the bucketed scan)
+    plan = _plan(asof1)
+    assert "Exchange" not in plan, plan
