@@ -201,3 +201,53 @@ def test_time_travel_reads_prior_store_states(spark, store):
     # filter above the bucketed scan)
     plan = _plan(asof1)
     assert "Exchange" not in plan, plan
+
+
+def test_e1_push_lands_in_bucketed_store(spark, tmp_path):
+    """End-to-end: the E1 daily push (push_wrf_grid) writes straight
+    into the bucketed fact store; a second run at a later fgt upserts
+    via append + merge-on-read (the string minute form sorts
+    lexicographically = chronologically), still with zero Exchange."""
+    from curw_wrf_data_pusher_spark.plans.config import WrfConfig
+    from curw_wrf_data_pusher_spark.plans.wrf_push import push_wrf_grid
+
+    from .wrf_fixture import EPOCH_STR, FGT_UTC, make_grid_pdf
+
+    cfg = WrfConfig.from_dict({
+        "model": "WRF", "version": "v4", "wrf_type": "dwrf",
+        "gfs_run": "d0", "gfs_data_hour": "18",
+        "wrf_systems": "A,C", "unit": "mm",
+        "unit_type": "Accumulative", "variable": "Precipitation",
+        "sim_tag": "evening_18:00",
+    })
+    base = spark.createDataFrame(make_grid_pdf()) \
+        .withColumn("source_file", F.lit("fixture.nc")) \
+        .withColumn("epoch_str", F.lit(EPOCH_STR))
+    g1 = base.withColumn("fgt_utc", F.lit(FGT_UTC).cast("timestamp"))
+    fact1, _ = push_wrf_grid(g1, cfg)
+    table = "t_e1_store"
+    create_fact_store(spark, fact1, table, num_buckets=4,
+                      path=str(tmp_path / "e1"), batch="b00000000")
+    try:
+        n_keys = read_fact_latest(spark, table).count()
+        assert n_keys == fact1.count()
+
+        # same grid re-pushed 6 h later: every series re-lands at a
+        # newer fgt — the K1 re-push the reference performs daily
+        g2 = base.withColumn(
+            "fgt_utc",
+            (F.lit(FGT_UTC).cast("timestamp")
+             + F.expr("INTERVAL 6 HOURS")),
+        )
+        fact2, _ = push_wrf_grid(g2, cfg)
+        append_fact_rows(spark, table, fact2, batch="b00000001")
+
+        latest = read_fact_latest(spark, table)
+        assert latest.count() == n_keys          # same key set
+        fgts = latest.select("fgt").distinct().collect()
+        newest = {r.fgt for r in
+                  fact2.select("fgt").distinct().collect()}
+        assert {r.fgt for r in fgts} == newest   # newer push wins
+        assert "Exchange" not in _plan(latest)
+    finally:
+        drop_bucketed(spark, table)
