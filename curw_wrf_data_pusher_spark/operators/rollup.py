@@ -143,3 +143,102 @@ def compact_rollup(
     # sanity: the compacted store is a valid store (readable, one
     # partition); the swap itself is the caller's atomic rename
     assert os.path.isdir(compacted_path)
+
+
+# ---------------------------------------------------------------------------
+# Incremental DISTINCT-COUNT rollup — HLL registers as the partial
+# state (the sum/min/max partials above can't answer "how many
+# distinct users per key" incrementally; registers can: they merge by
+# per-bucket max exactly like sums merge by addition).  Same store
+# mechanics as the numeric rollup: one batch-partitioned commit per
+# ingest (idempotent dynamic overwrite), merge-on-read over ≤ m rows
+# per key per batch, compact-to-fresh-store.  At 100 TB the store
+# grows with keys × m × batches until compaction — never with fact
+# rows.
+
+
+def commit_hll_rollup(
+    batch: DataFrame,
+    store_path: str,
+    keys: Sequence[str],
+    item_col: str,
+    batch_id: str,
+    m: int = 64,
+) -> None:
+    """Reduce one ingest batch to per-key HLL registers and commit
+    them as the store's ``batch=<id>`` partition (idempotent replay,
+    history untouched — the numeric-rollup contract)."""
+    from .sketch import hll_build
+
+    spark = batch.sparkSession
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    (
+        hll_build(batch, item_col, m=m, group_cols=keys)
+        .withColumn("batch", F.lit(batch_id))
+        .write.mode("overwrite")
+        .partitionBy("batch")
+        .parquet(store_path)
+    )
+
+
+def read_hll_rollup(
+    spark: SparkSession,
+    store_path: str,
+    keys: Sequence[str],
+) -> DataFrame:
+    """Merge-on-read: current per-(key, bucket) max_rank across every
+    committed batch — the live register set.  Empty store → empty
+    typed frame."""
+    key_fields = ", ".join(f"{k} string" for k in keys)
+    schema = f"{key_fields}, bucket bigint, max_rank int, batch string"
+    try:
+        partials = spark.read.parquet(store_path)
+    except Exception:
+        partials = spark.createDataFrame([], schema)
+    return (
+        partials.drop("batch")
+        .groupBy(*[F.col(k) for k in keys], "bucket")
+        .agg(F.max("max_rank").alias("max_rank"))
+    )
+
+
+def hll_rollup_estimates(
+    registers: DataFrame, keys: Sequence[str], m: int = 64
+) -> DataFrame:
+    """Per-key distinct-count estimates from merged registers, as pure
+    column arithmetic (no driver collect): the standard HLL harmonic
+    mean with the small-range linear-counting correction — the grouped
+    twin of ``sketch.hll_estimate`` (equality pinned in tests).
+    Expected relative error ≈ 1.04/√m."""
+    alpha = 0.709 if m == 64 else 0.7213 / (1 + 1.079 / m)
+    agg = registers.groupBy(*[F.col(k) for k in keys]).agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("max_rank"))).alias("__s_present"),
+        F.count("*").alias("__n_regs"),
+    )
+    zeros = F.lit(m) - F.col("__n_regs")
+    s = F.col("__s_present") + zeros.cast("double")  # absent ⇒ 2^-0
+    raw = F.lit(alpha * m * m) / s
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),
+    ).otherwise(raw)
+    return agg.select(*keys, est.alias("est_distinct"))
+
+
+def compact_hll_rollup(
+    spark: SparkSession,
+    store_path: str,
+    keys: Sequence[str],
+    compacted_path: str,
+) -> None:
+    """Fold every committed partition into one register row per
+    (key, bucket) at a fresh store path (crash-safe swap, merge
+    associativity makes reads identical — same contract as
+    ``compact_rollup``)."""
+    (
+        read_hll_rollup(spark, store_path, keys)
+        .withColumn("batch", F.lit("compacted"))
+        .write.mode("overwrite")
+        .partitionBy("batch")
+        .parquet(compacted_path)
+    )

@@ -124,7 +124,10 @@ HLL_BUCKETS = 64
 
 
 def hll_build(
-    df: DataFrame, col: str, m: int = HLL_BUCKETS
+    df: DataFrame,
+    col: str,
+    m: int = HLL_BUCKETS,
+    group_cols: Sequence[str] = (),
 ) -> DataFrame:
     """HyperLogLog registers over a column: (bucket, max_rank), ≤ m
     rows — the distinct-count companion to the count-min frequency
@@ -133,7 +136,9 @@ def hll_build(
     form exposes the MERGEABLE STATE: registers from different
     corpora/batches/streams combine by per-bucket max, so distinct
     counts compose across stores and time like the rollup partials do
-    for sums.
+    for sums.  ``group_cols`` keeps one register set PER GROUP (≤ m
+    rows each) — the state behind the incremental distinct-count
+    rollup in ``operators/rollup.py``.
 
     Engine-portable and float-free by construction: bucket = h mod m,
     and the rank is the first-set-bit position of h div m computed
@@ -157,16 +162,20 @@ def hll_build(
         f"array_position(transform(sequence(0, {n_bits - 1}),"
         f" i -> shiftright({'__w'}, i) & 1), 1)"
     )
+    gcols = list(group_cols)
     ranked = df.select(
-        bucket.alias("bucket"), w.alias("__w")
+        *gcols, bucket.alias("bucket"), w.alias("__w")
     ).select(
+        *gcols,
         "bucket",
         F.when(first_set > 0, first_set)
         .otherwise(F.lit(n_bits + 1))
         .cast("int")
         .alias("rank"),
     )
-    return ranked.groupBy("bucket").agg(F.max("rank").alias("max_rank"))
+    return ranked.groupBy(*gcols, "bucket").agg(
+        F.max("rank").alias("max_rank")
+    )
 
 
 def hll_merge(*registers: DataFrame) -> DataFrame:

@@ -299,6 +299,8 @@ def test_no_unbounded_broadcast_hints_in_registered_queries(spark, sf_dir):
         "j5_get_or_create": 2,
         "j9_bloom_semi_join": 1,
         "llm_bm25_tfidf": 4,
+        "llm_filtered_ann": 2,  # both hints = the 10-vector query side
+                                # (cosine_topk + ivf_topk broadcast q)
         "llm_ivf_topk": 1,
         "llm_cosine_topk_neardup": 1,
         "llm_budget_sample": 1,
@@ -379,6 +381,8 @@ def test_no_unreviewed_nested_loop_joins_in_registered_queries(
         "j9_bloom_semi_join": 1,
         "llm_bm25_tfidf": 2,
         "llm_cosine_topk_neardup": 1,
+        "llm_filtered_ann": 1,  # exact stage: crossJoin vs the
+                                # broadcast 10-vector query side
         "llm_budget_sample": 1,
         "llm_mix_schedule": 1,
         "llm_ngram_logfreq": 1,

@@ -101,3 +101,79 @@ def test_read_rollup_aggregates_partials_not_the_log(spark, log, tmp_path):
     assert files and all("rollup" in f for f in files)
     plan = merged._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1  # one partial-merge shuffle
+
+
+# --- incremental distinct-count rollup (HLL register partials) ----------
+
+from curw_wrf_data_pusher_spark.operators.rollup import (  # noqa: E402
+    commit_hll_rollup,
+    compact_hll_rollup,
+    hll_rollup_estimates,
+    read_hll_rollup,
+)
+from curw_wrf_data_pusher_spark.operators.sketch import (  # noqa: E402
+    hll_build,
+    hll_estimate,
+)
+
+
+def _users(spark, key, lo, hi):
+    return spark.createDataFrame(
+        [(key, f"u{u}") for u in range(lo, hi)], "site string, user string"
+    )
+
+
+def test_hll_rollup_incremental_matches_single_build(spark, tmp_path):
+    store = str(tmp_path / "hll")
+    # three batches with overlapping users per site
+    b1 = _users(spark, "a", 0, 400).union(_users(spark, "b", 0, 50))
+    b2 = _users(spark, "a", 200, 600).union(_users(spark, "b", 25, 75))
+    b3 = _users(spark, "b", 50, 100)
+    commit_hll_rollup(b1, store, ["site"], "user", "d1")
+    commit_hll_rollup(b2, store, ["site"], "user", "d2")
+    commit_hll_rollup(b3, store, ["site"], "user", "d3")
+
+    merged = read_hll_rollup(spark, store, ["site"])
+    whole = b1.union(b2).union(b3)
+    direct = hll_build(whole, "user", group_cols=["site"])
+    assert sorted(map(tuple, merged.collect())) == \
+        sorted(map(tuple, direct.collect()))
+
+    # grouped estimator ≡ the scalar estimator per key
+    ests = {r.site: r.est_distinct for r in
+            hll_rollup_estimates(merged, ["site"]).collect()}
+    for site in ("a", "b"):
+        scalar = hll_estimate(
+            hll_build(whole.filter(F.col("site") == site), "user")
+        )
+        assert abs(ests[site] - scalar) < 1e-9, site
+    # accuracy: true distincts are 600 and 100
+    assert abs(ests["a"] - 600) / 600 < 0.4
+    assert abs(ests["b"] - 100) / 100 < 0.4
+
+
+def test_hll_rollup_replay_and_compaction(spark, tmp_path):
+    store = str(tmp_path / "hll2")
+    b1 = _users(spark, "a", 0, 100)
+    commit_hll_rollup(b1, store, ["site"], "user", "d1")
+    commit_hll_rollup(_users(spark, "a", 50, 150), store,
+                      ["site"], "user", "d2")
+    before = sorted(map(tuple,
+                        read_hll_rollup(spark, store, ["site"]).collect()))
+    # replaying d1 is a no-op (idempotent dynamic overwrite)
+    commit_hll_rollup(b1, store, ["site"], "user", "d1")
+    assert sorted(map(tuple,
+                      read_hll_rollup(spark, store, ["site"]).collect())) \
+        == before
+    # compaction to a fresh store reads identically
+    cpath = str(tmp_path / "hll2c")
+    compact_hll_rollup(spark, store, ["site"], cpath)
+    assert sorted(map(tuple,
+                      read_hll_rollup(spark, cpath, ["site"]).collect())) \
+        == before
+
+
+def test_hll_rollup_empty_store(spark, tmp_path):
+    empty = read_hll_rollup(spark, str(tmp_path / "none"), ["site"])
+    assert empty.count() == 0
+    assert hll_rollup_estimates(empty, ["site"]).count() == 0
