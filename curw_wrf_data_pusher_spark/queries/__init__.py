@@ -159,6 +159,11 @@ _TAIL = [
                                   # stage-1 exact dedup hash-pinned in
                                   # its ids_md5) + llm_text_features
                                   # (head: corpus stats)
+    "a26_approx_sample_aggs",  # Horvitz-Thompson estimates over the
+                               # deterministic hash sample — sampling
+                               # family → llm_budget_sample (head,
+                               # hash-order selection) + a1 (exact
+                               # DECIMAL agg discipline)
     "q4_order_priority_check",  # correlated-inequality EXISTS → semi
                                 # join: semi-join family → llm_
                                 # contamination (head); join chains →

@@ -3158,3 +3158,40 @@ def w15_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("avg_trail_cents"),
         F.count("*").over(wf).alias("n_lead_1h"),
     )
+
+
+# A26 — approximate aggregates over a DETERMINISTIC hash sample
+# (operators/sampling.py): Horvitz-Thompson per-group sum/count
+# estimates from the 10% md5-keyed sample of lineitem.  Unlike
+# df.sample() the membership is a pure hash predicate, so the oracle
+# re-derives the exact same sample rows and the estimates hash-match
+# bit-for-bit (DECIMAL sum, one final double division by p).
+@register(
+    "a26_approx_sample_aggs",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag, l_extendedprice
+      FROM lineitem
+      WHERE ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '-'
+                            || CAST(l_linenumber AS VARCHAR)), 1, 8))::BIGINT
+            < 429496729
+    )
+    SELECT l_returnflag,
+           count(*) AS n_sampled,
+           count(*) / 0.1 AS est_count,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(38,2))) AS DOUBLE) / 0.1
+             AS est_sum
+    FROM s GROUP BY l_returnflag
+    """,
+)
+def a26_approx_sample_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import approx_sum_count
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return approx_sum_count(
+        li,
+        key=F.concat_ws("-", "l_orderkey", "l_linenumber"),
+        value_col="l_extendedprice",
+        fraction=0.1,
+        group_cols=["l_returnflag"],
+    )

@@ -139,6 +139,7 @@ EXPECTED_TAIL = [
     "llm_pq_rerank",
     "k10_scd2_history",
     "llm_survivor_corpus_stats",
+    "a26_approx_sample_aggs",
     "q4_order_priority_check",
     "w15_range_frame",
     "llm_filtered_ann",

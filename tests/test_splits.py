@@ -82,3 +82,55 @@ def test_leakage_report_catches_planted_leak(spark):
     )
     rep = split_leakage_report(bad, "g").collect()[0]
     assert rep.n_groups == 2 and rep.n_leaky_groups == 1
+
+
+# --- deterministic hash sampling / AQP (operators/sampling.py) ----------
+
+from curw_wrf_data_pusher_spark.operators.sampling import (  # noqa: E402
+    approx_sum_count,
+    hash_sample,
+)
+
+
+def test_hash_sample_nested_and_full(spark, sf_dir):
+    from curw_wrf_data_pusher_spark.sources.lake import load_table
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.concat_ws("-", "l_orderkey", "l_linenumber").alias("k"),
+        "l_extendedprice",
+    )
+    s10 = {r.k for r in hash_sample(li, "k", 0.10).collect()}
+    s05 = {r.k for r in hash_sample(li, "k", 0.05).collect()}
+    assert s05 <= s10                       # nested monotonicity
+    # rate is over ROWS (the synthetic lineitem repeats some
+    # (orderkey, linenumber) pairs; keyed rows sample atomically)
+    n = li.count()
+    n10 = hash_sample(li, "k", 0.10).count()
+    assert abs(n10 - 0.10 * n) < 0.02 * n   # ~uniform hash
+    # fraction=1 keeps everything
+    assert hash_sample(li, "k", 1.0).count() == n
+
+
+def test_approx_aggs_close_to_exact(spark, sf_dir):
+    from curw_wrf_data_pusher_spark.sources.lake import load_table
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, sf_dir, "lineitem")
+    est = {
+        r.l_returnflag: (r.est_count, r.est_sum)
+        for r in approx_sum_count(
+            li, F.concat_ws("-", "l_orderkey", "l_linenumber"),
+            "l_extendedprice", 0.1, ["l_returnflag"],
+        ).collect()
+    }
+    exact = {
+        r.l_returnflag: (r.n, r.s)
+        for r in li.groupBy("l_returnflag").agg(
+            F.count("*").alias("n"), F.sum("l_extendedprice").alias("s")
+        ).collect()
+    }
+    for flag, (n, s) in exact.items():
+        ec, es = est[flag]
+        assert abs(ec - n) / n < 0.10, flag      # ~1/sqrt(n·p) regime
+        assert abs(es - s) / s < 0.10, flag
