@@ -112,3 +112,47 @@ def compact_small_files(
         "n_files_after": n_after,
         "bytes": total,
     }
+
+
+def plan_compaction(
+    root: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    min_files: int = 2,
+) -> list[dict]:
+    """Compaction PLANNER: walk a (possibly partitioned) parquet store
+    and report, per leaf directory, whether ``compact_small_files``
+    would help — using pure filesystem metadata (file count + on-disk
+    bytes), no data scan and no Spark job.  The health probe a nightly
+    maintenance job runs before deciding what to rewrite; the
+    row-count twin (footer-verified `_metadata` counts) is the
+    registered p17_file_stats row.
+
+    Returns one dict per leaf parquet directory:
+    (path, n_files, total_bytes, target_files, needs_compaction) —
+    sorted worst-first by wasted file count."""
+    import glob
+    import math
+
+    reports = []
+    for dirpath, _dirnames, filenames in os.walk(root):
+        files = [
+            f for f in filenames
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
+        ]
+        if not files:
+            continue
+        sizes = [os.path.getsize(os.path.join(dirpath, f)) for f in files]
+        total = sum(sizes)
+        target = max(1, math.ceil(total / target_file_bytes))
+        reports.append({
+            "path": dirpath,
+            "n_files": len(files),
+            "total_bytes": total,
+            "target_files": target,
+            "needs_compaction": len(files) >= min_files
+            and len(files) > target,
+        })
+    reports.sort(
+        key=lambda r: r["n_files"] - r["target_files"], reverse=True
+    )
+    return reports

@@ -462,3 +462,33 @@ def test_read_evolving_cast_reconcile_covers_long_to_double(
     ]
     got = {(r.id, r.v) for r in out.collect()}
     assert got == {(1, 10.0), (2, 2.5)}
+
+
+def test_plan_compaction_reports_leaf_dirs(spark, tmp_path):
+    from curw_wrf_data_pusher_spark.sinks.maintenance import (
+        compact_small_files,
+        plan_compaction,
+    )
+
+    lake = str(tmp_path / "lake")
+    # partition a: fragmented (8 files); partition b: already compact
+    spark.range(2000).selectExpr("id", "id * 2 AS v").repartition(8) \
+        .write.parquet(f"{lake}/day=a")
+    spark.range(2000).selectExpr("id", "id * 2 AS v").coalesce(1) \
+        .write.parquet(f"{lake}/day=b")
+
+    plan = plan_compaction(lake, target_file_bytes=1 << 30)
+    by_path = {r["path"]: r for r in plan}
+    a = by_path[f"{lake}/day=a"]
+    b = by_path[f"{lake}/day=b"]
+    assert a["n_files"] == 8 and a["needs_compaction"]
+    assert b["n_files"] == 1 and not b["needs_compaction"]
+    # worst-first ordering
+    assert plan[0]["path"] == a["path"]
+
+    # acting on the plan clears the flag (and only the flagged dir)
+    compact_small_files(spark, a["path"], target_file_bytes=1 << 30)
+    plan2 = {r["path"]: r for r in plan_compaction(
+        lake, target_file_bytes=1 << 30)}
+    assert not plan2[a["path"]]["needs_compaction"]
+    assert plan2[a["path"]]["n_files"] == 1
