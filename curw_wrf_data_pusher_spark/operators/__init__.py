@@ -17,12 +17,17 @@ from .profile import (
 )
 from .rfield import hybrid_wide_frame
 from .rollup import (
+    commit_hll_rollup,
     commit_rollup,
+    compact_hll_rollup,
     compact_rollup,
+    hll_rollup_estimates,
     merge_partials,
+    read_hll_rollup,
     read_rollup,
     rollup_partials,
 )
+from .sampling import approx_sum_count, hash_sample
 from .scd import scd2_apply, scd2_from_events, scd2_lookup
 from .sketch import (
     countmin_build,
@@ -58,7 +63,13 @@ __all__ = [
     "kmv_merge",
     "kmv_sketch",
     "multi_touch_attribution",
+    "commit_hll_rollup",
     "commit_rollup",
+    "compact_hll_rollup",
+    "hll_rollup_estimates",
+    "read_hll_rollup",
+    "hash_sample",
+    "approx_sum_count",
     "compact_rollup",
     "countmin_build",
     "countmin_lookup",
