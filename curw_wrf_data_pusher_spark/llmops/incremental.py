@@ -317,3 +317,21 @@ def update_neardup_store(
         .partitionBy("batch")
         .parquet(store_path)
     )
+
+
+def compact_neardup_store(
+    spark: SparkSession, store_path: str, compacted_path: str
+) -> None:
+    """Fold the per-batch signature partitions into ONE partition at a
+    fresh path (crash-safe swap, the exact store's compaction
+    pattern).  Signatures are immutable per doc id, so compaction is a
+    dedup by id — batch provenance collapses to 'compacted'."""
+    (
+        read_neardup_store(spark, store_path)
+        .dropDuplicates(["doc_id"])
+        .drop("batch")
+        .withColumn("batch", F.lit("compacted"))
+        .write.mode("overwrite")
+        .partitionBy("batch")
+        .parquet(compacted_path)
+    )

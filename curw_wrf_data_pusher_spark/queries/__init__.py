@@ -164,6 +164,10 @@ _TAIL = [
                                # family → llm_budget_sample (head,
                                # hash-order selection) + a1 (exact
                                # DECIMAL agg discipline)
+    "q21_fully_late_orders",   # correlated NOT EXISTS → anti join
+                               # with inequality residual — anti family
+                               # → j5_get_or_create (head) + q4 (tail
+                               # semi twin)
     "q4_order_priority_check",  # correlated-inequality EXISTS → semi
                                 # join: semi-join family → llm_
                                 # contamination (head); join chains →

@@ -3195,3 +3195,48 @@ def a26_approx_sample_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
         fraction=0.1,
         group_cols=["l_returnflag"],
     )
+
+
+# Q21/Q22 shape — correlated NOT EXISTS decorrelated to a LEFT ANTI
+# join (the complement of q4's EXISTS → semi): orders in the window
+# with NO lineitem shipped within 30 days of the order date — every
+# shipment late, or none recorded.  Same optimizer lesson, opposite
+# polarity: equi-key + correlated inequality as the anti-join
+# residual, no per-row subquery; the exact-decimal sum keeps the
+# money column cross-engine-stable.
+@register(
+    "q21_fully_late_orders",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE)
+             AS sum_totalprice
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1995-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1995-07-01'
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate <= o.o_orderdate + INTERVAL 30 DAY
+      )
+    GROUP BY o_orderpriority
+    """,
+)
+def q21_fully_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1995-07-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    slow = o.join(
+        li,
+        (o["o_orderkey"] == li["l_orderkey"])
+        & (li["l_shipdate"]
+           <= o["o_orderdate"] + F.expr("INTERVAL 30 DAYS")),
+        "left_anti",
+    )
+    return slow.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(38,2)"))
+        .cast("double").alias("sum_totalprice"),
+    )

@@ -174,3 +174,38 @@ def test_neardup_hot_bucket_cap(spark, tmp_path):
     assert hot.agg({"n_members": "max"}).collect()[0][0] >= 6
     # no cap → empty accounting frame
     assert neardup_hot_store_buckets(store_sigs).count() == 0
+
+
+def test_neardup_store_compaction(spark, tmp_path):
+    from curw_wrf_data_pusher_spark.llmops.incremental import (
+        compact_neardup_store,
+    )
+
+    store = str(tmp_path / "nd3")
+    empty = read_neardup_store(spark, str(tmp_path / "none2"))
+    b1 = _batch(spark, [(1, _TEMPLATE), (2, _NOVEL)])
+    update_neardup_store(
+        spark, neardup_filter_batch(b1, empty), store, batch="b1"
+    )
+    b2 = _batch(spark, [(3, _mutate(_NOVEL, 1) + " extra tail words")])
+    update_neardup_store(
+        spark,
+        neardup_filter_batch(b2, read_neardup_store(spark, store)),
+        store, batch="b2",
+    )
+    before = sorted(
+        map(tuple, read_neardup_store(spark, store).drop("batch").collect())
+    )
+    cpath = str(tmp_path / "nd3c")
+    compact_neardup_store(spark, store, cpath)
+    after_df = read_neardup_store(spark, cpath)
+    assert {r.batch for r in after_df.collect()} == {"compacted"}
+    assert sorted(map(tuple, after_df.drop("batch").collect())) == before
+    # probes against the compacted store behave identically
+    probe = _batch(spark, [(10, _TEMPLATE)])
+    d1 = {(r.doc_id, r.matched_id) for r in
+          neardup_batch_drops(probe, read_neardup_store(spark, store))
+          .collect()}
+    d2 = {(r.doc_id, r.matched_id) for r in
+          neardup_batch_drops(probe, after_df).collect()}
+    assert d1 == d2 and (10, 1) in d2

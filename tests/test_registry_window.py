@@ -140,6 +140,7 @@ EXPECTED_TAIL = [
     "k10_scd2_history",
     "llm_survivor_corpus_stats",
     "a26_approx_sample_aggs",
+    "q21_fully_late_orders",
     "q4_order_priority_check",
     "w15_range_frame",
     "llm_filtered_ann",
