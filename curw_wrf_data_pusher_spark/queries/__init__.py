@@ -176,6 +176,9 @@ _TAIL = [
                              # family → w5/w9/w1 heads (ROWS frame,
                              # ordered sequences, lag); the RANGE frame
                              # class itself is new, local-oracle-gated
+    "w16_sliding_distinct",  # windowed distinct counts — RANGE-frame
+                             # family → w15 (tail twin); distinct-count
+                             # family → a23_kmv_distinct (head)
     "llm_filtered_ann",      # filter-then-rank vector search (exact +
                              # probe-all IVF coincidence) — ANN family
                              # → llm_ivf_topk + llm_pq_topk (head)

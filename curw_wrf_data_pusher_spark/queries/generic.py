@@ -3240,3 +3240,57 @@ def q21_fully_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("o_totalprice").cast("decimal(38,2)"))
         .cast("double").alias("sum_totalprice"),
     )
+
+
+# W16 — sliding DISTINCT counts: per user, how many distinct event
+# types appeared in the trailing hour / trailing day at every event —
+# the windowed-uniques primitive behind "breadth of activity" features
+# (fraud scoring, engagement) that a tumbling resample can't express.
+# Spark has no count(DISTINCT) over a window; size(collect_set(...))
+# over the RANGE frame is the idiomatic equivalent — integer-exact, so
+# the DuckDB mirror (native windowed count(DISTINCT)) hash-matches.
+# Same whole-second order key as w15 (the epoch()/unix_timestamp
+# sub-second trap).  Scale note: collect_set state is bounded by the
+# event-type cardinality (small by construction), NOT the frame row
+# count.
+@register(
+    "w16_sliding_distinct",
+    oracle="""
+    WITH e AS (SELECT event_id, user_id, ts, event_type,
+                      CAST(floor(epoch(ts)) AS BIGINT) AS sec
+               FROM events)
+    SELECT event_id, user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS t,
+           CAST(count(DISTINCT event_type) OVER wh AS BIGINT)
+             AS n_types_1h,
+           CAST(count(DISTINCT event_type) OVER wd AS BIGINT)
+             AS n_types_24h
+    FROM e
+    WINDOW
+      wh AS (PARTITION BY user_id ORDER BY sec
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW),
+      wd AS (PARTITION BY user_id ORDER BY sec
+             RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW)
+    """,
+)
+def w16_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spread(load_table(spark, sf_dir, "events")).withColumn(
+        "__sec", F.unix_timestamp("ts")
+    )
+    wh = (
+        Window.partitionBy("user_id").orderBy("__sec")
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    wd = (
+        Window.partitionBy("user_id").orderBy("__sec")
+        .rangeBetween(-86400, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("t"),
+        F.size(F.collect_set("event_type").over(wh))
+        .cast("long").alias("n_types_1h"),
+        F.size(F.collect_set("event_type").over(wd))
+        .cast("long").alias("n_types_24h"),
+    )

@@ -143,6 +143,7 @@ EXPECTED_TAIL = [
     "q21_fully_late_orders",
     "q4_order_priority_check",
     "w15_range_frame",
+    "w16_sliding_distinct",
     "llm_filtered_ann",
     "llm_incremental_neardup",
     "u2_j1_outer_dropna",
