@@ -159,6 +159,11 @@ _TAIL = [
                                   # stage-1 exact dedup hash-pinned in
                                   # its ids_md5) + llm_text_features
                                   # (head: corpus stats)
+    "sql1_cte_window_join",    # the spark.sql() ANSI front door —
+                               # every constituent op (CTE agg, join,
+                               # ranked window) has a DataFrame-API
+                               # head row; this pins the SQL parser
+                               # entry point itself
     "a26_approx_sample_aggs",  # Horvitz-Thompson estimates over the
                                # deterministic hash sample — sampling
                                # family → llm_budget_sample (head,

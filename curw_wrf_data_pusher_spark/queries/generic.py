@@ -3294,3 +3294,43 @@ def w16_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.collect_set("event_type").over(wd))
         .cast("long").alias("n_types_24h"),
     )
+
+
+# SQL1 — the spark.sql() front door: every other registered row builds
+# its plan through the DataFrame API; this one hands Catalyst an ANSI
+# SQL string (CTE + aggregate + join + partitioned window) over temp
+# views — pinning that a user of the reference can bring plain SQL and
+# get the same engine-exact answers.  The oracle is near-verbatim the
+# same text (view names aside): one query, two engines, one hash.
+_SQL1 = """
+    WITH stats AS (
+      SELECT o_custkey,
+             count(*) AS n_orders,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE)
+               AS spend
+      FROM {orders} GROUP BY o_custkey
+    )
+    SELECT c.c_custkey, c.c_name, c.c_nationkey, s.n_orders, s.spend,
+           CAST(row_number() OVER (
+             PARTITION BY c.c_nationkey
+             ORDER BY s.spend DESC, c.c_custkey) AS BIGINT)
+             AS nation_spend_rank
+    FROM {customer} c JOIN stats s ON s.o_custkey = c.c_custkey
+    WHERE s.n_orders >= 5
+"""
+
+
+@register(
+    "sql1_cte_window_join",
+    oracle=_SQL1.format(orders="orders", customer="customer"),
+)
+def sql1_cte_window_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "v_sql1_orders"
+    )
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "v_sql1_customer"
+    )
+    return spark.sql(
+        _SQL1.format(orders="v_sql1_orders", customer="v_sql1_customer")
+    )

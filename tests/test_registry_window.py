@@ -139,6 +139,7 @@ EXPECTED_TAIL = [
     "llm_pq_rerank",
     "k10_scd2_history",
     "llm_survivor_corpus_stats",
+    "sql1_cte_window_join",
     "a26_approx_sample_aggs",
     "q21_fully_late_orders",
     "q4_order_priority_check",
