@@ -130,6 +130,11 @@ HEADLINE = [
     # batch signatures (map-only) + store-bucket equi-join + estimated-
     # Jaccard verify + in-batch LSH, the incremental ingest hot path
     "llm_incremental_neardup",
+    # added round 9 session 3 (NEW rows): the RANGE-frame window class
+    # (trailing/leading hour aggregates + sliding distinct counts) —
+    # previously unbenched
+    "w15_range_frame",
+    "w16_sliding_distinct",
 ]
 
 
