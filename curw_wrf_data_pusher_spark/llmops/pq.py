@@ -262,11 +262,12 @@ def _argmin_codes(sub, cents, score_scale: int):
     for j in range(d_sub):  # strict left fold, oracle order
         acc += sq[:, :, j]
     idx = np.argmin(acc, axis=1)
-    two = np.partition(acc, 1, axis=1)
-    close = np.nonzero(two[:, 1] - two[:, 0] <= 2.0 * grid)[0]
-    for r in close:  # rare: grid-adjacent → exact rounding
-        rounded = [_spark_round(v, score_scale) for v in acc[r]]
-        idx[r] = rounded.index(min(rounded))
+    if k_sub > 1:  # a single centroid has no grid-adjacent runner-up
+        two = np.partition(acc, 1, axis=1)
+        close = np.nonzero(two[:, 1] - two[:, 0] <= 2.0 * grid)[0]
+        for r in close:  # rare: grid-adjacent → exact rounding
+            rounded = [_spark_round(v, score_scale) for v in acc[r]]
+            idx[r] = rounded.index(min(rounded))
     return idx.astype(np.int32)
 
 

@@ -86,12 +86,11 @@ def commit_rollup(
     store's ``batch=<id>`` partition.  Dynamic partition overwrite:
     replaying a batch id rewrites only its own partition — idempotent,
     history untouched."""
-    spark = batch.sparkSession
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     (
         rollup_partials(batch, keys, value_col)
         .withColumn("batch", F.lit(batch_id))
         .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
         .partitionBy("batch")
         .parquet(store_path)
     )
@@ -170,12 +169,11 @@ def commit_hll_rollup(
     history untouched — the numeric-rollup contract)."""
     from .sketch import hll_build
 
-    spark = batch.sparkSession
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     (
         hll_build(batch, item_col, m=m, group_cols=keys)
         .withColumn("batch", F.lit(batch_id))
         .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
         .partitionBy("batch")
         .parquet(store_path)
     )

@@ -46,8 +46,12 @@ def hash_sample(
 ) -> DataFrame:
     """The deterministic p-fraction sample of ``df`` keyed on ``key``
     (any expression; distinct keys sample atomically, so sampling on
-    an entity key keeps entities whole)."""
+    an entity key keeps entities whole).  NULL keys are coalesced to
+    a sentinel so they participate in the sample as one atomic group
+    rather than being silently dropped (md5(NULL) is NULL, which
+    would bias Horvitz-Thompson estimates low on nullable keys)."""
     k = F.col(key) if isinstance(key, str) else key
+    k = F.coalesce(k.cast("string"), F.lit("\x00<null-key>"))
     h = F.conv(F.substring(F.md5(k.cast("string")), 1, 8), 16, 10)
     return df.filter(h.cast("long") < F.lit(sample_cut(fraction)))
 

@@ -229,7 +229,11 @@ class NetCDF3Reader:
             for _ in range(nelems):
                 vname = cur.name()
                 rank = cur.nn()
-                dimids = [cur.u4() for _ in range(rank)]
+                # dimid is a NON_NEG: 4-byte in CDF-1/2 but 8-byte in
+                # CDF-5 per the 64-bit-data grammar — reading it
+                # narrow desyncs the header on any CDF-5 variable
+                # that has dimensions.
+                dimids = [cur.nn() for _ in range(rank)]
                 vattrs = _read_attrs(cur)
                 nc_type = cur.u4()
                 cur.nn()  # stored vsize — recomputed below per spec note
@@ -327,7 +331,7 @@ class NetCDF3Writer:
         out += struct.pack(">I", len(b)) + b + b"\x00" * (_pad4(len(b)) - len(b))
 
     @classmethod
-    def _w_attrs(cls, out: bytearray, attrs: dict):
+    def _w_attrs(cls, out: bytearray, attrs: dict, var_nc_type=None):
         if not attrs:
             out += struct.pack(">II", 0, 0)
             return
@@ -340,6 +344,31 @@ class NetCDF3Writer:
                 out += b"\x00" * (_pad4(len(b)) - len(b))
             else:
                 arr = np.atleast_1d(np.asarray(v))
+                # Variable attributes of numeric type are written in
+                # the VARIABLE's own nc_type when the value fits
+                # losslessly — the classic-format _FillValue
+                # convention requires the fill's type to equal the
+                # variable's, and strict netCDF-C readers ignore a
+                # promoted fill.  Global attrs (var_nc_type=None) and
+                # lossy values keep the f8/i4 promotion.
+                if var_nc_type is not None and var_nc_type != NC_CHAR:
+                    vdt = _DTYPES[var_nc_type]
+                    cast = arr.astype(vdt)
+                    try:
+                        lossless = np.array_equal(
+                            cast.astype(arr.dtype), arr, equal_nan=True
+                        )
+                    except TypeError:  # equal_nan on non-float dtypes
+                        lossless = np.array_equal(
+                            cast.astype(arr.dtype), arr
+                        )
+                    if lossless:
+                        raw = cast.tobytes()
+                        out += struct.pack(
+                            ">II", var_nc_type, cast.size
+                        ) + raw
+                        out += b"\x00" * (_pad4(len(raw)) - len(raw))
+                        continue
                 if arr.dtype.kind == "f":
                     arr = arr.astype(">f8")
                     t = NC_DOUBLE
@@ -423,7 +452,7 @@ class NetCDF3Writer:
                     out += struct.pack(">I", len(dimids))
                     for d in dimids:
                         out += struct.pack(">I", d)
-                    self._w_attrs(out, attrs)
+                    self._w_attrs(out, attrs, var_nc_type=nc_type)
                     out += struct.pack(
                         ">II", nc_type, min(vsize, 2**32 - 1)
                     )

@@ -287,7 +287,7 @@ def test_cdf5_header_wide_sizes_and_int64():
     out += struct.pack(">I", 0x0B) + struct.pack(">Q", 1)  # var list
     out += struct.pack(">Q", 1) + b"v\x00\x00\x00"
     out += struct.pack(">Q", 1)          # rank (8-byte)
-    out += struct.pack(">I", 0)          # dimid (4-byte)
+    out += struct.pack(">Q", 0)          # dimid (8-byte NON_NEG in CDF-5)
     out += struct.pack(">I", 0) + struct.pack(">Q", 0)  # no vattrs
     out += struct.pack(">I", 10)         # NC_INT64
     out += struct.pack(">Q", 16)         # vsize (8-byte)
@@ -304,10 +304,52 @@ def test_int64_attribute_out_of_range_refuses():
     import tempfile, os
 
     with tempfile.TemporaryDirectory() as d:
+        # on an f8 variable, a large int attr is lossless as f8 and
+        # is stored var-typed (NC_DOUBLE) — no error, no wrap
         w = NetCDF3Writer(os.path.join(d, "a.nc"))
         w.createDimension("y", 1)
         v = w.createVariable("v", "f8", ("y",))
         v[:] = np.array([1.0])
+        v.big = 2**40
+        w.close()
+        ds = NetCDF3Reader(open(os.path.join(d, "a.nc"), "rb").read())
+        assert ds.variables["v"]._attrs["big"].dtype.str.lstrip("<>=") == "f8"
+        assert int(ds.variables["v"]._attrs["big"]) == 2**40
+        # on an i4 variable the same value has NO lossless classic
+        # type at all → refuse loudly instead of wrapping
+        w = NetCDF3Writer(os.path.join(d, "b.nc"))
+        w.createDimension("y", 1)
+        v = w.createVariable("v", "i4", ("y",))
+        v[:] = np.array([1], dtype="i4")
         v.big = 2**40  # int attr beyond NC_INT
         with pytest.raises(ValueError, match="NC_INT range"):
             w.close()
+
+
+def test_var_attr_written_in_variables_own_type():
+    """_FillValue (and any lossless numeric var attr) must be stored
+    with the VARIABLE's nc_type, not promoted to f8/i4 — the classic
+    _FillValue convention; strict netCDF-C readers ignore a promoted
+    fill.  f4 and i2 variables exercise both numeric kinds; a lossy
+    value (int too big for i2) falls back to the promoted type."""
+    content, ds = _roundtrip(
+        lambda w: _build_attr_vars(w)
+    )
+    # reader surfaces dtypes straight from the stored atype
+    assert ds.variables["small"]._attrs["_FillValue"].dtype.str.lstrip("<>=") == "f4"
+    assert ds.variables["codes"]._attrs["_FillValue"].dtype.str.lstrip("<>=") == "i2"
+    assert ds.variables["codes"]._attrs["too_big"].dtype.str.lstrip("<>=") == "i4"
+    np.testing.assert_allclose(
+        float(ds.variables["small"]._attrs["_FillValue"]), -9.5
+    )
+    assert int(ds.variables["codes"]._attrs["_FillValue"]) == -1
+    assert int(ds.variables["codes"]._attrs["too_big"]) == 2**20
+
+
+def _build_attr_vars(w):
+    w.createDimension("y", 2)
+    v = w.createVariable("small", "f4", ("y",), fill_value=-9.5)
+    v[:] = np.array([1.0, 2.0], dtype="f4")
+    c = w.createVariable("codes", "i2", ("y",), fill_value=-1)
+    c.too_big = 2**20  # does not fit i2 → promoted NC_INT fallback
+    c[:] = np.array([3, 4], dtype="i2")
