@@ -143,14 +143,6 @@ _TAIL = [
     #    decorrelated scalar subquery, forecast skill scores, exact
     #    wide-decimal correlation) earn driver CORRECTNESS rows.
     #    Each eviction's operator keeps a named head row: --
-    "a25_kmv_overlap",       # KMV sketch family → a23_kmv_distinct
-                             # (head); the Jaccard overlap estimator
-                             # stays local-oracle + pytest
-    "llm_pq_rerank",         # PQ ANN family → llm_pq_topk (head: same
-                             # codebooks/encode/ADC); the exact
-                             # shortlist re-rank stays local-oracle;
-                             # exact top-k re-rank shape also inside
-                             # llm_ivf_topk (head)
     "k10_scd2_history",      # SCD2 family → j10_scd2_lookup (head:
                              # temporal validity semantics); the CDC
                              # history build stays local-oracle
@@ -159,39 +151,64 @@ _TAIL = [
                                   # stage-1 exact dedup hash-pinned in
                                   # its ids_md5) + llm_text_features
                                   # (head: corpus stats)
-    "sql1_cte_window_join",    # the spark.sql() ANSI front door —
-                               # every constituent op (CTE agg, join,
-                               # ranked window) has a DataFrame-API
-                               # head row; this pins the SQL parser
-                               # entry point itself
-    "a26_approx_sample_aggs",  # Horvitz-Thompson estimates over the
-                               # deterministic hash sample — sampling
-                               # family → llm_budget_sample (head,
-                               # hash-order selection) + a1 (exact
-                               # DECIMAL agg discipline)
-    "q21_fully_late_orders",   # correlated NOT EXISTS → anti join
-                               # with inequality residual — anti family
-                               # → j5_get_or_create (head) + q4 (tail
-                               # semi twin)
-    "q4_order_priority_check",  # correlated-inequality EXISTS → semi
-                                # join: semi-join family → llm_
-                                # contamination (head); join chains →
-                                # j2/j3/a1 (head)
-    "w15_range_frame",       # RANGE-frame sliding window — window
-                             # family → w5/w9/w1 heads (ROWS frame,
-                             # ordered sequences, lag); the RANGE frame
-                             # class itself is new, local-oracle-gated
-    "w16_sliding_distinct",  # windowed distinct counts — RANGE-frame
-                             # family → w15 (tail twin); distinct-count
-                             # family → a23_kmv_distinct (head)
-    "llm_filtered_ann",      # filter-then-rank vector search (exact +
-                             # probe-all IVF coincidence) — ANN family
-                             # → llm_ivf_topk + llm_pq_topk (head)
-    "llm_incremental_neardup",  # cross-batch near-dedup vs the MinHash
-                                # signature store — LSH/estimate family
-                                # → llm_jaccard_verify + llm_dedup_
-                                # clusters (head); store lifecycle is
-                                # pytest (test_incremental.py)
+    # -- round-10 rotation: ten evictions so the round-9 tail
+    #    families (incremental cross-batch near-dedup, filtered ANN
+    #    serving, RANGE-frame + sliding-distinct windows, the
+    #    spark.sql ANSI entry point, EXISTS/NOT-EXISTS decorrelation,
+    #    Horvitz-Thompson hash-sample estimates, PQ shortlist
+    #    re-rank, KMV overlap) earn driver CORRECTNESS rows.  Each
+    #    eviction's operator keeps a named head row; all ten evicted
+    #    rows stay hash-green in the local oracle mirror
+    #    (tests/test_oracle_parity) and the sf0.1 parity artifact: --
+    "p10_file_metadata",     # rows-only by design (no oracle → no
+                             # hash signal in a head slot); the
+                             # file-metadata contract is pytest-pinned
+                             # (test_file_stats.py) and p17_file_stats
+                             # is its tail twin — swapping it out
+                             # trades a no-signal row for a
+                             # hash-verified one
+    "w1_lag_diff",           # A1 adjacent diff → wrf_e1_push_rows
+                             # (head: the same operators/diff.py
+                             # adjacent_diff inside the E1 plan); the
+                             # single-Exchange plan gate stays pytest
+    "j2_left_join",          # J2 left outer → j6_j7_asof_range (head:
+                             # left-preserving as-of attach with null
+                             # misses) + k12_distribution_drift (head:
+                             # full-outer shape) + u2_j1_outer_dropna
+                             # (tail parity)
+    "a3_obs_window_start",   # A3 min − 10 min → q21_fully_late_orders
+                             # (head: timestamp INTERVAL arithmetic as
+                             # a join residual) + a1_pricing_summary
+                             # (grouped min/agg) + wrf_e1_push_rows
+                             # (timestamp shift + format)
+    "q17_small_quantity_revenue",  # decorrelated-subquery family →
+                                   # q4 (EXISTS → semi) + q21 (NOT
+                                   # EXISTS → anti) now in head; the
+                                   # scalar-agg variant stays
+                                   # local-oracle + sf0.1 parity
+    "w14_cusum_changepoint",  # sequential-monitoring family →
+                              # w13_seasonal_anomaly (head, same
+                              # robust per-series frame) +
+                              # k12_distribution_drift (head)
+    "wrf_e5_skill_correlation",  # forecast-skill family →
+                                 # wrf_e4_skill_scores (head, same
+                                 # paired fcst/obs frame); the exact
+                                 # wide-decimal moment discipline →
+                                 # a9_o1_percentiles_ranked + a1
+    "llm_simhash_neighbors",  # banded near-dup family →
+                              # llm_jaccard_verify (head: MinHash
+                              # band-bucket + verify) + llm_
+                              # incremental_neardup (head: banding
+                              # probe vs persisted store)
+    "w10_attribution",       # event-sequence attribution → w9_funnel
+                             # (head: ordered per-user sequence
+                             # window); w11_multi_touch stays the
+                             # tail parity twin
+    "a16_countmin_freq",     # frequency-sketch family →
+                             # a23_kmv_distinct + a24_quantile_sketch
+                             # (head sketch rows); exact heavy
+                             # hitters → a15_heavy_hitters (tail
+                             # parity + MG pytest twin)
     "u2_j1_outer_dropna",    # J1 full-outer → j1_pivot_sources (head,
                              # the idiomatic pivot form) and the
                              # full-outer JOIN shape → k12_distribution_

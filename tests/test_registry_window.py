@@ -18,6 +18,15 @@ subquery, forecast skill scores, exact wide-decimal Pearson
 correlation), evicting five more compound-redundant rows.  The
 eviction→coverage mapping is documented per entry in
 ``curw_wrf_data_pusher_spark/queries/__init__._TAIL``.
+
+Round-10 rotation (judge r9 task 1) promoted the round-9 tail
+families — incremental cross-batch near-dedup, filtered ANN serving,
+RANGE-frame and sliding-distinct windows, the spark.sql ANSI entry
+point, EXISTS/NOT-EXISTS decorrelation (Q4/Q21 shapes),
+Horvitz-Thompson hash-sample estimates, and the re-promoted PQ
+shortlist re-rank + KMV overlap — evicting ten compound-redundant
+rows (incl. the no-hash-signal p10).  All ten promotions were
+re-verified hash-green vs DuckDB at sf0.01 before the swap.
 """
 
 from __future__ import annotations
@@ -32,44 +41,41 @@ DRIVER_BUDGET = 50
 EXPECTED_HEAD = [
     "p2_bbox_filter",
     "p9_key_parse",
-    "w1_lag_diff",
     "a6_latest_fgt_join",
     "w3_nearest_neighbor",
     "a1_pricing_summary",
-    "a3_obs_window_start",
     "j1_pivot_sources",
-    "j2_left_join",
     "j3_broadcast_lookup",
     "j5_get_or_create",
     "s10_window_resample",
-    "p10_file_metadata",
     "a9_o1_percentiles_ranked",
     "j6_j7_asof_range",
     "a11_a12_cube_gsets",
     "p8_p12_hash_strings",
     "p14_p15_json_datetime",
     "j8_fuzzy_pairs",
-    "a16_countmin_freq",
     "w9_funnel",
-    "w10_attribution",
     "a23_kmv_distinct",
     "k12_distribution_drift",
     "j10_scd2_lookup",
     "w12_concurrency",
     "a24_quantile_sketch",
+    "a25_kmv_overlap",
     "w13_seasonal_anomaly",
-    "w14_cusum_changepoint",
-    "q17_small_quantity_revenue",
+    "q4_order_priority_check",
+    "w15_range_frame",
+    "a26_approx_sample_aggs",
+    "q21_fully_late_orders",
+    "w16_sliding_distinct",
+    "sql1_cte_window_join",
     "wrf_e1_push_rows",
     "wrf_e3_hybrid_frame",
     "e2_rfield_contract",
     "wrf_e4_skill_scores",
-    "wrf_e5_skill_correlation",
     "llm_ivf_topk",
     "llm_text_features",
     "llm_binary_metadata",
     "llm_dedup_clusters",
-    "llm_simhash_neighbors",
     "llm_jaccard_verify",
     "llm_contamination",
     "llm_seq_packing",
@@ -80,6 +86,9 @@ EXPECTED_HEAD = [
     "llm_pq_topk",
     "llm_repetition_signals",
     "llm_budget_sample",
+    "llm_pq_rerank",
+    "llm_incremental_neardup",
+    "llm_filtered_ann",
 ]
 
 #: The exact tail (local-mirror-only order).  Each entry's operator is
@@ -135,18 +144,18 @@ EXPECTED_TAIL = [
     "llm_cosine_topk_neardup",
     "k11_snapshot_diff",
     "p17_file_stats",
-    "a25_kmv_overlap",
-    "llm_pq_rerank",
     "k10_scd2_history",
     "llm_survivor_corpus_stats",
-    "sql1_cte_window_join",
-    "a26_approx_sample_aggs",
-    "q21_fully_late_orders",
-    "q4_order_priority_check",
-    "w15_range_frame",
-    "w16_sliding_distinct",
-    "llm_filtered_ann",
-    "llm_incremental_neardup",
+    "p10_file_metadata",
+    "w1_lag_diff",
+    "j2_left_join",
+    "a3_obs_window_start",
+    "q17_small_quantity_revenue",
+    "w14_cusum_changepoint",
+    "wrf_e5_skill_correlation",
+    "llm_simhash_neighbors",
+    "w10_attribution",
+    "a16_countmin_freq",
     "u2_j1_outer_dropna",
 ]
 
@@ -159,10 +168,12 @@ def test_head_fits_driver_budget_and_is_pinned():
     )
 
 
-def test_every_head_query_is_oracle_gated_except_p10():
+def test_every_head_query_is_oracle_gated():
+    """Round-10 rotation moved the rows-only p10 to the tail: every
+    driver-window slot now carries full rows+schema+hash signal."""
     head = list(QUERIES)[:DRIVER_BUDGET]
     missing = [q for q in head if q not in ORACLES]
-    assert missing == ["p10_file_metadata"], missing
+    assert missing == [], missing
 
 
 def test_tail_holds_only_redundant_demos():
