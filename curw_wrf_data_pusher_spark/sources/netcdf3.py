@@ -193,8 +193,9 @@ class NetCDF3Reader:
     def __init__(self, content: bytes):
         if content[:4] == b"\x89HDF":
             raise ValueError(
-                "netCDF-4/HDF5 file: the classic-format fallback cannot "
-                "decode it; install netCDF4 for HDF5-backed files"
+                "netCDF-4/HDF5 file: the classic-format codec cannot "
+                "decode it; use sources.hdf5.HDF5Reader (read_wrf_grid "
+                "dispatches by magic automatically)"
             )
         if content[:3] != b"CDF" or content[3] not in (1, 2, 5):
             raise ValueError(
