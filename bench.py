@@ -3,8 +3,20 @@
 
 Runs at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS]; prints ONE JSON line:
-{"metric": ..., "value": total_sec, "unit": "sec",
- "queries": {name: sec, ...}, "sf": ...}
+{"metric": ..., "value": core_total_sec, "unit": "sec",
+ "queries": {core name: sec, ...}, "sf": ...,
+ "extended_queries": {name: sec, ...}, "extended_total": ...,
+ "grand_total": ...}
+
+ROUND-10 STRUCTURE (judge task 3): the bench had grown to 42 rows
+whose sum moved every round as new rows joined, while single-run
+noise stayed at ±20-25%.  The scoreboard is now split: a FIXED
+core-15 (SURVEY E1-E3 + the LLM flagships, best-of-3 minimum) is the
+headline "value"; everything else is reported separately under
+extended_queries.  Compare rounds on the core total — it cannot be
+moved by adding rows.  r9 equivalents for the core-15 (from
+BENCH_r09.json, minus the new wrf_e2_rfield_files sink row): see
+BENCH_r10 notes in NEXT.md.
 
 Each query is forced end-to-end with the noop sink (full computation,
 no driver collect). The headline set spans the engine's surface: scans
@@ -151,6 +163,65 @@ def _resolve(name):
     raise KeyError(name)
 
 
+# CORE: the pinned headline subset — the ~15 rows that map straight to
+# SURVEY E1-E3 plus the LLM-pipeline flagships.  This list is FIXED
+# (round 10): cross-round comparisons use the top-level "value"
+# (core total, best-of-3) so the scoreboard no longer moves when new
+# rows join the bench.  The file-emission row (wrf_e2_rfield_files)
+# writes REAL files — xy.csv through the single-partition ordered
+# write and one value file per timestep through the partitioned
+# parallel writer (sinks/rfield_files.py) — because at 100x scale the
+# sink, not the frame, is the E2 bottleneck candidate.
+CORE = [
+    "wrf_e1_push_rows",
+    "wrf_e3_hybrid_frame",
+    "e2_rfield_contract",
+    "wrf_e2_rfield_files",
+    "a1_pricing_summary",
+    "j3_broadcast_lookup",
+    "w3_nearest_neighbor",
+    "s10_window_resample",
+    "llm_dedup_exact",
+    "llm_minhash_lsh_pairs",
+    "llm_setsim_pairs",
+    "llm_curate_pipeline",
+    "llm_pq_topk",
+    "llm_pq_index_search",
+    "llm_incremental_neardup",
+]
+
+#: Everything else stays measured, reported under extended_queries —
+#: new rows land there so the core scoreboard stays comparable.
+EXTENDED = [n for n in HEADLINE if n not in CORE]
+
+
+def _bench_rfield_files(spark, sf_dir: str) -> None:
+    """E2 end-to-end file emission: the dense rfield frame → xy.csv +
+    one ordered value file per timestep (K4/K5), written to a temp
+    dir.  Timed INCLUSIVE of the filesystem tail (part-file merge),
+    which is what dominates at many-timestep scale."""
+    import shutil
+    import tempfile
+
+    from curw_wrf_data_pusher_spark.sinks.rfield_files import (
+        write_rfield_files,
+    )
+
+    frame = _resolve("e2_rfield_contract")(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="bench-rfield-")
+    try:
+        write_rfield_files(
+            frame, out, group_cols=["file_key"], value_col="value"
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+#: terminal-sink rows: the callable performs (and is timed over) its
+#: own write instead of the noop sink.
+SINKS = {"wrf_e2_rfield_files": _bench_rfield_files}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -162,40 +233,55 @@ def main() -> None:
         "overwrite"
     ).save()
 
-    # best-of-REPS with PASS-LEVEL repetition: the whole headline list
-    # runs REPS times and each query keeps its minimum across passes.
+    # best-of-REPS with PASS-LEVEL repetition: the whole list runs
+    # REPS times and each query keeps its minimum across passes.
     # Consecutive per-query reps share a transient-contention window (a
     # one-off 42 s total was traced to exactly that); spreading a
     # query's reps minutes apart decorrelates them at identical total
-    # cost.  Each run times construction + execution — iterative
-    # operators (e.g. connected components) do real work eagerly while
-    # building.  Local scheduler noise dominates sub-second queries
-    # (round-2 showed ±15% swings at n=2 with unchanged plans).
+    # cost.  CORE rows run at least 3 passes regardless of
+    # SPARK_GRAFT_BENCH_REPS so the pinned scoreboard is always
+    # best-of-3; EXTENDED rows run REPS passes.
+    core_reps = max(3, REPS)
     best: dict[str, float] = {}
-    for rep in range(REPS):
-        for name in HEADLINE:
-            # stderr marker so any JVM warning in the log tail can be
-            # attributed to the query that was running (stdout stays
-            # pure: one JSON line)
-            print(f"## bench rep={rep} query={name}", file=sys.stderr)
-            fn = _resolve(name)
-            t0 = time.perf_counter()
-            df = fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            dt = time.perf_counter() - t0
-            if name not in best or dt < best[name]:
-                best[name] = dt
-    timings = {name: round(best[name], 3) for name in HEADLINE}
 
-    total = round(sum(timings.values()), 3)
+    def run_one(rep: int, name: str) -> None:
+        print(f"## bench rep={rep} query={name}", file=sys.stderr)
+        t0 = time.perf_counter()
+        if name in SINKS:
+            SINKS[name](spark, sf_dir)
+        else:
+            df = _resolve(name)(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+        dt = time.perf_counter() - t0
+        if name not in best or dt < best[name]:
+            best[name] = dt
+
+    for rep in range(core_reps):
+        for name in CORE:
+            run_one(rep, name)
+        if rep < REPS:
+            for name in EXTENDED:
+                run_one(rep, name)
+
+    core_t = {n: round(best[n], 3) for n in CORE}
+    ext_t = {n: round(best[n], 3) for n in EXTENDED}
+    core_total = round(sum(core_t.values()), 3)
+    ext_total = round(sum(ext_t.values()), 3)
     print(
         json.dumps(
             {
-                "metric": "headline-query wall time (noop sink, local)",
-                "value": total,
+                "metric": (
+                    "core-15 headline wall time "
+                    "(best-of-%d, SURVEY E1-E3 + LLM flagships)"
+                    % core_reps
+                ),
+                "value": core_total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": core_t,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "extended_queries": ext_t,
+                "extended_total": ext_total,
+                "grand_total": round(core_total + ext_total, 3),
             }
         )
     )
