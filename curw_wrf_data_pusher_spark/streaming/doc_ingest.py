@@ -10,24 +10,25 @@ operators the offline pipeline uses — one code path to trust):
                persisted hash store)
              → [optional] neardup_filter_batch (MinHash signature
                store probe — cross-batch NEAR-dup survivors only)
-             → append survivors to the curated corpus dir
+             → overwrite the batch's ``ingest_batch`` corpus partition
              → update_dedup_store (+ update_neardup_store) (batch =
                micro-batch id; dynamic partition overwrite makes
                redelivery idempotent)
 
-Exactly-once story: the streaming checkpoint guarantees each source
-file lands in exactly one micro-batch; within a batch the store
-append is keyed by batch id, so a crash between corpus append and
-store commit replays the batch into the SAME store partition and the
-corpus append of dropped duplicates is prevented by the store probe.
-A replayed batch can at worst re-append its own survivors to the
-corpus dir — dedup-on-read (A6 semantics) or an upsert sink absorbs
-that, mirroring the reference's re-push behavior.
+Exactly-once story (cross-restart-tested in
+tests/test_doc_ingest_stream.py): the streaming checkpoint guarantees
+each source file lands in exactly one micro-batch; within a batch the
+corpus rows AND both store commits key on the micro-batch id as
+dynamic-overwrite partitions.  A crash anywhere between the corpus
+write and the last store commit replays the whole batch into the SAME
+partitions — rewriting, never duplicating — so a second availableNow
+run over the same checkpoint converges the corpus and both stores.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 from pyspark.sql.types import StructType
 
@@ -57,6 +58,7 @@ def stream_ingest_documents(
     neardup_store_path: str | None = None,
     neardup_threshold: float = 0.5,
     neardup_max_bucket_size: int | None = None,
+    _fail_before_store_update=None,
 ) -> StreamingQuery:
     """Watch ``watch_dir`` for parquet document drops; append deduped,
     featurized survivors to ``out_dir`` and their content hashes to
@@ -92,19 +94,33 @@ def stream_ingest_documents(
                 max_bucket_size=neardup_max_bucket_size,
             )
         survivors = survivors.localCheckpoint()
-        # corpus append first, store commits second: a crash between
-        # them replays into the same batch partition (idempotent)
+        # EXACTLY-ONCE output under replay: both the corpus rows and
+        # the store commits key on the micro-batch id.  The corpus
+        # write is a dynamic overwrite of its own ``ingest_batch``
+        # partition (a replayed batch rewrites the same partition
+        # instead of appending duplicates — the earlier plain append
+        # here duplicated corpus rows when a crash landed between the
+        # append and the store commit); the store updates were already
+        # idempotent per-batch partitions.  Corpus first, stores
+        # second: a crash in between replays into the same partitions.
         sig_cols = [c for c in survivors.columns if c.startswith("mh_")]
-        survivors.drop("content_hash", *sig_cols).write.mode(
-            "append"
-        ).parquet(out_dir)
-        update_dedup_store(
-            spark, survivors, store_path, batch=f"b{batch_id:08d}"
+        bpart = f"b{batch_id:08d}"
+        (
+            survivors.drop("content_hash", *sig_cols)
+            .withColumn("ingest_batch", F.lit(bpart))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest_batch")
+            .parquet(out_dir)
         )
+        if _fail_before_store_update is not None:
+            # fault-injection point (tests): simulate a crash in the
+            # corpus-committed / stores-not-yet window
+            _fail_before_store_update(batch_id)
+        update_dedup_store(spark, survivors, store_path, batch=bpart)
         if neardup_store_path is not None:
             update_neardup_store(
-                spark, survivors, neardup_store_path,
-                batch=f"b{batch_id:08d}",
+                spark, survivors, neardup_store_path, batch=bpart
             )
 
     writer = arrivals.writeStream.foreachBatch(_ingest).option(
