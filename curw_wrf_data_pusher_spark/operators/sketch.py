@@ -449,3 +449,78 @@ def quantile_sketch_estimate(
         + (F.col("bin").cast("double") + frac_in_bin) * F.lit(width)
     )
     return hit.select(*group_cols, est.alias("q_est"))
+
+
+def sliding_distinct_kmv(
+    df: DataFrame,
+    time_col: str,
+    value_col,
+    window_seconds: int,
+    bucket_seconds: int,
+    k: int = 64,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Sliding distinct-count ESTIMATE from mergeable per-bucket KMV
+    sketches — the high-cardinality twin of the exact
+    ``collect_set().over(rangeBetween)`` form (w16): that form
+    materializes every row's full window set, so a window holding
+    millions of distinct values holds millions of entries per output
+    row.  Here cardinality never touches a window frame:
+
+    1. per (group, bucket) KMV sketch — ≤ k rows per bucket no matter
+       how many distinct values the bucket saw (``kmv_sketch``'s
+       salted two-phase rank);
+    2. each bucket sketch is exploded to the ``window/bucket`` target
+       buckets it contributes to (a map-side constant-factor
+       expansion), keeping only target buckets that exist in the
+       data;
+    3. per target bucket the contributing sketches merge by re-rank
+       over ≤ (window/bucket)·k rows — bounded — and estimate via
+       ``kmv_estimate`` (exact below k, (k−1)/frac(h_k) above).
+
+    Contract: ``est_distinct`` for the trailing ``window_seconds``
+    (inclusive of the current bucket) as of each ``bucket_seconds``
+    bucket that has data.  Relative error ≈ 1/sqrt(k−2) (Beyer et
+    al., "On Synopses for Distinct-Value Estimation Under Multiset
+    Operations", SIGMOD'07); exact whenever the true distinct count
+    is below k.  Accuracy is test-pinned in tests/test_sketch_snapshot.py."""
+    if window_seconds % bucket_seconds != 0:
+        raise ValueError("window_seconds must be a multiple of "
+                         "bucket_seconds")
+    gcols = list(group_cols)
+    bucket = (
+        (F.floor(F.unix_timestamp(F.col(time_col)) / bucket_seconds)
+         * bucket_seconds).cast("long").alias("__b")
+    )
+    pts = df.select(*gcols, bucket, F.col(value_col).cast("string")
+                    .alias("__v"))
+    per_bucket = kmv_sketch(pts, [*gcols, "__b"], "__v", k=k)
+    # contribute each bucket's sketch to every target window it falls
+    # in: target t sees buckets in (t − window, t]
+    contrib = per_bucket.withColumn(
+        "__t",
+        F.explode(
+            F.sequence(
+                F.col("__b"),
+                F.col("__b") + F.lit(int(window_seconds - bucket_seconds)),
+                F.lit(int(bucket_seconds)),
+            )
+        ),
+    )
+    existing = pts.select(*gcols, F.col("__b").alias("__t")).distinct()
+    merged = contrib.join(existing, [*gcols, "__t"], "left_semi")
+    w = Window.partitionBy(*gcols, "__t").orderBy("h")
+    sk = (
+        merged.select(*gcols, "__t", "h")
+        .distinct()
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+    est = kmv_estimate(sk, [*gcols, "__t"], k=k)
+    return est.select(
+        *gcols,
+        F.date_format(
+            F.col("__t").cast("timestamp"), "yyyy-MM-dd HH:mm:ss"
+        ).alias("bucket_t"),
+        "est_distinct",
+    )

@@ -209,6 +209,13 @@ _TAIL = [
                              # (head sketch rows); exact heavy
                              # hitters → a15_heavy_hitters (tail
                              # parity + MG pytest twin)
+    # round-10 addition, tail-resident (oracle-gated here and in
+    # tests/test_oracle_parity; driver-visible if the budget grows):
+    "w17_sliding_distinct_kmv",  # high-cardinality sliding distinct —
+                                 # sketch family → a23_kmv_distinct
+                                 # (head); RANGE-window family → w15/
+                                 # w16 (head); accuracy pinned in
+                                 # tests/test_llmops.py
     "u2_j1_outer_dropna",    # J1 full-outer → j1_pivot_sources (head,
                              # the idiomatic pivot form) and the
                              # full-outer JOIN shape → k12_distribution_

@@ -3334,3 +3334,54 @@ def sql1_cte_window_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         _SQL1.format(orders="v_sql1_orders", customer="v_sql1_customer")
     )
+
+
+# W17 — sliding distinct at HIGH cardinality: w16's exact
+# collect_set-over-RANGE-frame materializes every row's full window
+# set, which dies when a window holds millions of distinct values.
+# This is the sketch twin (operators/sketch.sliding_distinct_kmv):
+# per-bucket KMV partials (≤ k rows/bucket) → map-side explode to the
+# trailing-window targets → bounded re-rank merge → estimate.  The
+# estimator is a pure hash expression, so the oracle re-derives the
+# EXACT same sketch and the estimates hash-match bit-for-bit — the
+# same portability trick as a26's deterministic sample.  Semantics:
+# estimated distinct visitors (user_id) over the trailing 24 h as of
+# each populated hourly bucket.
+@register(
+    "w17_sliding_distinct_kmv",
+    oracle="""
+    WITH pts AS (
+      SELECT DISTINCT
+             (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600 AS b,
+             md5(CAST(user_id AS VARCHAR)) AS h
+      FROM events
+    ),
+    targets AS (SELECT DISTINCT b FROM pts),
+    contrib AS (
+      SELECT DISTINCT t.b AS tb, p.h
+      FROM targets t
+      JOIN pts p ON p.b BETWEEN t.b - 82800 AND t.b
+    ),
+    kept AS (
+      SELECT tb, h,
+             row_number() OVER (PARTITION BY tb ORDER BY h) AS r
+      FROM contrib
+      QUALIFY r <= 64
+    )
+    SELECT strftime(make_timestamp(tb * 1000000),
+                    '%Y-%m-%d %H:%M:%S') AS bucket_t,
+           CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
+                ELSE 63.0 / ((('0x' || substr(max(h), 1, 12))::BIGINT)
+                             / 281474976710656.0)
+           END AS est_distinct
+    FROM kept GROUP BY tb
+    """,
+)
+def w17_sliding_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketch import sliding_distinct_kmv
+
+    ev = spread(load_table(spark, sf_dir, "events"))
+    return sliding_distinct_kmv(
+        ev, "ts", "user_id", window_seconds=86400,
+        bucket_seconds=3600, k=64,
+    )
