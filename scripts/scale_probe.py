@@ -1,0 +1,140 @@
+#!/usr/bin/env python
+"""Scale probe for the three shuffle-heaviest LLM rows (judge r9
+task 4): measure wall time AND max-task skew at 1x (sf0.1, 5k docs)
+vs 10x (50k docs) to prove sub-quadratic growth.
+
+The 10x corpus is 10 token-renamed replicas of sf0.1 documents:
+every token in replica i>0 gets an ``ri`` suffix, so cross-replica
+similarity is zero and each replica preserves the ORIGINAL pairwise
+similarity structure exactly — candidate-pair density per document is
+constant by construction, which is the honest scaling test (corpus
+grows 10x, expected work ~10x for a linear-in-corpus pipeline; a
+quadratic candidate generator would show ~100x).
+
+Skew: per-query max/mean task duration of the heaviest stage, via the
+Spark UI REST API (local app).  Usage:
+
+    python scripts/scale_probe.py            # both scales, one rep
+    SCALE_PROBE_REPS=2 python scripts/scale_probe.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+import urllib.request
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from curw_wrf_data_pusher_spark.queries import llm  # noqa: E402
+from curw_wrf_data_pusher_spark.session import get_spark  # noqa: E402
+
+ROWS = ["llm_setsim_pairs", "llm_substring_dedup", "llm_incremental_neardup"]
+BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+WORK = "/tmp/scale_probe"
+REPS = int(os.environ.get("SCALE_PROBE_REPS", "1"))
+
+
+def build_10x(spark) -> str:
+    from pyspark.sql import functions as F
+
+    out = os.path.join(WORK, "x10")
+    dst = os.path.join(out, "documents.parquet")
+    if os.path.exists(dst):
+        return out
+    docs = spark.read.parquet(os.path.join(BASE, "documents.parquet"))
+    n = docs.agg(F.max("doc_id")).first()[0] + 1
+    parts = [docs]
+    for i in range(1, 10):
+        parts.append(
+            docs.select(
+                (F.col("doc_id") + F.lit(i * n)).alias("doc_id"),
+                F.regexp_replace("text", r"(\S+)", f"$1r{i}").alias("text"),
+                "lang", "source", "n_chars",
+            )
+        )
+    rep = parts[0]
+    for p in parts[1:]:
+        rep = rep.unionByName(p)
+    rep.repartition(32).write.mode("overwrite").parquet(dst)
+    return out
+
+
+def stage_skew(spark, since_stage: int):
+    """max/mean task duration of the heaviest completed stage newer
+    than ``since_stage`` (REST: /api/v1/.../stages with task summary)."""
+    try:
+        base = spark.sparkContext.uiWebUrl
+        app = spark.sparkContext.applicationId
+        url = f"{base}/api/v1/applications/{app}/stages?status=complete"
+        stages = json.loads(urllib.request.urlopen(url, timeout=10).read())
+        newer = [s for s in stages if s["stageId"] > since_stage]
+        if not newer:
+            return None
+        heavy = max(newer, key=lambda s: s.get("executorRunTime", 0))
+        det = json.loads(
+            urllib.request.urlopen(
+                f"{url.split('?')[0]}/{heavy['stageId']}"
+                f"/{heavy['attemptId']}/taskSummary"
+                "?quantiles=0.5,1.0",
+                timeout=10,
+            ).read()
+        )
+        med, mx = det["executorRunTime"]
+        return {
+            "stage": heavy["stageId"],
+            "tasks": heavy["numCompleteTasks"],
+            "median_task_ms": med,
+            "max_task_ms": mx,
+            "skew_max_over_median": round(mx / med, 2) if med else None,
+        }
+    except Exception as e:  # REST off or shape changed — degrade
+        return {"error": str(e)}
+
+
+def last_stage_id(spark) -> int:
+    try:
+        base = spark.sparkContext.uiWebUrl
+        app = spark.sparkContext.applicationId
+        url = f"{base}/api/v1/applications/{app}/stages"
+        stages = json.loads(urllib.request.urlopen(url, timeout=10).read())
+        return max((s["stageId"] for s in stages), default=-1)
+    except Exception:
+        return -1
+
+
+def main() -> None:
+    os.makedirs(WORK, exist_ok=True)
+    spark = get_spark("scale-probe", extra_conf={"spark.ui.enabled": "true"})
+    x10 = build_10x(spark)
+    results = {}
+    for scale, sf_dir in (("x1", BASE), ("x10", x10)):
+        for name in ROWS:
+            fn = getattr(llm, name)
+            best = None
+            skew = None
+            for _ in range(REPS):
+                mark = last_stage_id(spark)
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                dt = time.perf_counter() - t0
+                if best is None or dt < best:
+                    best = dt
+                    skew = stage_skew(spark, mark)
+            results[f"{name}@{scale}"] = {
+                "sec": round(best, 2), "skew": skew,
+            }
+            print(f"{name}@{scale}: {best:.2f}s {skew}", file=sys.stderr)
+    for name in ROWS:
+        a = results[f"{name}@x1"]["sec"]
+        b = results[f"{name}@x10"]["sec"]
+        results[f"{name}@growth_10x"] = round(b / a, 2)
+    print(json.dumps(results, indent=2))
+
+
+if __name__ == "__main__":
+    main()
