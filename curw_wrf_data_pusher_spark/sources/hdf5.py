@@ -12,12 +12,16 @@ library; we decode the same bytes in pure Python):
 - object headers version 1 and version 2 (``OHDR``), with
   continuation blocks (v1 raw, v2 ``OCHK``);
 - groups stored as symbol tables (v1 B-tree + ``SNOD`` + local heap,
-  the "old-style" layout) AND as compact link messages (the
-  "new-style" layout netCDF-4's link-creation-order tracking
-  produces).  Dense (fractal-heap) link storage — only reached past
-  ~8 links per group — raises a clear error naming the structure;
+  the "old-style" layout), as compact link messages (the "new-style"
+  layout netCDF-4's link-creation-order tracking produces below ~8
+  links), AND as dense link storage — the name-index version-2
+  B-tree (depth ≤ 1, i.e. thousands of links — a full wrfout file's
+  100+ variables) over a fractal heap (root single-direct-block and
+  root-indirect-with-direct-rows layouts);
 - datatypes: fixed-point (1/2/4/8-byte, signed/unsigned, LE/BE),
-  IEEE float (4/8-byte, LE/BE), fixed-length strings;
+  IEEE float (4/8-byte, LE/BE), fixed-length strings, and
+  variable-length strings (resolved through the global heap) in
+  attributes;
 - dataspaces v1/v2; fill-value messages v1/v2/v3;
 - data layout message v3: compact, contiguous, and chunked with the
   v1 chunk B-tree index;
@@ -264,13 +268,18 @@ class HDF5Reader:
                 if lflags & 0x1:
                     c.u8()  # max creation index
                 fheap = c.o()
+                name_btree = c.o()
                 if not _undef(fheap, self._osz):
-                    raise ValueError(
-                        "dense (fractal-heap) link storage is not "
-                        "supported by the pure-Python HDF5 reader — "
-                        "only reached past ~8 links per group; "
-                        "install netCDF4/h5py for such files"
-                    )
+                    # dense link storage (reached past ~8 links per
+                    # group — e.g. a full wrfout file's 100+
+                    # variables): enumerate the name-index v2 B-tree,
+                    # fetch each link message from the fractal heap
+                    for hid in self._btree_v2_records(name_btree):
+                        got = self._parse_link(
+                            self._fheap_object(fheap, hid)
+                        )
+                        if got is not None:
+                            links.append(got)
         for name, child in links:
             cmsgs = self._messages(child)
             types = {t for t, _ in cmsgs}
@@ -354,6 +363,166 @@ class HDF5Reader:
         walk(btree_addr)
         return out
 
+    # -- dense link storage: v2 B-tree + fractal heap --------------------
+    def _btree_v2_records(self, addr):
+        """Heap IDs from every record of a version-2 B-tree (the
+        link-name index, record type 5: 4-byte name hash + heap ID).
+        Depth 0 and 1 cover thousands of links; deeper trees raise."""
+        buf = self._buf
+        if buf[addr:addr + 4] != b"BTHD":
+            raise ValueError("bad v2 B-tree header signature")
+        c = self._cur(addr + 4)
+        c.u1()  # version
+        c.u1()  # tree type
+        node_size = c.u4()
+        rec_size = c.u2()
+        depth = c.u2()
+        c.u1()  # split percent
+        c.u1()  # merge percent
+        root = c.o()
+        root_nrec = c.u2()
+        c.l()  # total records
+        if depth > 1:
+            raise ValueError(
+                "v2 B-tree deeper than 1 level is not supported by "
+                "the pure-Python HDF5 reader"
+            )
+        # child-pointer nrec field width is derived from leaf capacity
+        max_leaf = (node_size - 10) // rec_size
+        nrec_sz = max(1, (max_leaf.bit_length() + 7) // 8)
+
+        def leaf_records(laddr, nrec):
+            if buf[laddr:laddr + 4] != b"BTLF":
+                raise ValueError("bad BTLF signature")
+            pos = laddr + 6  # sig + version + type
+            out = []
+            for _ in range(nrec):
+                rec = buf[pos:pos + rec_size]
+                out.append(rec[4:])  # strip the 4-byte name hash
+                pos += rec_size
+            return out
+
+        if depth == 0:
+            return leaf_records(root, root_nrec)
+        # depth 1: root is BTIN — children interleave with records
+        if buf[root:root + 4] != b"BTIN":
+            raise ValueError("bad BTIN signature")
+        pos = root + 6
+        out = []
+        for i in range(root_nrec + 1):
+            caddr = int.from_bytes(
+                buf[pos:pos + self._osz], "little"
+            )
+            pos += self._osz
+            cnrec = int.from_bytes(buf[pos:pos + nrec_sz], "little")
+            pos += nrec_sz
+            out.extend(leaf_records(caddr, cnrec))
+            if i < root_nrec:
+                pos += rec_size  # the separating record is a dup of
+                # a leaf record's key — link itself lives in a leaf?
+                # No: v2 B-trees store records in internal nodes too.
+                rec = buf[pos - rec_size:pos]
+                out.append(rec[4:])
+        return out
+
+    def _fheap_object(self, addr, hid):
+        """One managed object's bytes from a fractal heap: root
+        single-direct-block and root-indirect-with-direct-rows
+        layouts (the shapes link storage produces)."""
+        buf = self._buf
+        if buf[addr:addr + 4] != b"FRHP":
+            raise ValueError("bad fractal heap signature")
+        c = self._cur(addr + 4)
+        c.u1()  # version
+        c.u2()  # heap id length
+        io_len = c.u2()
+        flags = c.u1()
+        max_obj = c.u4()
+        c.l()  # next huge id
+        c.o()  # huge btree
+        c.l()  # free space
+        c.o()  # free-space manager
+        c.l()  # managed space
+        c.l()  # allocated space
+        c.l()  # direct-block iterator offset
+        c.l()  # managed object count
+        c.l()  # huge size
+        c.l()  # huge count
+        c.l()  # tiny size
+        c.l()  # tiny count
+        width = c.u2()
+        start = c.l()
+        c.l()  # max direct block size
+        max_heap_bits = c.u2()
+        c.u2()  # starting rows
+        root = c.o()
+        cur_rows = c.u2()
+        if io_len:
+            raise ValueError("filtered fractal heaps are unsupported")
+        off_sz = (max_heap_bits + 7) // 8
+        len_sz = max(1, (int(max_obj).bit_length() + 7) // 8)
+        hc = _B(bytes(hid))
+        vt = hc.u1()
+        if (vt >> 4) & 0x3 != 0:
+            raise ValueError("non-managed fractal heap id")
+        off = hc.uN(off_sz)
+        length = hc.uN(len_sz)
+
+        def row_block_size(r):
+            return start if r < 2 else start << (r - 1)
+
+        if cur_rows == 0:
+            block_addr, block_off = root, 0
+        else:
+            if buf[root:root + 4] != b"FHIB":
+                raise ValueError("bad indirect-block signature")
+            row, acc = 0, 0
+            while True:
+                if row >= cur_rows:
+                    raise ValueError(
+                        "heap offset beyond the root indirect block's "
+                        "direct rows (huge heaps unsupported)"
+                    )
+                span = row_block_size(row) * width
+                if off < acc + span:
+                    break
+                acc += span
+                row += 1
+            col = (off - acc) // row_block_size(row)
+            idx = row * width + col
+            entry = root + 4 + 1 + self._osz + off_sz + idx * self._osz
+            block_addr = int.from_bytes(
+                buf[entry:entry + self._osz], "little"
+            )
+            block_off = acc + col * row_block_size(row)
+        if buf[block_addr:block_addr + 4] != b"FHDB":
+            raise ValueError("bad direct-block signature")
+        at = block_addr + (off - block_off)
+        return buf[at:at + length]
+
+    # -- global heap (vlen data) -----------------------------------------
+    def _gheap_object(self, addr, idx):
+        buf = self._buf
+        if buf[addr:addr + 4] != b"GCOL":
+            raise ValueError("bad global-heap signature")
+        c = self._cur(addr + 4)
+        c.u1()  # version
+        c.read(3)
+        size = c.l()
+        end = addr + size
+        while c.pos + 8 + self._lsz <= end:
+            oidx = c.u2()
+            c.u2()  # reference count
+            c.read(4)
+            osz = c.l()
+            data = buf[c.pos:c.pos + osz]
+            if oidx == 0:
+                break
+            if oidx == idx:
+                return data
+            c.pos += (osz + 7) & ~7
+        raise ValueError(f"global heap object {idx} not found")
+
     # -- message decoders ----------------------------------------------
     @staticmethod
     def _parse_dataspace(body):
@@ -389,6 +558,8 @@ class HDF5Reader:
             return np.dtype(f"{order}f{size}")
         if klass == 3:  # fixed-length string
             return ("str", size)
+        if klass == 9 and (bits[0] & 0x0F) == 1:  # vlen string
+            return ("vlen_str",)
         return None
 
     @staticmethod
@@ -470,7 +641,7 @@ class HDF5Reader:
         return filters
 
     def _parse_attr(self, body):
-        c = _B(body)
+        c = _B(body, 0, self._osz, self._lsz)
         version = c.u1()
         if version == 1:
             c.read(1)
@@ -495,10 +666,21 @@ class HDF5Reader:
         dt = self._parse_datatype(take(dtsz))
         dims = self._parse_dataspace(take(dssz))
         if dt is None:
-            return name, None  # vlen/reference attr — surfaced as None
+            return name, None  # reference/compound attr — kept as None
         n = 1
         for d in dims:
             n *= d
+        if dt == ("vlen_str",):
+            # each element: length (4B), global-heap address (O),
+            # object index (4B) — resolved through the global heap
+            vals = []
+            for _ in range(n):
+                ln = c.u4()
+                gaddr = c.uN(self._osz)
+                gidx = c.u4()
+                raw = self._gheap_object(gaddr, gidx)[:ln]
+                vals.append(raw.decode("utf-8", errors="replace"))
+            return name, vals[0] if not dims else vals
         if isinstance(dt, tuple):  # fixed string
             raw = c.read(dt[1] * n)
             return name, raw.split(b"\x00")[0].decode(

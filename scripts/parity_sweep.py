@@ -1,0 +1,66 @@
+#!/usr/bin/env python
+"""Full-registry parity sweep vs DuckDB at a given scale factor —
+produces the version-controlled PARITY_SF01_r{N}.json artifact
+(every registered query's Spark result hash-compared to its oracle,
+with row counts and both engines' wall times).
+
+    python scripts/parity_sweep.py [sf_dir] [round] [out_path]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from curw_wrf_data_pusher_spark.queries import ORACLES, QUERIES  # noqa: E402
+from curw_wrf_data_pusher_spark.session import get_spark  # noqa: E402
+from tests.oracle_harness import canonical_hash, duckdb_connection  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    rnd = int(sys.argv[2]) if len(sys.argv) > 2 else 0
+    out_path = (
+        sys.argv[3] if len(sys.argv) > 3
+        else f"PARITY_SF01_r{rnd:02d}.json"
+    )
+    spark = get_spark("parity-sweep")
+    con = duckdb_connection(sf_dir)
+    results = {}
+    n_match = 0
+    for name, fn in QUERIES.items():
+        t0 = time.perf_counter()
+        sp_df = fn(spark, sf_dir).toPandas()
+        sp_sec = round(time.perf_counter() - t0, 2)
+        row = {"spark_rows": len(sp_df), "spark_sec": sp_sec}
+        if name in ORACLES:
+            t0 = time.perf_counter()
+            du_df = con.execute(ORACLES[name]).df()
+            row["oracle_rows"] = len(du_df)
+            row["oracle_sec"] = round(time.perf_counter() - t0, 2)
+            row["match"] = canonical_hash(sp_df) == canonical_hash(du_df)
+            n_match += bool(row["match"])
+        else:
+            row["match"] = None  # rows-only by design
+        results[name] = row
+        print(f"{name}: {row}", file=sys.stderr)
+    artifact = {
+        "sf": float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]),
+        "round": rnd,
+        "n_queries": len(QUERIES),
+        "n_oracles": len(ORACLES),
+        "n_match": n_match,
+        "results": results,
+    }
+    with open(out_path, "w") as f:
+        json.dump(artifact, f, indent=1)
+    print(json.dumps({k: v for k, v in artifact.items()
+                      if k != "results"}))
+
+
+if __name__ == "__main__":
+    main()

@@ -109,24 +109,33 @@ def test_garbage_magic_rejected():
         HDF5Reader(b"CDF\x01" + b"\x00" * 64)
 
 
-def test_dense_link_storage_raises_clearly():
-    """A LINK_INFO message with a DEFINED fractal-heap address means
-    dense link storage — out of scope, must name the structure."""
-    # dataset is irrelevant; build root OHDR v2 with link info only
+def test_btree_deeper_than_one_raises_clearly():
+    """Dense link storage is supported for name-index B-trees of
+    depth ≤ 1 (thousands of links); a deeper tree must raise a clear
+    scoped error, not desync."""
     out = bytearray(b"\x00" * 48)
+    # BTHD with depth 2 — the reader must refuse before touching the
+    # (garbage) fractal heap
+    btree = len(out)
+    b = bytearray(b"BTHD") + struct.pack("<BB", 0, 5)
+    b += struct.pack("<IH", 512, 11) + struct.pack("<H", 2)
+    b += struct.pack("<BB", 85, 40) + struct.pack("<Q", 4096)
+    b += struct.pack("<H", 1) + struct.pack("<Q", 99)
+    b += struct.pack("<I", 0)
+    out += b
     root = len(out)
-    li = struct.pack("<BB", 0, 0) + struct.pack("<QQ", 4096, _UNDEF8)
+    li = struct.pack("<BB", 0, 0) + struct.pack("<Q", 4096)
+    li += struct.pack("<Q", btree)
     msg = struct.pack("<BHB", 0x02, len(li), 0) + li
-    chunk0 = msg
-    hdr = b"OHDR" + struct.pack("<BBB", 2, 0, len(chunk0) + 4)
-    out += hdr + chunk0 + struct.pack("<I", 0)
+    hdr = b"OHDR" + struct.pack("<BBB", 2, 0, len(msg) + 4)
+    out += hdr + msg + struct.pack("<I", 0)
     sb = bytearray(b"\x89HDF\r\n\x1a\n")
     sb += struct.pack("<BBBB", 2, 8, 8, 0)
     sb += struct.pack("<QQQQ", 0, _UNDEF8, len(out), root)
     sb += struct.pack("<I", 0)
     assert len(sb) == 48
     out[:48] = sb
-    with pytest.raises(ValueError, match="fractal-heap"):
+    with pytest.raises(ValueError, match="deeper than 1"):
         HDF5Reader(bytes(out))
 
 
@@ -295,3 +304,270 @@ def test_nc4_writer_chunked_storage_for_grid_vars(tmp_path):
         .reshape(64, 8).T.tobytes(), 4
     )
     assert chunk in raw
+
+
+def _f8_datatype() -> bytes:
+    dt = struct.pack("<B3sI", 0x11, bytes([0x20, 63, 0]), 8)
+    return dt + struct.pack("<HHBBBBI", 0, 64, 52, 11, 0, 52, 1023)
+
+
+def _contig_dataset_ohdr(out: bytearray, vals: np.ndarray) -> int:
+    """Append data + an OHDR-v2 dataset header; return header addr."""
+    data_addr = len(out)
+    out += vals.tobytes()
+    dspace = struct.pack("<BBBB", 2, len(vals.shape), 0, 1)
+    dspace += b"".join(struct.pack("<Q", d) for d in vals.shape)
+    layout = (struct.pack("<BB", 3, 1)
+              + struct.pack("<QQ", data_addr, vals.nbytes))
+    addr = len(out)
+    out += _ohdr_v2([
+        (0x01, dspace), (0x03, _f8_datatype()), (0x08, layout),
+    ])
+    return addr
+
+
+def _link_msg(name: str, ohdr: int) -> bytes:
+    nb = name.encode()
+    return (struct.pack("<BBB", 1, 0, len(nb)) + nb
+            + struct.pack("<Q", ohdr))
+
+
+def _sb_v2(out: bytearray, root_addr: int) -> None:
+    sb = bytearray(b"\x89HDF\r\n\x1a\n")
+    sb += struct.pack("<BBBB", 2, 8, 8, 0)
+    sb += struct.pack("<QQQQ", 0, _UNDEF8, len(out), root_addr)
+    sb += struct.pack("<I", 0)
+    assert len(sb) == 48
+    out[:48] = sb
+
+
+def _frhp(out: bytearray, root: int, cur_rows: int,
+          heap_id_len: int = 7) -> int:
+    """Append a fractal-heap header (width 4, start block 512,
+    32-bit heap offsets, 2-byte lengths); return its address."""
+    addr = len(out)
+    h = bytearray(b"FRHP")
+    h += struct.pack("<B", 0)                 # version
+    h += struct.pack("<HHB", heap_id_len, 0, 0)
+    h += struct.pack("<I", 512)               # max managed obj size
+    h += struct.pack("<QQ", 0, _UNDEF8)       # next huge id, huge btree
+    h += struct.pack("<QQ", 0, _UNDEF8)       # free space, fs mgr
+    h += struct.pack("<QQQQ", 4096, 4096, 0, 3)
+    h += struct.pack("<QQQQ", 0, 0, 0, 0)     # huge/tiny
+    h += struct.pack("<H", 4)                 # table width
+    h += struct.pack("<QQ", 512, 4096)        # start, max direct
+    h += struct.pack("<H", 32)                # max heap size (bits)
+    h += struct.pack("<H", 1)                 # starting rows
+    h += struct.pack("<Q", root)
+    h += struct.pack("<H", cur_rows)
+    h += struct.pack("<I", 0)                 # checksum (unchecked)
+    out += h
+    return addr
+
+
+def _heap_id(off: int, length: int) -> bytes:
+    return struct.pack("<B", 0) + struct.pack("<I", off) + struct.pack(
+        "<H", length
+    )
+
+
+def _bthd(out: bytearray, root: int, root_nrec: int, depth: int,
+          total: int) -> int:
+    addr = len(out)
+    b = bytearray(b"BTHD")
+    b += struct.pack("<BB", 0, 5)             # version, type 5 (links)
+    b += struct.pack("<IH", 512, 11)          # node size, record size
+    b += struct.pack("<H", depth)
+    b += struct.pack("<BB", 85, 40)           # split/merge percent
+    b += struct.pack("<Q", root)
+    b += struct.pack("<H", root_nrec)
+    b += struct.pack("<Q", total)
+    b += struct.pack("<I", 0)                 # checksum (unchecked)
+    out += b
+    return addr
+
+
+def test_dense_links_root_direct_block():
+    """Dense link storage, smallest real shape: FRHP whose root IS a
+    single direct block holding the serialized link messages, BTHD
+    depth-0 name index.  This is what netCDF-4 emits past ~8 links."""
+    a = np.array([1.0, 2.0], dtype="<f8")
+    b = np.array([3.5], dtype="<f8")
+    out = bytearray(b"\x00" * 48)
+    da = _contig_dataset_ohdr(out, a)
+    db = _contig_dataset_ohdr(out, b)
+
+    links = [_link_msg("alpha", da), _link_msg("beta", db)]
+    # direct block: FHDB header is 17 bytes (sig4+ver1+hdr8+off4);
+    # heap offsets address the block INCLUDING its header
+    dblock_addr = len(out)
+    hdr_len = 4 + 1 + 8 + 4
+    body = bytearray()
+    ids = []
+    off = hdr_len
+    for lm in links:
+        ids.append(_heap_id(off, len(lm)))
+        body += lm
+        off += len(lm)
+    pad = 512 - hdr_len - len(body)
+    fheap_pos = len(out) + 512  # FRHP written right after the block
+    out += (b"FHDB" + struct.pack("<B", 0)
+            + struct.pack("<Q", fheap_pos)
+            + struct.pack("<I", 0) + body + b"\x00" * pad)
+    fheap = _frhp(out, dblock_addr, cur_rows=0)
+    assert fheap == fheap_pos
+    # name-index v2 B-tree: depth 0, root leaf
+    leaf_addr = len(out)
+    leaf = bytearray(b"BTLF") + struct.pack("<BB", 0, 5)
+    for i, hid in enumerate(ids):
+        leaf += struct.pack("<I", i) + hid    # fake hash + heap id
+    leaf += struct.pack("<I", 0)
+    out += leaf
+    btree = _bthd(out, leaf_addr, root_nrec=len(ids), depth=0,
+                  total=len(ids))
+
+    # root group: OHDR v2 with LINK_INFO pointing at heap + btree
+    li = (struct.pack("<BB", 0, 0) + struct.pack("<Q", fheap)
+          + struct.pack("<Q", btree))
+    root = len(out)
+    out += _ohdr_v2([(0x02, li)])
+    _sb_v2(out, root)
+
+    ds = HDF5Reader(bytes(out))
+    assert sorted(ds.variables) == ["alpha", "beta"]
+    np.testing.assert_array_equal(ds.variables["alpha"][:], a)
+    np.testing.assert_array_equal(ds.variables["beta"][:], b)
+
+
+def test_dense_links_root_indirect_and_depth1_btree():
+    """The grown shapes: FRHP root is an INDIRECT block whose first
+    row points at direct blocks, and the name index is a depth-1 v2
+    B-tree (internal root over two leaves) — the layout a ~100-link
+    group (full wrfout) reaches."""
+    out = bytearray(b"\x00" * 48)
+    names, addrs = [], []
+    for i in range(6):
+        arr = np.array([float(i), float(i) + 0.5], dtype="<f8")
+        addrs.append(_contig_dataset_ohdr(out, arr))
+        names.append(f"var{i:02d}")
+
+    # two direct blocks, 3 links each; heap offsets are GLOBAL
+    # (block 0 covers [0,512), block 1 covers [512,1024))
+    hdr_len = 4 + 1 + 8 + 4
+    fheap_guess = None  # patched below via two-pass assembly
+    blocks, ids = [], []
+    for bi in range(2):
+        body = bytearray()
+        off = bi * 512 + hdr_len
+        for i in range(3 * bi, 3 * bi + 3):
+            lm = _link_msg(names[i], addrs[i])
+            ids.append(_heap_id(off, len(lm)))
+            body += lm
+            off += len(lm)
+        blocks.append(body)
+    dblock_addrs = []
+    # reserve: indirect block + FRHP positions known after blocks
+    for bi, body in enumerate(blocks):
+        dblock_addrs.append(len(out))
+        pad = 512 - hdr_len - len(body)
+        out += (b"FHDB" + struct.pack("<B", 0)
+                + struct.pack("<Q", 0)        # heap hdr addr (unchecked)
+                + struct.pack("<I", bi * 512)
+                + body + b"\x00" * pad)
+    # root indirect block: sig, ver, heap hdr, block offset, entries
+    iblock_addr = len(out)
+    ib = bytearray(b"FHIB") + struct.pack("<B", 0) + struct.pack("<Q", 0)
+    ib += struct.pack("<I", 0)
+    for bi in range(4):  # one row, width 4
+        ib += struct.pack(
+            "<Q", dblock_addrs[bi] if bi < 2 else _UNDEF8
+        )
+    ib += struct.pack("<I", 0)
+    out += ib
+    fheap = _frhp(out, iblock_addr, cur_rows=1)
+
+    # depth-1 name index: two leaves of 3 records... the internal
+    # root holds ONE separating record, so leaves carry 3 + 2 and the
+    # 6th record lives in the root
+    def leaf(recs):
+        addr = len(out)
+        lf = bytearray(b"BTLF") + struct.pack("<BB", 0, 5)
+        for i, hid in recs:
+            lf += struct.pack("<I", i) + hid
+        lf += struct.pack("<I", 0)
+        out.extend(lf)  # .extend: += would rebind the closed-over name
+        return addr
+
+    recs = list(enumerate(ids))
+    l0 = leaf(recs[0:3])
+    l1 = leaf(recs[4:6])
+    # internal root: child0, record(recs[3]), child1
+    max_leaf = (512 - 10) // 11
+    assert max_leaf < 256  # nrec field is 1 byte
+    root_node = len(out)
+    rn = bytearray(b"BTIN") + struct.pack("<BB", 0, 5)
+    rn += struct.pack("<Q", l0) + struct.pack("<B", 3)
+    rn += struct.pack("<I", recs[3][0]) + recs[3][1]
+    rn += struct.pack("<Q", l1) + struct.pack("<B", 2)
+    rn += struct.pack("<I", 0)
+    out += rn
+    btree = _bthd(out, root_node, root_nrec=1, depth=1, total=6)
+
+    li = (struct.pack("<BB", 0, 0) + struct.pack("<Q", fheap)
+          + struct.pack("<Q", btree))
+    root = len(out)
+    out += _ohdr_v2([(0x02, li)])
+    _sb_v2(out, root)
+
+    ds = HDF5Reader(bytes(out))
+    assert sorted(ds.variables) == names
+    for i, n in enumerate(names):
+        np.testing.assert_array_equal(
+            ds.variables[n][:], [float(i), float(i) + 0.5]
+        )
+
+
+def test_vlen_string_attribute_via_global_heap():
+    """h5py-style variable-length string attribute: datatype class 9
+    (vlen, string variant), value = (length, global-heap collection
+    address, object index) resolved through GCOL."""
+    vals = np.array([7.5], dtype="<f8")
+    out = bytearray(b"\x00" * 48)
+
+    # global heap with one object: the string bytes
+    text = b"minutes since 2024-06-01"
+    gaddr = len(out)
+    g = bytearray(b"GCOL") + struct.pack("<B3s", 1, b"\x00" * 3)
+    obj = struct.pack("<HH4sQ", 1, 1, b"\x00" * 4, len(text)) + text
+    obj += b"\x00" * (-len(text) % 8)
+    term = struct.pack("<HH4sQ", 0, 0, b"\x00" * 4, 0)
+    g += struct.pack("<Q", 4 + 4 + 8 + len(obj) + len(term))
+    g += obj + term
+    out += g
+
+    data_addr = len(out)
+    out += vals.tobytes()
+    dspace = struct.pack("<BBBB", 2, 1, 0, 1) + struct.pack("<Q", 1)
+    layout = (struct.pack("<BB", 3, 1)
+              + struct.pack("<QQ", data_addr, vals.nbytes))
+    # vlen-string attr: class 9 version 1, bits[0]=1 (string), size 16
+    vdt = struct.pack("<B3sI", 0x19, bytes([0x01, 0, 0]), 16)
+    vdt += struct.pack("<B3sI", 0x13, b"\x00\x00\x00", 1)  # base char
+    ads = struct.pack("<BBBB", 2, 0, 0, 0)  # scalar
+    attr = struct.pack("<BBHHHB", 3, 0, 12, len(vdt), len(ads), 0)
+    attr += b"description\x00" + vdt + ads
+    attr += struct.pack("<I", len(text)) + struct.pack("<Q", gaddr)
+    attr += struct.pack("<I", 1)
+    dset = len(out)
+    out += _ohdr_v2([
+        (0x01, dspace), (0x03, _f8_datatype()), (0x08, layout),
+        (0x0C, attr),
+    ])
+    root = len(out)
+    out += _ohdr_v2([(0x06, _link_msg("XTIME", dset))])
+    _sb_v2(out, root)
+
+    ds = HDF5Reader(bytes(out))
+    v = ds.variables["XTIME"]
+    assert v.description == "minutes since 2024-06-01"
+    np.testing.assert_array_equal(v[:], vals)
