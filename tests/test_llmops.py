@@ -62,16 +62,17 @@ def test_multimodal_metadata_plumbing(spark):
     assert out.loc[4, "n_bytes"] == 0
 
 
-def test_netcdf_reader_defaults_to_classic_codec(spark, tmp_path):
-    """With netCDF4 absent the reader falls back to the pure-numpy
-    classic codec (round 9) instead of raising — an empty watch dir
-    simply yields zero rows, and an HDF5-backed file raises the
-    codec's clear install hint at decode time."""
+def test_netcdf_reader_dispatches_pure_codecs_by_magic(spark, tmp_path):
+    """With netCDF4 absent the reader falls back to pure-numpy codecs
+    dispatched by magic — classic CDF via sources/netcdf3, HDF5 via
+    sources/hdf5 (round 10).  An empty watch dir yields zero rows;
+    MALFORMED HDF5 bytes now reach the HDF5 codec and fail with its
+    structural error (not an install hint — the reader is real)."""
     assert read_wrf_grid(spark, str(tmp_path)).count() == 0
     d = tmp_path / "wrfA"
     d.mkdir()
     (d / "h5.nc").write_bytes(b"\x89HDF\r\n\x1a\n" + b"\x00" * 64)
-    with pytest.raises(Exception, match="netCDF4"):
+    with pytest.raises(Exception, match="object header version"):
         read_wrf_grid(spark, str(tmp_path)).count()
 
 
