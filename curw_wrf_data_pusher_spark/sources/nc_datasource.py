@@ -14,8 +14,9 @@ so a 10k-file day fans out across the cluster with no binaryFile
 intermediary and no single-task listing bottleneck beyond the driver
 glob (the same listing every file source performs).
 
-Decode is ``sources.netcdf.decode_grid_bytes`` — the SAME function the
-mapInPandas path runs, so the two ingestion routes cannot drift
+Decode is ``sources.netcdf.decode_grid_bytes`` — the same
+``_grid_arrays`` core the mapInArrow path runs, so the two
+ingestion routes cannot drift
 (equality is test-pinned).  The codec (bytes → dataset) is captured on
 the driver at registration and travels to executors by cloudpickle,
 which is how the container's stub codec stands in for the absent
