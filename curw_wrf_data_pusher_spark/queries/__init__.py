@@ -211,6 +211,10 @@ _TAIL = [
                              # parity + MG pytest twin)
     # round-10 addition, tail-resident (oracle-gated here and in
     # tests/test_oracle_parity; driver-visible if the budget grows):
+    "llm_bpe_pair_counts",   # BPE tokenizer-training pair counts —
+                             # token/vocab family → llm_text_features
+                             # + llm_budget_sample (head); the merge
+                             # loop itself is pytest
     "w17_sliding_distinct_kmv",  # high-cardinality sliding distinct —
                                  # sketch family → a23_kmv_distinct
                                  # (head); RANGE-window family → w15/

@@ -2446,3 +2446,37 @@ def llm_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("ivf_probe_all").alias("op"), "q_id", "n_id", "rank", "cos"
     )
     return exact.unionByName(ivf)
+
+
+# BPE pair counting — the corpus-scale half of tokenizer training
+# (llmops/tokenizer.py; Sennrich et al. ACL'16).  One shuffle on the
+# word key builds the bounded vocabulary; the adjacent-pair explode
+# and weighted count are map-side over that bounded frame.  The full
+# merge LOOP is iterative (no SQL twin) and is pytest-pinned on the
+# classic toy corpus in tests/test_tokenizer.py; this row oracle-gates
+# the counting round the loop's argmax consumes.  Deterministic
+# top-20: (cnt DESC, a, b) is a total order.
+@register(
+    "llm_bpe_pair_counts",
+    oracle="""
+    WITH words AS (
+      SELECT w, count(*) AS c FROM (
+        SELECT unnest(regexp_split_to_array(trim(lower(text)),
+                                            '\\s+')) AS w
+        FROM documents) WHERE length(w) > 0 GROUP BY w
+    ),
+    pairs AS (
+      SELECT substr(w, i, 1) AS a, substr(w, i + 1, 1) AS b, c
+      FROM words, unnest(range(1, length(w))) AS t(i)
+    )
+    SELECT a, b, CAST(sum(c) AS BIGINT) AS cnt
+    FROM pairs GROUP BY a, b
+    ORDER BY cnt DESC, a, b LIMIT 20
+    """,
+)
+def llm_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llmops.tokenizer import pair_counts, to_symbols, word_counts
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = pair_counts(to_symbols(word_counts(docs)))
+    return counts.orderBy(F.desc("cnt"), "a", "b").limit(20)

@@ -156,6 +156,7 @@ EXPECTED_TAIL = [
     "llm_simhash_neighbors",
     "w10_attribution",
     "a16_countmin_freq",
+    "llm_bpe_pair_counts",
     "w17_sliding_distinct_kmv",
     "u2_j1_outer_dropna",
 ]

@@ -1,0 +1,76 @@
+"""Corpus-scale BPE learning (llmops/tokenizer.py): the merge loop
+reproduces the classic Sennrich toy example by hand-derivable merges;
+encode replays a learned list deterministically; the fold merges
+left-to-right non-overlapping."""
+
+from __future__ import annotations
+
+from curw_wrf_data_pusher_spark.llmops.tokenizer import (
+    bpe_encode_words,
+    bpe_learn,
+    merge_pair,
+    pair_counts,
+    to_symbols,
+    word_counts,
+)
+
+
+def _toy(spark):
+    rows = [
+        (1, "low low low low low"),
+        (2, "lower lower"),
+        (3, "newest newest newest newest newest newest"),
+        (4, "widest widest widest"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_bpe_learn_classic_toy_merges(spark):
+    """Hand-derivation on the Sennrich corpus {low:5, lower:2,
+    newest:6, widest:3}: es(9) → est(9) → lo(7) → low(7) → then the
+    e/w family — the learned list must match exactly (ties break
+    (cnt DESC, a, b))."""
+    merges, vocab = bpe_learn(_toy(spark), 6)
+    assert merges == [
+        ("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w"),
+        ("e", "w"), ("ew", "est"),
+    ]
+    got = {tuple(r["sym"]): r["c"] for r in vocab.collect()}
+    assert got == {
+        ("low",): 5,
+        ("low", "e", "r"): 2,
+        ("n", "ewest"): 6,
+        ("w", "i", "d", "est"): 3,
+    }
+
+
+def test_bpe_encode_replays_learned_merges(spark):
+    docs = _toy(spark)
+    merges, _ = bpe_learn(docs, 6)
+    enc = {
+        r["word"]: tuple(r["sym"])
+        for r in bpe_encode_words(word_counts(docs), merges).collect()
+    }
+    assert enc["newest"] == ("n", "ewest")
+    assert enc["lower"] == ("low", "e", "r")
+
+
+def test_merge_is_left_to_right_non_overlapping(spark):
+    """'aaa' with merge (a, a): exactly one merge happens (aa, a) —
+    the fold must not re-merge the freshly created symbol."""
+    words = spark.createDataFrame([("aaa", 1)], "word string, c long")
+    sym = merge_pair(to_symbols(words), "a", "a").first()["sym"]
+    assert sym == ["aa", "a"]
+
+
+def test_pair_counts_weighted_by_word_frequency(spark):
+    words = spark.createDataFrame(
+        [("ab", 3), ("abab", 2)], "word string, c long"
+    )
+    got = {
+        (r["a"], r["b"]): r["cnt"]
+        for r in pair_counts(to_symbols(words)).collect()
+    }
+    # 'ab' pair: 3 (from ab) + 2*2 (two occurrences inside abab) = 7
+    assert got[("a", "b")] == 7
+    assert got[("b", "a")] == 2
