@@ -507,7 +507,12 @@ def sliding_distinct_kmv(
             )
         ),
     )
-    existing = pts.select(*gcols, F.col("__b").alias("__t")).distinct()
+    # populated-bucket set from the ALREADY-BOUNDED sketch frame
+    # (≤ k rows per bucket) — not a second scan + distinct over the
+    # raw input
+    existing = per_bucket.select(
+        *gcols, F.col("__b").alias("__t")
+    ).distinct()
     merged = contrib.join(existing, [*gcols, "__t"], "left_semi")
     w = Window.partitionBy(*gcols, "__t").orderBy("h")
     sk = (

@@ -7,12 +7,12 @@ sharing the exact row order (sorted by longitude, latitude) so line N
 of any values file corresponds to line N of xy.csv.
 
 Spark shape: ``repartition(time)`` + ``sortWithinPartitions`` +
-``partitionBy(time)`` write — each timestep lands in exactly one file
-(hash partitioning puts each key in one task; partitionBy splits that
-task's output per key), rows ordered inside.  The driver then renames
-part-files to the reference naming.  This scales to any number of
-timesteps; only the per-timestep grid (16k rows for d03) must fit a
-task, which it does by orders of magnitude.
+executor-direct emission — each task owns complete timestep groups
+and streams each group's file straight to the destination with an
+atomic per-file rename (no output-commit protocol, no driver merge).
+This scales to any number of timesteps; only the per-timestep grid
+(16k rows for d03) must fit a task, which it does by orders of
+magnitude.
 """
 
 from __future__ import annotations
@@ -98,7 +98,20 @@ def write_rfield_files(
         import os as _os
 
         import pandas as _pd
+        from pyspark import TaskContext
 
+        # ATTEMPT-UNIQUE temp names: speculative execution or a
+        # zombie executor can run two attempts of the same task
+        # concurrently; a shared temp path would interleave their
+        # writes.  Each attempt streams into its own
+        # .<attempt>.inprogress file and publishes with an atomic
+        # rename — last complete attempt wins, never a mixed file.
+        # A failed attempt can leave a *.inprogress orphan behind;
+        # those never shadow published files and sweep out via
+        # maintenance.retention_delete(out_dir, ..., suffix=
+        # ".inprogress").
+        tc = TaskContext.get()
+        attempt = tc.taskAttemptId() if tc is not None else _os.getpid()
         cur = None
         fh = None
         names: list[str] = []
@@ -108,7 +121,7 @@ def write_rfield_files(
             if fh is not None:
                 fh.close()
                 final = _os.path.join(out_dir, f"{file_prefix}_{cur}.txt")
-                _os.replace(final + ".inprogress", final)
+                _os.replace(f"{final}.{attempt}.inprogress", final)
                 names.append(final)
                 fh = None
 
@@ -121,7 +134,9 @@ def write_rfield_files(
                     cur = t
                     fh = open(
                         _os.path.join(
-                            out_dir, f"{file_prefix}_{t}.txt.inprogress"
+                            out_dir,
+                            f"{file_prefix}_{t}.txt"
+                            f".{attempt}.inprogress",
                         ),
                         "w",
                     )

@@ -285,7 +285,9 @@ class HDF5Reader:
             types = {t for t, _ in cmsgs}
             full = prefix + name
             if _M_DATASPACE in types and _M_DATATYPE in types:
-                self.variables[full] = self._make_var(cmsgs, full)
+                var = self._make_var(cmsgs, full)
+                if var is not None:
+                    self.variables[full] = var
             elif _M_SYMTAB in types or _M_LINK in types or (
                 _M_LINK_INFO in types
             ) or _M_GROUP_INFO in types:
@@ -404,12 +406,18 @@ class HDF5Reader:
 
         if depth == 0:
             return leaf_records(root, root_nrec)
-        # depth 1: root is BTIN — children interleave with records
+        # depth 1: root is BTIN.  Internal-node layout per the spec
+        # (section III.A.2): ALL records first, THEN the N+1 child
+        # node pointers — records are NOT interleaved with children.
         if buf[root:root + 4] != b"BTIN":
             raise ValueError("bad BTIN signature")
         pos = root + 6
         out = []
-        for i in range(root_nrec + 1):
+        for _ in range(root_nrec):
+            rec = buf[pos:pos + rec_size]
+            out.append(rec[4:])  # internal records are real records
+            pos += rec_size
+        for _ in range(root_nrec + 1):
             caddr = int.from_bytes(
                 buf[pos:pos + self._osz], "little"
             )
@@ -417,12 +425,6 @@ class HDF5Reader:
             cnrec = int.from_bytes(buf[pos:pos + nrec_sz], "little")
             pos += nrec_sz
             out.extend(leaf_records(caddr, cnrec))
-            if i < root_nrec:
-                pos += rec_size  # the separating record is a dup of
-                # a leaf record's key — link itself lives in a leaf?
-                # No: v2 B-trees store records in internal nodes too.
-                rec = buf[pos - rec_size:pos]
-                out.append(rec[4:])
         return out
 
     def _fheap_object(self, addr, hid):
@@ -715,10 +717,12 @@ class HDF5Reader:
                 k, v = self._parse_attr(body)
                 attrs[k] = v
         if dtype is None or isinstance(dtype, tuple):
-            raise ValueError(
-                f"dataset {name!r}: unsupported datatype for data "
-                "(only fixed-point and IEEE float variables)"
-            )
+            # non-numeric dataset (e.g. wrfout's char variable
+            # ``Times(Time, DateStrLen)``) — skip it rather than
+            # failing the whole file: the grid decode only needs the
+            # numeric variables, and a reader that dies on ONE string
+            # variable can't open any real wrfout
+            return None
         return _H5Var(self, name, dims, dtype, layout, filters,
                       fill_raw, attrs)
 
@@ -939,7 +943,18 @@ def _attr_message(name: str, value) -> bytes:
         if arr.dtype.kind == "f":
             arr = arr.astype("<f8")
         elif arr.dtype.kind in ("i", "u"):
-            arr = arr.astype("<i4") if arr.dtype.kind == "i" else arr.astype("<u4")
+            # HDF5 has native 64-bit integers — widen instead of the
+            # silent int32 wrap the classic writer must range-check
+            fits32 = arr.size == 0 or (
+                arr.max() <= 2**31 - 1 and arr.min() >= -(2**31)
+            )
+            if arr.dtype.kind == "i":
+                arr = arr.astype("<i4" if fits32 else "<i8")
+            else:
+                arr = arr.astype(
+                    "<u4" if arr.size == 0 or arr.max() < 2**32
+                    else "<u8"
+                )
         dt = _dt_message(arr.dtype)
         ds = _ds_message(() if arr.size == 1 else arr.shape)
         data = arr.tobytes()

@@ -26,10 +26,11 @@ pure-numpy codecs decode real ``.nc`` bytes in-container, dispatched
 by magic: classic CDF-1/2/5 via ``sources/netcdf3.py`` and
 netCDF-4/HDF5 via ``sources/hdf5.py`` (superblock v0/v2, v1+v2
 object headers, symbol-table and compact-link groups, contiguous +
-chunked/deflate/shuffle storage — both written from their public
-format specifications).  Only exotic HDF5 structures (dense
-fractal-heap link storage, v4 chunk indexes) still require the C
-library.  ``read_wrf_grid_parquet`` reads the same logical grid
+chunked/deflate/shuffle storage, dense fractal-heap links,
+vlen-string attributes — both written from their public format
+specifications).  Only exotic HDF5 structures (link B-trees deeper
+than one level, v4 chunk indexes, vlen DATA columns) still require
+the C library.  ``read_wrf_grid_parquet`` reads the same logical grid
 from the F1-shaped parquet fixture and feeds the identical downstream
 plan.
 """

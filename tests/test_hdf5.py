@@ -501,13 +501,14 @@ def test_dense_links_root_indirect_and_depth1_btree():
     recs = list(enumerate(ids))
     l0 = leaf(recs[0:3])
     l1 = leaf(recs[4:6])
-    # internal root: child0, record(recs[3]), child1
+    # internal root per the spec layout: ALL records first (here the
+    # one separating record, recs[3]), THEN the N+1 child pointers
     max_leaf = (512 - 10) // 11
     assert max_leaf < 256  # nrec field is 1 byte
     root_node = len(out)
     rn = bytearray(b"BTIN") + struct.pack("<BB", 0, 5)
-    rn += struct.pack("<Q", l0) + struct.pack("<B", 3)
     rn += struct.pack("<I", recs[3][0]) + recs[3][1]
+    rn += struct.pack("<Q", l0) + struct.pack("<B", 3)
     rn += struct.pack("<Q", l1) + struct.pack("<B", 2)
     rn += struct.pack("<I", 0)
     out += rn
@@ -571,3 +572,40 @@ def test_vlen_string_attribute_via_global_heap():
     v = ds.variables["XTIME"]
     assert v.description == "minutes since 2024-06-01"
     np.testing.assert_array_equal(v[:], vals)
+
+
+def test_string_dataset_is_skipped_not_fatal(tmp_path):
+    """wrfout files carry a char variable Times(Time, DateStrLen);
+    a string-typed DATASET must be skipped, not abort the file."""
+    vals = np.array([1.0, 2.0], dtype="<f8")
+    out = bytearray(b"\x00" * 48)
+    num = _contig_dataset_ohdr(out, vals)
+    # string dataset: class-3 fixed string, contiguous
+    sdata = len(out)
+    out += b"2024-06-01_00:00:00"
+    dspace = struct.pack("<BBBB", 2, 1, 0, 1) + struct.pack("<Q", 1)
+    sdt = struct.pack("<B3sI", 0x13, b"\x00\x00\x00", 19)
+    layout = struct.pack("<BB", 3, 1) + struct.pack("<QQ", sdata, 19)
+    times = len(out)
+    out += _ohdr_v2([(0x01, dspace), (0x03, sdt), (0x08, layout)])
+    root = len(out)
+    out += _ohdr_v2([
+        (0x06, _link_msg("RAINNC", num)),
+        (0x06, _link_msg("Times", times)),
+    ])
+    _sb_v2(out, root)
+    ds = HDF5Reader(bytes(out))
+    assert list(ds.variables) == ["RAINNC"]  # Times skipped quietly
+    np.testing.assert_array_equal(ds.variables["RAINNC"][:], vals)
+
+
+def test_writer_widens_large_int_attrs_to_i8(tmp_path):
+    """HDF5 has native 64-bit ints: an attribute beyond int32 must be
+    stored widened, not silently wrapped (the classic writer's twin
+    refuses; here widening is the correct fix)."""
+    p = str(tmp_path / "w.h5")
+    w = HDF5Writer(p)
+    w.create_dataset("v", np.array([1.0]), attrs={"big": 2**40})
+    w.close()
+    ds = HDF5Reader(open(p, "rb").read())
+    assert int(ds.variables["v"]._attrs["big"]) == 2**40
