@@ -280,14 +280,69 @@ def _bench_s1_ingest_full_d03(spark, sf_dir: str) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _bench_s1_ingest_full_d03_hdf5(spark, sf_dir: str) -> None:
+    """The HDF5 twin of the full-size d03 ingest row: the same
+    4.63M-cell grid stored netCDF-4-style (chunked per-timestep
+    slabs, shuffle+deflate) via NC4Writer, decoded through the
+    pure-numpy HDF5 reader — measures the zlib-inflate decode path
+    the classic row doesn't touch."""
+    import os
+    import tempfile
+
+    import numpy as np
+
+    base = os.path.join(tempfile.gettempdir(), "spark_graft_d03_h5")
+    f = os.path.join(base, "wrfX", "d03_RAINNC.nc")
+    if not os.path.exists(f):
+        from curw_wrf_data_pusher_spark.sources.hdf5 import create_nc4
+
+        os.makedirs(os.path.dirname(f), exist_ok=True)
+        t_n, h, w_n = 289, 99, 162
+        rng = np.random.default_rng(11)
+        w = create_nc4(f)
+        w.createDimension("Time", None)
+        w.createDimension("south_north", h)
+        w.createDimension("west_east", w_n)
+        xt = w.createVariable("XTIME", "i8", ("Time",))
+        xt[:] = (15 * (np.arange(t_n, dtype="i8") + 1))
+        xt.description = "minutes since 2024-06-01 00:00:00"
+        lats = np.linspace(5.73, 10.06, h).astype("f4")
+        lons = np.linspace(79.53, 82.19, w_n).astype("f4")
+        for name, arr in (
+            ("XLAT", np.broadcast_to(
+                lats[None, :, None], (t_n, h, w_n)).copy()),
+            ("XLONG", np.broadcast_to(
+                lons[None, None, :], (t_n, h, w_n)).copy()),
+            ("RAINNC", np.cumsum(
+                rng.uniform(0, 3, size=(t_n, h, w_n)).astype("f4"),
+                axis=0)),
+        ):
+            v = w.createVariable(
+                name, "f4", ("Time", "south_north", "west_east")
+            )
+            v[:] = arr
+        w.close()
+
+    from curw_wrf_data_pusher_spark.sources.netcdf import read_wrf_grid
+
+    df = read_wrf_grid(
+        spark, base,
+        bbox={"lat_min": -90, "lat_max": 90,
+              "lon_min": -180, "lon_max": 180},
+    )
+    df.write.format("noop").mode("overwrite").save()
+
+
 #: terminal-sink rows: the callable performs (and is timed over) its
 #: own write instead of the noop sink.
 SINKS = {
     "wrf_e2_rfield_files": _bench_rfield_files,
     "wrf_s1_ingest_full_d03": _bench_s1_ingest_full_d03,
+    "wrf_s1_ingest_full_d03_hdf5": _bench_s1_ingest_full_d03_hdf5,
 }
 
 EXTENDED.append("wrf_s1_ingest_full_d03")
+EXTENDED.append("wrf_s1_ingest_full_d03_hdf5")
 
 
 def main() -> None:

@@ -609,3 +609,63 @@ def test_writer_widens_large_int_attrs_to_i8(tmp_path):
     w.close()
     ds = HDF5Reader(open(p, "rb").read())
     assert int(ds.variables["v"]._attrs["big"]) == 2**40
+
+
+def test_roundtrip_property_any_shape_dtype_storage():
+    """Hypothesis: any mix of shapes, numeric dtypes, and storage
+    modes (contiguous / chunked / chunked+shuffle+deflate)
+    round-trips bit-exactly through HDF5Writer → HDF5Reader — the
+    HDF5 twin of netcdf3's roundtrip property."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    dtypes = ["i1", "u1", "i2", "u2", "i4", "u4", "i8", "u8",
+              "f4", "f8"]
+
+    @st.composite
+    def payload(draw):
+        rank = draw(st.integers(1, 3))
+        shape = tuple(draw(st.integers(1, 5)) for _ in range(rank))
+        n_vars = draw(st.integers(1, 3))
+        vars_ = []
+        for vi in range(n_vars):
+            dt = draw(st.sampled_from(dtypes))
+            mode = draw(st.sampled_from(["contig", "chunk", "gz"]))
+            rng = np.random.RandomState(draw(st.integers(0, 999)))
+            if dt.startswith("f"):
+                arr = rng.uniform(-1e6, 1e6, size=shape).astype(dt)
+            else:
+                info = np.iinfo(np.dtype(dt))
+                arr = rng.randint(
+                    info.min, min(info.max, 2**31 - 1),
+                    size=shape,
+                ).astype(dt)
+            vars_.append((f"v{vi}", arr, mode))
+        return vars_
+
+    @settings(max_examples=25, deadline=None)
+    @given(payload())
+    def run(vars_):
+        def build(w):
+            for name, arr, mode in vars_:
+                if mode == "contig":
+                    w.create_dataset(name, arr)
+                else:
+                    chunks = tuple(
+                        max(1, s // 2) for s in arr.shape
+                    )
+                    w.create_dataset(
+                        name, arr, chunks=chunks,
+                        gzip=4 if mode == "gz" else None,
+                        shuffle=(mode == "gz"),
+                    )
+
+        _, ds = _roundtrip(build)
+        for name, arr, _ in vars_:
+            got = np.asarray(ds.variables[name][:])
+            assert got.dtype.str.lstrip("<>=|") == arr.dtype.str.lstrip(
+                "<>=|"
+            )
+            np.testing.assert_array_equal(got, arr)
+
+    run()
