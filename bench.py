@@ -138,6 +138,9 @@ HEADLINE = [
     # index query cost: codebook load + compressed codes scan + ADC)
     "llm_pq_lloyd_topk",
     "llm_pq_index_search",
+    # added round 10 (NEW row): rotation-optimized PQ — n_iters x
+    # (Lloyd sweep + Procrustes pass) index build + ADC serve
+    "llm_opq_topk",
     # added round 9 session 2 (NEW row): cross-batch near-dedup probe —
     # batch signatures (map-only) + store-bucket equi-join + estimated-
     # Jaccard verify + in-batch LSH, the incremental ingest hot path

@@ -2480,3 +2480,20 @@ def llm_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     counts = pair_counts(to_symbols(word_counts(docs)))
     return counts.orderBy(F.desc("cnt"), "a", "b").limit(20)
+
+
+# OPQ — rotation-optimized PQ (UNREGISTERED bench row, like
+# llm_pq_lloyd_topk: the training alternation is iterative, no SQL
+# twin; quality is pinned by tests/test_opq.py — orthogonal R,
+# quantization error strictly below axis-aligned PQ at equal Lloyd
+# budget).  Benches the full index-build + ADC serve: n_iters ×
+# (one Lloyd sweep + one Procrustes pass) then the standard ADC scan
+# over the rotated corpus.
+def llm_opq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llmops.opq import opq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return opq_topk(
+        emb, emb.filter(F.col("vec_id") < 10),
+        m=_PQ_M, k_sub=_PQ_KSUB, k=_PQ_K, n_iters=3,
+    )
