@@ -150,6 +150,10 @@ HEADLINE = [
     # previously unbenched
     "w15_range_frame",
     "w16_sliding_distinct",
+    # added round 10 (NEW rows): the KMV sliding-distinct sketch twin
+    # and the BPE pair-counting corpus pass
+    "w17_sliding_distinct_kmv",
+    "llm_bpe_pair_counts",
 ]
 
 

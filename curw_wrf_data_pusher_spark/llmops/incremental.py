@@ -335,3 +335,76 @@ def compact_neardup_store(
         .partitionBy("batch")
         .parquet(compacted_path)
     )
+
+
+# -- eval-set contamination gate (static store) -------------------------
+
+_CONTAM_SCHEMA = "shingle_hash string"
+
+
+def build_contamination_store(
+    spark: SparkSession,
+    eval_docs: DataFrame,
+    store_path: str,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """One-time: the DISTINCT n-gram shingle hashes of the held-out
+    eval/benchmark corpus → a parquet store.  Unlike the dedup and
+    near-dup stores this one is STATIC — the eval set is fixed, so
+    there is no per-batch commit protocol, just an overwrite.
+    Hash-only rows (md5) keep the store compact and make the probe
+    join a fixed-width string equi-join."""
+    from .dedup import shingles
+
+    sh = (
+        shingles(eval_docs, n=n, id_col=id_col, text_col=text_col)
+        .select(F.md5("shingle").alias("shingle_hash"))
+        .distinct()
+    )
+    sh.write.mode("overwrite").parquet(store_path)
+
+
+def read_contamination_store(
+    spark: SparkSession, store_path: str
+) -> DataFrame:
+    try:
+        return spark.read.schema(_CONTAM_SCHEMA).parquet(store_path)
+    except Exception:
+        return spark.createDataFrame([], _CONTAM_SCHEMA)
+
+
+def contamination_filter_batch(
+    batch_docs: DataFrame,
+    store: DataFrame,
+    max_contamination: float = 0.2,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Drop batch documents whose eval-shingle overlap share exceeds
+    ``max_contamination`` — the GPT-3/PaLM n-gram decontamination
+    check as a streaming-ingest stage (the batch twin is
+    curation.shingle_contamination).  Plan: shingle the batch
+    map-side, ONE equi-join on the hash against the (already
+    distinct) store, per-doc share, anti-join the offenders.  Docs
+    too short to produce a shingle carry no overlap evidence and are
+    kept."""
+    from .dedup import shingles
+
+    sh = shingles(
+        batch_docs, n=n, id_col=id_col, text_col=text_col
+    ).select(id_col, F.md5("shingle").alias("shingle_hash"))
+    hits = sh.join(
+        store.withColumn("__hit", F.lit(1)), "shingle_hash", "left"
+    )
+    contaminated = (
+        hits.groupBy(id_col)
+        .agg(
+            (F.count("__hit") / F.count("*")).alias("__share")
+        )
+        .filter(F.col("__share") > max_contamination)
+        .select(id_col)
+    )
+    return batch_docs.join(contaminated, id_col, "left_anti")

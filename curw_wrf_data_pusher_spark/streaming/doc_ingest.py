@@ -33,8 +33,10 @@ from pyspark.sql.streaming import StreamingQuery
 from pyspark.sql.types import StructType
 
 from ..llmops.incremental import (
+    contamination_filter_batch,
     dedup_against_store,
     neardup_filter_batch,
+    read_contamination_store,
     read_neardup_store,
     update_dedup_store,
     update_neardup_store,
@@ -58,6 +60,8 @@ def stream_ingest_documents(
     neardup_store_path: str | None = None,
     neardup_threshold: float = 0.5,
     neardup_max_bucket_size: int | None = None,
+    contamination_store_path: str | None = None,
+    max_contamination: float = 0.2,
     _fail_before_store_update=None,
 ) -> StreamingQuery:
     """Watch ``watch_dir`` for parquet document drops; append deduped,
@@ -70,7 +74,13 @@ def stream_ingest_documents(
     signature store after the exact stage (exact goes first: it is
     cheaper and removes byte-identical copies before any banding);
     survivors' signatures commit to the same micro-batch partition id,
-    so the two stores advance in lockstep under replay."""
+    so the two stores advance in lockstep under replay.
+
+    ``contamination_store_path`` additionally drops documents whose
+    eval-shingle overlap exceeds ``max_contamination`` (the GPT-3
+    n-gram decontamination check against a STATIC store built once by
+    ``build_contamination_store`` — it never commits per batch, so it
+    needs no replay protocol)."""
     arrivals = spark.readStream.schema(schema).parquet(watch_dir)
 
     def _ingest(batch_df, batch_id: int) -> None:
@@ -92,6 +102,14 @@ def stream_ingest_documents(
                 read_neardup_store(spark, neardup_store_path),
                 threshold=neardup_threshold,
                 max_bucket_size=neardup_max_bucket_size,
+            )
+        if contamination_store_path is not None:
+            survivors = contamination_filter_batch(
+                survivors,
+                read_contamination_store(
+                    spark, contamination_store_path
+                ),
+                max_contamination=max_contamination,
             )
         survivors = survivors.localCheckpoint()
         # EXACTLY-ONCE output under replay: both the corpus rows and

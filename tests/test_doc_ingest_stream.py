@@ -208,3 +208,46 @@ def test_cross_restart_crash_between_corpus_and_store_converges(
     assert sorted(
         r.doc_id for r in spark.read.parquet(out).collect()
     ) == [1, 2, 12]
+
+
+def test_stream_ingest_with_contamination_gate(spark, tmp_path):
+    """The static eval-shingle store drops benchmark-contaminated
+    drops at ingest: a doc sharing most 3-grams with the eval set is
+    rejected, a clean doc and a too-short doc (no shingles → no
+    evidence) land."""
+    from curw_wrf_data_pusher_spark.llmops.incremental import (
+        build_contamination_store,
+    )
+
+    watch = str(tmp_path / "incoming")
+    store = str(tmp_path / "store")
+    cstore = str(tmp_path / "evalstore")
+    out = str(tmp_path / "curated")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(watch)
+
+    eval_docs = spark.createDataFrame(
+        [(900, "the capital of france is paris and the capital of "
+               "italy is rome", "en", "eval", 0)],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    build_contamination_store(spark, eval_docs, cstore)
+
+    _drop(spark, watch, [
+        # near-verbatim eval leak → dropped
+        (1, "question: the capital of france is paris and the "
+            "capital of italy is rome", "en", "web", 0),
+        # clean document → kept
+        (2, "completely unrelated text about mountain weather "
+            "patterns and rainfall", "en", "web", 0),
+        # two tokens: no 3-gram shingles, no evidence → kept
+        (3, "short doc", "en", "web", 0),
+    ])
+    q = stream_ingest_documents(
+        spark, watch, store, out, ckpt,
+        contamination_store_path=cstore, max_contamination=0.2,
+    )
+    q.awaitTermination(120)
+    ids = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    assert ids == [2, 3]
