@@ -27,7 +27,10 @@ library; we decode the same bytes in pure Python):
   v1 chunk B-tree index;
 - filter pipeline v1/v2: deflate (zlib), shuffle, fletcher32;
 - compact attribute messages v1/v2/v3 (netCDF attributes, including
-  the ``description``/``units`` epoch text the WRF decode reads).
+  the ``description``/``units`` epoch text the WRF decode reads) AND
+  dense attribute storage (Attribute Info message + type-8 v2 B-tree
+  over a fractal heap — where netCDF-4 puts attributes past ~8 per
+  object, i.e. every real wrfout variable's 10+ attrs).
 
 The read surface matches ``netcdf3.NetCDF3Reader`` (the injected
 ``open_dataset`` contract of ``sources/netcdf.py``): ``.variables``
@@ -60,6 +63,7 @@ _M_GROUP_INFO = 0x000A
 _M_FILTERS = 0x000B
 _M_ATTR = 0x000C
 _M_CONT = 0x0010
+_M_ATTR_INFO = 0x0015
 _M_SYMTAB = 0x0011
 
 # filter ids
@@ -274,9 +278,9 @@ class HDF5Reader:
                     # group — e.g. a full wrfout file's 100+
                     # variables): enumerate the name-index v2 B-tree,
                     # fetch each link message from the fractal heap
-                    for hid in self._btree_v2_records(name_btree):
+                    for rec in self._btree_v2_records(name_btree):
                         got = self._parse_link(
-                            self._fheap_object(fheap, hid)
+                            self._fheap_object(fheap, rec[4:])
                         )
                         if got is not None:
                             links.append(got)
@@ -365,11 +369,39 @@ class HDF5Reader:
         walk(btree_addr)
         return out
 
+    def _dense_attrs(self, body):
+        """DENSE attribute storage (Attribute Info message, 0x0015):
+        netCDF-4 moves an object's attributes into a fractal heap
+        once they exceed ~8 (max_compact) — every real wrfout
+        variable (10+ attrs) stores them this way.  Records of the
+        attribute-name v2 B-tree (type 8) lead with the heap ID;
+        each heap object is a serialized attribute message."""
+        c = _B(body, 0, self._osz, self._lsz)
+        c.u1()  # version
+        aflags = c.u1()
+        if aflags & 0x1:
+            c.u2()  # max creation index
+        fheap = c.o()
+        name_btree = c.o()
+        out = {}
+        if _undef(fheap, self._osz) or _undef(name_btree, self._osz):
+            return out
+        for rec in self._btree_v2_records(name_btree):
+            # type-8 record: heap ID (8) + message flags (1) +
+            # creation order (4) + name hash (4)
+            k, v = self._parse_attr(
+                self._fheap_object(fheap, rec[:8])
+            )
+            out[k] = v
+        return out
+
     # -- dense link storage: v2 B-tree + fractal heap --------------------
     def _btree_v2_records(self, addr):
-        """Heap IDs from every record of a version-2 B-tree (the
-        link-name index, record type 5: 4-byte name hash + heap ID).
-        Depth 0 and 1 cover thousands of links; deeper trees raise."""
+        """RAW records of a version-2 B-tree, depth ≤ 1 (thousands of
+        entries).  Callers slice the heap ID out per record type:
+        type 5 (link-name index) = 4-byte hash THEN heap ID; type 8
+        (attribute-name index) = heap ID FIRST, then flags/creation
+        order/hash.  Deeper trees raise a clear scoped error."""
         buf = self._buf
         if buf[addr:addr + 4] != b"BTHD":
             raise ValueError("bad v2 B-tree header signature")
@@ -399,8 +431,7 @@ class HDF5Reader:
             pos = laddr + 6  # sig + version + type
             out = []
             for _ in range(nrec):
-                rec = buf[pos:pos + rec_size]
-                out.append(rec[4:])  # strip the 4-byte name hash
+                out.append(buf[pos:pos + rec_size])
                 pos += rec_size
             return out
 
@@ -414,8 +445,7 @@ class HDF5Reader:
         pos = root + 6
         out = []
         for _ in range(root_nrec):
-            rec = buf[pos:pos + rec_size]
-            out.append(rec[4:])  # internal records are real records
+            out.append(buf[pos:pos + rec_size])  # internal records
             pos += rec_size
         for _ in range(root_nrec + 1):
             caddr = int.from_bytes(
@@ -716,6 +746,8 @@ class HDF5Reader:
             elif mtype == _M_ATTR:
                 k, v = self._parse_attr(body)
                 attrs[k] = v
+            elif mtype == _M_ATTR_INFO:
+                attrs.update(self._dense_attrs(body))
         if dtype is None or isinstance(dtype, tuple):
             # non-numeric dataset (e.g. wrfout's char variable
             # ``Times(Time, DateStrLen)``) — skip it rather than

@@ -669,3 +669,81 @@ def test_roundtrip_property_any_shape_dtype_storage():
             np.testing.assert_array_equal(got, arr)
 
     run()
+
+
+def test_dense_attribute_storage():
+    """netCDF-4 moves attributes into a fractal heap past ~8 per
+    object (every real wrfout variable): ATTRIBUTE_INFO message +
+    type-8 name-index B-tree records (heap ID first) over serialized
+    attribute messages."""
+    vals = np.array([4.5, 6.0], dtype="<f8")
+    out = bytearray(b"\x00" * 48)
+    data_addr = len(out)
+    out += vals.tobytes()
+
+    # serialized attribute-v3 messages as heap objects
+    def attr_msg(name: str, text: str) -> bytes:
+        nb = name.encode() + b"\x00"
+        tb = text.encode() + b"\x00"
+        adt = struct.pack("<B3sI", 0x13, b"\x00\x00\x00", len(tb))
+        ads = struct.pack("<BBBB", 2, 0, 0, 0)
+        return (struct.pack("<BBHHHB", 3, 0, len(nb), len(adt),
+                            len(ads), 0)
+                + nb + adt + ads + tb)
+
+    attrs = {f"attr{i:02d}": f"value-{i}" for i in range(10)}
+    hdr_len = 4 + 1 + 8 + 4
+    body = bytearray()
+    ids = []
+    off = hdr_len
+    for k in sorted(attrs):
+        am = attr_msg(k, attrs[k])
+        # type-8 btree record: heap ID padded to 8, flags, order, hash
+        ids.append(_heap_id(off, len(am)) + b"\x00")
+        body += am
+        off += len(am)
+    assert off <= 512
+    dblock_addr = len(out)
+    fheap_pos = len(out) + 512
+    out += (b"FHDB" + struct.pack("<B", 0)
+            + struct.pack("<Q", fheap_pos)
+            + struct.pack("<I", 0) + body
+            + b"\x00" * (512 - hdr_len - len(body)))
+    fheap = _frhp(out, dblock_addr, cur_rows=0)
+
+    # type-8 records: heap id(8) + flags(1) + creation order(4) + hash(4)
+    rec_size = 8 + 1 + 4 + 4
+    leaf_addr = len(out)
+    leaf = bytearray(b"BTLF") + struct.pack("<BB", 0, 8)
+    for i, hid in enumerate(ids):
+        leaf += hid + struct.pack("<B", 0) + struct.pack("<I", i)
+        leaf += struct.pack("<I", 0)
+    leaf += struct.pack("<I", 0)
+    out += leaf
+    btree_addr = len(out)
+    b = bytearray(b"BTHD") + struct.pack("<BB", 0, 8)
+    b += struct.pack("<IH", 512, rec_size) + struct.pack("<H", 0)
+    b += struct.pack("<BB", 85, 40) + struct.pack("<Q", leaf_addr)
+    b += struct.pack("<H", len(ids)) + struct.pack("<Q", len(ids))
+    b += struct.pack("<I", 0)
+    out += b
+
+    dspace = struct.pack("<BBBB", 2, 1, 0, 1) + struct.pack("<Q", 2)
+    layout = (struct.pack("<BB", 3, 1)
+              + struct.pack("<QQ", data_addr, vals.nbytes))
+    ainfo = (struct.pack("<BB", 0, 0) + struct.pack("<Q", fheap)
+             + struct.pack("<Q", btree_addr))
+    dset = len(out)
+    out += _ohdr_v2([
+        (0x01, dspace), (0x03, _f8_datatype()), (0x08, layout),
+        (0x15, ainfo),
+    ])
+    root = len(out)
+    out += _ohdr_v2([(0x06, _link_msg("RAINNC", dset))])
+    _sb_v2(out, root)
+
+    ds = HDF5Reader(bytes(out))
+    v = ds.variables["RAINNC"]
+    for k, want in attrs.items():
+        assert v._attrs[k] == want, k
+    np.testing.assert_array_equal(v[:], vals)
