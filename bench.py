@@ -224,58 +224,50 @@ def _bench_rfield_files(spark, sf_dir: str) -> None:
         shutil.rmtree(out, ignore_errors=True)
 
 
-def _bench_s1_ingest_full_d03(spark, sf_dir: str) -> None:
-    """S1 ingest at the reference's FULL operational size (BASELINE
-    rows 1-3): one d03 file of 289 timesteps x 99 x 162 grid =
-    4,634,118 cells, decoded end to end — binaryFile scan → pure-numpy
-    classic codec → long-frame explode → noop sink.  The file is
-    built once into a temp cache (first rep pays it; best-of-REPS
-    reports the standing ingest cost, like llm_pq_index_search).
-    This is the rows-per-system-per-run envelope the reference's
-    daily cron pushes (wrf_data_pusher.py:143-279)."""
+def _build_full_d03(path: str, writer_factory) -> None:
+    """Shared synthetic full-size d03 fixture (289 x 99 x 162 =
+    4,634,118 cells, BASELINE rows 1-3) — one builder so the classic
+    and HDF5 ingest rows measure IDENTICAL data."""
     import os
-    import tempfile
 
     import numpy as np
 
-    base = os.path.join(tempfile.gettempdir(), "spark_graft_d03_full")
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    t_n, h, w_n = 289, 99, 162
+    rng = np.random.default_rng(11)
+    w = writer_factory(path)
+    w.createDimension("Time", None)
+    w.createDimension("south_north", h)
+    w.createDimension("west_east", w_n)
+    xt = w.createVariable("XTIME", "i8", ("Time",))
+    xt[:] = (15 * (np.arange(t_n, dtype="i8") + 1))
+    xt.description = "minutes since 2024-06-01 00:00:00"
+    lats = np.linspace(5.73, 10.06, h).astype("f4")
+    lons = np.linspace(79.53, 82.19, w_n).astype("f4")
+    for name, arr in (
+        ("XLAT", np.broadcast_to(
+            lats[None, :, None], (t_n, h, w_n)).copy()),
+        ("XLONG", np.broadcast_to(
+            lons[None, None, :], (t_n, h, w_n)).copy()),
+        ("RAINNC", np.cumsum(
+            rng.uniform(0, 3, size=(t_n, h, w_n)).astype("f4"),
+            axis=0)),
+    ):
+        v = w.createVariable(
+            name, "f4", ("Time", "south_north", "west_east")
+        )
+        v[:] = arr
+    w.close()
+
+
+def _ingest_full_d03(spark, cache_name: str, writer_factory) -> None:
+    import os
+    import tempfile
+
+    base = os.path.join(tempfile.gettempdir(), cache_name)
     f = os.path.join(base, "wrfX", "d03_RAINNC.nc")
     if not os.path.exists(f):
-        from curw_wrf_data_pusher_spark.sources.netcdf3 import (
-            NetCDF3Writer,
-        )
-
-        os.makedirs(os.path.dirname(f), exist_ok=True)
-        t_n, h, w_n = 289, 99, 162
-        rng = np.random.default_rng(11)
-        w = NetCDF3Writer(f)
-        w.createDimension("Time", None)
-        w.createDimension("south_north", h)
-        w.createDimension("west_east", w_n)
-        xt = w.createVariable("XTIME", "i8", ("Time",))
-        xt[:] = (15 * (np.arange(t_n, dtype="i8") + 1))
-        xt.description = "minutes since 2024-06-01 00:00:00"
-        lats = np.linspace(5.73, 10.06, h).astype("f4")
-        lons = np.linspace(79.53, 82.19, w_n).astype("f4")
-        xlat = w.createVariable(
-            "XLAT", "f4", ("Time", "south_north", "west_east")
-        )
-        xlat[:] = np.broadcast_to(
-            lats[None, :, None], (t_n, h, w_n)
-        ).copy()
-        xlong = w.createVariable(
-            "XLONG", "f4", ("Time", "south_north", "west_east")
-        )
-        xlong[:] = np.broadcast_to(
-            lons[None, None, :], (t_n, h, w_n)
-        ).copy()
-        rain = w.createVariable(
-            "RAINNC", "f4", ("Time", "south_north", "west_east")
-        )
-        rain[:] = np.cumsum(
-            rng.uniform(0, 3, size=(t_n, h, w_n)).astype("f4"), axis=0
-        )
-        w.close()
+        _build_full_d03(f, writer_factory)
 
     from curw_wrf_data_pusher_spark.sources.netcdf import read_wrf_grid
 
@@ -285,59 +277,25 @@ def _bench_s1_ingest_full_d03(spark, sf_dir: str) -> None:
               "lon_min": -180, "lon_max": 180},
     )
     df.write.format("noop").mode("overwrite").save()
+
+
+def _bench_s1_ingest_full_d03(spark, sf_dir: str) -> None:
+    """S1 ingest at the reference's FULL operational size through the
+    pure-numpy CLASSIC codec (first rep builds the cached file;
+    best-of-REPS reports the standing ingest cost)."""
+    from curw_wrf_data_pusher_spark.sources.netcdf3 import NetCDF3Writer
+
+    _ingest_full_d03(spark, "spark_graft_d03_full", NetCDF3Writer)
 
 
 def _bench_s1_ingest_full_d03_hdf5(spark, sf_dir: str) -> None:
-    """The HDF5 twin of the full-size d03 ingest row: the same
-    4.63M-cell grid stored netCDF-4-style (chunked per-timestep
-    slabs, shuffle+deflate) via NC4Writer, decoded through the
-    pure-numpy HDF5 reader — measures the zlib-inflate decode path
-    the classic row doesn't touch."""
-    import os
-    import tempfile
+    """The HDF5 twin: the SAME grid stored netCDF-4-style (chunked
+    slabs, shuffle+deflate via NC4Writer), decoded through the pure
+    HDF5 reader — measures the zlib-inflate decode path the classic
+    row doesn't touch."""
+    from curw_wrf_data_pusher_spark.sources.hdf5 import create_nc4
 
-    import numpy as np
-
-    base = os.path.join(tempfile.gettempdir(), "spark_graft_d03_h5")
-    f = os.path.join(base, "wrfX", "d03_RAINNC.nc")
-    if not os.path.exists(f):
-        from curw_wrf_data_pusher_spark.sources.hdf5 import create_nc4
-
-        os.makedirs(os.path.dirname(f), exist_ok=True)
-        t_n, h, w_n = 289, 99, 162
-        rng = np.random.default_rng(11)
-        w = create_nc4(f)
-        w.createDimension("Time", None)
-        w.createDimension("south_north", h)
-        w.createDimension("west_east", w_n)
-        xt = w.createVariable("XTIME", "i8", ("Time",))
-        xt[:] = (15 * (np.arange(t_n, dtype="i8") + 1))
-        xt.description = "minutes since 2024-06-01 00:00:00"
-        lats = np.linspace(5.73, 10.06, h).astype("f4")
-        lons = np.linspace(79.53, 82.19, w_n).astype("f4")
-        for name, arr in (
-            ("XLAT", np.broadcast_to(
-                lats[None, :, None], (t_n, h, w_n)).copy()),
-            ("XLONG", np.broadcast_to(
-                lons[None, None, :], (t_n, h, w_n)).copy()),
-            ("RAINNC", np.cumsum(
-                rng.uniform(0, 3, size=(t_n, h, w_n)).astype("f4"),
-                axis=0)),
-        ):
-            v = w.createVariable(
-                name, "f4", ("Time", "south_north", "west_east")
-            )
-            v[:] = arr
-        w.close()
-
-    from curw_wrf_data_pusher_spark.sources.netcdf import read_wrf_grid
-
-    df = read_wrf_grid(
-        spark, base,
-        bbox={"lat_min": -90, "lat_max": 90,
-              "lon_min": -180, "lon_max": 180},
-    )
-    df.write.format("noop").mode("overwrite").save()
+    _ingest_full_d03(spark, "spark_graft_d03_h5", create_nc4)
 
 
 #: terminal-sink rows: the callable performs (and is timed over) its

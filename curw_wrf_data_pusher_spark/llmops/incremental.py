@@ -369,10 +369,20 @@ def build_contamination_store(
 def read_contamination_store(
     spark: SparkSession, store_path: str
 ) -> DataFrame:
+    """Unlike the dedup/near-dup stores, a missing store here is NOT
+    a legitimate first-ingest state — the eval store must be
+    pre-built by :func:`build_contamination_store`, so an unreadable
+    path is always misconfiguration and silently serving an empty
+    store would let contaminated documents through with no signal.
+    Fail loudly instead."""
     try:
         return spark.read.schema(_CONTAM_SCHEMA).parquet(store_path)
-    except Exception:
-        return spark.createDataFrame([], _CONTAM_SCHEMA)
+    except Exception as e:
+        raise ValueError(
+            f"contamination store at {store_path!r} is missing or "
+            "unreadable — build it first with "
+            "build_contamination_store()"
+        ) from e
 
 
 def contamination_filter_batch(

@@ -25,8 +25,9 @@ per corpus, exactly like ``refine_codebooks``; serving reuses the
 standard ADC path on rotated queries.
 
 Iterative (no SQL oracle); quality is pinned by pytest: R stays
-orthogonal, quantization error is non-increasing across iterations
-and strictly better than axis-aligned PQ on correlated data.
+orthogonal and round-trips, quantization error does not increase
+with more iterations, and it is strictly better than axis-aligned
+PQ at equal Lloyd budget on correlated data.
 """
 
 from __future__ import annotations
@@ -50,6 +51,11 @@ def rotate_vectors(
 
     R = np.asarray(rotation, dtype=np.float64)
     schema = df.schema
+    # preserve the column's element precision: a float32 column stays
+    # float32, a double column must NOT silently round-trip through
+    # float32
+    elem = schema[vec_col].dataType.elementType.simpleString()
+    out_dt = np.float64 if elem == "double" else np.float32
 
     def rot(batches):
         for pdf in batches:
@@ -59,7 +65,7 @@ def rotate_vectors(
                 )
                 pdf = pdf.copy()
                 pdf[vec_col] = pd.Series(
-                    list((V @ R).astype(np.float32)), index=pdf.index
+                    list((V @ R).astype(out_dt)), index=pdf.index
                 )
             yield pdf
 
@@ -125,15 +131,13 @@ def opq_train(
     codebooks for the ROTATED space."""
     import numpy as np
 
-    dim = len(
-        corpus.select(vec_col).first()[0]
-    )
-    if dim % m:
-        raise ValueError(f"opq_train: dim {dim} not divisible by m={m}")
-    R = np.eye(dim, dtype=np.float64)
+    # pq_codebooks validates dim % m (same message) and the corpus
+    # size — no extra Spark job here just to re-derive dim
     books = pq_codebooks(
         corpus, m=m, k_sub=k_sub, id_col=id_col, vec_col=vec_col
     )
+    dim = m * len(books[0][0])
+    R = np.eye(dim, dtype=np.float64)
     for _ in range(n_iters):
         rotated = rotate_vectors(corpus, R.tolist(), vec_col=vec_col)
         books = refine_codebooks(

@@ -209,3 +209,19 @@ def test_neardup_store_compaction(spark, tmp_path):
     d2 = {(r.doc_id, r.matched_id) for r in
           neardup_batch_drops(probe, after_df).collect()}
     assert d1 == d2 and (10, 1) in d2
+
+
+def test_missing_contamination_store_fails_loudly(spark, tmp_path):
+    """Unlike the dedup stores (missing = first ingest), a missing
+    contamination store is always misconfiguration — silently
+    serving an empty store would wave contaminated docs through."""
+    import pytest
+
+    from curw_wrf_data_pusher_spark.llmops.incremental import (
+        read_contamination_store,
+    )
+
+    with pytest.raises(ValueError, match="build_contamination_store"):
+        read_contamination_store(
+            spark, str(tmp_path / "nope")
+        ).collect()

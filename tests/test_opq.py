@@ -96,3 +96,15 @@ def test_opq_train_rejects_indivisible_dim(spark):
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     with pytest.raises(ValueError, match="not divisible"):
         opq_train(emb, m=2, k_sub=1, n_iters=1)
+
+
+def test_opq_error_does_not_increase_with_iterations(spark):
+    """The alternation's joint objective is non-increasing: more OPQ
+    iterations never raise quantization error (training is
+    deterministic, so the comparison is exact)."""
+    emb, X = _correlated_corpus(spark, n=200)
+    R1, b1 = opq_train(emb, m=4, k_sub=8, n_iters=1, lloyd_iters=1)
+    R3, b3 = opq_train(emb, m=4, k_sub=8, n_iters=3, lloyd_iters=1)
+    e1 = _qerr(X @ np.asarray(R1), b1)
+    e3 = _qerr(X @ np.asarray(R3), b3)
+    assert e3 <= e1 + 1e-9, (e3, e1)
