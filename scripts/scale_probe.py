@@ -31,7 +31,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from curw_wrf_data_pusher_spark.queries import llm  # noqa: E402
 from curw_wrf_data_pusher_spark.session import get_spark  # noqa: E402
 
-ROWS = ["llm_setsim_pairs", "llm_substring_dedup", "llm_incremental_neardup"]
+ROWS = ["llm_setsim_pairs", "llm_substring_dedup",
+        "llm_incremental_neardup", "llm_bpe_pair_counts"]
 BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 WORK = "/tmp/scale_probe"
 REPS = int(os.environ.get("SCALE_PROBE_REPS", "1"))
