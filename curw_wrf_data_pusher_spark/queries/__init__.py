@@ -209,17 +209,24 @@ _TAIL = [
                              # (head sketch rows); exact heavy
                              # hitters → a15_heavy_hitters (tail
                              # parity + MG pytest twin)
-    # round-10 addition, tail-resident (oracle-gated here and in
-    # tests/test_oracle_parity; driver-visible if the budget grows):
-    "llm_bpe_pair_counts",   # BPE tokenizer-training pair counts —
-                             # token/vocab family → llm_text_features
-                             # + llm_budget_sample (head); the merge
-                             # loop itself is pytest
-    "w17_sliding_distinct_kmv",  # high-cardinality sliding distinct —
-                                 # sketch family → a23_kmv_distinct
-                                 # (head); RANGE-window family → w15/
-                                 # w16 (head); accuracy pinned in
-                                 # tests/test_llmops.py
+    # -- round-10 second rotation: the two NEW round-10 oracle
+    #    families (KMV sliding distinct, BPE pair counting) earn
+    #    driver CORRECTNESS rows this round; two compound-redundant
+    #    evictions, each with named head covers: --
+    "w16_sliding_distinct",  # exact sliding distinct → w15_range_frame
+                             # (head: the RANGE-frame window class) +
+                             # w17_sliding_distinct_kmv (head: the
+                             # sliding-distinct semantics, sketch form)
+                             # + a23_kmv_distinct (head: distinct-count
+                             # family)
+    "p8_p12_hash_strings",   # P8/P12 key + hash-id construction →
+                             # wrf_e1_push_rows (head: series_hash_id,
+                             # the P12 sha256 content-addressed id, in
+                             # its output) + p9_key_parse (head: the
+                             # key grammar, inverse direction) +
+                             # a23_kmv_distinct (md5 hash machinery);
+                             # p6_station_names stays the tail parity
+                             # twin for the P8 name builders
     "u2_j1_outer_dropna",    # J1 full-outer → j1_pivot_sources (head,
                              # the idiomatic pivot form) and the
                              # full-outer JOIN shape → k12_distribution_

@@ -25,8 +25,11 @@ RANGE-frame and sliding-distinct windows, the spark.sql ANSI entry
 point, EXISTS/NOT-EXISTS decorrelation (Q4/Q21 shapes),
 Horvitz-Thompson hash-sample estimates, and the re-promoted PQ
 shortlist re-rank + KMV overlap — evicting ten compound-redundant
-rows (incl. the no-hash-signal p10).  All ten promotions were
-re-verified hash-green vs DuckDB at sf0.01 before the swap.
+rows (incl. the no-hash-signal p10).  A second round-10 rotation
+promoted the two NEW round-10 families (KMV sliding distinct, BPE
+pair counting), evicting two compound-redundant rows.  All
+promotions were re-verified hash-green vs DuckDB at sf0.01 (and the
+full registry at sf0.1) before each swap.
 """
 
 from __future__ import annotations
@@ -51,7 +54,6 @@ EXPECTED_HEAD = [
     "a9_o1_percentiles_ranked",
     "j6_j7_asof_range",
     "a11_a12_cube_gsets",
-    "p8_p12_hash_strings",
     "p14_p15_json_datetime",
     "j8_fuzzy_pairs",
     "w9_funnel",
@@ -66,8 +68,8 @@ EXPECTED_HEAD = [
     "w15_range_frame",
     "a26_approx_sample_aggs",
     "q21_fully_late_orders",
-    "w16_sliding_distinct",
     "sql1_cte_window_join",
+    "w17_sliding_distinct_kmv",
     "wrf_e1_push_rows",
     "wrf_e3_hybrid_frame",
     "e2_rfield_contract",
@@ -89,6 +91,7 @@ EXPECTED_HEAD = [
     "llm_pq_rerank",
     "llm_incremental_neardup",
     "llm_filtered_ann",
+    "llm_bpe_pair_counts",
 ]
 
 #: The exact tail (local-mirror-only order).  Each entry's operator is
@@ -156,8 +159,8 @@ EXPECTED_TAIL = [
     "llm_simhash_neighbors",
     "w10_attribution",
     "a16_countmin_freq",
-    "llm_bpe_pair_counts",
-    "w17_sliding_distinct_kmv",
+    "w16_sliding_distinct",
+    "p8_p12_hash_strings",
     "u2_j1_outer_dropna",
 ]
 
