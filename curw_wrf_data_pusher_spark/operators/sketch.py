@@ -494,7 +494,15 @@ def sliding_distinct_kmv(
     )
     pts = df.select(*gcols, bucket, F.col(value_col).cast("string")
                     .alias("__v"))
-    per_bucket = kmv_sketch(pts, [*gcols, "__b"], "__v", k=k)
+    # localCheckpoint the BOUNDED sketch frame (≤ k rows per
+    # populated bucket — metadata scale, the k12 pattern): both the
+    # window-explode and the populated-bucket set below reuse it, and
+    # without materialization Catalyst would duplicate the whole
+    # scan + salted-rank pipeline into each branch (measured: 2
+    # relation scans, 6 Window nodes → 1 scan, 3 Windows)
+    per_bucket = kmv_sketch(
+        pts, [*gcols, "__b"], "__v", k=k
+    ).localCheckpoint()
     # contribute each bucket's sketch to every target window it falls
     # in: target t sees buckets in (t − window, t]
     contrib = per_bucket.withColumn(
