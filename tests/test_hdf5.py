@@ -200,14 +200,11 @@ def test_superblock_v2_ohdr_v2_compact_links():
     np.testing.assert_array_equal(ds.variables["v"][:], vals)
 
 
-def test_big_endian_data_and_v1_continuation():
-    """Big-endian datatype decodes correctly, and a v1 object header
-    whose messages spill into a continuation block is followed."""
+def test_big_endian_data():
+    """Big-endian datatype decodes correctly."""
     a = np.array([3.5, -1.25], dtype=">f8")
 
     def build(w):
-        # many attrs force nothing in this writer (single block), so
-        # exercise BE decoding here and continuation synthetically below
         w.create_dataset("be", a)
 
     _, ds = _roundtrip(build)
@@ -747,3 +744,67 @@ def test_dense_attribute_storage():
     for k, want in attrs.items():
         assert v._attrs[k] == want, k
     np.testing.assert_array_equal(v[:], vals)
+
+
+def test_v1_object_header_continuation_block():
+    """A v1 object header whose messages spill into a CONTINUATION
+    block (0x0010) is followed — netCDF-4 emits these when a
+    variable's messages outgrow the initial header allocation."""
+    vals = np.array([1.25, 2.5, 3.75], dtype="<f8")
+    out = bytearray(b"\x00" * 48)
+    data_addr = len(out)
+    out += vals.tobytes()
+
+    dspace = struct.pack("<BBB5s", 1, 1, 0, b"\x00" * 5)
+    dspace += struct.pack("<Q", 3)
+    layout = (struct.pack("<BB", 3, 1)
+              + struct.pack("<QQ", data_addr, vals.nbytes))
+
+    def pad8(b):
+        return b + b"\x00" * (-len(b) % 8)
+
+    def msg(t, b):
+        b = pad8(b)
+        return struct.pack("<HHB3s", t, len(b), 0, b"\x00" * 3) + b
+
+    # continuation block holds the layout message
+    cont_block = msg(0x0008, layout)
+    # header block: dataspace + datatype + continuation pointer
+    cont_addr_pos = None
+    blk = bytearray()
+    blk += msg(0x0001, dspace)
+    blk += msg(0x0003, _f8_datatype())
+    cont_body = struct.pack("<QQ", 0, len(cont_block))  # patched
+    blk += msg(0x0010, cont_body)
+
+    dset = len(out)
+    hdr = struct.pack("<BBHII4s", 1, 0, 4, 1, len(blk), b"\x00" * 4)
+    out += hdr + blk
+    cont_addr = len(out)
+    out += cont_block
+    # patch the continuation offset (it sits 16 bytes before the end
+    # of the header block: 8-byte msg header + first 8 bytes of body)
+    patch_at = dset + len(hdr) + len(blk) - 16
+    out[patch_at:patch_at + 8] = struct.pack("<Q", cont_addr)
+
+    root = len(out)
+    out += _ohdr_v2([(0x06, _link_msg("v", dset))])
+    _sb_v2(out, root)
+
+    ds = HDF5Reader(bytes(out))
+    np.testing.assert_array_equal(ds.variables["v"][:], vals)
+
+
+def test_nested_groups_prefix_variable_names():
+    """Subgroups recurse with a path prefix — netCDF-4 groups."""
+    a = np.array([9.0], dtype="<f8")
+    out = bytearray(b"\x00" * 48)
+    dset = _contig_dataset_ohdr(out, a)
+    sub = len(out)
+    out += _ohdr_v2([(0x06, _link_msg("inner", dset))])
+    root = len(out)
+    out += _ohdr_v2([(0x06, _link_msg("sub", sub))])
+    _sb_v2(out, root)
+    ds = HDF5Reader(bytes(out))
+    assert list(ds.variables) == ["sub/inner"]
+    np.testing.assert_array_equal(ds.variables["sub/inner"][:], a)
