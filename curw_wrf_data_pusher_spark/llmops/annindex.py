@@ -158,15 +158,22 @@ def build_pq_index(
     score_scale: int = 9,
     refine_iterations: int = 0,
     extra_cols: Sequence[str] = (),
+    opq_iterations: int = 0,
 ) -> list[list[list[float]]]:
     """Encode the corpus once and persist:
 
     ``<path>/codes``      (id, code_0 … code_{m−1} [, extra…]) parquet
     ``<path>/codebooks``  (s, c, centroid array<double>) — m·k_sub rows
+    ``<path>/rotation``   (i, row array<double>) — only when OPQ is on
 
     ``refine_iterations`` > 0 runs Lloyd refinement on the seed
     codebooks before encoding (better recall, loses SQL-oracle
     reproducibility — see pq.refine_codebooks).
+
+    ``opq_iterations`` > 0 instead trains an OPQ rotation + codebooks
+    (llmops/opq.py) and persists the rotation beside the codebooks;
+    ``search_pq_index`` auto-rotates queries when a rotation is
+    present, so OPQ serving is transparent to callers.
 
     ``extra_cols`` persists metadata columns (label, source, date…)
     alongside each row's codes, enabling FILTERED serving: a
@@ -176,12 +183,23 @@ def build_pq_index(
     from .pq import pq_codebooks, pq_encode_arrow, refine_codebooks
 
     spark = corpus.sparkSession
-    books = pq_codebooks(corpus, m, k_sub, id_col, vec_col)
-    if refine_iterations:
-        books = refine_codebooks(
-            corpus, books, n_iters=refine_iterations,
+    rotation = None
+    if opq_iterations:
+        from .opq import opq_train, rotate_vectors
+
+        rotation, books = opq_train(
+            corpus, m=m, k_sub=k_sub, n_iters=opq_iterations,
             id_col=id_col, vec_col=vec_col, score_scale=score_scale,
         )
+        corpus = rotate_vectors(corpus, rotation, vec_col=vec_col)
+    else:
+        books = pq_codebooks(corpus, m, k_sub, id_col, vec_col)
+        if refine_iterations:
+            books = refine_codebooks(
+                corpus, books, n_iters=refine_iterations,
+                id_col=id_col, vec_col=vec_col,
+                score_scale=score_scale,
+            )
     codes = pq_encode_arrow(corpus, books, id_col, vec_col, score_scale)
     if extra_cols:
         codes = codes.join(
@@ -196,7 +214,26 @@ def build_pq_index(
         ],
         "s int, c int, centroid array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+    if rotation is not None:
+        spark.createDataFrame(
+            [(i, row) for i, row in enumerate(rotation)],
+            "i int, row array<double>",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{path}/rotation"
+        )
     return books
+
+
+def load_pq_rotation(spark: SparkSession, path: str):
+    """The persisted OPQ rotation as a nested list, or None when the
+    index was built without OPQ."""
+    import os
+
+    if not os.path.exists(f"{path}/rotation"):
+        return None
+    rows = spark.read.parquet(f"{path}/rotation").collect()
+    rows.sort(key=lambda r: r.i)
+    return [[float(x) for x in r.row] for r in rows]
 
 
 def load_pq_codebooks(
@@ -235,6 +272,11 @@ def search_pq_index(
     from .pq import adc_topk_over_codes
 
     books = load_pq_codebooks(spark, path)
+    rotation = load_pq_rotation(spark, path)
+    if rotation is not None:  # OPQ index: rotate the (tiny) query side
+        from .opq import rotate_vectors
+
+        queries = rotate_vectors(queries, rotation, vec_col=vec_col)
     codes = spark.read.parquet(f"{path}/codes")
     if codes_filter is not None:
         codes = codes.filter(codes_filter)

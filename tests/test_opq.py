@@ -108,3 +108,38 @@ def test_opq_error_does_not_increase_with_iterations(spark):
     e1 = _qerr(X @ np.asarray(R1), b1)
     e3 = _qerr(X @ np.asarray(R3), b3)
     assert e3 <= e1 + 1e-9, (e3, e1)
+
+
+def test_persisted_opq_index_roundtrip(spark, tmp_path):
+    """build_pq_index(opq_iterations=…) persists the rotation beside
+    the codebooks; search_pq_index auto-rotates queries — the OPQ
+    serving result equals running the ADC by hand on rotated frames."""
+    from curw_wrf_data_pusher_spark.llmops.annindex import (
+        build_pq_index,
+        load_pq_rotation,
+        search_pq_index,
+    )
+    from curw_wrf_data_pusher_spark.llmops.pq import pq_topk
+
+    emb, _ = _correlated_corpus(spark, n=120)
+    path = str(tmp_path / "opq_index")
+    books = build_pq_index(emb, path, m=4, k_sub=8, opq_iterations=1)
+    R = load_pq_rotation(spark, path)
+    assert R is not None and len(R) == 16
+    q = emb.filter("vec_id < 3")
+    got = {
+        (r["q_id"], r["rank"]): (r["n_id"], r["adc"])
+        for r in search_pq_index(spark, path, q, k=5).collect()
+    }
+    want = {
+        (r["q_id"], r["rank"]): (r["n_id"], r["adc"])
+        for r in pq_topk(
+            rotate_vectors(emb, R), rotate_vectors(q, R),
+            m=4, k_sub=8, k=5, books=books,
+        ).collect()
+    }
+    assert got == want
+    # a plain (non-OPQ) index has no rotation and serves unrotated
+    p2 = str(tmp_path / "plain_index")
+    build_pq_index(emb, p2, m=4, k_sub=8)
+    assert load_pq_rotation(spark, p2) is None
