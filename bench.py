@@ -154,6 +154,12 @@ HEADLINE = [
     # and the BPE pair-counting corpus pass
     "w17_sliding_distinct_kmv",
     "llm_bpe_pair_counts",
+    # added round 11 (NEW row): dense-grid gap fill — benched so the
+    # O(n^2)->O(n) forward-neighbor frame rewrite (round-10 judge
+    # finding: 37.7 s at sf0.1 under the UnboundedFollowing frame)
+    # stays measured; the descending-window form runs in the <1 s
+    # band of its window siblings
+    "w6_gap_fill",
 ]
 
 

@@ -86,8 +86,17 @@ def gap_fill(
     prev = F.last(obs, ignorenulls=True).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    nxt = F.first(obs, ignorenulls=True).over(
-        w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    # Forward neighbor via a DESCENDING-ordered growing frame, not
+    # currentRow..unboundedFollowing: Spark's UnboundedFollowing frame
+    # re-evaluates the aggregate from scratch per row (O(n^2) per key —
+    # 37.7 s at sf0.1 vs <1 s for every sibling window query), while the
+    # unboundedPreceding..currentRow frame updates incrementally (O(n)).
+    # Ordering by slot DESC makes "last non-null up to current" exactly
+    # "nearest observation at slot >= current".  Same partition keys, so
+    # the window Exchange is reused — the rewrite costs one extra sort.
+    w_desc = Window.partitionBy(*keys).orderBy(F.col(slot_col).desc())
+    nxt = F.last(obs, ignorenulls=True).over(
+        w_desc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     if method == "linear":
         fill = prev["x"] + (nxt["x"] - prev["x"]) * (
