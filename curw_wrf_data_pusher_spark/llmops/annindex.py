@@ -226,12 +226,21 @@ def build_pq_index(
 
 def load_pq_rotation(spark: SparkSession, path: str):
     """The persisted OPQ rotation as a nested list, or None when the
-    index was built without OPQ."""
-    import os
+    index was built without OPQ.
 
-    if not os.path.exists(f"{path}/rotation"):
+    Existence is probed THROUGH Spark (read and treat a path-not-found
+    failure as "no rotation", mirroring incremental.read_dedup_store) —
+    a driver-local ``os.path.exists`` would return False for any
+    non-local index path (hdfs://, s3a://, different working dir) and
+    silently serve an OPQ index unrotated: wrong neighbors, no error."""
+    try:
+        rows = spark.read.schema("i int, row array<double>").parquet(
+            f"{path}/rotation"
+        ).collect()
+    except Exception:
         return None
-    rows = spark.read.parquet(f"{path}/rotation").collect()
+    if not rows:
+        return None
     rows.sort(key=lambda r: r.i)
     return [[float(x) for x in r.row] for r in rows]
 

@@ -149,6 +149,16 @@ def opq_train(
         )
         U, _sv, Vt = np.linalg.svd(S)
         R = U @ Vt
+    # the loop updates R LAST, so `books` were refined under the
+    # previous iteration's rotation — one more Lloyd pass under the
+    # final R makes the returned (R, books) pair a consistent
+    # alternation step (Ge et al. §4; each half-step is
+    # non-increasing, so the monotonicity contract is preserved)
+    books = refine_codebooks(
+        rotate_vectors(corpus, R.tolist(), vec_col=vec_col),
+        books, n_iters=lloyd_iters,
+        id_col=id_col, vec_col=vec_col, score_scale=score_scale,
+    )
     return R.tolist(), books
 
 

@@ -62,7 +62,18 @@ def write_rfield_files(
 
     Returns the list of written value-file paths.  File naming follows
     the reference's ``{prefix}_{group}.txt`` with ':'/' ' made
-    filesystem-safe (gen_rfields.py:204)."""
+    filesystem-safe (gen_rfields.py:204).
+
+    Job-level commit: executor-direct emission publishes each file
+    with a per-file atomic rename, so a job that dies mid-run leaves
+    the files of its FINISHED tasks visible (partial output — unlike a
+    commit-protocol write, which materializes nothing until job
+    success).  The driver therefore writes a ``_SUCCESS`` marker
+    (listing every published value file, one basename per line) only
+    after the emission job returns; consumers that must never observe
+    a partial run gate on it, same contract as Hadoop's marker.  A
+    re-run after a failure overwrites the partial files (names are
+    deterministic) and re-publishes the marker."""
     group_cols = group_cols or ["time"]
     os.makedirs(out_dir, exist_ok=True)
 
@@ -150,4 +161,11 @@ def write_rfield_files(
     written = sorted(
         r["file"] for r in data.mapInPandas(emit, "file string").collect()
     )
+    # job-level commit marker: published atomically AFTER every task's
+    # per-file rename has succeeded (the collect() is the barrier) —
+    # see the docstring's partial-output contract
+    marker_tmp = os.path.join(out_dir, "_SUCCESS.inprogress")
+    with open(marker_tmp, "w") as mh:
+        mh.write("\n".join(os.path.basename(p) for p in written) + "\n")
+    os.replace(marker_tmp, os.path.join(out_dir, "_SUCCESS"))
     return written

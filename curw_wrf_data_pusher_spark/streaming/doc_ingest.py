@@ -80,7 +80,32 @@ def stream_ingest_documents(
     eval-shingle overlap exceeds ``max_contamination`` (the GPT-3
     n-gram decontamination check against a STATIC store built once by
     ``build_contamination_store`` — it never commits per batch, so it
-    needs no replay protocol)."""
+    needs no replay protocol).
+
+    BREAKING layout note (round 10): the curated corpus is written
+    partitioned by ``ingest_batch`` with dynamic partition overwrite
+    (the exactly-once contract).  An ``out_dir`` populated by the
+    pre-round-10 plain-append layout (no ``ingest_batch`` column,
+    files at the dir root) would silently mix layouts on the first
+    new-style write — so a legacy corpus is detected (probed THROUGH
+    Spark, so remote paths work) and refused with a one-time
+    migration: rewrite the old rows into an ``ingest_batch=legacy``
+    partition."""
+    # refuse a legacy (pre-partitioned-layout) corpus dir up front
+    # rather than mixing layouts on the first micro-batch
+    try:
+        legacy = "ingest_batch" not in spark.read.parquet(out_dir).columns
+    except Exception:
+        legacy = False  # no corpus yet — the first write creates it
+    if legacy:
+        raise ValueError(
+            f"curated corpus at {out_dir!r} uses the legacy plain-append "
+            "layout (no ingest_batch partition column). Migrate once "
+            "before streaming into it, e.g.: read the old rows and "
+            "rewrite them under ingest_batch='legacy' with "
+            "df.withColumn('ingest_batch', lit('legacy'))"
+            ".write.partitionBy('ingest_batch').parquet(<new_dir>)."
+        )
     arrivals = spark.readStream.schema(schema).parquet(watch_dir)
 
     def _ingest(batch_df, batch_id: int) -> None:

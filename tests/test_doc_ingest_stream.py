@@ -251,3 +251,39 @@ def test_stream_ingest_with_contamination_gate(spark, tmp_path):
     q.awaitTermination(120)
     ids = sorted(r.doc_id for r in spark.read.parquet(out).collect())
     assert ids == [2, 3]
+
+
+def test_stream_ingest_refuses_legacy_corpus_layout(spark, tmp_path):
+    """A pre-partitioned-layout corpus dir (plain append, no
+    ingest_batch column) is refused up front with a migration hint —
+    never silently mixed with the new dynamic-overwrite layout."""
+    import pytest
+
+    watch = str(tmp_path / "incoming")
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "curated")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(watch)
+    # a legacy corpus: root-level parquet, no ingest_batch column
+    spark.createDataFrame(
+        [(1, "old row", "en", "web", 7)],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).write.parquet(out)
+
+    with pytest.raises(ValueError, match="legacy plain-append layout"):
+        stream_ingest_documents(spark, watch, store, out, ckpt)
+
+    # a migrated corpus (ingest_batch partition present) is accepted
+    out2 = str(tmp_path / "curated2")
+    spark.read.parquet(out).selectExpr(
+        "*", "'legacy' as ingest_batch"
+    ).write.partitionBy("ingest_batch").parquet(out2)
+    _drop(spark, watch, [
+        (2, "a brand new document body for the migrated dir", "en",
+         "web", 46),
+    ])
+    q = stream_ingest_documents(spark, watch, store, out2, ckpt)
+    q.awaitTermination(120)
+    ids = sorted(r.doc_id for r in spark.read.parquet(out2).collect())
+    assert ids == [1, 2]

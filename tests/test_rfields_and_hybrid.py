@@ -35,6 +35,13 @@ def test_e2_rfield_files(spark, grid, tmp_path):
     # the fixture grid lies fully inside the Kelani extent
     assert len(out["kelani"]) == 2 * 12
 
+    # job-level commit: the _SUCCESS marker is published after the
+    # emission job and lists exactly the value files written (the gate
+    # consumers use to never observe a partial run)
+    with open(os.path.join(tmp_path, "d03", "_SUCCESS")) as fh:
+        marked = sorted(line for line in fh.read().splitlines() if line)
+    assert marked == sorted(os.path.basename(p) for p in out["d03"])
+
     # xy.csv: unique coords sorted by (lon, lat)
     xy = pd.read_csv(os.path.join(tmp_path, "d03", "xy.csv"))
     assert len(xy) == 6 * 5
