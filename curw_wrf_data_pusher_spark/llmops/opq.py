@@ -72,6 +72,56 @@ def rotate_vectors(
     return df.mapInPandas(rot, schema)
 
 
+def rotate_vectors_exact(
+    df: DataFrame,
+    rotation,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Oracle-comparable twin of :func:`rotate_vectors`: the rotated
+    coordinate ``out[j] = Σ_i vec[i]·R[i][j]`` is accumulated as a
+    STRICT LEFT FOLD over the input dimensions in index order, from
+    +0.0, in float64 — bit-identical to a left-associated SQL sum
+    ``0.0 + e[1]*r1j + e[2]*r2j + …`` (same IEEE ops in the same
+    order), unlike BLAS ``V @ R`` whose blocked/pairwise accumulation
+    differs in final ulps.  Output element type is double regardless
+    of input (float32 → float64 widening is exact, so both engines
+    start from identical values).
+
+    Cost is the same n·d² flops as the matmul, just sequenced: a
+    Python loop of d vectorized (n × d) multiply-adds per Arrow batch.
+    Use :func:`rotate_vectors` (BLAS) wherever results feed float-
+    tolerant consumers; use this twin when the output must hash-match
+    a SQL mirror (the registered ``llm_opq_topk`` row)."""
+    import numpy as np
+    import pandas as pd
+
+    R = np.asarray(rotation, dtype=np.float64)
+    d = R.shape[0]
+    fields = [
+        f if f.name != vec_col
+        else T.StructField(
+            vec_col, T.ArrayType(T.DoubleType(), False), f.nullable
+        )
+        for f in df.schema.fields
+    ]
+    schema = T.StructType(fields)
+
+    def rot(batches):
+        for pdf in batches:
+            if len(pdf):
+                V = np.vstack(pdf[vec_col].to_numpy()).astype(
+                    np.float64
+                )
+                acc = np.zeros((len(V), d), dtype=np.float64)
+                for i in range(d):  # strict left fold, oracle order
+                    acc += V[:, i:i + 1] * R[i, :]
+                pdf = pdf.copy()
+                pdf[vec_col] = pd.Series(list(acc), index=pdf.index)
+            yield pdf
+
+    return df.mapInPandas(rot, schema)
+
+
 def _xtc_partials(
     corpus: DataFrame,
     rotation,

@@ -2497,3 +2497,125 @@ def llm_opq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, emb.filter(F.col("vec_id") < 10),
         m=_PQ_M, k_sub=_PQ_KSUB, k=_PQ_K, n_iters=3,
     )
+
+
+# ---------------------------------------------------------------------------
+# OPQ SERVING with a pinned trained index (queries/_opq_pinned.py:
+# opq_train(m=8, k_sub=8, n_iters=2) frozen as literals) — the
+# registered, oracle-gated face of the OPQ family.  Training is
+# iterative (no SQL twin; pinned by tests/test_opq.py + the
+# llm_opq_topk bench row); SERVING is pure arithmetic, so the oracle
+# mirrors it term-for-term: rotate every vector by the literal R
+# (left-associated 64-term sums ≡ rotate_vectors_exact's strict left
+# fold), encode against the literal codebooks (same rounded-argmin as
+# PQ), ADC-score queries vec_id<10, rank by (adc, n_id).  Float
+# literals carry an ``e0`` exponent so DuckDB parses them as DOUBLE
+# via strtod (exact repr round-trip) — a plain decimal literal goes
+# through DECIMAL and lands 1 ulp off ~10% of the time (probed).
+_OPQ_M, _OPQ_KSUB, _OPQ_DSUB, _OPQ_K = 8, 8, 8, 5
+
+
+def _dlit(x: float) -> str:
+    r = repr(float(x))
+    if "e" not in r and "E" not in r:
+        r += "e0"
+    return f"({r})" if r.startswith("-") else r
+
+
+def _opq_sql() -> str:
+    from ._opq_pinned import OPQ_BOOKS, OPQ_R
+
+    dim = len(OPQ_R)
+    # rotated coordinate j (1-based): 0.0 + e[1]*R[0][j] + …  — the
+    # leading 0.0 mirrors the Spark fold's +0.0 seed (kills any -0.0
+    # sign divergence on exact cancellation)
+    rot_elems = ", ".join(
+        "(0.0 + "
+        + " + ".join(
+            f"e[{i + 1}]*{_dlit(OPQ_R[i][j])}" for i in range(dim)
+        )
+        + ")"
+        for j in range(dim)
+    )
+    books_rows = ",\n      ".join(
+        f"({c}, "
+        + ", ".join(
+            "["
+            + ", ".join(_dlit(x) for x in OPQ_BOOKS[s][c])
+            + "]::DOUBLE[]"
+            for s in range(_OPQ_M)
+        )
+        + ")"
+        for c in range(_OPQ_KSUB)
+    )
+
+    def dist(vec: str, cent: str, s: int) -> str:
+        terms = " + ".join(
+            f"({vec}[{i}] - {cent}[{i - s * _OPQ_DSUB}])"
+            f" * ({vec}[{i}] - {cent}[{i - s * _OPQ_DSUB}])"
+            for i in range(s * _OPQ_DSUB + 1, (s + 1) * _OPQ_DSUB + 1)
+        )
+        return f"round({terms}, 9)"
+
+    code_ctes = ",\n    ".join(
+        f"""code{s} AS (
+          SELECT vec_id, c AS code_{s} FROM (
+            SELECT vec_id, c,
+                   row_number() OVER (
+                     PARTITION BY vec_id ORDER BY d{s}, c) AS rn
+            FROM enc) WHERE rn = 1)"""
+        for s in range(_OPQ_M)
+    )
+    return f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    rot AS (SELECT vec_id, [{rot_elems}] AS re FROM v),
+    books (c, {", ".join(f"cent{s}" for s in range(_OPQ_M))}) AS (
+      VALUES {books_rows}
+    ),
+    enc AS (
+      SELECT r.vec_id, b.c,
+             {", ".join(f"{dist('r.re', f'b.cent{s}', s)} AS d{s}"
+                        for s in range(_OPQ_M))}
+      FROM rot r CROSS JOIN books b
+    ),
+    {code_ctes},
+    codes AS (
+      SELECT * FROM code0
+      {" ".join(f"JOIN code{s} USING (vec_id)"
+                for s in range(1, _OPQ_M))}
+    ),
+    rotq AS (SELECT vec_id AS q_id, re FROM rot WHERE vec_id < 10),
+    pairs AS (
+      SELECT q.q_id, codes.vec_id AS n_id,
+             {" + ".join(dist('q.re', f'b{s}.cent{s}', s)
+                         for s in range(_OPQ_M))} AS adc
+      FROM rotq q CROSS JOIN codes
+      {" ".join(f"JOIN books b{s} ON b{s}.c = codes.code_{s}"
+                for s in range(_OPQ_M))}
+    )
+    SELECT q_id, n_id, CAST(rank AS BIGINT) AS rank, adc FROM (
+      SELECT *, row_number() OVER (
+               PARTITION BY q_id ORDER BY adc, n_id) AS rank
+      FROM pairs)
+    WHERE rank <= {_OPQ_K}
+    """
+
+
+@register("llm_opq_serve", oracle=_opq_sql())
+def llm_opq_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serve OPQ ADC top-k with the pinned index: exact-fold rotate →
+    arrow encode vs the pinned codebooks → broadcast distance tables →
+    rank.  The corpus never shuffles; rotation and encode are map-only
+    Arrow passes, the ADC scan is the shared pq_topk stage."""
+    from ..llmops.opq import rotate_vectors_exact
+    from ..llmops.pq import pq_topk
+    from ._opq_pinned import OPQ_BOOKS, OPQ_R
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    rotated = rotate_vectors_exact(emb, OPQ_R)
+    return pq_topk(
+        rotated, rotated.filter(F.col("vec_id") < 10),
+        m=_OPQ_M, k_sub=_OPQ_KSUB, k=_OPQ_K, books=OPQ_BOOKS,
+    )

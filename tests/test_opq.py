@@ -143,3 +143,33 @@ def test_persisted_opq_index_roundtrip(spark, tmp_path):
     p2 = str(tmp_path / "plain_index")
     build_pq_index(emb, p2, m=4, k_sub=8)
     assert load_pq_rotation(spark, p2) is None
+
+
+def test_rotate_vectors_exact_matches_blas_and_fold_order(spark):
+    """The oracle-comparable rotation twin: allclose to the BLAS form,
+    and BIT-identical to a sequential left-fold reference (the order
+    the llm_opq_serve SQL mirror uses)."""
+    from curw_wrf_data_pusher_spark.llmops.opq import rotate_vectors_exact
+
+    emb, X = _correlated_corpus(spark, n=80)
+    rng = np.random.RandomState(9)
+    Rm, _ = np.linalg.qr(rng.randn(16, 16))
+    got = np.vstack([
+        r["embedding"]
+        for r in rotate_vectors_exact(emb, Rm.tolist())
+        .orderBy("vec_id").collect()
+    ])
+    # close to BLAS (they differ only in final-ulp accumulation order)
+    np.testing.assert_allclose(got, X @ Rm, rtol=1e-12)
+    # bit-identical to the strict left fold the SQL mirror spells out
+    ref = np.zeros_like(got)
+    for j in range(16):
+        accv = np.zeros(len(X))
+        for i in range(16):
+            accv = accv + X[:, i] * Rm[i, j]
+        ref[:, j] = accv
+    assert (got == ref).all()
+    # output element type widened to double (exact float32 -> float64)
+    out_schema = rotate_vectors_exact(emb, Rm.tolist()).schema
+    assert out_schema["embedding"].dataType.elementType.simpleString() \
+        == "double"

@@ -304,6 +304,9 @@ def test_no_unbounded_broadcast_hints_in_registered_queries(spark, sf_dir):
     - llm_ngram_logfreq: single-row percentile-boundary frame.
     - llm_pq_topk: the query side with its per-subspace PQ distance
       tables — a handful of vectors.
+    - llm_opq_serve: the same ADC query side (10 rotated vectors with
+      their distance tables) — the corpus-side rotate+encode is
+      map-only.
     - llm_pq_rerank: the same ADC query side plus the query-vector
       frame hinted into the shortlist's exact re-rank — both a
       handful of vectors.
@@ -337,6 +340,7 @@ def test_no_unbounded_broadcast_hints_in_registered_queries(spark, sf_dir):
         "llm_budget_sample": 1,
         "llm_mix_schedule": 1,
         "llm_ngram_logfreq": 1,
+        "llm_opq_serve": 1,
         "llm_pq_rerank": 2,
         "llm_pq_topk": 1,
         "llm_quality_classifier": 1,
@@ -417,6 +421,8 @@ def test_no_unreviewed_nested_loop_joins_in_registered_queries(
         "llm_budget_sample": 1,
         "llm_mix_schedule": 1,
         "llm_ngram_logfreq": 1,
+        "llm_opq_serve": 1,  # same ADC shape as llm_pq_topk: the
+                             # broadcast 10-vector rotated query side
         "llm_pq_rerank": 1,
         "llm_pq_topk": 1,
         "llm_quantized_topk": 1,

@@ -97,6 +97,10 @@ EXPECTED_HEAD = [
 #: The exact tail (local-mirror-only order).  Each entry's operator is
 #: covered by a head row (mapping documented in queries/__init__).
 EXPECTED_TAIL = [
+    # round-11: llm_opq_serve (pinned-index OPQ serving, the OPQ
+    # family's first oracle row) registers after the head block and
+    # sits here until the round-11 head rotation promotes it
+    "llm_opq_serve",
     "q5_local_supplier_volume",
     "q18_large_orders",
     "p6_station_names",
