@@ -1402,3 +1402,34 @@ def test_sampled_frames_feed_resize_and_features(spark):
     feats = extract_media_features(frames, dim=8).collect()
     assert sorted(r.id for r in feats) == [70, 71]
     assert all(r.ok and len(r.feature) == 8 for r in feats)
+
+
+def test_simhash_banded_arrow_equals_hof_engine(spark, sf_dir):
+    """The numpy popcount-matrix kernel (engine='arrow', production)
+    and the Catalyst HOF scan (engine='hof', reference) emit identical
+    pair sets — same contract as the pq_encode/pq_encode_arrow pair."""
+    from curw_wrf_data_pusher_spark.llmops.dedup import (
+        simhash_from_text,
+        simhash_neighbors_banded,
+    )
+
+    sig = simhash_from_text(
+        load_table(spark, sf_dir, "documents")
+    ).localCheckpoint()
+    key = lambda r: (r.id_a, r.id_b, r.hamming)  # noqa: E731
+    for radius in (3, 6):
+        arrow = sorted(
+            map(key, simhash_neighbors_banded(
+                sig, radius=radius, engine="arrow").collect())
+        )
+        hof = sorted(
+            map(key, simhash_neighbors_banded(
+                sig, radius=radius, engine="hof").collect())
+        )
+        assert arrow == hof and len(arrow) > 0
+    # the hot-block cap drops the same blocks in both engines
+    capped_a = sorted(map(key, simhash_neighbors_banded(
+        sig, radius=6, max_block_size=40, engine="arrow").collect()))
+    capped_h = sorted(map(key, simhash_neighbors_banded(
+        sig, radius=6, max_block_size=40, engine="hof").collect()))
+    assert capped_a == capped_h
