@@ -114,6 +114,121 @@ def bpe_learn(
     return merges, vocab
 
 
+def _apply_merge_py(sym: list[str], a: str, b: str) -> list[str]:
+    """Python twin of ``_merge_expr``'s fold: apply (a, b) → ab
+    left-to-right non-overlapping.  Kept in lockstep with the SQL
+    lambda (pinned by tests/test_tokenizer.py bit-identity)."""
+    out: list[str] = []
+    for s in sym:
+        if out and out[-1] == a and s == b:
+            out[-1] = a + b
+        else:
+            out.append(s)
+    return out
+
+
+def bpe_learn_fast(
+    docs: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    max_vocab_words: int | None = None,
+) -> tuple[list[tuple[str, str]], DataFrame]:
+    """Iteration-scalable twin of :func:`bpe_learn` — bit-identical
+    merge lists, ~zero Spark jobs per merge.
+
+    ``bpe_learn`` runs one Spark job per merge (pair-count → argmax):
+    correct and corpus-safe, but 32k merges = 32k sequential driver
+    round-trips — hours of scheduling floor even though the per-job
+    work is bounded.  The scale observation: after the ONE corpus
+    word-count shuffle, everything BPE touches is the bounded
+    distinct-word vocabulary (~10⁵ rows for natural-language text at
+    any corpus size — the same bounded-collect contract as codebooks
+    and KMV registers).  So this variant collects (word, count) once
+    and runs Sennrich's fast algorithm driver-side: a pair→count map
+    and pair→words inverted index maintained INCREMENTALLY (only the
+    words containing the applied merge update their pair multisets)
+    with a lazily-invalidated max-heap for the argmax.  Per merge the
+    work is O(occurrences of the merged pair), not O(vocabulary).
+
+    Determinism matches ``bpe_learn`` exactly: argmax ties break
+    (count desc, a asc, b asc); Python str comparison is code-point
+    order, which equals Spark's UTF-8 binary string order (UTF-8
+    preserves code-point ordering).  The fold applying each merge is
+    the Python twin of the Catalyst lambda.  Bit-identical merge
+    lists on the Sennrich toy corpus and the sf corpora are pinned by
+    tests/test_tokenizer.py.
+
+    ``max_vocab_words`` caps the collected vocabulary to the top-N
+    words by (count desc, word) for corpora whose distinct-word tail
+    (URLs, typos, binary junk) outgrows the driver — standard
+    tokenizer-training practice, but counts then differ from the
+    uncapped run, so leave it None when comparing against
+    ``bpe_learn``.  Returns (merges, final symbol table) like
+    ``bpe_learn``; the symbol table is rebuilt as a DataFrame from
+    the driver state."""
+    import heapq
+    from collections import Counter, defaultdict
+
+    spark = docs.sparkSession
+    wc = word_counts(docs, text_col)
+    if max_vocab_words is not None:
+        wc = wc.orderBy(F.desc("c"), "word").limit(max_vocab_words)
+    rows = wc.collect()
+    words: list[tuple[list[str], int]] = [
+        (list(r["word"]), int(r["c"])) for r in rows
+    ]
+
+    pair_cnt: dict[tuple[str, str], int] = defaultdict(int)
+    pair_words: dict[tuple[str, str], set[int]] = defaultdict(set)
+    for wi, (sym, c) in enumerate(words):
+        for p in zip(sym, sym[1:]):
+            pair_cnt[p] += c
+            pair_words[p].add(wi)
+    heap = [(-cnt, a, b) for (a, b), cnt in pair_cnt.items()]
+    heapq.heapify(heap)
+
+    merges: list[tuple[str, str]] = []
+    while len(merges) < n_merges:
+        # lazy invalidation: pop until the top entry's count is current
+        best = None
+        while heap:
+            negc, a, b = heap[0]
+            cur = pair_cnt.get((a, b), 0)
+            if cur == -negc:
+                best = (a, b)
+                heapq.heappop(heap)
+                break
+            heapq.heappop(heap)
+            if cur > 0:
+                heapq.heappush(heap, (-cur, a, b))
+        if best is None:
+            break
+        a, b = best
+        merges.append((a, b))
+        for wi in sorted(pair_words.get((a, b), ())):
+            sym, c = words[wi]
+            old_pairs = Counter(zip(sym, sym[1:]))
+            new_sym = _apply_merge_py(sym, a, b)
+            new_pairs = Counter(zip(new_sym, new_sym[1:]))
+            words[wi] = (new_sym, c)
+            for p, k in (old_pairs - new_pairs).items():
+                pair_cnt[p] -= k * c
+                if pair_cnt[p] <= 0:
+                    pair_cnt.pop(p, None)
+                if p not in new_pairs:
+                    pair_words[p].discard(wi)
+            for p, k in (new_pairs - old_pairs).items():
+                pair_cnt[p] += k * c
+                pair_words[p].add(wi)
+                heapq.heappush(heap, (-pair_cnt[p], p[0], p[1]))
+        pair_words.pop((a, b), None)
+
+    vocab = spark.createDataFrame(
+        [(sym, c) for sym, c in words], "sym array<string>, c long"
+    )
+    return merges, vocab
+
+
 def bpe_encode_words(
     words: DataFrame, merges: list[tuple[str, str]]
 ) -> DataFrame:

@@ -1,20 +1,23 @@
 #!/usr/bin/env python
-"""Scale probe for the three shuffle-heaviest LLM rows (judge r9
-task 4): measure wall time AND max-task skew at 1x (sf0.1, 5k docs)
-vs 10x (50k docs) to prove sub-quadratic growth.
+"""Scale probe for the shuffle-heaviest LLM rows (judge r9 task 4;
+extended to 100x for judge r10 task 4): measure wall time AND
+max-task skew at 1x (sf0.1, 5k docs) vs 10x (50k) vs 100x (500k) to
+prove sub-quadratic growth past the overhead-dominated regime.
 
-The 10x corpus is 10 token-renamed replicas of sf0.1 documents:
-every token in replica i>0 gets an ``ri`` suffix, so cross-replica
+The Nx corpus is N token-renamed replicas of sf0.1 documents: every
+token in replica i>0 gets an ``ri`` suffix, so cross-replica
 similarity is zero and each replica preserves the ORIGINAL pairwise
 similarity structure exactly — candidate-pair density per document is
 constant by construction, which is the honest scaling test (corpus
-grows 10x, expected work ~10x for a linear-in-corpus pipeline; a
-quadratic candidate generator would show ~100x).
+grows Nx, expected work ~Nx for a linear-in-corpus pipeline; a
+quadratic candidate generator would show ~N²x).
 
 Skew: per-query max/mean task duration of the heaviest stage, via the
 Spark UI REST API (local app).  Usage:
 
-    python scripts/scale_probe.py            # both scales, one rep
+    python scripts/scale_probe.py            # 1x + 10x, all rows
+    SCALE_PROBE_SCALES=1,100 SCALE_PROBE_ROWS=llm_setsim_pairs,llm_incremental_neardup \\
+        python scripts/scale_probe.py        # the 100x follow-through
     SCALE_PROBE_REPS=2 python scripts/scale_probe.py
 """
 
@@ -31,24 +34,30 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from curw_wrf_data_pusher_spark.queries import llm  # noqa: E402
 from curw_wrf_data_pusher_spark.session import get_spark  # noqa: E402
 
-ROWS = ["llm_setsim_pairs", "llm_substring_dedup",
-        "llm_incremental_neardup", "llm_bpe_pair_counts"]
+ROWS = os.environ.get(
+    "SCALE_PROBE_ROWS",
+    "llm_setsim_pairs,llm_substring_dedup,"
+    "llm_incremental_neardup,llm_bpe_pair_counts",
+).split(",")
+SCALES = [
+    int(s) for s in os.environ.get("SCALE_PROBE_SCALES", "1,10").split(",")
+]
 BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 WORK = "/tmp/scale_probe"
 REPS = int(os.environ.get("SCALE_PROBE_REPS", "1"))
 
 
-def build_10x(spark) -> str:
+def build_nx(spark, factor: int) -> str:
     from pyspark.sql import functions as F
 
-    out = os.path.join(WORK, "x10")
+    out = os.path.join(WORK, f"x{factor}")
     dst = os.path.join(out, "documents.parquet")
     if os.path.exists(dst):
         return out
     docs = spark.read.parquet(os.path.join(BASE, "documents.parquet"))
     n = docs.agg(F.max("doc_id")).first()[0] + 1
     parts = [docs]
-    for i in range(1, 10):
+    for i in range(1, factor):
         parts.append(
             docs.select(
                 (F.col("doc_id") + F.lit(i * n)).alias("doc_id"),
@@ -59,7 +68,9 @@ def build_10x(spark) -> str:
     rep = parts[0]
     for p in parts[1:]:
         rep = rep.unionByName(p)
-    rep.repartition(32).write.mode("overwrite").parquet(dst)
+    rep.repartition(min(256, 32 * factor)).write.mode(
+        "overwrite"
+    ).parquet(dst)
     return out
 
 

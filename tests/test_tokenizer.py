@@ -74,3 +74,72 @@ def test_pair_counts_weighted_by_word_frequency(spark):
     # 'ab' pair: 3 (from ab) + 2*2 (two occurrences inside abab) = 7
     assert got[("a", "b")] == 7
     assert got[("b", "a")] == 2
+
+
+def test_bpe_learn_fast_bit_identical_on_toy(spark):
+    """The driver-side fast variant (incremental pair maintenance +
+    lazy heap) must reproduce bpe_learn's merge list AND final symbol
+    table exactly on the Sennrich toy corpus."""
+    from curw_wrf_data_pusher_spark.llmops.tokenizer import (
+        bpe_learn_fast,
+    )
+
+    slow_m, slow_v = bpe_learn(_toy(spark), 6)
+    fast_m, fast_v = bpe_learn_fast(_toy(spark), 6)
+    assert fast_m == slow_m
+    slow = {tuple(r["sym"]): r["c"] for r in slow_v.collect()}
+    fast = {tuple(r["sym"]): r["c"] for r in fast_v.collect()}
+    assert fast == slow
+
+
+def test_bpe_learn_fast_bit_identical_on_sf_corpus(spark, sf_dir):
+    """Bit-identity on real text: 64 merges over the sf documents
+    vocabulary — every merge, same order, same final table."""
+    from curw_wrf_data_pusher_spark.llmops.tokenizer import (
+        bpe_learn_fast,
+    )
+    from curw_wrf_data_pusher_spark.sources.lake import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    slow_m, slow_v = bpe_learn(docs, 64)
+    fast_m, fast_v = bpe_learn_fast(docs, 64)
+    assert fast_m == slow_m
+    slow = sorted(
+        (tuple(r["sym"]), r["c"]) for r in slow_v.collect()
+    )
+    fast = sorted(
+        (tuple(r["sym"]), r["c"]) for r in fast_v.collect()
+    )
+    assert fast == slow
+
+
+def test_bpe_learn_fast_exhausts_pairs_like_slow(spark):
+    """Asking for more merges than exist stops cleanly in both."""
+    from curw_wrf_data_pusher_spark.llmops.tokenizer import (
+        bpe_learn_fast,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "ab ab")], "doc_id long, text string"
+    )
+    slow_m, _ = bpe_learn(docs, 10)
+    fast_m, _ = bpe_learn_fast(docs, 10)
+    assert fast_m == slow_m == [("a", "b")]
+
+
+def test_bpe_learn_fast_vocab_cap_is_deterministic(spark):
+    """max_vocab_words keeps the top-N words by (count desc, word) —
+    the capped run merges over exactly that sub-vocabulary."""
+    from curw_wrf_data_pusher_spark.llmops.tokenizer import (
+        bpe_learn_fast,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "aaa aaa aaa bbb bbb zzz")], "doc_id long, text string"
+    )
+    merges, vocab = bpe_learn_fast(docs, 4, max_vocab_words=2)
+    # only aaa(3) and bbb(2) survive the cap; zzz never contributes
+    got = {tuple(r["sym"]) for r in vocab.collect()}
+    assert got == {("aaa",), ("bbb",)}
+    # (a,a)=6 -> then (b,b)=4 beats (aa,a)=3 -> (aa,a) -> (bb,b)
+    assert merges == [("a", "a"), ("b", "b"), ("aa", "a"), ("bb", "b")]
