@@ -417,9 +417,27 @@ class HDF5Reader:
         root_nrec = c.u2()
         c.l()  # total records
         if depth > 1:
+            # capacity math for the scoped error, using the depth-1
+            # pointer layout this reader implements (addr + nrec; no
+            # total field at depth 1): node size 512 / record size 11
+            # → 45 records per leaf, 24 per internal node → depth-1
+            # capacity 25×45+24 = 1,149 links.  Depth 2 therefore
+            # requires >1,100 links in ONE group, which no WRF-shaped
+            # netCDF-4 file reaches (wrfout ≈ 150-360 variables).
+            # Implementing deeper trees needs a C-library-verified
+            # fixture for the internal pointer-field widths — see the
+            # round-11 survey note in NEXT.md.
+            max_leaf_cap = (node_size - 10) // rec_size
+            ips = self._osz + max(
+                1, (max_leaf_cap.bit_length() + 7) // 8
+            )
+            mn1 = (node_size - 10 - ips) // (rec_size + ips)
+            cap = (mn1 + 1) * max_leaf_cap + mn1
             raise ValueError(
                 "v2 B-tree deeper than 1 level is not supported by "
-                "the pure-Python HDF5 reader"
+                "the pure-Python HDF5 reader (this node size/record "
+                f"size reaches depth 2 only past ~{cap} links in one "
+                "group — far beyond any WRF-shaped netCDF-4 file)"
             )
         # child-pointer nrec field width is derived from leaf capacity
         max_leaf = (node_size - 10) // rec_size
@@ -621,7 +639,13 @@ class HDF5Reader:
             raise ValueError(
                 f"unsupported data-layout version {version} — the "
                 "pure-Python reader supports layout message v3 "
-                "(compact/contiguous/chunked + v1 chunk B-tree)"
+                "(compact/contiguous/chunked + v1 chunk B-tree). "
+                "Layout v4 (single-chunk/implicit/fixed-array/"
+                "extensible-array/v2-B-tree chunk indexes) is only "
+                "emitted under H5F_LIBVER >= 1.10 bounds; stock "
+                "netCDF-4 writers use default (earliest) bounds and "
+                "never produce it — see the round-11 survey note in "
+                "NEXT.md"
             )
         klass = c.u1()
         if klass == 0:  # compact

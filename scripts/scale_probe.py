@@ -120,9 +120,11 @@ def last_stage_id(spark) -> int:
 def main() -> None:
     os.makedirs(WORK, exist_ok=True)
     spark = get_spark("scale-probe", extra_conf={"spark.ui.enabled": "true"})
-    x10 = build_10x(spark)
+    scale_dirs = [
+        (f"x{f}", BASE if f == 1 else build_nx(spark, f)) for f in SCALES
+    ]
     results = {}
-    for scale, sf_dir in (("x1", BASE), ("x10", x10)):
+    for scale, sf_dir in scale_dirs:
         for name in ROWS:
             fn = getattr(llm, name)
             best = None
@@ -141,10 +143,14 @@ def main() -> None:
                 "sec": round(best, 2), "skew": skew,
             }
             print(f"{name}@{scale}: {best:.2f}s {skew}", file=sys.stderr)
+    base_scale = scale_dirs[0][0]
     for name in ROWS:
-        a = results[f"{name}@x1"]["sec"]
-        b = results[f"{name}@x10"]["sec"]
-        results[f"{name}@growth_10x"] = round(b / a, 2)
+        a = results[f"{name}@{base_scale}"]["sec"]
+        for scale, _ in scale_dirs[1:]:
+            b = results[f"{name}@{scale}"]["sec"]
+            results[f"{name}@growth_{scale}_over_{base_scale}"] = round(
+                b / a, 2
+            )
     print(json.dumps(results, indent=2))
 
 
