@@ -323,10 +323,15 @@ def setsim_join_between(
     tb = tok_b.select(
         F.col(id_col).alias("__rid"), F.col(token_col).alias("__tb")
     )
+    # shuffle_hash hints on the checkpoint-backed token sides (no
+    # Exchange beneath them → AQE can't measure, static stats
+    # underestimate, and the planner broadcast the gigabyte token
+    # table at the 100× probe and OOM'd the build) — see
+    # dedup.verify_candidates for the full account
     inter = (
-        cand.join(ta, on="id_a")
+        cand.hint("shuffle_hash").join(ta, on="id_a")
         .join(
-            tb,
+            tb.hint("shuffle_hash"),
             (F.col("id_b") == F.col("__rid"))
             & (F.col("__ta") == F.col("__tb")),
         )
@@ -335,8 +340,6 @@ def setsim_join_between(
     )
     # sz_a / sz_b are one row PER DOCUMENT — never broadcast a frame
     # whose cardinality grows with the corpus (round-6 judge finding 2).
-    # Shuffled equi-joins on the id keys scale; AQE may still pick a
-    # broadcast at small SF on its own size estimate.
     out = (
         inter.join(
             sz_a.select(F.col(id_col).alias("id_a"), "sz_a"),
