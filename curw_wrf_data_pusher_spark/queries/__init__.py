@@ -80,8 +80,6 @@ _TAIL = [
     # tests/test_oracle_parity (the local t2 mirror), driver-visible
     # only if the budget ever grows:
     "llm_bm25_tfidf",     # lexical retrieval: BM25 + TF-IDF compound
-    "llm_quantized_topk",  # int8-quantized cosine ANN scan
-    "llm_winnow_pairs",    # MOSS winnowing fingerprints + shared pairs
     "llm_ngram_logfreq",   # corpus-frequency fluency scoring
     "a14_profile_table",   # ANALYZE-style one-scan column profiling
     "llm_vocab_topk",      # corpus vocabulary top-k (TakeOrdered path)
@@ -125,9 +123,6 @@ _TAIL = [
     "a13_salted_agg",        # two-phase salted agg → a23_kmv_distinct's
                              # salted two-phase top-k; partial aggs →
                              # a1_pricing_summary
-    "a22_hll_registers",     # HLL distinct sketch → a23_kmv_distinct
-                             # (distinct-estimate sketch family; register
-                             # math stays pytest + local-oracle)
     "llm_minhash_lsh_pairs",  # MinHash+LSH stage runs inside head rows
                               # llm_jaccard_verify AND llm_dedup_clusters
     "llm_cosine_topk_neardup",  # exact cosine top-k → llm_pq_topk's ADC
@@ -182,8 +177,8 @@ _TAIL = [
                              # (grouped min/agg) + wrf_e1_push_rows
                              # (timestamp shift + format)
     "q17_small_quantity_revenue",  # decorrelated-subquery family →
-                                   # q4 (EXISTS → semi) + q21 (NOT
-                                   # EXISTS → anti) now in head; the
+                                   # q21 (NOT EXISTS → anti, head);
+                                   # q4 is its tail parity twin; the
                                    # scalar-agg variant stays
                                    # local-oracle + sf0.1 parity
     "w14_cusum_changepoint",  # sequential-monitoring family →
@@ -195,30 +190,19 @@ _TAIL = [
                                  # paired fcst/obs frame); the exact
                                  # wide-decimal moment discipline →
                                  # a9_o1_percentiles_ranked + a1
-    "llm_simhash_neighbors",  # banded near-dup family →
-                              # llm_jaccard_verify (head: MinHash
-                              # band-bucket + verify) + llm_
-                              # incremental_neardup (head: banding
-                              # probe vs persisted store)
     "w10_attribution",       # event-sequence attribution → w9_funnel
                              # (head: ordered per-user sequence
                              # window); w11_multi_touch stays the
                              # tail parity twin
     "a16_countmin_freq",     # frequency-sketch family →
-                             # a23_kmv_distinct + a24_quantile_sketch
-                             # (head sketch rows); exact heavy
-                             # hitters → a15_heavy_hitters (tail
+                             # a23_kmv_distinct + w17_sliding_
+                             # distinct_kmv (head sketch rows); exact
+                             # heavy hitters → a15_heavy_hitters (tail
                              # parity + MG pytest twin)
     # -- round-10 second rotation: the two NEW round-10 oracle
     #    families (KMV sliding distinct, BPE pair counting) earn
     #    driver CORRECTNESS rows this round; two compound-redundant
     #    evictions, each with named head covers: --
-    "w16_sliding_distinct",  # exact sliding distinct → w15_range_frame
-                             # (head: the RANGE-frame window class) +
-                             # w17_sliding_distinct_kmv (head: the
-                             # sliding-distinct semantics, sketch form)
-                             # + a23_kmv_distinct (head: distinct-count
-                             # family)
     "p8_p12_hash_strings",   # P8/P12 key + hash-id construction →
                              # wrf_e1_push_rows (head: series_hash_id,
                              # the P12 sha256 content-addressed id, in
@@ -233,6 +217,41 @@ _TAIL = [
                              # drift (head); U2 dropna-any semantics →
                              # wrf_e3_hybrid_frame (head, na.drop after
                              # the pivot)
+    # -- round-11 rotation: six evictions so six never-driver-gated
+    #    families (pinned-index OPQ serving, exact sliding-distinct
+    #    windows, MOSS winnowing, banded SimHash neighbours,
+    #    HLL register state, int8-quantized ANN) earn driver
+    #    CORRECTNESS rows.  Each eviction's operator keeps named head
+    #    covers; all six stay hash-green in the local oracle mirror
+    #    and the sf0.1 parity artifact: --
+    "a25_kmv_overlap",       # KMV overlap/Jaccard → a23_kmv_distinct
+                             # (head: KMV state + estimate) + w17_
+                             # sliding_distinct_kmv (head: KMV merge +
+                             # re-rank under windows)
+    "llm_pq_rerank",         # PQ shortlist re-rank → llm_pq_topk
+                             # (head: codebooks/encode/ADC bit-exact)
+                             # + llm_filtered_ann (head: ADC serving
+                             # over persisted codes) + llm_opq_serve
+                             # (head: rotate+encode+ADC, round 11)
+    "a24_quantile_sketch",   # mergeable-sketch state → a23_kmv_
+                             # distinct (head, same merge contract);
+                             # quantile semantics → a9_o1_percentiles_
+                             # ranked (head, exact form)
+    "q4_order_priority_check",  # EXISTS → semi decorrelation →
+                                # q21_fully_late_orders (head: the
+                                # NOT-EXISTS anti twin of the same
+                                # family, inequality residual incl.)
+    "j8_fuzzy_pairs",        # prefix-filtered similarity-join family
+                             # → llm_setsim_pairs (head: rarest-token
+                             # prefix candidates + exact verify); the
+                             # edit-distance recall proof stays in the
+                             # hypothesis brute-force pytest mirror
+    "w12_concurrency",       # sweep-line occupancy → w15_range_frame
+                             # (head: time-frame window aggregation
+                             # class) + w9_funnel (head: ordered
+                             # event-sequence windows); the 3-phase
+                             # bucketed prefix sum stays pinned by its
+                             # cross-hour-boundary pytest + tail oracle
 ]
 
 

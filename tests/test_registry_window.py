@@ -30,6 +30,15 @@ promoted the two NEW round-10 families (KMV sliding distinct, BPE
 pair counting), evicting two compound-redundant rows.  All
 promotions were re-verified hash-green vs DuckDB at sf0.01 (and the
 full registry at sf0.1) before each swap.
+
+Round-11 rotation (judge r10 task 6) promoted six never-driver-gated
+families — pinned-index OPQ serving (llm_opq_serve, new round 11),
+exact sliding-distinct windows (w16), MOSS winnowing pairs, banded
+SimHash neighbours (after the round-11 popcount-kernel rewrite), HLL
+register state (a22), and int8-quantized ANN — evicting six
+compound-covered rows (a25 KMV overlap, PQ shortlist re-rank,
+mergeable quantile sketch, q4 EXISTS-semi, j8 fuzzy pairs, w12
+concurrency), each with named head covers in ``_TAIL``.
 """
 
 from __future__ import annotations
@@ -55,19 +64,16 @@ EXPECTED_HEAD = [
     "j6_j7_asof_range",
     "a11_a12_cube_gsets",
     "p14_p15_json_datetime",
-    "j8_fuzzy_pairs",
     "w9_funnel",
+    "a22_hll_registers",
     "a23_kmv_distinct",
     "k12_distribution_drift",
     "j10_scd2_lookup",
-    "w12_concurrency",
-    "a24_quantile_sketch",
-    "a25_kmv_overlap",
     "w13_seasonal_anomaly",
-    "q4_order_priority_check",
     "w15_range_frame",
     "a26_approx_sample_aggs",
     "q21_fully_late_orders",
+    "w16_sliding_distinct",
     "sql1_cte_window_join",
     "w17_sliding_distinct_kmv",
     "wrf_e1_push_rows",
@@ -78,29 +84,28 @@ EXPECTED_HEAD = [
     "llm_text_features",
     "llm_binary_metadata",
     "llm_dedup_clusters",
+    "llm_simhash_neighbors",
     "llm_jaccard_verify",
     "llm_contamination",
     "llm_seq_packing",
     "llm_curate_corpus",
+    "llm_quantized_topk",
+    "llm_winnow_pairs",
     "llm_substring_dedup",
     "llm_semantic_dedup",
     "llm_setsim_pairs",
     "llm_pq_topk",
     "llm_repetition_signals",
     "llm_budget_sample",
-    "llm_pq_rerank",
     "llm_incremental_neardup",
     "llm_filtered_ann",
     "llm_bpe_pair_counts",
+    "llm_opq_serve",
 ]
 
 #: The exact tail (local-mirror-only order).  Each entry's operator is
 #: covered by a head row (mapping documented in queries/__init__).
 EXPECTED_TAIL = [
-    # round-11: llm_opq_serve (pinned-index OPQ serving, the OPQ
-    # family's first oracle row) registers after the head block and
-    # sits here until the round-11 head rotation promotes it
-    "llm_opq_serve",
     "q5_local_supplier_volume",
     "q18_large_orders",
     "p6_station_names",
@@ -115,8 +120,6 @@ EXPECTED_TAIL = [
     "p16_conditional_exprs",
     "llm_stratified_sample",
     "llm_bm25_tfidf",
-    "llm_quantized_topk",
-    "llm_winnow_pairs",
     "llm_ngram_logfreq",
     "a14_profile_table",
     "llm_vocab_topk",
@@ -146,7 +149,6 @@ EXPECTED_TAIL = [
     "u3_u4_intersect_except",
     "w4_sessionize",
     "a13_salted_agg",
-    "a22_hll_registers",
     "llm_minhash_lsh_pairs",
     "llm_cosine_topk_neardup",
     "k11_snapshot_diff",
@@ -160,12 +162,16 @@ EXPECTED_TAIL = [
     "q17_small_quantity_revenue",
     "w14_cusum_changepoint",
     "wrf_e5_skill_correlation",
-    "llm_simhash_neighbors",
     "w10_attribution",
     "a16_countmin_freq",
-    "w16_sliding_distinct",
     "p8_p12_hash_strings",
     "u2_j1_outer_dropna",
+    "a25_kmv_overlap",
+    "llm_pq_rerank",
+    "a24_quantile_sketch",
+    "q4_order_priority_check",
+    "j8_fuzzy_pairs",
+    "w12_concurrency",
 ]
 
 
