@@ -23,6 +23,15 @@ no driver collect). The headline set spans the engine's surface: scans
 +filters, shuffle aggs, broadcast joins, window functions, pivots, the
 WRF pipelines, and the LLM data-pipeline operators.
 
+CANONICAL NUMBER (round-11 rule, resolving the r10 scoreboard nit —
+BENCH_r10.json said 20.67 while NEXT.md prose said 19.70 from a
+different late run): the round's canonical core-15 value is the one
+in the DRIVER-recorded BENCH_r{N}.json artifact, full stop.  Local
+runs quoted in NEXT.md/SCALING.md are working measurements and must
+be labelled "local"; when prose and artifact disagree, the artifact
+wins.  The two r10 numbers differed by 4.9% — inside the noise floor
+below.
+
 NOISE FLOOR (measured round 5, identical code, consecutive runs):
 totals spanned 11.9-15.4 s before the load_table memo and 9.1-12.3 s
 after it — i.e. shared-machine load swings single-run totals by ±20%
@@ -160,6 +169,14 @@ HEADLINE = [
     # stays measured; the descending-window form runs in the <1 s
     # band of its window siblings
     "w6_gap_fill",
+    # added round 11 (NEW rows): OPQ SERVING with the pinned index
+    # (exact-fold rotate + arrow encode + ADC — the registered,
+    # oracle-gated face of the OPQ family; llm_opq_topk above is the
+    # train+serve build cost) and the rewritten banded SimHash
+    # neighbour stats (numpy popcount kernel; was 16.3 s at sf0.1
+    # before the round-11 rewrite)
+    "llm_opq_serve",
+    "llm_simhash_neighbors",
 ]
 
 
