@@ -178,14 +178,34 @@ def simhash_from_text(
     array via aggregate+zip_with, then fold to the signature.  The
     earlier form (``bits`` separate filter() Columns) cost ~1.8 s of
     driver-side py4j expression building per query and re-walked the
-    array ``bits`` times."""
+    array ``bits`` times.
+
+    ``bits`` ≤ 32 hashes each token to 32 bits (md5 first 8 hex —
+    the engine-portable form every oracle row uses); ``bits`` > 32
+    builds a full 64-bit token hash from two 32-bit md5 halves
+    ((hi << 32) | lo — two conv() calls because a single 16-hex
+    conv's unsigned decimal string overflows the signed bigint cast).
+    64-bit signatures are the CORPUS-SCALE parameterization: at
+    radius 6 the pigeonhole blocks are 9 bits wide (512 values), so
+    the banded neighbour search actually prunes — unlike 32-bit
+    blocks of 4-5 bits where every value is hot (see
+    simhash_neighbors_banded).  The top bit of a 64-bit signature
+    lands in the long's sign bit; everything downstream uses xor /
+    bit_count / unsigned shifts, so the sign is just a bit."""
+    if bits <= 32:
+        tok_hash = "cast(conv(substring(md5(t), 1, 8), 16, 10) as bigint)"
+    else:
+        tok_hash = (
+            "shiftleft(cast(conv(substring(md5(t), 1, 8), 16, 10)"
+            " as bigint), 32)"
+            " | cast(conv(substring(md5(t), 9, 8), 16, 10) as bigint)"
+        )
     hashed = df.select(
         F.col(id_col),
         # backtick-quoted: a text_col with spaces/dots/reserved words
         # must parse as one identifier, matching the F.col-based twins
         F.expr(
-            f"transform(split(`{text_col}`, ' '),"
-            " t -> cast(conv(substring(md5(t), 1, 8), 16, 10) as bigint))"
+            f"transform(split(`{text_col}`, ' '), t -> {tok_hash})"
         ).alias("__hs"),
     )
     # counts[b] = |tokens with bit b set|; bit b of the signature is set

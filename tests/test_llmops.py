@@ -1433,3 +1433,52 @@ def test_simhash_banded_arrow_equals_hof_engine(spark, sf_dir):
     capped_h = sorted(map(key, simhash_neighbors_banded(
         sig, radius=6, max_block_size=40, engine="hof").collect()))
     assert capped_a == capped_h
+
+
+def test_simhash_64bit_banded_prunes_and_matches_bruteforce(spark, sf_dir):
+    """The corpus-scale parameterization: 64-bit signatures at radius
+    6 give 9-bit pigeonhole blocks (512 values) — the banded search
+    must (a) reproduce the brute-force pair set exactly, (b) agree
+    between the arrow and HOF engines (multi-chunk popcount path),
+    and (c) actually prune: the largest block group must be a small
+    fraction of the corpus, unlike 32-bit blocks where every value
+    is hot."""
+    from curw_wrf_data_pusher_spark.llmops.dedup import (
+        _simhash_block_groups,
+        simhash_from_text,
+        simhash_neighbors_banded,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sig = simhash_from_text(docs, bits=64).localCheckpoint()
+    n = sig.count()
+    # top signature bit can land in the long's sign bit
+    assert sig.filter("simhash < 0").count() > 0
+
+    key = lambda r: (r.id_a, r.id_b, r.hamming)  # noqa: E731
+    arrow = sorted(map(key, simhash_neighbors_banded(
+        sig, radius=6, bits=64, engine="arrow").collect()))
+    hof = sorted(map(key, simhash_neighbors_banded(
+        sig, radius=6, bits=64, engine="hof").collect()))
+    assert arrow == hof
+
+    a = sig.select(F.col("doc_id").alias("id_a"),
+                   F.col("simhash").alias("ha"))
+    b = sig.select(F.col("doc_id").alias("id_b"),
+                   F.col("simhash").alias("hb"))
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("long")
+    brute = sorted(map(key, (
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= 6)
+        .collect()
+    )))
+    assert arrow == brute
+
+    # pruning: with 9-bit blocks the hottest group is far below the
+    # corpus size (at 32 bits the hottest block held ~half the docs)
+    max_m = (
+        _simhash_block_groups(sig, "doc_id", "simhash", 6, 64)
+        .select(F.max(F.size("ms"))).first()[0]
+    )
+    assert max_m < n / 4, (max_m, n)
