@@ -245,3 +245,76 @@ def bpe_encode_words(
         if (i + 1) % 16 == 0:  # keep the expression tree bounded
             out = out.localCheckpoint()
     return out
+
+
+def bpe_encode_fast(
+    words: DataFrame, merges: list[tuple[str, str]]
+) -> DataFrame:
+    """Vocabulary-scale twin of :func:`bpe_encode_words` — identical
+    (word, sym, c) output, usable at real merge counts.
+
+    ``bpe_encode_words`` chains one Catalyst fold per merge: correct,
+    but a 32k-merge tokenizer means 32k expression applications (and
+    2k localCheckpoints) per encode — unusable.  This twin ships the
+    merge table to the executors once (rank dict in the closure) and
+    encodes each word with the classic rank-based algorithm inside
+    ``mapInPandas``: repeatedly find the present pair with the
+    smallest learned rank and apply it left-to-right non-overlapping.
+
+    Rank-based encode ≡ sequential merge replay FOR LEARNED LISTS:
+    the two can only diverge if applying a later-rank merge CREATES an
+    occurrence of an earlier-rank pair (sequential would skip it,
+    rank-based merges it).  A new adjacency always involves the newly
+    created symbol, so that requires an earlier merge (a, s) whose
+    component ``s`` is first assembled by a LATER merge — impossible
+    in a learned list, where a pair can only be learned after both
+    its components exist.  ``bpe_learn``/``bpe_learn_fast`` outputs
+    therefore guarantee equivalence (pinned by
+    tests/test_tokenizer.py); hand-crafted lists violating the
+    creation order are outside the contract.
+
+    Per-word cost is O(tokens_out · word_len) with no corpus shuffle:
+    the encode is map-only, exactly like the arrow PQ/SimHash
+    kernels."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+    out_schema = T.StructType(
+        [
+            T.StructField("word", T.StringType(), False),
+            T.StructField(
+                "sym", T.ArrayType(T.StringType(), False), False
+            ),
+            T.StructField("c", T.LongType(), False),
+        ]
+    )
+
+    def encode_word(word: str) -> list[str]:
+        sym = list(word)
+        while len(sym) > 1:
+            best = None
+            best_rank = None
+            for p in zip(sym, sym[1:]):
+                r = ranks.get(p)
+                if r is not None and (best_rank is None or r < best_rank):
+                    best, best_rank = p, r
+            if best is None:
+                break
+            sym = _apply_merge_py(sym, best[0], best[1])
+        return sym
+
+    def enc(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            yield pd.DataFrame(
+                {
+                    "word": pdf["word"],
+                    "sym": [encode_word(w) for w in pdf["word"]],
+                    "c": pdf["c"],
+                }
+            )
+
+    return words.select("word", "c").mapInPandas(enc, out_schema)

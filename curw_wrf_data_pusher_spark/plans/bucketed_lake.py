@@ -160,3 +160,101 @@ def compact_fact_store(
         read_fact_latest(spark, src_table), dest_table,
         ["tms_id"], n, sort_cols=["tms_id", "time"], path=path,
     )
+
+
+# ---------------------------------------------------------------------------
+# Bucketed OBS store — the J2/E3 counterpart of the fact store above
+# (SURVEY §2.3 J2 gen_active_stations_rfields.py:203-230).  The
+# reference reads observations from a MySQL table keyed
+# (hash_id, time); here the same clustered-read property comes from a
+# hash_id bucket layout, so the hybrid pipeline's obs-side join and
+# the merge-on-read dedup window both plan with ZERO Exchange on the
+# observation scan.  Observations have no fgt — corrections are
+# last-push-wins, so the version is the ingest-batch label alone.
+
+OBS_KEY_COLS = ("hash_id", "time")
+
+
+def create_obs_store(
+    spark: SparkSession,
+    obs_data: DataFrame,
+    table: str,
+    num_buckets: int,
+    path: str | None = None,
+    batch: str = "b00000000",
+) -> None:
+    """Initial obs ingest: one shuffle into ``num_buckets`` buckets on
+    ``hash_id``, sorted (hash_id, time) within each bucket file."""
+    write_bucketed(
+        obs_data.withColumn(BATCH_COL, F.lit(batch)), table,
+        ["hash_id"], num_buckets,
+        sort_cols=["hash_id", "time"], path=path,
+    )
+
+
+def append_obs_rows(
+    spark: SparkSession, table: str, new_rows: DataFrame, batch: str
+) -> None:
+    """Obs upsert, append-only (late gauge readings, corrections):
+    O(new batch), duplicates resolved at read time — the K1 cost
+    profile on the observation side."""
+    n = store_bucket_count(spark, table)
+    (
+        new_rows.withColumn(BATCH_COL, F.lit(batch))
+        .repartition(n, new_rows["hash_id"])
+        .write.format("parquet")
+        .mode("append")
+        .bucketBy(n, "hash_id")
+        .sortBy("hash_id", "time")
+        .saveAsTable(table)
+    )
+
+
+def read_obs_latest(
+    spark: SparkSession, table: str, as_of_batch: str | None = None
+) -> DataFrame:
+    """Merge-on-read view of the obs store: the latest ingest batch
+    wins per (hash_id, time).  Zero Exchange — the window's clustering
+    requirement contains the ``hash_id`` bucket key (plan-gated in
+    tests/test_bucketed_fact.py); ``as_of_batch`` time-travels like
+    the fact store's."""
+    df = spark.table(table)
+    if as_of_batch is not None:
+        df = df.filter(F.col(BATCH_COL) <= as_of_batch)
+    w = Window.partitionBy(*OBS_KEY_COLS).orderBy(F.col(BATCH_COL).desc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def build_hybrid_from_stores(
+    spark: SparkSession,
+    fact_table: str,
+    obs_table: str,
+    runs: DataFrame,
+    obs_station: DataFrame,
+    grid_map: DataFrame,
+    sources,
+    **kwargs,
+) -> DataFrame:
+    """E3 hybrid comparison frame fed by BOTH bucketed stores: the
+    forecast side reads the fact store's merge-on-read view (tms_id
+    buckets) and the observation side the obs store's (hash_id
+    buckets), so neither fact-scale scan shuffles for its dedup
+    window and the dim sides ride broadcast — the standing-store
+    serving shape of plans/hybrid.build_hybrid_rfield, which this
+    wraps verbatim (results pinned identical to the raw-frame form in
+    tests/test_bucketed_fact.py)."""
+    from .hybrid import build_hybrid_rfield
+
+    fact = read_fact_latest(spark, fact_table).select(
+        "tms_id", "time", "value"
+    )
+    obs = read_obs_latest(spark, obs_table).select(
+        "hash_id", "time", "value"
+    )
+    return build_hybrid_rfield(
+        fact, runs, obs_station, obs, grid_map, sources, **kwargs
+    )

@@ -251,3 +251,126 @@ def test_e1_push_lands_in_bucketed_store(spark, tmp_path):
         assert "Exchange" not in _plan(latest)
     finally:
         drop_bucketed(spark, table)
+
+
+def _obs_world(spark):
+    """The tiny F4-F6 hybrid world from test_rfields_and_hybrid,
+    rebuilt here with an fgt column on fact (the store schema)."""
+    times = [f"2024-06-01 0{h}:00:00" for h in range(4)]
+    runs = spark.createDataFrame(
+        [("a1", "tag", 101, "WRF_A", "f1"),
+         ("a2", "tag", 101, "WRF_A", "f2"),
+         ("b1", "tag", 101, "WRF_C", "f1"),
+         ("a3", "tag", 102, "WRF_A", "f2"),
+         ("b2", "tag", 102, "WRF_C", "f2")],
+        "tms_id string, sim_tag string, station_id long, source string,"
+        " fgt string",
+    )
+    fact_rows = []
+    for tms, base in [("a1", 99.0), ("a2", 1.0), ("b1", 2.0),
+                      ("a3", 3.0), ("b2", 4.0)]:
+        for i, t in enumerate(times):
+            fact_rows.append((tms, t, "2024-06-01 00:00:00", base + i))
+    fact_rows = [
+        r for r in fact_rows if not (r[0] == "a2" and r[1] == times[3])
+    ]
+    fact = spark.createDataFrame(
+        fact_rows, "tms_id string, time string, fgt string, value double"
+    )
+    obs_station = spark.createDataFrame(
+        [(201, "h201", 79.9, 6.9, "2024-06-01 00:00:00"),
+         (202, "h202", 80.1, 7.1, "2024-06-01 00:00:00")],
+        "station_id long, hash_id string, longitude double, "
+        "latitude double, last_active string",
+    )
+    obs_data = spark.createDataFrame(
+        [("h201", t, 10.0 + i) for i, t in enumerate(times)]
+        + [("h202", t, 20.0 + i) for i, t in enumerate(times)],
+        "hash_id string, time string, value double",
+    )
+    grid_map = spark.createDataFrame(
+        [(201, 101, 1), (201, 102, 2), (202, 102, 1)],
+        "obs_station_id long, d03_station_id long, rank int",
+    )
+    return fact, runs, obs_station, obs_data, grid_map
+
+
+def test_obs_store_merge_on_read_no_exchange_and_correction_wins(
+    spark, tmp_path
+):
+    from curw_wrf_data_pusher_spark.plans.bucketed_lake import (
+        append_obs_rows,
+        create_obs_store,
+        read_obs_latest,
+    )
+
+    _, _, _, obs_data, _ = _obs_world(spark)
+    table = "t_obs_store"
+    try:
+        create_obs_store(
+            spark, obs_data, table, num_buckets=4,
+            path=str(tmp_path / "obs"),
+        )
+        # a correction re-push for one reading: later batch wins
+        fix = spark.createDataFrame(
+            [("h201", "2024-06-01 01:00:00", 99.5)],
+            "hash_id string, time string, value double",
+        )
+        append_obs_rows(spark, table, fix, batch="b00000001")
+        latest = read_obs_latest(spark, table)
+        plan = _plan(latest)
+        assert "Window" in plan and "Exchange" not in plan, plan
+        got = {(r.hash_id, r.time): r.value for r in latest.collect()}
+        assert got[("h201", "2024-06-01 01:00:00")] == 99.5
+        assert len(got) == 8
+        # redelivery of the same correction batch is idempotent
+        append_obs_rows(spark, table, fix, batch="b00000001")
+        assert read_obs_latest(spark, table).count() == 8
+        # time travel: before the correction
+        asof = read_obs_latest(spark, table, as_of_batch="b00000000")
+        got0 = {(r.hash_id, r.time): r.value for r in asof.collect()}
+        assert got0[("h201", "2024-06-01 01:00:00")] == 11.0
+    finally:
+        drop_bucketed(spark, table)
+
+
+def test_hybrid_from_stores_matches_raw_frames(spark, tmp_path):
+    """E3 fed by BOTH bucketed stores must equal the raw-frame form
+    row-for-row — the standing-store serving shape of the hybrid
+    pipeline."""
+    from curw_wrf_data_pusher_spark.plans.bucketed_lake import (
+        build_hybrid_from_stores,
+        create_obs_store,
+    )
+    from curw_wrf_data_pusher_spark.plans.hybrid import (
+        build_hybrid_rfield,
+    )
+
+    fact, runs, obs_station, obs_data, grid_map = _obs_world(spark)
+    ft, ot = "t_hyb_fact", "t_hyb_obs"
+    try:
+        create_fact_store(
+            spark, fact, ft, num_buckets=4,
+            path=str(tmp_path / "hf"),
+        )
+        create_obs_store(
+            spark, obs_data, ot, num_buckets=4,
+            path=str(tmp_path / "ho"),
+        )
+        want = sorted(
+            map(tuple, build_hybrid_rfield(
+                fact.select("tms_id", "time", "value"), runs,
+                obs_station, obs_data, grid_map,
+                sources=["WRF_A", "WRF_C"],
+            ).collect())
+        )
+        got = sorted(
+            map(tuple, build_hybrid_from_stores(
+                spark, ft, ot, runs, obs_station, grid_map,
+                sources=["WRF_A", "WRF_C"],
+            ).collect())
+        )
+        assert got == want and len(got) > 0
+    finally:
+        drop_bucketed(spark, ft)
+        drop_bucketed(spark, ot)

@@ -143,3 +143,41 @@ def test_bpe_learn_fast_vocab_cap_is_deterministic(spark):
     assert got == {("aaa",), ("bbb",)}
     # (a,a)=6 -> then (b,b)=4 beats (aa,a)=3 -> (aa,a) -> (bb,b)
     assert merges == [("a", "a"), ("b", "b"), ("aa", "a"), ("bb", "b")]
+
+
+def test_bpe_encode_fast_matches_sequential_replay(spark, sf_dir):
+    """Rank-based encode == sequential merge replay for LEARNED lists
+    (the docstring's creation-order argument), on the toy corpus AND
+    real sf words — word-for-word identical symbol sequences."""
+    from curw_wrf_data_pusher_spark.llmops.tokenizer import (
+        bpe_encode_fast,
+        bpe_learn_fast,
+    )
+    from curw_wrf_data_pusher_spark.sources.lake import load_table
+
+    docs = _toy(spark)
+    merges, _ = bpe_learn_fast(docs, 6)
+    wc = word_counts(docs)
+    slow = {r["word"]: tuple(r["sym"])
+            for r in bpe_encode_words(wc, merges).collect()}
+    fast = {r["word"]: tuple(r["sym"])
+            for r in bpe_encode_fast(wc, merges).collect()}
+    assert fast == slow
+    # encoding UNSEEN words agrees too (the tokenize-new-text path)
+    unseen = spark.createDataFrame(
+        [("lowest", 1), ("newer", 1), ("zzz", 1)], "word string, c long"
+    )
+    slow_u = {r["word"]: tuple(r["sym"])
+              for r in bpe_encode_words(unseen, merges).collect()}
+    fast_u = {r["word"]: tuple(r["sym"])
+              for r in bpe_encode_fast(unseen, merges).collect()}
+    assert fast_u == slow_u
+
+    sf_docs = load_table(spark, sf_dir, "documents")
+    sf_merges, _ = bpe_learn_fast(sf_docs, 48)
+    sf_wc = word_counts(sf_docs)
+    slow_sf = {r["word"]: tuple(r["sym"])
+               for r in bpe_encode_words(sf_wc, sf_merges).collect()}
+    fast_sf = {r["word"]: tuple(r["sym"])
+               for r in bpe_encode_fast(sf_wc, sf_merges).collect()}
+    assert fast_sf == slow_sf and len(fast_sf) > 0
