@@ -324,6 +324,8 @@ def test_no_unbounded_broadcast_hints_in_registered_queries(spark, sf_dir):
       onto the fact scan for the CUSUM deviation walk.
     """
     hint_ok = {
+        "a14_profile_table": 1,  # the exact profile's single-row
+                                 # min/max aggregate (two-agg split)
         "a15_heavy_hitters": 1,
         "a16_countmin_freq": 1,
         "a19_histograms": 2,
@@ -408,6 +410,10 @@ def test_no_unreviewed_nested_loop_joins_in_registered_queries(
       crossed onto the fact scan.
     """
     bnl_ok = {
+        "a14_profile_table": 1,  # single-row distinct-stats agg ×
+                                 # single-row min/max agg (the
+                                 # profile_table two-agg split —
+                                 # both sides one row by construction)
         "a15_heavy_hitters": 1,
         "a19_histograms": 2,
         "a25_kmv_overlap": 1,

@@ -350,13 +350,17 @@ def test_profile_table_one_scan_and_semantics(spark):
     assert out["v"].n_nulls == 1 and out["v"].n_distinct == 2
     assert abs(out["v"].null_frac - 0.25) < 1e-12
 
-    # approx path agrees on tiny cardinalities and stays one scan
+    # approx path agrees on tiny cardinalities and stays ONE scan —
+    # the 100 TB production contract.  The exact twin deliberately
+    # runs TWO scans so the Expand (multi-column distinct) and the
+    # string-buffer SortAggregate never combine into one slow path
+    # (rationale in profile_table).
     approx = {r.column: r for r in profile_table(df).collect()}
     assert approx["k"].n_distinct == 3
-    for exact in (True, False):
+    for exact, want_scans in ((True, 2), (False, 1)):
         plan = plan_of(profile_table(df, exact_distinct=exact))
         scans = len(re.findall(r"^\(\d+\) Scan", plan, flags=re.M))
-        assert scans == 1, (exact, plan)
+        assert scans == want_scans, (exact, plan)
 
 
 def test_curate_corpus_checkpoint_stages_equal(spark):
