@@ -91,6 +91,37 @@ def read_wrf_grid(
     is executable and tested against a stub dataset in this container;
     only the C-library call itself stays environment-gated.
     """
+    # recursiveFileLookup: the reference's lake nests files under
+    # {version}/{run}/{date}/{system}/ (wrf_data_pusher.py:321-327) —
+    # without it a nested .nc is silently skipped (caught by
+    # tests/test_netcdf_stub.py)
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.nc")
+        .option("recursiveFileLookup", "true")
+        .load(path)
+        .select("path", "modificationTime", "content")
+    )
+    return decode_grid_frame(
+        files, bbox=bbox, variable=variable,
+        system_from_path=system_from_path, t_slice=t_slice,
+        open_dataset=open_dataset,
+    )
+
+
+def decode_grid_frame(
+    files: DataFrame,
+    bbox: dict | None = None,
+    variable: str = "RAINNC",
+    system_from_path: bool = True,
+    t_slice: tuple[int, int] | None = None,
+    open_dataset=None,
+) -> DataFrame:
+    """Decode a (path, modificationTime, content) binaryFile frame
+    into the long grid schema — the scan-independent stage of
+    :func:`read_wrf_grid`, shared with the raw-``.nc`` streaming
+    ingest (``streaming/file_stream.stream_wrf_nc_push``), so the
+    batch and streaming decode routes cannot drift."""
     if open_dataset is None:
         if _netcdf_available():
 
@@ -114,17 +145,6 @@ def read_wrf_grid(
 
                 return open_classic(content)
 
-    # recursiveFileLookup: the reference's lake nests files under
-    # {version}/{run}/{date}/{system}/ (wrf_data_pusher.py:321-327) —
-    # without it a nested .nc is silently skipped (caught by
-    # tests/test_netcdf_stub.py)
-    files = (
-        spark.read.format("binaryFile")
-        .option("pathGlobFilter", "*.nc")
-        .option("recursiveFileLookup", "true")
-        .load(path)
-        .select("path", "modificationTime", "content")
-    )
     bbox = bbox or SL_EXTENT
 
     # mapInArrow, not mapInPandas: the decode emits millions of rows
@@ -155,7 +175,9 @@ def read_wrf_grid(
                 if out is not None:
                     yield out
 
-    return files.mapInArrow(decode, schema=GRID_SCHEMA)
+    return files.select("path", "modificationTime", "content").mapInArrow(
+        decode, schema=GRID_SCHEMA
+    )
 
 
 def decode_grid_bytes(

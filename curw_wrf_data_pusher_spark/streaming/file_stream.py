@@ -71,6 +71,62 @@ def stream_wrf_push(
     return writer.start()
 
 
+def stream_wrf_nc_push(
+    spark: SparkSession,
+    watch_dir: str,
+    cfg: WrfConfig,
+    sink: Callable[[DataFrame, DataFrame], None],
+    checkpoint_dir: str,
+    available_now: bool = True,
+    bbox: dict | None = None,
+) -> StreamingQuery:
+    """The reference's WHOLE operational loop as one streaming job:
+    watch ``watch_dir`` for RAW ``.nc`` file arrivals (the
+    ``is_netcdf_ready.sh`` + cron pair, wrf_data_pusher.py:321-340),
+    decode each file's bytes with the pure-Python codecs and run the
+    E1 push into ``sink(fact, runs)``.
+
+    Unlike :func:`stream_wrf_push` (which watches pre-decoded parquet
+    grid drops), the source here is the ``binaryFile`` format as a
+    STREAMING file source — the checkpoint guarantees each .nc lands
+    in exactly one micro-batch, and ``maxFilesPerTrigger=1`` keeps
+    the reference's one-file-per-run unit of work (the lag diff needs
+    a file's full time axis in one batch, which a single .nc is by
+    construction).  The decode is the SAME ``decode_grid_frame``
+    stage the batch reader uses, so the routes cannot drift."""
+    from ..sources.netcdf import decode_grid_frame
+
+    stream = (
+        spark.readStream.format("binaryFile")
+        .schema(
+            "path string, modificationTime timestamp,"
+            " length long, content binary"
+        )
+        .option("pathGlobFilter", "*.nc")
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", 1)
+        .load(watch_dir)
+    )
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        grid = decode_grid_frame(
+            batch_df.select("path", "modificationTime", "content"),
+            bbox=bbox,
+        )
+        fact, runs = push_wrf_grid(grid, cfg)
+        sink(fact, runs)
+
+    writer = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def dedup_within_watermark(
     stream: DataFrame,
     keys: list[str],

@@ -515,3 +515,81 @@ def test_stream_static_dim_enrichment(spark, tmp_path):
         ("h2", "Kandy", 2.0),
         ("h9", None, 9.0),  # left join: unmatched keys survive
     }
+
+
+def test_stream_wrf_nc_push_decodes_raw_files(spark, tmp_path):
+    """The reference's whole operational loop as ONE streaming job:
+    raw .nc files land in the watch dir, the binaryFile stream decodes
+    REAL bytes (pure-Python codecs) and pushes through E1 into the
+    upsert store.  A second availableNow run over the same checkpoint
+    processes only NEW files (exactly-once discovery), and the final
+    store equals the batch route (read_wrf_grid + push) file-for-file."""
+    from curw_wrf_data_pusher_spark.plans.wrf_push import push_wrf_grid
+    from curw_wrf_data_pusher_spark.sources.netcdf import (
+        read_wrf_grid,
+        write_netcdf_grid,
+    )
+    from curw_wrf_data_pusher_spark.streaming.file_stream import (
+        stream_wrf_nc_push,
+    )
+
+    world = {"lat_min": -90, "lat_max": 90,
+             "lon_min": -180, "lon_max": 180}
+    watch = str(tmp_path / "watch")
+    store = str(tmp_path / "store")
+    os.makedirs(watch)
+    pdf = make_grid_pdf()
+
+    def grid_of(sub):
+        return (
+            spark.createDataFrame(sub)
+            .withColumn("source_file", F.lit("d03_RAINNC.nc"))
+            .withColumn(
+                "fgt_utc", F.lit(FGT_UTC).cast("timestamp")
+            )
+            .withColumn("epoch_str", F.lit(EPOCH_STR))
+        )
+
+    def sink(fact, runs):
+        fact = fact.withColumn("time_date", F.substring("time", 1, 10))
+        upsert_parquet(
+            spark, fact, store, keys=["tms_id", "time"],
+            partition_cols=["time_date"],
+        )
+
+    # drop 1: system A only, as a REAL .nc file
+    write_netcdf_grid(
+        grid_of(pdf[pdf.wrf_system == "A"]), os.path.join(watch, "d1")
+    ).collect()
+    q = stream_wrf_nc_push(
+        spark, watch, CFG, sink, str(tmp_path / "ckpt"),
+        available_now=True, bbox=world,
+    )
+    q.awaitTermination()
+    n1 = spark.read.parquet(store).count()
+    assert n1 == 12 * 6 * 5  # one system's lag-diffed grid
+
+    # drop 2: system C lands; re-run over the SAME checkpoint — only
+    # the new file is processed, the store gains exactly C's rows
+    write_netcdf_grid(
+        grid_of(pdf[pdf.wrf_system == "C"]), os.path.join(watch, "d2")
+    ).collect()
+    q = stream_wrf_nc_push(
+        spark, watch, CFG, sink, str(tmp_path / "ckpt"),
+        available_now=True, bbox=world,
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(store)
+    assert got.count() == 2 * 12 * 6 * 5
+
+    # the streamed store equals the batch route over the same files
+    fact_b, _runs_b = push_wrf_grid(
+        read_wrf_grid(spark, watch, bbox=world), CFG
+    )
+    want = sorted(
+        (r["tms_id"], r["time"], r["value"]) for r in fact_b.collect()
+    )
+    have = sorted(
+        (r["tms_id"], r["time"], r["value"]) for r in got.collect()
+    )
+    assert have == want
