@@ -181,3 +181,35 @@ def test_bpe_encode_fast_matches_sequential_replay(spark, sf_dir):
     fast_sf = {r["word"]: tuple(r["sym"])
                for r in bpe_encode_fast(sf_wc, sf_merges).collect()}
     assert fast_sf == slow_sf and len(fast_sf) > 0
+
+
+def test_bpe_learn_fast_random_corpora_property(spark):
+    """Randomized tail coverage: tiny two-letter corpora maximize
+    pair-reappearance and tie-break paths (a merged pair can re-form
+    after later merges and must be re-learnable); fast == slow on
+    merge list AND final table for every sample."""
+    import random
+
+    from curw_wrf_data_pusher_spark.llmops.tokenizer import (
+        bpe_learn_fast,
+    )
+
+    rng = random.Random(11)
+    for trial in range(5):
+        docs = spark.createDataFrame(
+            [
+                (i, " ".join(
+                    "".join(rng.choice("ab")
+                            for _ in range(rng.randint(1, 8)))
+                    for _ in range(rng.randint(1, 4))
+                ))
+                for i in range(3)
+            ],
+            "doc_id long, text string",
+        )
+        k = rng.randint(2, 8)
+        slow_m, slow_v = bpe_learn(docs, k)
+        fast_m, fast_v = bpe_learn_fast(docs, k)
+        assert fast_m == slow_m, (trial, fast_m, slow_m)
+        assert sorted((tuple(r["sym"]), r["c"]) for r in fast_v.collect()) \
+            == sorted((tuple(r["sym"]), r["c"]) for r in slow_v.collect())
