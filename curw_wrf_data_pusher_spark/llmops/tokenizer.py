@@ -318,3 +318,23 @@ def bpe_encode_fast(
             )
 
     return words.select("word", "c").mapInPandas(enc, out_schema)
+
+
+def save_tokenizer(
+    spark, merges: list[tuple[str, str]], path: str
+) -> None:
+    """Persist a learned merge list as (rank, a, b) parquet — the
+    train → persist → load → encode lifecycle's storage half.  Order
+    IS the tokenizer (merges apply by rank), so rank is explicit
+    data, never an implied file order."""
+    spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)],
+        "rank int, a string, b string",
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_tokenizer(spark, path: str) -> list[tuple[str, str]]:
+    """Load a persisted merge list, rank order restored."""
+    rows = spark.read.parquet(path).collect()
+    rows.sort(key=lambda r: r["rank"])
+    return [(r["a"], r["b"]) for r in rows]

@@ -252,6 +252,11 @@ _TAIL = [
                              # event-sequence windows); the 3-phase
                              # bucketed prefix sum stays pinned by its
                              # cross-hour-boundary pytest + tail oracle
+    # -- round-11 late addition (beyond-reference obs QC; the
+    #    lag→cumsum run-id window mechanics are head-covered by
+    #    w9_funnel and the per-series window class by
+    #    w13_seasonal_anomaly) --
+    "w18_obs_qc",            # WMO persistence + step QC flags
 ]
 
 

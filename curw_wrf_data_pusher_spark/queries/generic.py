@@ -3396,3 +3396,73 @@ def w17_sliding_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, "ts", "user_id", window_seconds=86400,
         bucket_seconds=3600, k=64,
     )
+
+
+# ---------------------------------------------------------------------------
+# Observation QC flags (operators/qc.py): the WMO persistence + step
+# tests over per-user event series.  Float discipline: values quantize
+# to exact BIGINT centi-units first; the persistence level is
+# floor(centi/2000) (a 20.00-unit level — the sf stream repeats levels
+# often enough for real runs: ~12% of rows flag at min_run=3) and the
+# step threshold is integer centi (150.00), so NO comparison anywhere
+# touches a float.  One Exchange: every window shares the
+# (user_id) × (ts, event_id) series ordering.
+@register(
+    "w18_obs_qc",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id,
+             strftime(ts, '%Y-%m-%d %H:%M:%S') AS t,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc
+      FROM events
+    ),
+    m AS (
+      SELECT *, floor(vc / 2000.0)::BIGINT AS vq
+      FROM e
+    ),
+    c AS (
+      SELECT *,
+             CASE WHEN lag(vq) OVER w IS NOT DISTINCT FROM vq
+                  THEN 0 ELSE 1 END AS chg,
+             abs(vc - lag(vc) OVER w) AS jump
+      FROM m
+      WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+    ),
+    r AS (
+      SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY t, event_id
+                               ROWS UNBOUNDED PRECEDING) AS rid
+      FROM c
+    ),
+    l AS (
+      SELECT *, count(*) OVER (PARTITION BY user_id, rid) AS run_len
+      FROM r
+    )
+    SELECT user_id, event_id, t,
+           run_len >= 3 AS flatline_flag,
+           coalesce(jump > 15000, FALSE) AS spike_flag
+    FROM l
+    """,
+)
+def w18_obs_qc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.qc import qc_flags
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("t"),
+        (F.col("value").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("__vc"),
+    )
+    out = qc_flags(
+        ev,
+        series_cols=["user_id"],
+        order_cols=["t", "event_id"],
+        value_col="__vc",
+        min_run=3,
+        max_jump=F.lit(15000),
+        level_col=F.floor(F.col("__vc") / F.lit(2000.0)).cast("long"),
+    )
+    return out.select(
+        "user_id", "event_id", "t", "flatline_flag", "spike_flag"
+    )

@@ -172,6 +172,7 @@ EXPECTED_TAIL = [
     "q4_order_priority_check",
     "j8_fuzzy_pairs",
     "w12_concurrency",
+    "w18_obs_qc",
 ]
 
 

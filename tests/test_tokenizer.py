@@ -213,3 +213,27 @@ def test_bpe_learn_fast_random_corpora_property(spark):
         assert fast_m == slow_m, (trial, fast_m, slow_m)
         assert sorted((tuple(r["sym"]), r["c"]) for r in fast_v.collect()) \
             == sorted((tuple(r["sym"]), r["c"]) for r in slow_v.collect())
+
+
+def test_tokenizer_save_load_encode_lifecycle(spark, tmp_path):
+    """train -> save -> load -> encode: the loaded merge list is
+    rank-exact and encodes identically to the in-memory one."""
+    from curw_wrf_data_pusher_spark.llmops.tokenizer import (
+        bpe_encode_fast,
+        bpe_learn_fast,
+        load_tokenizer,
+        save_tokenizer,
+    )
+
+    docs = _toy(spark)
+    merges, _ = bpe_learn_fast(docs, 6)
+    path = str(tmp_path / "tok")
+    save_tokenizer(spark, merges, path)
+    loaded = load_tokenizer(spark, path)
+    assert loaded == merges
+    wc = word_counts(docs)
+    a = {r["word"]: tuple(r["sym"])
+         for r in bpe_encode_fast(wc, merges).collect()}
+    b = {r["word"]: tuple(r["sym"])
+         for r in bpe_encode_fast(wc, loaded).collect()}
+    assert a == b
