@@ -91,7 +91,7 @@ def rotate_vectors_exact(
     Python loop of d vectorized (n × d) multiply-adds per Arrow batch.
     Use :func:`rotate_vectors` (BLAS) wherever results feed float-
     tolerant consumers; use this twin when the output must hash-match
-    a SQL mirror (the registered ``llm_opq_topk`` row)."""
+    a SQL mirror (the registered ``llm_opq_serve`` row)."""
     import numpy as np
     import pandas as pd
 

@@ -47,7 +47,7 @@ def main() -> None:
     R, books = opq_train(emb, m=8, k_sub=8, n_iters=2, lloyd_iters=1)
     with open(OUT, "w") as f:
         f.write(
-            '"""Pinned OPQ index for the registered llm_opq_topk row.\n'
+            '"""Pinned OPQ index for the registered llm_opq_serve row.\n'
             "\n"
             "Trained ONCE by opq_train(m=8, k_sub=8, n_iters=2,\n"
             "lloyd_iters=1) on the sf0.01 embeddings table and frozen as\n"
