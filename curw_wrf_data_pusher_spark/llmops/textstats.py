@@ -326,3 +326,74 @@ def repetition_signals(
             / F.length("__txt").cast("double"),
         ).alias("top_2gram_char_frac"),
     )
+
+
+def cooccurrence_counts(
+    docs: DataFrame,
+    window: int = 4,
+    text_col: str = "text",
+) -> DataFrame:
+    """GloVe-style windowed token co-occurrence counts — the classic
+    embedding-training pre-pass (Pennington et al. EMNLP'14 build a
+    corpus co-occurrence matrix before any training step).
+
+    For every token position i and offset 1..``window``, the
+    order-normalized pair (least, greatest) counts once, so the
+    matrix is symmetric and each unordered occurrence is counted
+    exactly once.  Plain integer counts (GloVe's 1/d distance
+    weighting is a float fold — callers that want it apply it
+    downstream; the exact-count matrix is the engine-portable core).
+
+    Scale: the pair expansion is MAP-SIDE and O(tokens × window) per
+    document (never tokens² — that is what the window bound is for);
+    the only shuffle is the (a, b) pair aggregation, which
+    partial-aggregates map-side.  Top-k consumers should
+    ``orderBy(...).limit(k)`` (TakeOrdered — no global sort)."""
+    toks = docs.select(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("__t")
+    ).filter(F.size("__t") >= 2)
+    pair_expr = F.expr(
+        "flatten(transform(sequence(0, size(__t) - 2),"
+        " i -> transform("
+        f"   sequence(i + 1, least(i + {int(window)}, size(__t) - 1)),"
+        "   j -> struct(least(__t[i], __t[j]) AS a,"
+        "               greatest(__t[i], __t[j]) AS b))))"
+    )
+    return (
+        toks.select(F.explode(pair_expr).alias("p"))
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
+def k_anonymity_audit(
+    df: DataFrame,
+    quasi_cols: Sequence[str],
+    sensitive_col: str | Column,
+    k: int = 5,
+    l: int = 2,
+) -> DataFrame:
+    """Training-data privacy audit: k-anonymity + l-diversity per
+    quasi-identifier group (Sweeney '02; Machanavajjhala et al. '07).
+    A group smaller than ``k`` re-identifies its members; a group
+    whose sensitive attribute takes fewer than ``l`` distinct values
+    discloses it even when k-anonymous.  Output: one row per
+    quasi-identifier combination with (n, n_sensitive, k_ok, l_ok).
+
+    One shuffle (the quasi-key aggregation); counts are exact
+    integers, so the audit is engine-portable for oracle gating."""
+    sens = (
+        F.col(sensitive_col)
+        if isinstance(sensitive_col, str)
+        else sensitive_col
+    )
+    return df.groupBy(*[F.col(c) for c in quasi_cols]).agg(
+        F.count("*").cast("long").alias("n"),
+        F.countDistinct(sens).cast("long").alias("n_sensitive"),
+    ).select(
+        *quasi_cols,
+        "n",
+        "n_sensitive",
+        (F.col("n") >= k).alias("k_ok"),
+        (F.col("n_sensitive") >= l).alias("l_ok"),
+    )

@@ -257,6 +257,12 @@ _TAIL = [
     #    w9_funnel and the per-series window class by
     #    w13_seasonal_anomaly) --
     "w18_obs_qc",            # WMO persistence + step QC flags
+    "llm_cooccurrence",      # GloVe windowed co-occurrence counts
+                             # (pair-count aggregation family →
+                             # llm_bpe_pair_counts, head)
+    "llm_privacy_audit",     # k-anonymity / l-diversity audit
+                             # (grouped count + distinct family →
+                             # j5/a23 head rows)
 ]
 
 

@@ -2619,3 +2619,71 @@ def llm_opq_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         rotated, rotated.filter(F.col("vec_id") < 10),
         m=_OPQ_M, k_sub=_OPQ_KSUB, k=_OPQ_K, books=OPQ_BOOKS,
     )
+
+
+# ---------------------------------------------------------------------------
+# GloVe-style windowed co-occurrence counts
+# (llmops/textstats.cooccurrence_counts): the embedding-training
+# pre-pass — symmetric order-normalized token pairs within a ±4
+# window, exact integer counts, top-50 by (cnt DESC, a, b).  The
+# expansion is map-side O(tokens × window); the oracle rebuilds it
+# with a positional self-join.
+@register(
+    "llm_cooccurrence",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+      FROM documents
+      WHERE len(regexp_split_to_array(trim(lower(text)), '\\s+')) >= 2
+    ),
+    pos AS (
+      SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) AS i
+      FROM toks
+    ),
+    pairs AS (
+      SELECT least(p.tok, q.tok) AS a, greatest(p.tok, q.tok) AS b
+      FROM pos p JOIN pos q
+        ON p.doc_id = q.doc_id AND q.i > p.i AND q.i <= p.i + 4
+    )
+    SELECT a, b, CAST(count(*) AS BIGINT) AS cnt
+    FROM pairs GROUP BY a, b
+    ORDER BY cnt DESC, a, b LIMIT 50
+    """,
+)
+def llm_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llmops.textstats import cooccurrence_counts
+
+    docs = load_table(spark, sf_dir, "documents")
+    return cooccurrence_counts(docs, window=4).orderBy(
+        F.desc("cnt"), "a", "b"
+    ).limit(50)
+
+
+# ---------------------------------------------------------------------------
+# Training-data privacy audit (llmops/textstats.k_anonymity_audit):
+# k-anonymity + l-diversity per (lang, source) quasi-identifier with
+# the 50-char length bucket as the sensitive attribute — exact
+# integer counts, so the flags hash across engines.  At sf0.01:
+# 9/97 groups pass k=12, 49/97 pass l=4 (meaningful mixes).
+@register(
+    "llm_privacy_audit",
+    oracle="""
+    SELECT lang, source,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT floor(n_chars / 50.0)::BIGINT)
+                AS BIGINT) AS n_sensitive,
+           count(*) >= 12 AS k_ok,
+           count(DISTINCT floor(n_chars / 50.0)::BIGINT) >= 4 AS l_ok
+    FROM documents GROUP BY lang, source
+    """,
+)
+def llm_privacy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llmops.textstats import k_anonymity_audit
+
+    docs = load_table(spark, sf_dir, "documents")
+    return k_anonymity_audit(
+        docs, ["lang", "source"],
+        F.floor(F.col("n_chars") / F.lit(50.0)).cast("long"),
+        k=12, l=4,
+    )

@@ -95,3 +95,49 @@ def test_repetition_signals_on_synthetic_doc(spark):
     r3 = out[3]
     assert r3.top_2gram is None and r3.top_2gram_char_frac is None
     assert r3.dup_line_frac == 0.0
+
+
+def test_cooccurrence_window_and_symmetry(spark):
+    """Hand-computed ±2 window: pairs count once per unordered
+    occurrence, never beyond the window, case/whitespace-normalized."""
+    from curw_wrf_data_pusher_spark.llmops.textstats import (
+        cooccurrence_counts,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "A b  a c"), (2, "b a")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.a, r.b): r.cnt
+        for r in cooccurrence_counts(docs, window=2).collect()
+    }
+    # doc1 tokens: a b a c — window 2 pairs: (a,b)(a,a)(a,b)... wait:
+    # i=0: (a,b),(a,a); i=1: (a,b),(b,c); i=2: (a,c).  doc2: (a,b).
+    assert got == {
+        ("a", "b"): 3, ("a", "a"): 1, ("b", "c"): 1, ("a", "c"): 1,
+    }
+    # single-token docs contribute nothing
+    one = spark.createDataFrame([(1, "solo")], "doc_id long, text string")
+    assert cooccurrence_counts(one).count() == 0
+
+
+def test_k_anonymity_audit_flags(spark):
+    from curw_wrf_data_pusher_spark.llmops.textstats import (
+        k_anonymity_audit,
+    )
+    from pyspark.sql import functions as F
+
+    rows = (
+        [("en", "w", i) for i in range(5)]        # n=5, 5 distinct
+        + [("en", "x", 7), ("en", "x", 7)]        # n=2, 1 distinct
+    )
+    df = spark.createDataFrame(rows, "lang string, source string, s long")
+    got = {
+        (r.lang, r.source): (r.n, r.n_sensitive, r.k_ok, r.l_ok)
+        for r in k_anonymity_audit(
+            df, ["lang", "source"], F.col("s"), k=3, l=2
+        ).collect()
+    }
+    assert got[("en", "w")] == (5, 5, True, True)
+    assert got[("en", "x")] == (2, 1, False, False)

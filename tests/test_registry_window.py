@@ -173,6 +173,8 @@ EXPECTED_TAIL = [
     "j8_fuzzy_pairs",
     "w12_concurrency",
     "w18_obs_qc",
+    "llm_cooccurrence",
+    "llm_privacy_audit",
 ]
 
 
