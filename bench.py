@@ -177,6 +177,11 @@ HEADLINE = [
     # before the round-11 rewrite)
     "llm_opq_serve",
     "llm_simhash_neighbors",
+    # added round 11 (NEW rows): obs QC flags, GloVe co-occurrence,
+    # privacy audit — the late round-11 operator families
+    "w18_obs_qc",
+    "llm_cooccurrence",
+    "llm_privacy_audit",
 ]
 
 
