@@ -228,19 +228,31 @@ def load_pq_rotation(spark: SparkSession, path: str):
     """The persisted OPQ rotation as a nested list, or None when the
     index was built without OPQ.
 
-    Existence is probed THROUGH Spark (read and treat a path-not-found
-    failure as "no rotation", mirroring incremental.read_dedup_store) —
-    a driver-local ``os.path.exists`` would return False for any
-    non-local index path (hdfs://, s3a://, different working dir) and
-    silently serve an OPQ index unrotated: wrong neighbors, no error."""
+    Existence is probed THROUGH Spark (path-not-found at load time =
+    "no rotation") — a driver-local ``os.path.exists`` would return
+    False for any non-local index path (hdfs://, s3a://, different
+    working dir) and silently serve an OPQ index unrotated: wrong
+    neighbors, no error.  Only the MISSING-PATH case maps to None:
+    a transient read failure or an empty-but-present rotation dir
+    raises instead of silently serving unrotated (the same wrong
+    neighbors through a different door)."""
+    from pyspark.errors import AnalysisException
+
     try:
-        rows = spark.read.schema("i int, row array<double>").parquet(
+        # path resolution is eager at load() even with a schema —
+        # a missing dir raises HERE, before any data is read
+        reader = spark.read.schema("i int, row array<double>").parquet(
             f"{path}/rotation"
-        ).collect()
-    except Exception:
+        )
+    except AnalysisException:
         return None
+    rows = reader.collect()  # real read failures propagate loudly
     if not rows:
-        return None
+        raise ValueError(
+            f"rotation dir at {path}/rotation exists but holds no "
+            "rows — interrupted index write? Rebuild the index rather "
+            "than serving it unrotated."
+        )
     rows.sort(key=lambda r: r.i)
     return [[float(x) for x in r.row] for r in rows]
 

@@ -410,6 +410,49 @@ def simhash(
     return sums.select(F.col(id_col), sig.alias("simhash"))
 
 
+def _simhash_widths(radius: int, bits: int) -> tuple[list[int], list[int]]:
+    """Pigeonhole block layout shared by EVERY banding site (the
+    grouped HOF scan, the arrow kernel, the accounting companion) —
+    one definition so the engines cannot desynchronize."""
+    blocks = radius + 1
+    if blocks > bits:
+        raise ValueError(
+            f"radius + 1 = {blocks} blocks over a {bits}-bit signature "
+            "leaves empty blocks; lower radius or raise bits"
+        )
+    base, rem = divmod(bits, blocks)
+    widths = [base + (1 if i < rem else 0) for i in range(blocks)]
+    starts = [sum(widths[:i]) for i in range(blocks)]
+    return widths, starts
+
+
+def _simhash_block_explode(
+    sig_df: DataFrame,
+    id_col: str,
+    sig_col: str,
+    widths: list[int],
+    starts: list[int],
+) -> DataFrame:
+    """(id, sig, blk, val) — one row per signature per pigeonhole
+    block, the shared map-side banding stage."""
+    block_cols = [
+        F.struct(
+            F.lit(i).alias("blk"),
+            F.shiftrightunsigned(F.col(sig_col), starts[i])
+            .bitwiseAND(F.lit((1 << widths[i]) - 1))
+            .alias("val"),
+        )
+        for i in range(len(widths))
+    ]
+    return sig_df.select(
+        F.col(id_col).alias("id"),
+        F.col(sig_col).alias("sig"),
+        F.explode(F.array(*block_cols)).alias("bb"),
+    ).select(
+        "id", "sig", F.col("bb.blk").alias("blk"), F.col("bb.val").alias("val")
+    )
+
+
 def _simhash_block_groups(
     sig_df: DataFrame,
     id_col: str,
@@ -421,34 +464,14 @@ def _simhash_block_groups(
     and its drop-accounting companion: (blk, val, ms) where ``ms`` is
     the sorted (id, sig) member list of one signature-block bucket.
     One shuffle on (blk, val)."""
-    blocks = radius + 1
-    if blocks > bits:
-        raise ValueError(
-            f"radius + 1 = {blocks} blocks over a {bits}-bit signature "
-            "leaves empty blocks; lower radius or raise bits"
-        )
-    base, rem = divmod(bits, blocks)
-    widths = [base + (1 if i < rem else 0) for i in range(blocks)]
-    starts = [sum(widths[:i]) for i in range(blocks)]
-    block_cols = [
-        F.struct(
-            F.lit(i).alias("blk"),
-            F.shiftrightunsigned(F.col(sig_col), starts[i])
-            .bitwiseAND(F.lit((1 << widths[i]) - 1))
-            .alias("val"),
-        )
-        for i in range(blocks)
-    ]
-    exploded = sig_df.select(
-        F.struct(F.col(id_col).alias("id"), F.col(sig_col).alias("sig")).alias(
-            "m"
-        ),
-        F.explode(F.array(*block_cols)).alias("bb"),
-    ).select("m", F.col("bb.blk").alias("blk"), F.col("bb.val").alias("val"))
+    widths, starts = _simhash_widths(radius, bits)
+    exploded = _simhash_block_explode(sig_df, id_col, sig_col, widths, starts)
     # sort_array over (id, sig) structs orders by id first, so i < j in
     # the expansion implies id_a < id_b with no extra filter
     return exploded.groupBy("blk", "val").agg(
-        F.sort_array(F.collect_list("m")).alias("ms")
+        F.sort_array(
+            F.collect_list(F.struct(F.col("id"), F.col("sig")))
+        ).alias("ms")
     )
 
 
@@ -494,7 +517,13 @@ def _simhash_scan_arrow(
     still owns the distribution).  Popcount is exact integer work —
     a 16-bit lookup table summed over ``ceil(bits/16)`` chunks — so
     results are bit-identical to the HOF form (pinned by
-    tests/test_llmops.py)."""
+    tests/test_llmops.py).
+
+    The first-match exactly-once rule applies only UNCAPPED (see
+    simhash_neighbors_banded: under a cap a pair's first matching
+    block may be the capped one while a later block still matches, so
+    capped runs emit per matching block and dedupe globally — the
+    pre-rewrite contract)."""
     import math
 
     import numpy as np
@@ -502,8 +531,8 @@ def _simhash_scan_arrow(
 
     from pyspark.sql import types as T
 
-    blocks = radius + 1
     n_chunks = math.ceil(bits / 16)
+    use_first_match = max_block_size is None
     id_type = sig_df.schema[id_col].dataType
     out_schema = T.StructType(
         [
@@ -512,24 +541,8 @@ def _simhash_scan_arrow(
             T.StructField("hamming", T.LongType(), False),
         ]
     )
-    exploded = sig_df.select(
-        F.col(id_col).alias("id"),
-        F.col(sig_col).alias("sig"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("blk"),
-                        F.shiftrightunsigned(F.col(sig_col), starts[i])
-                        .bitwiseAND(F.lit((1 << widths[i]) - 1))
-                        .alias("val"),
-                    )
-                    for i in range(blocks)
-                ]
-            )
-        ).alias("bb"),
-    ).select(
-        "id", "sig", F.col("bb.blk").alias("blk"), F.col("bb.val").alias("val")
+    exploded = _simhash_block_explode(
+        sig_df, id_col, sig_col, widths, starts
     )
 
     lut = np.array(
@@ -563,12 +576,13 @@ def _simhash_scan_arrow(
             mask = (h <= radius) & (
                 ids[i0:i0 + step, None] < ids[None, :]
             )
-            # first-match rule: every earlier block must differ
-            for b in range(blk):
-                mask &= (
-                    (x >> np.uint64(starts[b]))
-                    & np.uint64((1 << widths[b]) - 1)
-                ) != 0
+            if use_first_match:
+                # exactly-once rule: every earlier block must differ
+                for b in range(blk):
+                    mask &= (
+                        (x >> np.uint64(starts[b]))
+                        & np.uint64((1 << widths[b]) - 1)
+                    ) != 0
             i, j = np.nonzero(mask)
             if len(i):
                 outs.append(
@@ -582,7 +596,10 @@ def _simhash_scan_arrow(
                 )
         return pd.concat(outs) if outs else empty
 
-    return exploded.groupBy("blk", "val").applyInPandas(scan, out_schema)
+    out = exploded.groupBy("blk", "val").applyInPandas(scan, out_schema)
+    if not use_first_match:
+        out = out.dropDuplicates(["id_a", "id_b"])
+    return out
 
 
 def simhash_neighbors_banded(
@@ -636,12 +653,14 @@ def simhash_neighbors_banded(
     signatures all share every block; a template cluster of 10^5
     copies would otherwise expand |block|² pairs) —
     ``simhash_dropped_blocks`` is the accounting companion reporting
-    what a capped run skipped.  NOTE: with the first-match rule a pair
-    is emitted only by its first matching block, so capping AWAY that
-    block drops the pair even when a later (smaller) block also
-    matches — same observable contract as before, where the dropped
-    block's pairs survived only if another block ALSO matched; the cap
-    remains approximate-by-design and accounted.
+    what a capped run skipped.  NOTE: the first-match exactly-once
+    rule applies only when ``max_block_size`` is None — under a cap a
+    pair's FIRST matching block may be the capped one while a later
+    block still matches, so capped runs emit per matching block and
+    dedupe globally (one dropDuplicates shuffle), preserving the
+    pre-rewrite contract: a pair survives capping iff ANY uncapped
+    block matches (pinned by tests/test_llmops.py's cross-block cap
+    recovery case).
 
     ``engine`` picks the in-block scan implementation: ``"arrow"``
     (default, production — chunked numpy xor/popcount matrices via
@@ -653,39 +672,41 @@ def simhash_neighbors_banded(
     interpreted lambdas.
 
     Returns (id_a, id_b, hamming) with id_a < id_b, distinct."""
+    widths, starts = _simhash_widths(radius, bits)
     blocks = radius + 1
-    if blocks > bits:  # same contract as _simhash_block_groups
-        raise ValueError(
-            f"radius + 1 = {blocks} blocks over a {bits}-bit signature "
-            "leaves empty blocks; lower radius or raise bits"
-        )
-    base, rem = divmod(bits, blocks)
-    widths = [base + (1 if i < rem else 0) for i in range(blocks)]
-    starts = [sum(widths[:i]) for i in range(blocks)]
     if engine == "arrow":
         return _simhash_scan_arrow(
             sig_df, id_col, sig_col, radius, bits, widths, starts,
             max_block_size,
         )
     grouped = _simhash_block_groups(sig_df, id_col, sig_col, radius, bits)
+    use_first_match = max_block_size is None
     if max_block_size is not None:
         grouped = grouped.filter(F.size("ms") <= max_block_size)
-    # first matching block index of a signature pair, from its xor
+    # first matching block index of a signature pair, from its xor —
+    # the exactly-once rule; applied only UNCAPPED (under a cap the
+    # first matching block may itself be the capped one while a later
+    # block still matches, so capped runs emit per block and dedupe)
     first_blk = "CASE " + " ".join(
         f"WHEN (shiftrightunsigned(__x, {starts[b]}) & "
         f"{(1 << widths[b]) - 1}L) = 0L THEN {b}"
         for b in range(blocks)
     ) + " END"
+    first_match_pred = (
+        f" AND {first_blk.replace('__x', '(me.sig ^ o.sig)')} = blk"
+        if use_first_match
+        else ""
+    )
     match_expr = F.expr(
         "transform("
         "  filter(ms, o -> o.id > me.id"
         f"   AND bit_count(me.sig ^ o.sig) <= {int(radius)}"
-        f"   AND {first_blk.replace('__x', '(me.sig ^ o.sig)')} = blk),"
+        f"   {first_match_pred}),"
         "  o -> struct(o.id as id_b,"
         "              cast(bit_count(me.sig ^ o.sig) as bigint)"
         "                as hamming))"
     )
-    return (
+    out = (
         grouped.filter(F.size("ms") >= 2)
         .select("blk", F.explode("ms").alias("me"), "ms")
         .select(F.col("me.id").alias("id_a"), F.explode(match_expr).alias("p"))
@@ -695,6 +716,9 @@ def simhash_neighbors_banded(
             F.col("p.hamming").alias("hamming"),
         )
     )
+    if not use_first_match:
+        out = out.dropDuplicates(["id_a", "id_b"])
+    return out
 
 
 def verify_candidates(

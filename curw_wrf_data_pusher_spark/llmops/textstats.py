@@ -349,8 +349,14 @@ def cooccurrence_counts(
     the only shuffle is the (a, b) pair aggregation, which
     partial-aggregates map-side.  Top-k consumers should
     ``orderBy(...).limit(k)`` (TakeOrdered — no global sort)."""
+    # filter empty tokens (trim() strips only spaces, so leading tab/
+    # newline text yields a "" token from the \s+ split) — the same
+    # convention as tokenizer.word_counts
     toks = docs.select(
-        F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("__t")
+        F.filter(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+            lambda s: s != "",
+        ).alias("__t")
     ).filter(F.size("__t") >= 2)
     pair_expr = F.expr(
         "flatten(transform(sequence(0, size(__t) - 2),"

@@ -2614,9 +2614,14 @@ def llm_opq_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding"
     )
-    rotated = rotate_vectors_exact(emb, OPQ_R)
+    # rotate the FILTERED query side separately: a filter cannot push
+    # below the opaque mapInPandas rotation, so filtering the rotated
+    # corpus would run the O(n·d²) exact fold over the whole table a
+    # second time just to keep 10 rows (row-wise op — results
+    # identical either way)
     return pq_topk(
-        rotated, rotated.filter(F.col("vec_id") < 10),
+        rotate_vectors_exact(emb, OPQ_R),
+        rotate_vectors_exact(emb.filter(F.col("vec_id") < 10), OPQ_R),
         m=_OPQ_M, k_sub=_OPQ_KSUB, k=_OPQ_K, books=OPQ_BOOKS,
     )
 
@@ -2633,9 +2638,13 @@ def llm_opq_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH toks AS (
       SELECT doc_id,
-             regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+             list_filter(regexp_split_to_array(trim(lower(text)),
+                                               '\\s+'),
+                         x -> x <> '') AS t
       FROM documents
-      WHERE len(regexp_split_to_array(trim(lower(text)), '\\s+')) >= 2
+      WHERE len(list_filter(regexp_split_to_array(trim(lower(text)),
+                                                  '\\s+'),
+                            x -> x <> '')) >= 2
     ),
     pos AS (
       SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) AS i

@@ -76,6 +76,13 @@ def write_rfield_files(
     deterministic) and re-publishes the marker."""
     group_cols = group_cols or ["time"]
     os.makedirs(out_dir, exist_ok=True)
+    # retract any PREVIOUS run's commit marker before emitting: a
+    # re-run that dies mid-emission must not leave a stale _SUCCESS
+    # validating a mix of old and new files
+    try:
+        os.remove(os.path.join(out_dir, "_SUCCESS"))
+    except FileNotFoundError:
+        pass
 
     # xy.csv once per run — the coordinate manifest (gen_rfields.py:196-202)
     xy = df.select(lon_col, lat_col).dropDuplicates([lon_col, lat_col])

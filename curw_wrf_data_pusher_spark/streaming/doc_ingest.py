@@ -92,10 +92,16 @@ def stream_ingest_documents(
     migration: rewrite the old rows into an ``ingest_batch=legacy``
     partition."""
     # refuse a legacy (pre-partitioned-layout) corpus dir up front
-    # rather than mixing layouts on the first micro-batch
+    # rather than mixing layouts on the first micro-batch.  Only the
+    # no-corpus-yet cases (missing path / nothing to infer a schema
+    # from) map to "not legacy"; a transient FS/auth failure must
+    # ABORT the stream start, not silently skip the guard it exists
+    # to provide.
+    from pyspark.errors import AnalysisException
+
     try:
         legacy = "ingest_batch" not in spark.read.parquet(out_dir).columns
-    except Exception:
+    except AnalysisException:
         legacy = False  # no corpus yet — the first write creates it
     if legacy:
         raise ValueError(

@@ -1482,3 +1482,26 @@ def test_simhash_64bit_banded_prunes_and_matches_bruteforce(spark, sf_dir):
         .select(F.max(F.size("ms"))).first()[0]
     )
     assert max_m < n / 4, (max_m, n)
+
+
+def test_simhash_cap_recovers_pairs_via_later_blocks(spark):
+    """The pre-rewrite cap contract: a pair whose FIRST matching
+    block is capped away must still be found through a later uncapped
+    matching block.  docs 0 and 1 share EVERY block; all docs share
+    block 0's value (hot), so block 0 exceeds the cap — the (0, 1)
+    pair must come back via block 1+, in BOTH engines, exactly once."""
+    from curw_wrf_data_pusher_spark.llmops.dedup import (
+        simhash_neighbors_banded,
+    )
+
+    # 32-bit sigs, radius 6 → widths [5,5,5,5,4,4,4]; doc i>=2 gets
+    # sig i<<5: block 0 (bits 0-4) is 0 for everyone, block 1 is i —
+    # distinct per doc.  docs 0 and 1 both have sig 0 (hamming 0).
+    rows = [(0, 0), (1, 0)] + [(i, i << 5) for i in range(2, 30)]
+    sig = spark.createDataFrame(rows, "doc_id long, simhash long")
+    for engine in ("arrow", "hof"):
+        pairs = simhash_neighbors_banded(
+            sig, radius=6, max_block_size=10, engine=engine
+        ).collect()
+        got = [(r.id_a, r.id_b, r.hamming) for r in pairs]
+        assert got == [(0, 1, 0)], (engine, got)

@@ -120,6 +120,14 @@ def test_cooccurrence_window_and_symmetry(spark):
     # single-token docs contribute nothing
     one = spark.createDataFrame([(1, "solo")], "doc_id long, text string")
     assert cooccurrence_counts(one).count() == 0
+    # tab/newline-prefixed text must not leak "" tokens into pairs
+    # (trim() strips only spaces; the \s+ split yields a leading "")
+    tabbed = spark.createDataFrame(
+        [(1, "\tfoo bar")], "doc_id long, text string"
+    )
+    got_t = {(r.a, r.b): r.cnt
+             for r in cooccurrence_counts(tabbed, window=4).collect()}
+    assert got_t == {("bar", "foo"): 1}
 
 
 def test_k_anonymity_audit_flags(spark):
