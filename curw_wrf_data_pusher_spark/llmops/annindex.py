@@ -238,14 +238,22 @@ def load_pq_rotation(spark: SparkSession, path: str):
     neighbors through a different door)."""
     from pyspark.errors import AnalysisException
 
+    from ..functions.errors import is_missing_input
+
     try:
         # path resolution is eager at load() even with a schema —
         # a missing dir raises HERE, before any data is read
         reader = spark.read.schema("i int, row array<double>").parquet(
             f"{path}/rotation"
         )
-    except AnalysisException:
-        return None
+    except AnalysisException as exc:
+        # ONLY the missing-path condition means "unrotated index";
+        # any other analysis failure (unreadable location, bad path
+        # config) must propagate — mapping it to None would serve
+        # wrong neighbors silently.
+        if is_missing_input(exc):
+            return None
+        raise
     rows = reader.collect()  # real read failures propagate loudly
     if not rows:
         raise ValueError(

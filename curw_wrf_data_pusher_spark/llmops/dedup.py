@@ -426,6 +426,24 @@ def _simhash_widths(radius: int, bits: int) -> tuple[list[int], list[int]]:
     return widths, starts
 
 
+#: 16-bit popcount lookup table, built lazily ONCE per worker process
+#: (512 KB — too big to ship inside every task's pickled closure).
+_POPCOUNT16: "object" = None
+
+
+def _popcount16_lut():
+    """int64[65536] popcounts; module-level so closures reference it
+    by name (cloudpickle ships the reference, not the array)."""
+    global _POPCOUNT16
+    if _POPCOUNT16 is None:
+        import numpy as np
+
+        _POPCOUNT16 = np.array(
+            [bin(i).count("1") for i in range(1 << 16)], dtype=np.int64
+        )
+    return _POPCOUNT16
+
+
 def _simhash_block_explode(
     sig_df: DataFrame,
     id_col: str,
@@ -545,11 +563,11 @@ def _simhash_scan_arrow(
         sig_df, id_col, sig_col, widths, starts
     )
 
-    lut = np.array(
-        [bin(i).count("1") for i in range(1 << 16)], dtype=np.int64
-    )
-
     def scan(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        # module-level lazy LUT: referenced by name, so the 512 KB
+        # table is built once per worker process instead of being
+        # serialized into every task binary with the closure
+        lut = _popcount16_lut()
         m = len(pdf)
         empty = pd.DataFrame(
             {"id_a": pdf["id"][:0], "id_b": pdf["id"][:0],

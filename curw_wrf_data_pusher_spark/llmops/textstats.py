@@ -349,6 +349,10 @@ def cooccurrence_counts(
     the only shuffle is the (a, b) pair aggregation, which
     partial-aggregates map-side.  Top-k consumers should
     ``orderBy(...).limit(k)`` (TakeOrdered — no global sort)."""
+    if window < 1:
+        # sequence(i+1, least(i+0, ...)) would be a DESCENDING
+        # sequence: silent self-pairs + inverted offsets, not an error
+        raise ValueError(f"window must be >= 1, got {window}")
     # filter empty tokens (trim() strips only spaces, so leading tab/
     # newline text yields a "" token from the \s+ split) — the same
     # convention as tokenizer.word_counts

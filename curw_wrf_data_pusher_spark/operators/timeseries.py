@@ -65,9 +65,14 @@ def gap_fill(
     span = series.groupBy(*keys).agg(
         F.min(slot_col).alias("__mn"), F.max(slot_col).alias("__mx")
     )
-    n_shuffle = int(
-        series.sparkSession.conf.get("spark.sql.shuffle.partitions")
-    )
+    try:
+        n_shuffle = int(
+            series.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+    except (TypeError, ValueError):
+        # some platforms set a non-numeric value (e.g. "auto");
+        # fall back to the cluster's default parallelism for the pin
+        n_shuffle = series.sparkSession.sparkContext.defaultParallelism
     grid = span.select(
         *keys,
         F.explode(

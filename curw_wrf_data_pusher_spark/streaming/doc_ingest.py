@@ -99,9 +99,16 @@ def stream_ingest_documents(
     # to provide.
     from pyspark.errors import AnalysisException
 
+    from ..functions.errors import is_missing_input
+
     try:
         legacy = "ingest_batch" not in spark.read.parquet(out_dir).columns
-    except AnalysisException:
+    except AnalysisException as exc:
+        # missing dir / empty dir = no corpus yet; any OTHER analysis
+        # failure (unreadable, mixed-format) aborts the stream start
+        # instead of skipping the guard it exists to provide
+        if not is_missing_input(exc, allow_empty=True):
+            raise
         legacy = False  # no corpus yet — the first write creates it
     if legacy:
         raise ValueError(

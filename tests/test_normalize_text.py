@@ -128,6 +128,14 @@ def test_cooccurrence_window_and_symmetry(spark):
     got_t = {(r.a, r.b): r.cnt
              for r in cooccurrence_counts(tabbed, window=4).collect()}
     assert got_t == {("bar", "foo"): 1}
+    # window < 1 would generate a DESCENDING sequence (silent
+    # self-pairs + inverted offsets) — must error at entry instead
+    import pytest
+
+    with pytest.raises(ValueError, match="window"):
+        cooccurrence_counts(docs, window=0)
+    with pytest.raises(ValueError, match="window"):
+        cooccurrence_counts(docs, window=-3)
 
 
 def test_k_anonymity_audit_flags(spark):

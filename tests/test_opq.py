@@ -143,6 +143,16 @@ def test_persisted_opq_index_roundtrip(spark, tmp_path):
     p2 = str(tmp_path / "plain_index")
     build_pq_index(emb, p2, m=4, k_sub=8)
     assert load_pq_rotation(spark, p2) is None
+    # ONLY the missing-path AnalysisException maps to None: a
+    # non-parquet garbage file at the rotation path is a real read
+    # problem and must raise, not silently serve unrotated
+    import pytest
+
+    bad = tmp_path / "bad_index" / "rotation"
+    bad.mkdir(parents=True)
+    (bad / "part-00000.parquet").write_bytes(b"not a parquet file")
+    with pytest.raises(Exception):
+        load_pq_rotation(spark, str(tmp_path / "bad_index"))
 
 
 def test_rotate_vectors_exact_matches_blas_and_fold_order(spark):

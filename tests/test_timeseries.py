@@ -41,6 +41,28 @@ def test_ffill_and_none_methods(spark):
         gap_fill(s, ["k"], method="cubic")
 
 
+def test_non_numeric_shuffle_conf_falls_back(spark, monkeypatch):
+    """Platforms that report spark.sql.shuffle.partitions as a
+    non-numeric value (e.g. 'auto' under Databricks AQE autotune)
+    must not break the partition pin — it falls back to
+    defaultParallelism (ADVICE round 11).  Vanilla Spark refuses to
+    SET a non-int here, so the getter is patched instead."""
+    from pyspark._globals import _NoValue
+
+    conf_cls = type(spark.conf)
+    real_get = conf_cls.get
+
+    def fake_get(self, key, default=_NoValue):
+        if key == "spark.sql.shuffle.partitions":
+            return "auto"
+        return real_get(self, key, default)
+
+    monkeypatch.setattr(conf_cls, "get", fake_get)
+    out = gap_fill(_series(spark), ["k"], slot_col="slot", value_col="v")
+    got = {(r.k, r.slot): r.value_filled for r in out.collect()}
+    assert got[("A", 2)] == 20.0
+
+
 def test_step_respects_stride(spark):
     rows = [("A", 0, 1.0), ("A", 6, 7.0)]
     s = spark.createDataFrame(rows, "k string, slot long, v double")
