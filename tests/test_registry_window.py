@@ -39,6 +39,16 @@ register state (a22), and int8-quantized ANN — evicting six
 compound-covered rows (a25 KMV overlap, PQ shortlist re-rank,
 mergeable quantile sketch, q4 EXISTS-semi, j8 fuzzy pairs, w12
 concurrency), each with named head covers in ``_TAIL``.
+
+Round-12 rotation (judge r11 task 1) promoted eight never-driver-gated
+families — WMO obs QC (w18), GloVe co-occurrence, k-anonymity/
+l-diversity audit, post-fix gap fill (w6), BM25/TF-IDF retrieval,
+one-scan table profiling (a14), bounded rolling stats (w5), and the
+NB quality classifier — evicting eight rows that all earned
+driver-green CORRECTNESS_r11 rows (w16 sliding distinct, a22 HLL
+registers, int8-quantized top-k, winnowing pairs, SimHash neighbors,
+Horvitz-Thompson sample aggs, repetition signals, filtered ANN), each
+with named head covers in ``_TAIL``.
 """
 
 from __future__ import annotations
@@ -64,18 +74,19 @@ EXPECTED_HEAD = [
     "j6_j7_asof_range",
     "a11_a12_cube_gsets",
     "p14_p15_json_datetime",
+    "a14_profile_table",
+    "w5_rolling_stats",
+    "w6_gap_fill",
     "w9_funnel",
-    "a22_hll_registers",
     "a23_kmv_distinct",
     "k12_distribution_drift",
     "j10_scd2_lookup",
     "w13_seasonal_anomaly",
     "w15_range_frame",
-    "a26_approx_sample_aggs",
     "q21_fully_late_orders",
-    "w16_sliding_distinct",
     "sql1_cte_window_join",
     "w17_sliding_distinct_kmv",
+    "w18_obs_qc",
     "wrf_e1_push_rows",
     "wrf_e3_hybrid_frame",
     "e2_rfield_contract",
@@ -84,23 +95,22 @@ EXPECTED_HEAD = [
     "llm_text_features",
     "llm_binary_metadata",
     "llm_dedup_clusters",
-    "llm_simhash_neighbors",
     "llm_jaccard_verify",
     "llm_contamination",
     "llm_seq_packing",
     "llm_curate_corpus",
-    "llm_quantized_topk",
-    "llm_winnow_pairs",
+    "llm_bm25_tfidf",
     "llm_substring_dedup",
     "llm_semantic_dedup",
+    "llm_quality_classifier",
     "llm_setsim_pairs",
     "llm_pq_topk",
-    "llm_repetition_signals",
     "llm_budget_sample",
     "llm_incremental_neardup",
-    "llm_filtered_ann",
     "llm_bpe_pair_counts",
     "llm_opq_serve",
+    "llm_cooccurrence",
+    "llm_privacy_audit",
 ]
 
 #: The exact tail (local-mirror-only order).  Each entry's operator is
@@ -119,13 +129,8 @@ EXPECTED_TAIL = [
     "llm_minhash_signatures",
     "p16_conditional_exprs",
     "llm_stratified_sample",
-    "llm_bm25_tfidf",
     "llm_ngram_logfreq",
-    "a14_profile_table",
     "llm_vocab_topk",
-    "w5_rolling_stats",
-    "llm_quality_classifier",
-    "w6_gap_fill",
     "p13_morton_zorder",
     "llm_temperature_mix",
     "llm_normalize_text",
@@ -172,9 +177,14 @@ EXPECTED_TAIL = [
     "q4_order_priority_check",
     "j8_fuzzy_pairs",
     "w12_concurrency",
-    "w18_obs_qc",
-    "llm_cooccurrence",
-    "llm_privacy_audit",
+    "w16_sliding_distinct",
+    "a22_hll_registers",
+    "llm_quantized_topk",
+    "llm_winnow_pairs",
+    "llm_simhash_neighbors",
+    "a26_approx_sample_aggs",
+    "llm_repetition_signals",
+    "llm_filtered_ann",
 ]
 
 
