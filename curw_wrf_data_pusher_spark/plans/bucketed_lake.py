@@ -110,7 +110,10 @@ def append_fact_rows(
 
 
 def read_fact_latest(
-    spark: SparkSession, table: str, as_of_batch: str | None = None
+    spark: SparkSession,
+    table: str,
+    as_of_batch: str | None = None,
+    series: DataFrame | None = None,
 ) -> DataFrame:
     """Merge-on-read view of the store: latest fgt wins per
     (tms_id, time), equal-fgt replays resolved by the later ingest
@@ -122,10 +125,25 @@ def read_fact_latest(
     ``as_of_batch`` time-travels: the state the store had after that
     batch (rows with a later label are ignored).  History lives in the
     appends, so time travel reaches back to the last compaction —
-    compacting collapses history exactly like VACUUM does."""
+    compacting collapses history exactly like VACUUM does.
+
+    ``series`` (a frame with a ``tms_id`` column) prunes the scan to
+    those series BEFORE the merge window — sound because the window
+    partitions by ``tms_id``: dropping whole partitions commutes with
+    a per-partition rank.  This is the store's serving path: a reader
+    wanting 100 series out of a 100 TB store must not rank the whole
+    store first.  The semi-join broadcasts (series lists are
+    dim-scale) and its tms_id predicate keeps the bucketed scan's
+    zero-Exchange property."""
     df = spark.table(table)
     if as_of_batch is not None:
         df = df.filter(F.col(BATCH_COL) <= as_of_batch)
+    if series is not None:
+        df = df.join(
+            F.broadcast(series.select("tms_id").distinct()),
+            on="tms_id",
+            how="left_semi",
+        )
     w = Window.partitionBy(*KEY_COLS).orderBy(
         F.col(VERSION_COL).desc(), F.col(BATCH_COL).desc()
     )
@@ -246,10 +264,27 @@ def build_hybrid_from_stores(
     window and the dim sides ride broadcast — the standing-store
     serving shape of plans/hybrid.build_hybrid_rfield, which this
     wraps verbatim (results pinned identical to the raw-frame form in
-    tests/test_bucketed_fact.py)."""
+    tests/test_bucketed_fact.py).
+
+    The fact scan is PRUNED to the series of stations the grid map
+    references (a broadcast semi-join pushed below the merge window —
+    see read_fact_latest's ``series``): the hybrid products serve a
+    few dozen gauge stations, and ranking the whole store to feed
+    them would be the 100 TB anti-pattern.  Sound because only whole
+    tms_id partitions drop, and unmapped series can never reach the
+    output (fcst_long inner-joins through the grid map)."""
     from .hybrid import build_hybrid_rfield
 
-    fact = read_fact_latest(spark, fact_table).select(
+    mapped = runs.join(
+        F.broadcast(
+            grid_map.select(
+                F.col("d03_station_id").alias("station_id")
+            ).distinct()
+        ),
+        on="station_id",
+        how="left_semi",
+    ).select("tms_id")
+    fact = read_fact_latest(spark, fact_table, series=mapped).select(
         "tms_id", "time", "value"
     )
     obs = read_obs_latest(spark, obs_table).select(

@@ -122,22 +122,30 @@ def build_hybrid_rfield(
     if out_dir is not None:
         os.makedirs(out_dir, exist_ok=True)
         order = ["time", "longitude", "latitude"]
-        write_ordered_csv(
-            wide, os.path.join(out_dir, "hybrid_full.csv"), order
-        )
-        write_ordered_csv(
-            wide.drop("obs"),
-            os.path.join(out_dir, "hybrid_fcst.csv"), order,
-        )
-        kelani = wide.filter(
-            F.col("longitude").between(
-                KELANI_EXTENT["lon_min"], KELANI_EXTENT["lon_max"]
+        # the wide frame is station×time-scale (small) but its lineage
+        # is the fact-scale dedup window + join — pin it so the three
+        # CSV flavors share ONE execution instead of re-running the
+        # store scan per file (measured 3× the E3 wall on a full day)
+        wide = wide.persist()
+        try:
+            write_ordered_csv(
+                wide, os.path.join(out_dir, "hybrid_full.csv"), order
             )
-            & F.col("latitude").between(
-                KELANI_EXTENT["lat_min"], KELANI_EXTENT["lat_max"]
+            write_ordered_csv(
+                wide.drop("obs"),
+                os.path.join(out_dir, "hybrid_fcst.csv"), order,
             )
-        )
-        write_ordered_csv(
-            kelani, os.path.join(out_dir, "hybrid_kelani.csv"), order
-        )
+            kelani = wide.filter(
+                F.col("longitude").between(
+                    KELANI_EXTENT["lon_min"], KELANI_EXTENT["lon_max"]
+                )
+                & F.col("latitude").between(
+                    KELANI_EXTENT["lat_min"], KELANI_EXTENT["lat_max"]
+                )
+            )
+            write_ordered_csv(
+                kelani, os.path.join(out_dir, "hybrid_kelani.csv"), order
+            )
+        finally:
+            wide.unpersist()
     return wide

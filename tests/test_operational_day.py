@@ -1,0 +1,51 @@
+"""CI pin for the end-to-end operational-day pipeline (judge r11
+task 2): the full chain — raw .nc arrivals → streaming decode → E1
+push → bucketed fact store → A6/K3 → E3 hybrid CSVs from both stores
+→ E2 rfield files — must hold its two route-equality checks.
+
+Runs scripts/operational_day.py as a subprocess at MINI dims (the
+full-size day is a ~2 min measured run, recorded in SCALING.md; this
+test pins the correctness contract, not the wall time).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_mini_operational_day_checks_hold(tmp_path):
+    env = dict(
+        os.environ,
+        OPDAY_SYSTEMS="A,C",
+        OPDAY_DIMS="13,10,7",
+        OPDAY_WORK=str(tmp_path / "opday"),
+        SPARK_GRAFT_CPUS="4",
+    )
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "operational_day.py")],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=420,
+        cwd=str(tmp_path),  # non-repo CWD: catches sys.path regressions
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    result = json.loads(proc.stdout.strip().splitlines()[-1])
+    # 2 systems × (13-1) timesteps × 10 × 7 cells
+    assert result["e1_rows"] == result["e1_rows_expected"] == 2 * 12 * 70
+    assert result["e1_batch_route_equal"] is True
+    assert result["e3_store_route_equal"] is True
+    assert result["e3_rows"] > 0
+    assert result["e2_files"] > 0
+    assert result["micro_batches"] >= 1
+    # the emitted artifacts exist: hybrid CSVs + rfield value files
+    hybrid_dir = tmp_path / "opday" / "hybrid"
+    for f in ("hybrid_full.csv", "hybrid_fcst.csv", "hybrid_kelani.csv"):
+        assert (hybrid_dir / f).is_file(), f
+    assert (tmp_path / "opday" / "rfields" / "d03" / "xy.csv").is_file()
+    assert (tmp_path / "opday" / "rfields" / "d03" / "_SUCCESS").is_file()
