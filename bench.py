@@ -338,6 +338,42 @@ EXTENDED.append("wrf_s1_ingest_full_d03")
 EXTENDED.append("wrf_s1_ingest_full_d03_hdf5")
 
 
+#: The round-10 driver-recorded core-15 (BENCH_r10.json) — the last
+#: canonical scoreboard before the round-11 drift; per-row ratios vs
+#: this snapshot are emitted in every bench run so regressions carry
+#: their own accounting.
+R10_CANONICAL = {
+    "wrf_e1_push_rows": 0.668, "wrf_e3_hybrid_frame": 0.401,
+    "e2_rfield_contract": 0.875, "wrf_e2_rfield_files": 1.42,
+    "a1_pricing_summary": 0.685, "j3_broadcast_lookup": 0.873,
+    "w3_nearest_neighbor": 0.533, "s10_window_resample": 0.513,
+    "llm_dedup_exact": 0.138, "llm_minhash_lsh_pairs": 0.815,
+    "llm_setsim_pairs": 3.77, "llm_curate_pipeline": 2.359,
+    "llm_pq_topk": 2.809, "llm_pq_index_search": 2.713,
+    "llm_incremental_neardup": 2.094,
+}
+
+#: Named causes for understood core-15 deltas (round-11 verdict,
+#: settled round 12).  Everything else >±15% is box/JIT noise: the
+#: round-12 local re-measurement showed the PQ family and dedup
+#: clusters back within 10% of r10 with no code change.
+DELTA_CAUSES = {
+    "llm_setsim_pairs": (
+        "deliberate scale-safety trade: shuffle_hash hints replace an "
+        "AQE/static broadcast that OOMed at 100x (500k docs) — "
+        "SCALING.md round-11 probe; ~+0.7 s purchased"
+    ),
+    "wrf_e2_rfield_files": (
+        "row semantics: the sink re-executes the UNPERSISTED input "
+        "frame for the xy manifest and the value emission (two "
+        "actions; scale-correct two-pass design — a store-backed "
+        "frame column-prunes the second scan).  Sink itself measured "
+        "1.4-1.5 s warm with a materialized input; the round-11 "
+        "_SUCCESS marker costs 3 local FS metadata ops (~0)"
+    ),
+}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -383,6 +419,15 @@ def main() -> None:
     ext_t = {n: round(best[n], 3) for n in EXTENDED}
     core_total = round(sum(core_t.values()), 3)
     ext_total = round(sum(ext_t.values()), 3)
+    # per-row delta vs the round-10 CANONICAL core-15 (the last pinned
+    # pre-drift scoreboard), with named causes for the two rows whose
+    # regression is understood — the round-11 verdict's drift
+    # accounting, carried in the artifact itself.
+    deltas = {
+        n: round(core_t[n] / R10_CANONICAL[n], 2)
+        for n in CORE
+        if sf == "0.1" and n in R10_CANONICAL and R10_CANONICAL[n] > 0
+    }  # the canonical snapshot is sf0.1 — ratios at other SFs mislead
     print(
         json.dumps(
             {
@@ -398,6 +443,8 @@ def main() -> None:
                 "extended_queries": ext_t,
                 "extended_total": ext_total,
                 "grand_total": round(core_total + ext_total, 3),
+                "delta_vs_r10_canonical": deltas,
+                "delta_named_causes": DELTA_CAUSES,
             }
         )
     )
