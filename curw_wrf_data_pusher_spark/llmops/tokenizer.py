@@ -127,11 +127,20 @@ def _apply_merge_py(sym: list[str], a: str, b: str) -> list[str]:
     return out
 
 
+#: bpe_learn_fast refuses an uncapped driver collect past this many
+#: distinct words (overridable per call).  Sized from the MEASURED
+#: footprint: a 1M-distinct-word synthetic vocab costs 1.68 GB of
+#: driver RSS in the pair index (SCALING.md round-12 note), so 3M
+#: words ≈ 5 GB — inside a 16 GB driver with working headroom.
+BPE_VOCAB_DRIVER_BUDGET = 3_000_000
+
+
 def bpe_learn_fast(
     docs: DataFrame,
     n_merges: int,
     text_col: str = "text",
     max_vocab_words: int | None = None,
+    vocab_driver_budget: int = BPE_VOCAB_DRIVER_BUDGET,
 ) -> tuple[list[tuple[str, str]], DataFrame]:
     """Iteration-scalable twin of :func:`bpe_learn` — bit-identical
     merge lists, ~zero Spark jobs per merge.
@@ -173,6 +182,27 @@ def bpe_learn_fast(
     wc = word_counts(docs, text_col)
     if max_vocab_words is not None:
         wc = wc.orderBy(F.desc("c"), "word").limit(max_vocab_words)
+    else:
+        # the collected vocabulary is bounded for natural-language
+        # text (~10⁵ words) but a web crawl's whitespace-token tail
+        # (URLs, base64 junk) is 10⁸+ — an uncapped collect there
+        # OOMs the DRIVER, the worst failure mode.  A cheap
+        # approx_count_distinct pre-check (one extra pass over the
+        # already-shuffled counts) fails with guidance instead.
+        approx = wc.agg(
+            F.approx_count_distinct("word").alias("n")
+        ).first()["n"]
+        if approx > vocab_driver_budget:
+            raise ValueError(
+                f"bpe_learn_fast: ~{approx:,} distinct words exceed "
+                f"the driver vocab budget ({vocab_driver_budget:,}). "
+                "This corpus has a junk-token tail (URLs/base64/IDs); "
+                "pass max_vocab_words=<N> to train on the top-N words "
+                "(standard tokenizer practice), pre-normalize the "
+                "text, or raise vocab_driver_budget if the driver "
+                "really has the memory (measured: 1.68 GB RSS per "
+                "1M distinct words)."
+            )
     rows = wc.collect()
     words: list[tuple[list[str], int]] = [
         (list(r["word"]), int(r["c"])) for r in rows
