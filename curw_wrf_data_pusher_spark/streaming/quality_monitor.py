@@ -134,3 +134,85 @@ def stream_quality_monitor(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_gauge_qc(
+    spark: SparkSession,
+    watch_dir: str,
+    store_dir: str,
+    qc_dir: str,
+    checkpoint_dir: str,
+    schema: StructType | str = "hash_id string, time string, value double",
+    min_run: int = 4,
+    max_jump=3000,
+    level_expr: Column | None = None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """W18's WMO QC flags over the LIVE gauge stream — the reference's
+    actual QC target (gen_active_stations_rfields.py:205's 15-min
+    gauge series feed the hybrid products; a stuck or spiking gauge
+    poisons them silently).
+
+    Per micro-batch of arriving readings (hash_id, time, value):
+
+    1. upsert the arrivals into the standing gauge store (late
+       readings and corrections REPLACE by (hash_id, time) — the K1
+       idempotence contract);
+    2. re-run the BATCH ``qc_flags`` operator over the FULL history
+       of exactly the touched series (QC is not prefix-incremental: a
+       late reading can split a flatline run or create a step, so
+       flags both appear AND retract — only a recompute of the
+       affected series is correct);
+    3. dynamic-partition-overwrite those series' partitions of the QC
+       table — untouched series keep their standing flags.
+
+    Batch equivalence is structural: step 2 IS the registered batch
+    operator (one code path), and the per-series recompute equals the
+    full-frame recompute because every qc window partitions by the
+    series key (pinned in tests/test_quality_monitor_stream.py,
+    including the late-arrival retraction).  Replays are idempotent:
+    both writes are keyed merges/overwrites.
+
+    Scale: the per-batch work is O(touched series × their history) —
+    a gauge network is dims-scale (10²-10⁴ series), and the QC
+    recompute reads only the touched hash_id partitions of the store.
+    ``max_jump``/``min_run``/``level_expr`` pass through to
+    ``qc_flags`` (use integer centi-units for cross-engine hashing,
+    like the w18 row)."""
+    from ..operators.qc import qc_flags
+    from ..sinks.upsert import upsert_parquet
+
+    arrivals = spark.readStream.schema(schema).parquet(watch_dir)
+
+    def _qc(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        upsert_parquet(
+            spark, batch_df, store_dir, keys=["hash_id", "time"]
+        )
+        touched = batch_df.select("hash_id").distinct()
+        hist = spark.read.parquet(store_dir).join(
+            F.broadcast(touched), on="hash_id", how="left_semi"
+        )
+        flags = qc_flags(
+            hist,
+            series_cols=["hash_id"],
+            order_cols=["time"],
+            value_col="value",
+            min_run=min_run,
+            max_jump=max_jump,
+            level_col=level_expr,
+        )
+        (
+            flags.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("hash_id")
+            .parquet(qc_dir)
+        )
+
+    writer = arrivals.writeStream.foreachBatch(_qc).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -53,6 +53,7 @@ def build_nx(spark, factor: int) -> str:
     out = os.path.join(WORK, f"x{factor}")
     dst = os.path.join(out, "documents.parquet")
     if os.path.exists(dst):
+        build_nx_embeddings(spark, factor, out)  # may post-date docs
         return out
     docs = spark.read.parquet(os.path.join(BASE, "documents.parquet"))
     n = docs.agg(F.max("doc_id")).first()[0] + 1
@@ -71,7 +72,49 @@ def build_nx(spark, factor: int) -> str:
     rep.repartition(min(256, 32 * factor)).write.mode(
         "overwrite"
     ).parquet(dst)
+    build_nx_embeddings(spark, factor, out)
     return out
+
+
+def build_nx_embeddings(spark, factor: int, out: str) -> None:
+    """Nx embeddings: replica i applies a deterministic per-replica
+    SIGN FLIP per dimension (a diagonal orthogonal transform), so
+    every replica preserves the ORIGINAL intra-replica cosine
+    structure EXACTLY while cross-replica cosines are pseudo-random
+    (~N(0, 1/√d), d=64 → σ≈0.125; at the 0.35 dedup threshold that
+    is a 2.8σ tail, so cross-replica accidental near-dups are a <1%
+    perturbation of the pair count, not a structural change)."""
+    from pyspark.sql import functions as F
+
+    dst = os.path.join(out, "embeddings.parquet")
+    if os.path.exists(dst):
+        return
+    emb = spark.read.parquet(os.path.join(BASE, "embeddings.parquet"))
+    n = emb.agg(F.max("vec_id")).first()[0] + 1
+    parts = []
+    for i in range(factor):
+        if i == 0:
+            parts.append(emb)
+            continue
+        # sign for dim d of replica i: ±1 from a hash — deterministic
+        flips = F.transform(
+            "embedding",
+            lambda v, d: v * (
+                F.when(F.xxhash64(F.lit(i), d) % 2 == 0, F.lit(1.0))
+                .otherwise(F.lit(-1.0)).cast("float")
+            ),
+        )
+        parts.append(
+            emb.select(
+                (F.col("vec_id") + F.lit(i * n)).alias("vec_id"),
+                flips.alias("embedding"),
+                "label",
+            )
+        )
+    rep = parts[0]
+    for p in parts[1:]:
+        rep = rep.unionByName(p)
+    rep.repartition(min(64, 8 * factor)).write.mode("overwrite").parquet(dst)
 
 
 def stage_skew(spark, since_stage: int):
@@ -117,16 +160,59 @@ def last_stage_id(spark) -> int:
         return -1
 
 
+def probe_simhash64_neighbors(spark, sf_dir, factor=1):
+    """llm_simhash_neighbors in its DOCUMENTED corpus-scale regime:
+    64-bit signatures at radius 6 → 7 pigeonhole blocks of ~9 bits,
+    the configuration where banding actually prunes (the registered
+    32-bit row is the oracle-comparable hot-block stress case)."""
+    from curw_wrf_data_pusher_spark.llmops.dedup import (
+        simhash_from_text,
+        simhash_neighbors_banded,
+    )
+    from curw_wrf_data_pusher_spark.sources.lake import load_table, spread
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    sig = simhash_from_text(docs, bits=64)
+    return simhash_neighbors_banded(sig, radius=6, bits=64)
+
+
+def probe_semantic_dedup(spark, sf_dir, factor=1):
+    """llm_semantic_dedup at scale: n_clusters grows ~√n with the
+    corpus (SemDeDup's own prescription — the registered row's fixed
+    n_clusters=8 is the sf0.1 oracle configuration, not the scale
+    plan; cells must stay bounded for Σ|cell|² to stay linear-ish)."""
+    from curw_wrf_data_pusher_spark.llmops.simsearch import semantic_dedup
+    from curw_wrf_data_pusher_spark.sources.lake import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    k = max(8, int(8 * factor ** 0.5))
+    return semantic_dedup(emb, n_clusters=k, threshold=0.35)
+
+
+#: probe-local variants (factor-aware); anything else resolves from
+#: the registered query module
+PROBE_FNS = {
+    "probe_simhash64_neighbors": probe_simhash64_neighbors,
+    "probe_semantic_dedup": probe_semantic_dedup,
+}
+
+
 def main() -> None:
     os.makedirs(WORK, exist_ok=True)
     spark = get_spark("scale-probe", extra_conf={"spark.ui.enabled": "true"})
     scale_dirs = [
-        (f"x{f}", BASE if f == 1 else build_nx(spark, f)) for f in SCALES
+        (f"x{f}", BASE if f == 1 else build_nx(spark, f), f)
+        for f in SCALES
     ]
     results = {}
-    for scale, sf_dir in scale_dirs:
+    for scale, sf_dir, factor in scale_dirs:
         for name in ROWS:
-            fn = getattr(llm, name)
+            probe_fn = PROBE_FNS.get(name)
+            if probe_fn is not None:
+                def fn(s, d, _p=probe_fn, _f=factor):
+                    return _p(s, d, factor=_f)
+            else:
+                fn = getattr(llm, name)
             best = None
             skew = None
             for _ in range(REPS):
@@ -146,7 +232,7 @@ def main() -> None:
     base_scale = scale_dirs[0][0]
     for name in ROWS:
         a = results[f"{name}@{base_scale}"]["sec"]
-        for scale, _ in scale_dirs[1:]:
+        for scale, _, _f in scale_dirs[1:]:
             b = results[f"{name}@{scale}"]["sec"]
             results[f"{name}@growth_{scale}_over_{base_scale}"] = round(
                 b / a, 2

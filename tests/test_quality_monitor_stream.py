@@ -181,3 +181,121 @@ def test_quality_monitor_expectation_rules_gate(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert spark.read.parquet(d2["clean"]).count() == 200
+
+
+# ---------------------------------------------------------------------------
+# stream_gauge_qc: W18's WMO QC over the live gauge stream
+
+
+GAUGE_SCHEMA = "hash_id string, time string, value double"
+
+
+def _gauge_drop(spark, path, rows):
+    spark.createDataFrame(rows, GAUGE_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+
+
+def _gauge_dirs(tmp_path):
+    d = {n: str(tmp_path / n)
+         for n in ("incoming", "store", "qc", "ckpt")}
+    os.makedirs(d["incoming"])
+    return d
+
+
+def _run_qc(spark, d, **kw):
+    from curw_wrf_data_pusher_spark.streaming.quality_monitor import (
+        stream_gauge_qc,
+    )
+
+    q = stream_gauge_qc(
+        spark, d["incoming"], d["store"], d["qc"], d["ckpt"],
+        min_run=3, max_jump=30.0, **kw,
+    )
+    q.awaitTermination(120)
+
+
+def _ts(i):
+    return f"2024-06-01 {i // 4:02d}:{15 * (i % 4):02d}:00"
+
+
+def test_stream_gauge_qc_flags_and_late_arrival_retraction(
+    spark, tmp_path
+):
+    """Flags appear for a dead gauge as its run crosses min_run across
+    micro-batches, and a LATE correction retracts them — exactly what
+    a batch recompute over the corrected series would produce."""
+    d = _gauge_dirs(tmp_path)
+
+    # batch 1: g1 flat at 5.0 for 2 readings (below min_run=3),
+    # g2 healthy ramp
+    _gauge_drop(spark, d["incoming"], [
+        ("g1", _ts(0), 5.0), ("g1", _ts(1), 5.0),
+        ("g2", _ts(0), 1.0), ("g2", _ts(1), 2.0),
+    ])
+    _run_qc(spark, d)
+    qc1 = {(r.hash_id, r.time): (r.flatline_flag, r.spike_flag)
+           for r in spark.read.parquet(d["qc"]).collect()}
+    assert not any(fl for fl, _ in qc1.values())
+
+    # batch 2: g1 stays flat (run reaches 3 → flags whole run) and a
+    # step spike lands on g2
+    _gauge_drop(spark, d["incoming"], [
+        ("g1", _ts(2), 5.0),
+        ("g2", _ts(2), 90.0),
+    ])
+    _run_qc(spark, d)
+    qc2 = {(r.hash_id, r.time): (r.flatline_flag, r.spike_flag)
+           for r in spark.read.parquet(d["qc"]).collect()}
+    assert qc2[("g1", _ts(0))][0] and qc2[("g1", _ts(1))][0]
+    assert qc2[("g1", _ts(2))][0]
+    assert qc2[("g2", _ts(2))][1]  # the 2.0 -> 90.0 jump
+    assert not qc2[("g2", _ts(1))][1]
+
+    # batch 3: a LATE CORRECTION re-delivers g1's middle reading with
+    # the real value — the flatline run splits, flags RETRACT
+    _gauge_drop(spark, d["incoming"], [("g1", _ts(1), 7.5)])
+    _run_qc(spark, d)
+    qc3 = {(r.hash_id, r.time): (r.flatline_flag, r.spike_flag)
+           for r in spark.read.parquet(d["qc"]).collect()}
+    assert not any(fl for fl, _ in qc3.values())
+    # the store holds the corrected reading exactly once
+    store = spark.read.parquet(d["store"])
+    assert store.filter("hash_id = 'g1'").count() == 3
+    g1_mid = store.filter(
+        (F.col("hash_id") == "g1") & (F.col("time") == _ts(1))
+    ).collect()
+    assert [r.value for r in g1_mid] == [7.5]
+
+
+def test_stream_gauge_qc_equals_batch_operator(spark, tmp_path):
+    """Batch equivalence: after any sequence of drops, the streamed QC
+    table row-for-row equals the registered batch operator run over
+    the final store — one code path, recompute-scoped per series."""
+    from curw_wrf_data_pusher_spark.operators.qc import qc_flags
+
+    d = _gauge_dirs(tmp_path)
+    _gauge_drop(spark, d["incoming"], [
+        ("g1", _ts(i), 5.0) for i in range(4)
+    ] + [("g2", _ts(i), float(i)) for i in range(4)])
+    _run_qc(spark, d)
+    _gauge_drop(spark, d["incoming"], [
+        ("g2", _ts(4), 80.0), ("g3", _ts(0), 1.0),
+    ])
+    _run_qc(spark, d)
+
+    streamed = sorted(
+        map(tuple, spark.read.parquet(d["qc"]).select(
+            "hash_id", "time", "value", "flatline_flag", "spike_flag"
+        ).collect())
+    )
+    batch = sorted(
+        map(tuple, qc_flags(
+            spark.read.parquet(d["store"]),
+            series_cols=["hash_id"], order_cols=["time"],
+            value_col="value", min_run=3, max_jump=30.0,
+        ).select(
+            "hash_id", "time", "value", "flatline_flag", "spike_flag"
+        ).collect())
+    )
+    assert streamed == batch and len(streamed) == 10
