@@ -80,11 +80,36 @@ def topk_sets(df, k):
 
 
 def recall_at(approx, exact, k):
+    """(mean, stderr) of per-query recall — the stderr makes 'outside
+    the noise floor' a checkable claim, not an adjective."""
     vals = [
         len({n for n in approx.get(q, set())} & e) / min(k, len(e))
         for q, e in exact.items()
     ]
-    return round(sum(vals) / len(vals), 3)
+    n = len(vals)
+    mean = sum(vals) / n
+    var = sum((v - mean) ** 2 for v in vals) / max(n - 1, 1)
+    return round(mean, 3), round((var / n) ** 0.5, 4)
+
+
+def anisotropize(spark, emb):
+    """x → R0 · diag(s) · x with a decaying spectrum s and a FIXED
+    seeded rotation R0 mixing dimensions across subspace boundaries —
+    the textbook OPQ regime (Ge et al. CVPR'13 §1: PQ's independence
+    assumption breaks when variance is unevenly spread and correlated
+    across subspaces; the learned rotation re-aligns it).  The base
+    corpus is isotropic random, where NO rotation can help — this
+    transform makes the rotation win measurable if it exists."""
+    import numpy as np
+
+    from curw_wrf_data_pusher_spark.llmops.opq import rotate_vectors
+
+    dim = len(emb.select("embedding").first()[0])
+    rng = np.random.default_rng(42)
+    r0 = np.linalg.qr(rng.standard_normal((dim, dim)))[0]
+    s = np.exp(-np.arange(dim) / 8.0)
+    a = (r0 * s[None, :])  # R0 @ diag(s)
+    return rotate_vectors(emb, a.tolist())
 
 
 def main() -> None:
@@ -106,6 +131,10 @@ def main() -> None:
     os.makedirs(work, exist_ok=True)
     build_nx_embeddings(spark, FACTOR, work)
     emb = spark.read.parquet(os.path.join(work, "embeddings.parquet"))
+    aniso = os.environ.get("RECALL_ANISO", "0") == "1"
+    if aniso:
+        emb = anisotropize(spark, emb)
+        emb.persist()
     n_corpus = emb.count()
     # hold the queries out of the codebook/rotation training corpus so
     # recall is out-of-sample, but search the FULL corpus (standard
@@ -117,10 +146,15 @@ def main() -> None:
     result = {
         "n_corpus": n_corpus, "n_queries": N_Q, "m": M, "k_sub": K_SUB,
         "lloyd_iters": N_LLOYD, "opq_iters": OPQ_ITERS,
+        "corpus_kind": "anisotropic" if aniso else "isotropic",
     }
 
     t0 = time.time()
-    exact = topk_sets(exact_topk(corpus, queries, K), K)
+    exact10 = exact_topk(corpus, queries, K).persist()
+    exact_by_k = {
+        k: topk_sets(exact10.filter(F.col("rank") <= k), k)
+        for k in (1, 5, 10)
+    }
     result["exact_s"] = round(time.time() - t0, 1)
 
     def measure(tag, books, rot=None):
@@ -134,10 +168,9 @@ def main() -> None:
         full = topk_sets(got, K)
         for k in (1, 5, 10):
             sub = topk_sets(got.filter(F.col("rank") <= k), k)
-            result[f"recall@{k}_{tag}"] = recall_at(sub, {
-                q: set(list(sorted(e))) for q, e in
-                topk_sets(exact_topk(corpus, queries, k), k).items()
-            }, k)
+            mean, se = recall_at(sub, exact_by_k[k], k)
+            result[f"recall@{k}_{tag}"] = mean
+            result[f"recall@{k}_{tag}_se"] = se
         result[f"serve_s_{tag}"] = round(time.time() - t, 1)
         return full
 
