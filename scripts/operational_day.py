@@ -70,31 +70,42 @@ T_N, SN, WE = (
 WORLD = {"lat_min": -90, "lat_max": 90, "lon_min": -180, "lon_max": 180}
 N_OBS = 24  # active gauge stations feeding E3
 BUCKETS = 64  # fact-store buckets ≈ 2× local cores
+#: cron cycles in the day (crontab.txt:6,9 — d0_18 then d0_00; run r
+#: shifts the forecast window +6h·r, so runs overlap on most keys)
+RUNS = int(os.environ.get("OPDAY_RUNS", "2"))
 
 
-def build_day_files(watch: str) -> None:
-    """Synthesize the day's four raw d03_RAINNC.nc arrivals (one per
-    WRF system, real classic-netCDF bytes via the pure-numpy writer).
-    Layout {watch}/{system}/d03_RAINNC.nc — the reference nests files
-    per system (wrf_data_pusher.py:321-327) and the decoder derives
-    ``wrf_system`` from the parent dir."""
+def build_day_files(watch: str, run: int = 0) -> None:
+    """Synthesize one cron cycle's four raw d03_RAINNC.nc arrivals
+    (one per WRF system, real classic-netCDF bytes via the pure-numpy
+    writer).  Layout {watch}/run{run}/{system}/d03_RAINNC.nc — the
+    reference nests files per system (wrf_data_pusher.py:321-327) and
+    the decoder derives ``wrf_system`` from the parent dir.
+
+    ``run`` models the day's successive pushes (crontab.txt:6,9 — the
+    d0_18 then d0_00 cycles): run r's forecast window starts 6·r
+    hours later, so consecutive runs OVERLAP on most timesteps —
+    exactly the keys the K1 latest-fgt upsert must resolve — and the
+    later file mtime gives the later fgt."""
     from curw_wrf_data_pusher_spark.sources.netcdf3 import NetCDF3Writer
 
     lats = np.linspace(5.73, 10.06, SN).astype("f4")
     lons = np.linspace(79.53, 82.19, WE).astype("f4")
     for i, system in enumerate(SYSTEMS):
-        path = os.path.join(watch, system, "d03_RAINNC.nc")
+        path = os.path.join(watch, f"run{run}", system, "d03_RAINNC.nc")
         if os.path.exists(path):
             continue
         os.makedirs(os.path.dirname(path), exist_ok=True)
-        rng = np.random.default_rng(100 + i)
+        rng = np.random.default_rng(100 + 31 * run + i)
         w = NetCDF3Writer(path)
         w.createDimension("Time", None)
         w.createDimension("south_north", SN)
         w.createDimension("west_east", WE)
         xt = w.createVariable("XTIME", "i8", ("Time",))
         xt[:] = 15 * (np.arange(T_N, dtype="i8") + 1)
-        xt.description = "minutes since 2024-06-01 00:00:00"
+        xt.description = (
+            f"minutes since 2024-06-01 {6 * run:02d}:00:00"
+        )
         for name, arr in (
             ("XLAT", np.broadcast_to(
                 lats[None, :, None], (T_N, SN, WE)).copy()),
@@ -109,6 +120,11 @@ def build_day_files(watch: str) -> None:
             )
             v[:] = arr
         w.close()
+        # deterministic per-run mtime (fgt derives from it; distinct
+        # MINUTES so the latest-fgt resolution is tie-free): run r's
+        # push lands 2.5 h after the previous, like crontab.txt:6,9
+        t = 1717290000 + 9000 * run  # 2024-06-02 ~01:00 UTC + 2.5h·r
+        os.utime(path, (t, t))
 
 
 def build_obs_world(spark):
@@ -209,7 +225,7 @@ def main() -> None:
     os.makedirs(store_dir)
 
     t0 = time.time()
-    build_day_files(watch)
+    build_day_files(watch, run=0)
     fixture_s = time.time() - t0
 
     spark = get_spark(
@@ -227,7 +243,10 @@ def main() -> None:
         unit_type="Accumulative", variable="Precipitation",
         sim_tag="gfs_d0_18",
     )
-    result: dict = {"systems": SYSTEMS, "fixture_s": round(fixture_s, 1)}
+    result: dict = {
+        "systems": SYSTEMS, "runs": RUNS,
+        "fixture_s": round(fixture_s, 1),
+    }
     fact_table = "opday_fact"
     obs_table = "opday_obs"
     spark.sql(f"DROP TABLE IF EXISTS {fact_table}")
@@ -285,14 +304,24 @@ def main() -> None:
             runs.unpersist()
         state["batches"] += 1
 
-    t1 = time.time()
-    q = stream_wrf_nc_push(
-        spark, watch, cfg, sink, os.path.join(WORK, "ckpt"),
-        available_now=True, bbox=WORLD,
-        max_files_per_trigger=len(SYSTEMS),
-    )
-    q.awaitTermination()
-    ingest_s = time.time() - t1
+    # one stream start per cron cycle (the reference's d0_18 then
+    # d0_00 invocations): each start shares the checkpoint, so the
+    # second processes ONLY its new files — exactly-once discovery
+    # proven at full scale, not just in the unit test
+    ingest_s = 0.0
+    for r in range(RUNS):
+        if r > 0:
+            build_day_files(watch, run=r)  # the next cycle's arrivals
+        t1 = time.time()
+        q = stream_wrf_nc_push(
+            spark, watch, cfg, sink, os.path.join(WORK, "ckpt"),
+            available_now=True, bbox=WORLD,
+            max_files_per_trigger=len(SYSTEMS),
+        )
+        q.awaitTermination()
+        run_s = time.time() - t1
+        ingest_s += run_s
+        result[f"ingest_run{r}_s"] = round(run_s, 1)
     result["ingest_s"] = round(ingest_s, 1)
     result["micro_batches"] = state["batches"]
 
@@ -380,25 +409,52 @@ def main() -> None:
     result["day_total_s"] = round(ingest_s + a6_s + e3_s + e2_s, 1)
 
     # ---- checks -----------------------------------------------------
+    from pyspark.sql import Window
+
     t5 = time.time()
-    streamed = read_fact_latest(spark, fact_table).select(
-        "tms_id", "time", "fgt", "value"
-    )
-    n_stream, x_stream = fingerprint(streamed)
     fact_b, runs_b = push_wrf_grid(
         read_wrf_grid(spark, watch, bbox=WORLD), cfg
     )
     runs_b = runs_b.drop("station_id").join(
         F.broadcast(spark.read.parquet(dim_path)), on="station", how="left"
     )
-    n_batch, x_batch = fingerprint(fact_b)
+    cols = ["tms_id", "time", "fgt", "value"]
+    # raw history: every pushed row survives in the append-only store
+    n_hist, x_hist = fingerprint(spark.table(fact_table).select(*cols))
+    n_b_raw, x_b_raw = fingerprint(fact_b.select(*cols))
+    result["e1_history_rows"] = n_hist
+    result["e1_history_rows_expected"] = (
+        RUNS * len(SYSTEMS) * (T_N - 1) * SN * WE
+    )
+    result["e1_history_route_equal"] = bool(
+        n_hist == n_b_raw and x_hist == x_b_raw
+    )
+    # latest view: the K1 upsert semantics — later run's fgt wins on
+    # every overlapping (tms_id, time) key
+    w_lat = Window.partitionBy("tms_id", "time").orderBy(
+        F.col("fgt").desc()
+    )
+    fact_lat_b = (
+        fact_b.withColumn("__rn", F.row_number().over(w_lat))
+        .filter("__rn = 1").drop("__rn")
+    )
+    n_stream, x_stream = fingerprint(
+        read_fact_latest(spark, fact_table).select(*cols)
+    )
+    n_batch, x_batch = fingerprint(fact_lat_b.select(*cols))
     result["e1_rows"] = n_stream
-    result["e1_rows_expected"] = len(SYSTEMS) * (T_N - 1) * SN * WE
+    # run r shifts the window +6h = 24 slots of 15 min, so each extra
+    # run adds min(24, span) distinct slots per series (24 when the
+    # windows overlap — the full-size case; the whole span when a
+    # mini-dims window is shorter than the shift)
+    result["e1_rows_expected"] = len(SYSTEMS) * SN * WE * (
+        (T_N - 1) + min(24, T_N - 1) * (RUNS - 1)
+    )
     result["e1_batch_route_equal"] = bool(
         n_stream == n_batch and x_stream == x_batch
     )
     hybrid_raw = build_hybrid_rfield(
-        fact_b.select("tms_id", "time", "value"), runs_b,
+        fact_lat_b.select("tms_id", "time", "value"), runs_b,
         obs_station, obs_data, grid_map, sources=sources,
     )
     n_h1, x_h1 = fingerprint(hybrid)

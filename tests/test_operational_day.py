@@ -22,7 +22,10 @@ def test_mini_operational_day_checks_hold(tmp_path):
     env = dict(
         os.environ,
         OPDAY_SYSTEMS="A,C",
-        OPDAY_DIMS="13,10,7",
+        # span 29 slots > the 24-slot run shift, so the two cron
+        # cycles OVERLAP and the latest-fgt upsert is exercised
+        OPDAY_DIMS="30,6,5",
+        OPDAY_RUNS="2",
         OPDAY_WORK=str(tmp_path / "opday"),
         SPARK_GRAFT_CPUS="4",
     )
@@ -36,10 +39,18 @@ def test_mini_operational_day_checks_hold(tmp_path):
     )
     assert proc.returncode == 0, proc.stderr[-3000:]
     result = json.loads(proc.stdout.strip().splitlines()[-1])
-    # 2 systems × (13-1) timesteps × 10 × 7 cells
-    assert result["e1_rows"] == result["e1_rows_expected"] == 2 * 12 * 70
+    # latest view: 2 systems × 30 cells × (29 + 24 overlap-shifted)
+    assert result["e1_rows"] == result["e1_rows_expected"] == 2 * 30 * 53
+    # raw history keeps every pushed row: 2 runs × 2 sys × 29 × 30
+    assert (
+        result["e1_history_rows"]
+        == result["e1_history_rows_expected"]
+        == 2 * 2 * 29 * 30
+    )
+    assert result["e1_history_route_equal"] is True
     assert result["e1_batch_route_equal"] is True
     assert result["e3_store_route_equal"] is True
+    assert result["micro_batches"] == 2  # one per cron cycle
     assert result["e3_rows"] > 0
     assert result["e2_files"] > 0
     assert result["micro_batches"] >= 1
