@@ -180,19 +180,24 @@ def bpe_learn_fast(
 
     spark = docs.sparkSession
     wc = word_counts(docs, text_col)
-    if max_vocab_words is not None:
+    guarded = max_vocab_words is None
+    if not guarded:
         wc = wc.orderBy(F.desc("c"), "word").limit(max_vocab_words)
     else:
         # the collected vocabulary is bounded for natural-language
         # text (~10⁵ words) but a web crawl's whitespace-token tail
         # (URLs, base64 junk) is 10⁸+ — an uncapped collect there
-        # OOMs the DRIVER, the worst failure mode.  A cheap
-        # approx_count_distinct pre-check (one extra pass over the
-        # already-shuffled counts) fails with guidance instead.
+        # OOMs the DRIVER, the worst failure mode.  The pre-check
+        # fails with guidance instead.  wc is PERSISTED so the check
+        # and the collect share one corpus scan (executor storage,
+        # spill-safe — even an over-budget vocab materializes
+        # distributed, never on the driver).
+        wc = wc.persist()
         approx = wc.agg(
             F.approx_count_distinct("word").alias("n")
         ).first()["n"]
         if approx > vocab_driver_budget:
+            wc.unpersist()
             raise ValueError(
                 f"bpe_learn_fast: ~{approx:,} distinct words exceed "
                 f"the driver vocab budget ({vocab_driver_budget:,}). "
@@ -204,6 +209,8 @@ def bpe_learn_fast(
                 "1M distinct words)."
             )
     rows = wc.collect()
+    if guarded:
+        wc.unpersist()
     words: list[tuple[list[str], int]] = [
         (list(r["word"]), int(r["c"])) for r in rows
     ]

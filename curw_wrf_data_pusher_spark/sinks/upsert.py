@@ -62,10 +62,21 @@ def upsert_parquet(
       point leaves either the old or the new store fully intact — never
       the half-deleted state a second overwrite-write would risk.
     """
+    from pyspark.errors import AnalysisException
+
+    from ..functions.errors import is_missing_input
+
     try:
         existing = spark.read.parquet(store_path)
         has_existing = True
-    except Exception:
+    except AnalysisException as exc:
+        # ONLY "no store yet" (missing/empty path) may start a fresh
+        # store; a transient read failure on an EXISTING store must
+        # propagate — swallowing it would stage `new_rows` alone and
+        # rename it over months of history (the swallow-everything
+        # anti-pattern functions/errors.py exists to eliminate)
+        if not is_missing_input(exc, allow_empty=True):
+            raise
         has_existing = False
 
     if has_existing and partition_cols:

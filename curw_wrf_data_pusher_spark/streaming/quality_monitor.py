@@ -155,9 +155,12 @@ def stream_gauge_qc(
 
     Per micro-batch of arriving readings (hash_id, time, value):
 
-    1. upsert the arrivals into the standing gauge store (late
-       readings and corrections REPLACE by (hash_id, time) — the K1
-       idempotence contract);
+    1. upsert the arrivals into the standing hash_id-partitioned
+       gauge store (late readings and corrections REPLACE by
+       (hash_id, time) — the K1 idempotence contract; within a
+       micro-batch the LAST-arriving source file wins, ordered by
+       file mtime then path, so an original and its correction
+       landing in one availableNow batch resolve deterministically);
     2. re-run the BATCH ``qc_flags`` operator over the FULL history
        of exactly the touched series (QC is not prefix-incremental: a
        late reading can split a flatline run or create a step, so
@@ -179,20 +182,56 @@ def stream_gauge_qc(
     ``max_jump``/``min_run``/``level_expr`` pass through to
     ``qc_flags`` (use integer centi-units for cross-engine hashing,
     like the w18 row)."""
+    from pyspark.sql import Window
+
     from ..operators.qc import qc_flags
     from ..sinks.upsert import upsert_parquet
 
-    arrivals = spark.readStream.schema(schema).parquet(watch_dir)
+    # carry the source file's (mtime, path) so same-batch redeliveries
+    # have a total arrival order — one availableNow run after downtime
+    # can hold an original AND its correction in a single micro-batch
+    arrivals = (
+        spark.readStream.schema(schema)
+        .parquet(watch_dir)
+        .select(
+            "*",
+            F.col("_metadata.file_modification_time").alias("__mt"),
+            F.col("_metadata.file_path").alias("__fp"),
+        )
+    )
 
     def _qc(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        upsert_parquet(
-            spark, batch_df, store_dir, keys=["hash_id", "time"]
+        # intra-batch last-wins per (hash_id, time): latest source
+        # file's reading survives (mtime, path-tiebroken) — without
+        # this, an original and its same-batch correction BOTH land
+        # and break the K1 replace-by-key contract
+        w_arr = Window.partitionBy("hash_id", "time").orderBy(
+            F.col("__mt").desc(), F.col("__fp").desc()
         )
-        touched = batch_df.select("hash_id").distinct()
-        hist = spark.read.parquet(store_dir).join(
-            F.broadcast(touched), on="hash_id", how="left_semi"
+        deduped = (
+            batch_df.withColumn("__rn", F.row_number().over(w_arr))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn", "__mt", "__fp")
+        )
+        # hash_id-partitioned store: the merge touches only the
+        # arriving series' partition dirs (partition col ⊂ key, as
+        # upsert_parquet's scoped merge requires)
+        upsert_parquet(
+            spark, deduped, store_dir, keys=["hash_id", "time"],
+            partition_cols=["hash_id"],
+        )
+        # bounded collect: a gauge network is dims-scale (10²-10⁴
+        # series); the literal isin prunes the store scan to the
+        # touched partitions at PLANNING time (a semi-join would scan
+        # all partitions)
+        touched = [
+            r["hash_id"]
+            for r in deduped.select("hash_id").distinct().collect()
+        ]
+        hist = spark.read.parquet(store_dir).filter(
+            F.col("hash_id").isin(touched)
         )
         flags = qc_flags(
             hist,

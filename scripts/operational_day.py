@@ -260,10 +260,21 @@ def main() -> None:
 
     def mint_station_ids(runs):
         """The reference's push-time station get-or-create
-        (wrf_data_pusher.py:222) — J5 against the persisted dim."""
+        (wrf_data_pusher.py:222) — J5 against the persisted dim.
+        Only a MISSING dim starts empty; any other read failure must
+        abort the push, or the mint would silently re-issue every
+        station id mid-day."""
+        from pyspark.errors import AnalysisException
+
+        from curw_wrf_data_pusher_spark.functions.errors import (
+            is_missing_input,
+        )
+
         try:
             dim = spark.read.parquet(dim_path)
-        except Exception:
+        except AnalysisException as exc:
+            if not is_missing_input(exc, allow_empty=True):
+                raise
             dim = spark.createDataFrame(
                 [], "station_id long, station string"
             )

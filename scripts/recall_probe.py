@@ -108,7 +108,12 @@ def anisotropize(spark, emb):
     rng = np.random.default_rng(42)
     r0 = np.linalg.qr(rng.standard_normal((dim, dim)))[0]
     s = np.exp(-np.arange(dim) / 8.0)
-    a = (r0 * s[None, :])  # R0 @ diag(s)
+    # rotate_vectors computes x @ A = Aᵀx, so applying M·x needs
+    # A = Mᵀ; passing R0·diag(s) itself would apply diag(s)·R0ᵀ·x,
+    # whose covariance is exactly diag(s²) — axis-aligned decay with
+    # NO cross-subspace mixing, silently dropping the correlated
+    # regime this transform exists to create
+    a = (r0 * s[None, :]).T  # (R0 @ diag(s))ᵀ → applies R0·diag(s)·x
     return rotate_vectors(emb, a.tolist())
 
 
@@ -158,13 +163,25 @@ def main() -> None:
     result["exact_s"] = round(time.time() - t0, 1)
 
     def measure(tag, books, rot=None):
+        from pyspark.sql import Window
+
         t = time.time()
         cp, qp = corpus, queries
         if rot is not None:
             cp = rotate_vectors(corpus, rot)
             qp = rotate_vectors(queries, rot)
-        got = pq_topk(cp, qp, m=M, k_sub=K_SUB, k=K, books=books)
+        # fetch K+1 and RE-RANK after removing the self-match: the
+        # query's own row attains the minimum ADC (its code argmins
+        # every distance table), so filtering self AFTER a K-cut
+        # would structurally zero recall@1 and waste one slot at
+        # every k — a measurement artifact, not a code-budget fact
+        got = pq_topk(cp, qp, m=M, k_sub=K_SUB, k=K + 1, books=books)
         got = got.filter(F.col("n_id") != F.col("q_id"))
+        w_rr = Window.partitionBy("q_id").orderBy("rank")
+        got = (
+            got.withColumn("rank", F.row_number().over(w_rr))
+            .filter(F.col("rank") <= K)
+        )
         full = topk_sets(got, K)
         for k in (1, 5, 10):
             sub = topk_sets(got.filter(F.col("rank") <= k), k)

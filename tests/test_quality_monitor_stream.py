@@ -268,6 +268,34 @@ def test_stream_gauge_qc_flags_and_late_arrival_retraction(
     assert [r.value for r in g1_mid] == [7.5]
 
 
+def test_stream_gauge_qc_same_batch_correction_last_wins(
+    spark, tmp_path
+):
+    """An original and its correction arriving in ONE micro-batch
+    (the availableNow-after-downtime case) resolve to the correction:
+    intra-batch last-wins by source-file mtime, and the store never
+    holds two rows for one (hash_id, time) key."""
+    d = _gauge_dirs(tmp_path)
+    _gauge_drop(spark, d["incoming"], [
+        ("g1", _ts(0), 5.0), ("g1", _ts(1), 5.0), ("g1", _ts(2), 5.0),
+    ])
+    _gauge_drop(spark, d["incoming"], [("g1", _ts(1), 9.0)])
+    # force distinct, ordered mtimes (same-second writes would tie)
+    files = sorted(
+        __import__("glob").glob(os.path.join(d["incoming"], "*.parquet"))
+    )
+    for i, f in enumerate(sorted(files, key=os.path.getmtime)):
+        os.utime(f, (1717290000 + 60 * i, 1717290000 + 60 * i))
+    _run_qc(spark, d)  # ONE run → one batch holds both files
+    store = spark.read.parquet(d["store"]).filter("hash_id = 'g1'")
+    rows = {(r.time): r.value for r in store.collect()}
+    assert rows == {_ts(0): 5.0, _ts(1): 9.0, _ts(2): 5.0}
+    qc = {r.time: (r.flatline_flag, r.spike_flag)
+          for r in spark.read.parquet(d["qc"]).collect()}
+    # the correction splits the would-be flatline run of 3
+    assert not any(fl for fl, _ in qc.values())
+
+
 def test_stream_gauge_qc_equals_batch_operator(spark, tmp_path):
     """Batch equivalence: after any sequence of drops, the streamed QC
     table row-for-row equals the registered batch operator run over
