@@ -2,11 +2,17 @@
 columns with typed metadata, processed by Arrow-batched pandas UDFs.
 
 The Spark-side machinery (schema, batching, partition sizing, UDF
-signatures) is real and tested; the codec step itself is stubbed —
-image/audio libraries are not in this container — behind
-``DECODERS``: the default "fake" decoder is deterministic so tests can
-assert end-to-end plumbing, and a real decoder (PIL/ffmpeg) drops in
-without touching the Spark plan.
+signatures) is real and tested; the decode step is REAL for every
+self-describing container (round 12, ``llmops/media_codecs.py``,
+pure stdlib/numpy from the public specs): WAV PCM full decode,
+BMP 24/32bpp full decode + nearest-neighbor resize, PNG 8-bit full
+decode (all five scanline filters) + resize, JPEG/GIF dimension and
+GIF frame-count extraction.  Only entropy-coded pixel/sample data
+(JPEG/mp3/mp4 content) and video containers stay pluggable behind
+the ``DECODERS``/``RESIZERS``/``FEATURIZERS`` registries — an
+external codec (PIL/ffmpeg) drops in without touching the Spark
+plan, and unsupported payloads fail per-row (ok=false), never the
+task.  ``_fake_decode`` remains available for plumbing tests.
 
 Scale notes: binary payloads ride the exchange only when selected —
 metadata extraction projects (id, modality, content) and nothing else;
@@ -57,10 +63,19 @@ def _unavailable_decode(payload: bytes, modality: str) -> dict:
     )
 
 
-#: Pluggable decoder registry; swap in real codecs when available.
+def _real_decode(payload: bytes, modality: str) -> dict:
+    from .media_codecs import real_media_decode
+
+    return real_media_decode(payload, modality)
+
+
+#: Pluggable decoder registry.  image/audio default to the REAL
+#: pure-Python codecs (BMP/PNG/JPEG/GIF, WAV PCM — see media_codecs);
+#: video containers genuinely need ffmpeg, so video keeps the
+#: deterministic fake until a real codec is registered.
 DECODERS: dict[str, Callable[[bytes, str], dict]] = {
-    "image": _fake_decode,
-    "audio": _fake_decode,
+    "image": _real_decode,
+    "audio": _real_decode,
     "video": _fake_decode,
 }
 
@@ -208,6 +223,31 @@ def _fake_features(payload: bytes, modality: str, dim: int) -> list[float]:
     return [v / nrm for v in vals]
 
 
+def _image_features(payload: bytes, modality: str, dim: int) -> list[float]:
+    from .media_codecs import image_content_features
+
+    return image_content_features(payload, dim)
+
+
+def _audio_features(payload: bytes, modality: str, dim: int) -> list[float]:
+    from .media_codecs import wav_signal_features
+
+    return wav_signal_features(payload, dim)
+
+
+#: Pluggable featurizer registry (modality → fn(payload, mod, dim)).
+#: image/audio default to REAL content features over the decoded
+#: pixels/PCM (channel stats + histogram; rms/zcr/spectrum — see
+#: media_codecs); video keeps the deterministic hash stand-in until a
+#: real frame pipeline is registered (an embedding MODEL is genuinely
+#: out of scope for a pure-Python layer either way).
+FEATURIZERS: dict[str, Callable[[bytes, str, int], list[float]]] = {
+    "image": _image_features,
+    "audio": _audio_features,
+    "video": _fake_features,
+}
+
+
 def extract_media_features(
     df: DataFrame,
     dim: int = 16,
@@ -238,7 +278,12 @@ def extract_media_features(
                             if r[content_col] is not None
                             else b""
                         )
-                    feat = _fake_features(payload, r[modality_col], dim)
+                    featurizer = FEATURIZERS.get(r[modality_col])
+                    if featurizer is None:
+                        raise NotImplementedError(
+                            f"no featurizer for {r[modality_col]!r}"
+                        )
+                    feat = featurizer(payload, r[modality_col], dim)
                     rows.append((r[id_col], r[modality_col], feat, dim, True))
                 except Exception:
                     rows.append((r[id_col], r[modality_col], None, dim, False))
@@ -281,8 +326,19 @@ def _unavailable_transform(payload: bytes, modality: str, *a) -> bytes:
     )
 
 
+def _real_resize(
+    payload: bytes, modality: str, width: int, height: int
+) -> bytes:
+    from .media_codecs import real_image_resize
+
+    return real_image_resize(payload, modality, width, height)
+
+
 #: Pluggable resize registry (modality → fn(payload, modality, w, h)).
-RESIZERS: dict[str, Callable[..., bytes]] = {"image": _fake_resize}
+#: image defaults to the REAL nearest-neighbor decode→resize→re-encode
+#: for BMP/PNG (media_codecs); entropy-coded containers fail per-row
+#: until an external codec is registered.
+RESIZERS: dict[str, Callable[..., bytes]] = {"image": _real_resize}
 
 
 def resize_media(

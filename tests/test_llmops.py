@@ -41,25 +41,42 @@ def test_lsh_topk_scores_match_bruteforce(spark, sf_dir):
 
 
 def test_multimodal_metadata_plumbing(spark):
+    """Round 12: image/audio decode is REAL (media_codecs) — rows
+    carry real BMP/WAV bytes; junk payloads and unknown modalities
+    fail per-row, never the task."""
+    import numpy as np
+
+    from curw_wrf_data_pusher_spark.llmops.media_codecs import (
+        encode_bmp,
+        encode_wav,
+    )
+
+    bmp = encode_bmp(np.full((7, 5, 3), 42, dtype=np.uint8))
+    wav = encode_wav(np.zeros((250, 1), dtype=np.int16), 8000)
     rows = [
-        (1, "image", b"\x89PNG fake image bytes"),
-        (2, "audio", b"RIFF fake wav"),
+        (1, "image", bmp),
+        (2, "audio", wav),
         (3, "hologram", b"unsupported modality"),
-        (4, "image", None),
+        (4, "image", None),  # null payload: nothing decodable
     ]
     df = spark.createDataFrame(rows, "id long, modality string, content binary")
     out = extract_media_metadata(df).toPandas().set_index("id")
 
-    assert bool(out.loc[1, "ok"]) and out.loc[1, "n_bytes"] == 21
-    assert out.loc[1, "width"] is not None
-    # deterministic fake decode: same payload → same dims
-    out2 = extract_media_metadata(df).toPandas().set_index("id")
-    assert out.loc[1, "width"] == out2.loc[1, "width"]
+    assert bool(out.loc[1, "ok"]) and out.loc[1, "n_bytes"] == len(bmp)
+    assert (int(out.loc[1, "width"]), int(out.loc[1, "height"])) == (5, 7)
+    # audio META_SCHEMA convention: width=sample_rate, height=channels
+    assert bool(out.loc[2, "ok"])
+    assert (int(out.loc[2, "width"]), int(out.loc[2, "n_frames"])) == (
+        8000, 250,
+    )
     # unknown modality: captured per-row, job does not die
     assert not bool(out.loc[3, "ok"])
     assert "NotImplementedError" in out.loc[3, "error"]
-    # null payload: hashed as empty, decoded ok by the fake decoder
+    # null payload: hashed as empty, fails decode per-row (honest —
+    # the pre-round-12 fake decoder reported dimensions for ANYTHING)
     assert out.loc[4, "n_bytes"] == 0
+    assert not bool(out.loc[4, "ok"])
+    assert "UnsupportedMediaError" in out.loc[4, "error"]
 
 
 def test_netcdf_reader_dispatches_pure_codecs_by_magic(spark, tmp_path):
@@ -104,7 +121,16 @@ def test_media_features_feed_similarity_search(spark):
         extract_media_features,
     )
 
-    rows = [(i, "image", f"payload-{i % 4}".encode()) for i in range(12)]
+    import numpy as np
+
+    from curw_wrf_data_pusher_spark.llmops.media_codecs import encode_bmp
+
+    rng = np.random.default_rng(0)
+    blobs = [
+        encode_bmp(rng.integers(0, 256, size=(6, 6, 3), dtype=np.uint8))
+        for _ in range(4)
+    ]
+    rows = [(i, "image", blobs[i % 4]) for i in range(12)]
     df = spark.createDataFrame(rows, "id long, modality string, content binary")
     feats = extract_media_features(df, dim=16)
     pdf = feats.toPandas()
@@ -266,22 +292,29 @@ def test_media_pointer_ingestion_path_mode(spark, tmp_path):
         read_media_pointers,
     )
 
+    import numpy as np
+
+    from curw_wrf_data_pusher_spark.llmops.media_codecs import (
+        encode_bmp,
+        encode_wav,
+    )
+
     media = tmp_path / "media"
     media.mkdir()
     blobs = {
-        "a.jpg": b"\xff\xd8jpegish-bytes",
-        "b.wav": b"RIFFwavish-bytes-123",
-        "c.mp4": b"\x00\x00ftypmp4-bytes-xyz",
+        "a.bmp": encode_bmp(np.full((2, 3, 3), 9, dtype=np.uint8)),
+        "b.wav": encode_wav(np.zeros(50, dtype=np.int16), 4000),
+        "c.mp4": b"\x00\x00ftypmp4-bytes-xyz",  # video stays fake-decoded
     }
     for name, data in blobs.items():
         (media / name).write_bytes(data)
 
     ptr = read_media_pointers(spark, str(media))
     rows = {r["media_path"].split("/")[-1]: r for r in ptr.collect()}
-    assert rows["a.jpg"]["modality"] == "image"
+    assert rows["a.bmp"]["modality"] == "image"
     assert rows["b.wav"]["modality"] == "audio"
     assert rows["c.mp4"]["modality"] == "video"
-    assert rows["a.jpg"]["n_bytes"] == len(blobs["a.jpg"])
+    assert rows["a.bmp"]["n_bytes"] == len(blobs["a.bmp"])
     assert "content" not in ptr.columns  # payloads pruned at the source
 
     with_ids = ptr.withColumn(
@@ -1335,25 +1368,36 @@ def test_bm25_multi_term_fold_is_term_sorted(spark):
 
 
 def test_resize_media_plumbing(spark):
-    import hashlib
+    """Round 12: the image resizer is REAL (decode→nearest→re-encode
+    for BMP/PNG); junk image bytes and unregistered modalities fail
+    their row only."""
+    import numpy as np
 
+    from curw_wrf_data_pusher_spark.llmops.media_codecs import (
+        decode_bmp,
+        encode_bmp,
+        image_pixels,
+    )
     from curw_wrf_data_pusher_spark.llmops.multimodal import resize_media
 
+    src = np.arange(4 * 6 * 3, dtype=np.uint8).reshape(4, 6, 3)
     rows = [
-        (1, "image", bytearray(b"img-bytes-one")),
-        (2, "image", bytearray(b"img-bytes-two")),
+        (1, "image", bytearray(encode_bmp(src))),
+        (2, "image", bytearray(b"entropy-coded-or-junk")),
         (3, "audio", bytearray(b"not-resizable")),  # no audio resizer
     ]
     df = spark.createDataFrame(
         rows, "id long, modality string, content binary"
     )
-    out = {r.id: r for r in resize_media(df, 224, 128).collect()}
-    for i in (1, 2):
-        assert out[i].ok and out[i].width == 224 and out[i].height == 128
-        expect = (224).to_bytes(4, "big") + (128).to_bytes(4, "big") + \
-            hashlib.sha256(bytes(rows[i - 1][2])).digest()
-        assert bytes(out[i].content) == expect  # deterministic fake
-    # per-row failure isolation: unregistered modality fails its row only
+    out = {r.id: r for r in resize_media(df, 3, 2).collect()}
+    assert out[1].ok and out[1].width == 3 and out[1].height == 2
+    resized = bytes(out[1].content)
+    meta = decode_bmp(resized)
+    assert (meta["width"], meta["height"]) == (3, 2)
+    # nearest-neighbor on an exact 2x grid: every other pixel survives
+    assert (image_pixels(resized) == src[::2, ::2]).all()
+    # per-row failure isolation: undecodable image, unregistered audio
+    assert not out[2].ok and "UnsupportedMediaError" in out[2].error
     assert not out[3].ok and "NotImplementedError" in out[3].error
     assert out[3].content is None
 
@@ -1384,8 +1428,14 @@ def test_sample_frames_plumbing(spark):
 
 
 def test_sampled_frames_feed_resize_and_features(spark):
-    # composition: video → frames → per-frame features, all Arrow-batched
+    # composition: video → frames → per-frame features, all
+    # Arrow-batched.  The fake frame sampler emits hash bytes (real
+    # video decode needs ffmpeg), so the image featurizer is swapped
+    # for the fake one within the test — the composition under test
+    # is the Spark plumbing, not the codec.
     from curw_wrf_data_pusher_spark.llmops.multimodal import (
+        FEATURIZERS,
+        _fake_features,
         extract_media_features,
         sample_frames,
     )
@@ -1399,7 +1449,12 @@ def test_sampled_frames_feed_resize_and_features(spark):
         F.lit("image").alias("modality"),
         F.col("frame").alias("content"),
     )
-    feats = extract_media_features(frames, dim=8).collect()
+    real = FEATURIZERS["image"]
+    FEATURIZERS["image"] = _fake_features
+    try:
+        feats = extract_media_features(frames, dim=8).collect()
+    finally:
+        FEATURIZERS["image"] = real
     assert sorted(r.id for r in feats) == [70, 71]
     assert all(r.ok and len(r.feature) == 8 for r in feats)
 
