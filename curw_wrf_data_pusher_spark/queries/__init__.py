@@ -301,6 +301,12 @@ _TAIL = [
                              # index read, the probe-set pushdown
                              # plan gate stays pytest) + llm_opq_serve
                              # (head: pinned-index serving)
+    # -- round-12 addition (REAL media decode gate — rotation
+    #    candidate for round 13; the mapInPandas binary plumbing is
+    #    head-covered by llm_binary_metadata and the codecs carry
+    #    byte-level ground truth in tests/test_media_codecs.py) --
+    "llm_media_decode",      # real BMP/WAV encode→decode vs the
+                             # oracle's arithmetic header/stride model
 ]
 
 

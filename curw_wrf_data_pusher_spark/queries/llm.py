@@ -2696,3 +2696,74 @@ def llm_privacy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("n_chars") / F.lit(50.0)).cast("long"),
         k=12, l=4,
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL media decode gate (round 12, llmops/media_codecs): payloads are
+# built IN SPARK with the real BMP/WAV encoders from arithmetic
+# parameters of doc_id, then decoded by the real default decoders —
+# and the oracle recomputes the same metadata ARITHMETICALLY (BMP
+# n_bytes = 54 + height·stride with 4-byte row padding; mono 16-bit
+# WAV n_bytes = 44 + 2·n_samples), so a wrong header walk, stride,
+# padding or chunk layout in EITHER the encoder or the decoder breaks
+# the hash.  Tail row (rotation candidate); tests/test_media_codecs.py
+# carries the byte-level ground truth (stdlib `wave`, hand-filtered
+# PNG scanlines).
+@register(
+    "llm_media_decode",
+    oracle="""
+    SELECT doc_id, 'image' AS modality,
+           CAST(1 + doc_id % 13 AS INT) AS width,
+           CAST(1 + doc_id % 7 AS INT) AS height,
+           CAST(54 + (1 + doc_id % 7)
+                     * (((1 + doc_id % 13) * 3 + 3) // 4 * 4)
+                AS BIGINT) AS n_bytes,
+           CAST(1 AS INT) AS n_frames, true AS ok
+    FROM documents WHERE doc_id % 2 = 0
+    UNION ALL
+    SELECT doc_id, 'audio', 8000, 1,
+           CAST(44 + 2 * (1 + doc_id % 50) AS BIGINT),
+           CAST(1 + doc_id % 50 AS INT), true
+    FROM documents WHERE doc_id % 2 = 1
+    """,
+)
+def llm_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from ..llmops.multimodal import extract_media_metadata
+
+    ids = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def build(batches):
+        import numpy as np
+
+        from ..llmops.media_codecs import encode_bmp, encode_wav
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                if d % 2 == 0:
+                    w, h = 1 + d % 13, 1 + d % 7
+                    payload = encode_bmp(
+                        np.full((h, w, 3), d % 256, dtype=np.uint8)
+                    )
+                    rows.append((d, "image", payload))
+                else:
+                    n = 1 + d % 50
+                    payload = encode_wav(
+                        np.full(n, d % 1000, dtype=np.int16), 8000
+                    )
+                    rows.append((d, "audio", payload))
+            yield pd.DataFrame(
+                rows, columns=["id", "modality", "content"]
+            )
+
+    media = ids.mapInPandas(
+        build, "id long, modality string, content binary"
+    )
+    meta = extract_media_metadata(media)
+    return meta.select(
+        F.col("id").alias("doc_id"), "modality",
+        "width", "height", "n_bytes", "n_frames", "ok",
+    )

@@ -185,6 +185,7 @@ EXPECTED_TAIL = [
     "a26_approx_sample_aggs",
     "llm_repetition_signals",
     "llm_filtered_ann",
+    "llm_media_decode",
 ]
 
 
