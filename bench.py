@@ -182,6 +182,11 @@ HEADLINE = [
     "w18_obs_qc",
     "llm_cooccurrence",
     "llm_privacy_audit",
+    # added round 12 (NEW rows): real media decode, stupid-backoff LM
+    # scoring, DSIR importance weights — the late round-12 families
+    "llm_media_decode",
+    "llm_stupid_backoff",
+    "llm_dsir_weights",
 ]
 
 

