@@ -37,14 +37,14 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .retrieval import _sorted_fold_sum
+from .textkeys import gram_hash_sql, tokenize
+
 
 def _bucket(gram_expr: str, buckets: int) -> str:
-    """Portable bucket id: first 8 md5 hex chars mod B (SQL-string
-    form so it can run inside transform lambdas)."""
-    return (
-        f"cast(conv(substring(md5({gram_expr}), 1, 8), 16, 10) as bigint)"
-        f" % {buckets}"
-    )
+    """Portable bucket id: the shared 32-bit gram hash mod B
+    (SQL-string form so it can run inside transform lambdas)."""
+    return f"{gram_hash_sql(gram_expr)} % {buckets}"
 
 
 def hashed_ngram_features(
@@ -56,9 +56,8 @@ def hashed_ngram_features(
     """Per-document hashed bag-of-ngrams: (id, bucket, c) with c the
     exact occurrence count of unigrams + bigrams hashing to that
     bucket.  Map-side explode, one (id, bucket) shuffle."""
-    tok = docs.select(
-        F.col(id_col), F.split(F.trim(F.col(text_col)), " ").alias("__t")
-    ).filter(F.size("__t") >= 1)
+    # (split of a trimmed string is never empty, so no size filter)
+    tok = tokenize(docs, id_col, text_col)
     uni = _bucket("x", buckets)
     big = _bucket("__t[i] || ' ' || __t[i + 1]", buckets)
     grams = tok.select(
@@ -131,14 +130,6 @@ def dsir_log_weights(
         "rc",
         (F.col("c") * F.log(ratio)).alias("contrib"),
     )
-    sorted_contribs = F.transform(
-        F.array_sort(
-            F.collect_list(
-                F.struct(F.col("bucket").alias("b"), F.col("contrib").alias("v"))
-            )
-        ),
-        lambda x: x["v"],
-    )
     return j.groupBy(id_col).agg(
         F.sum("c").cast("long").alias("n_grams"),
         F.sum(F.col("c") * F.col("tc")).cast("long").alias("dot_t"),
@@ -146,10 +137,11 @@ def dsir_log_weights(
         F.sum(F.when(F.col("tc") == 0, F.col("c")).otherwise(0))
         .cast("long")
         .alias("unseen_t"),
-        F.round(
-            F.aggregate(sorted_contribs, F.lit(0.0), lambda a, v: a + v),
-            score_scale,
-        ).alias("logw"),
+        # the shared bit-reproducible bucket-sorted fold (see
+        # retrieval._sorted_fold_sum — one definition for every
+        # cross-engine float-sum contract)
+        _sorted_fold_sum(score_scale, key_col="bucket", val_col="contrib")
+        .alias("logw"),
     )
 
 

@@ -48,8 +48,11 @@ part of the beyond-reference training-data curation surface
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from .textkeys import gram_hash as _gram_hash
+from .textkeys import tokenize as _tokens
 
 #: Quantization scale: scores are integer nano-probabilities.
 SCALE = 1_000_000_000
@@ -59,19 +62,24 @@ BI_SCALE = 400_000_000  # 0.4  * SCALE
 UNI_SCALE = 160_000_000  # 0.4^2 * SCALE
 
 
-def _gram_hash(*cols: str) -> Column:
-    """Portable 32-bit gram hash: first 8 md5 hex chars of the
-    space-joined tokens, as BIGINT (identical in DuckDB as
-    ``('0x' || substr(md5(g), 1, 8))::BIGINT``)."""
-    parts = " || ' ' || ".join(cols)
-    return F.expr(
-        f"cast(conv(substring(md5({parts}), 1, 8), 16, 10) as bigint)"
-    )
-
-
-def _tokens(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    return docs.select(
-        F.col(id_col), F.split(F.trim(F.col(text_col)), " ").alias("__t")
+def _gram_hash_stream(tok: DataFrame, n: int) -> DataFrame:
+    """One row per order-``n`` gram instance of the tokenized frame,
+    as the portable 32-bit hash column ``h`` (map-side explode)."""
+    if n == 1:
+        return tok.select(F.explode("__t").alias("__w")).select(
+            _gram_hash("__w").alias("h")
+        )
+    parts = " || ' ' || ".join(f"__t[i + {j}]" for j in range(n))
+    return (
+        tok.filter(F.size("__t") >= n)
+        .select(
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, size(__t) - {n}), i -> {parts})"
+                )
+            ).alias("__g")
+        )
+        .select(_gram_hash("__g").alias("h"))
     )
 
 
@@ -85,42 +93,96 @@ def ngram_count_tables(
     Three uniform-hash groupBys with map-side partial aggregation;
     the scalar N is the only driver-side value (one count())."""
     tok = _tokens(train, id_col, text_col)
-    uni = (
-        tok.select(F.explode("__t").alias("__w"))
-        .select(_gram_hash("__w").alias("h"))
-        .groupBy("h")
-        .agg(F.count("*").alias("c1"))
+    uni = _gram_hash_stream(tok, 1).groupBy("h").agg(
+        F.count("*").alias("c1")
     )
-    bi = (
-        tok.filter(F.size("__t") >= 2)
-        .select(
-            F.explode(
-                F.expr(
-                    "transform(sequence(0, size(__t) - 2),"
-                    " i -> __t[i] || ' ' || __t[i + 1])"
-                )
-            ).alias("__g")
-        )
-        .select(_gram_hash("__g").alias("h"))
-        .groupBy("h")
-        .agg(F.count("*").alias("c2"))
+    bi = _gram_hash_stream(tok, 2).groupBy("h").agg(
+        F.count("*").alias("c2")
     )
-    tri = (
-        tok.filter(F.size("__t") >= 3)
-        .select(
-            F.explode(
-                F.expr(
-                    "transform(sequence(0, size(__t) - 3),"
-                    " i -> __t[i] || ' ' || __t[i + 1] || ' ' || __t[i + 2])"
-                )
-            ).alias("__g")
-        )
-        .select(_gram_hash("__g").alias("h"))
-        .groupBy("h")
-        .agg(F.count("*").alias("c3"))
+    tri = _gram_hash_stream(tok, 3).groupBy("h").agg(
+        F.count("*").alias("c3")
     )
     n_tokens = tok.select(F.sum(F.size("__t"))).collect()[0][0] or 0
     return tri, bi, uni, int(n_tokens)
+
+
+# ---------------------------------------------------------------------------
+# Incremental n-gram count store: at 100 TB the count tables are never
+# rebuilt from scratch — each ingest batch appends its COUNT PARTIALS
+# (counts are additive, the textbook mergeable aggregate) and readers
+# merge on read.  Same idempotence contract as the dedup stores
+# (llmops/incremental.py): a batch id owns one partition, replaying it
+# dynamic-overwrites only that partition, history is never rewritten.
+# ---------------------------------------------------------------------------
+
+
+def update_ngram_count_store(
+    docs: DataFrame,
+    store_path: str,
+    batch: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Append one batch's n-gram count partials (n, h, c) as a store
+    partition.  Three map-side-combined groupBys over THIS BATCH only
+    — the standing corpus is never rescanned.  Total train tokens are
+    recoverable as sum(c | n=1), so the store needs no side metadata."""
+    tok = _tokens(docs, id_col, text_col)
+    parts = [
+        _gram_hash_stream(tok, n)
+        .groupBy("h")
+        .agg(F.count("*").alias("c"))
+        .select(F.lit(n).alias("n"), "h", "c")
+        for n in (1, 2, 3)
+    ]
+    u = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    (
+        u.withColumn("batch", F.lit(batch))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch")
+        .parquet(store_path)
+    )
+
+
+def read_ngram_count_tables(
+    spark, store_path: str
+) -> tuple[DataFrame, DataFrame, DataFrame, int]:
+    """Merge-on-read view of the count store: sums the per-batch
+    partials into the same (tri, bi, uni, n_tokens) contract as
+    ``ngram_count_tables`` — scoring code cannot tell the difference.
+    One uniform (n, h) shuffle over partial rows (type-scale, far
+    below token scale) plus the scalar N aggregate."""
+    merged = (
+        spark.read.parquet(store_path)
+        .groupBy("n", "h")
+        .agg(F.sum("c").alias("c"))
+    )
+    tri = merged.filter(F.col("n") == 3).select("h", F.col("c").alias("c3"))
+    bi = merged.filter(F.col("n") == 2).select("h", F.col("c").alias("c2"))
+    uni = merged.filter(F.col("n") == 1).select("h", F.col("c").alias("c1"))
+    n_tokens = (
+        merged.filter(F.col("n") == 1).agg(F.sum("c")).collect()[0][0] or 0
+    )
+    return tri, bi, uni, int(n_tokens)
+
+
+def compact_ngram_count_store(
+    spark, store_path: str, compacted_path: str
+) -> None:
+    """Fold the per-batch partials into ONE summed partition at a
+    fresh path (crash-safe swap, the incremental-store compaction
+    pattern).  Counts are additive so compaction SUMS — readers see
+    identical tables before and after."""
+    (
+        spark.read.parquet(store_path)
+        .groupBy("n", "h")
+        .agg(F.sum("c").alias("c"))
+        .withColumn("batch", F.lit("compacted"))
+        .write.mode("overwrite")
+        .partitionBy("batch")
+        .parquet(compacted_path)
+    )
 
 
 def stupid_backoff_scores(

@@ -106,19 +106,22 @@ def bm25_scores(
     )
 
 
-def _sorted_fold_sum(score_scale: int) -> Column:
-    """Sum the per-term ``contrib`` doubles in TERM-SORTED left-fold
-    order instead of ``F.sum``: float addition isn't associative, so a
-    shuffle-order-dependent sum changes in the last ulp across
-    partitionings — this form is bit-reproducible on any cluster
-    layout (and matches the DuckDB oracle's identical sorted
-    list_reduce).  Per-document term lists are bounded by |query
-    terms|, so the collect is a few elements, not a corpus blow-up."""
+def _sorted_fold_sum(
+    score_scale: int, key_col: str = "term", val_col: str = "contrib"
+) -> Column:
+    """Sum the per-``key_col`` ``val_col`` doubles in KEY-SORTED
+    left-fold order instead of ``F.sum``: float addition isn't
+    associative, so a shuffle-order-dependent sum changes in the last
+    ulp across partitionings — this form is bit-reproducible on any
+    cluster layout (and matches the DuckDB oracle's identical sorted
+    list_reduce).  Per-document key lists are bounded (query terms /
+    feature buckets), so the collect is a few elements, not a corpus
+    blow-up.  Shared by the BM25/TF-IDF scorers and DSIR."""
     sorted_contribs = F.transform(
         F.array_sort(
             F.collect_list(
                 F.struct(
-                    F.col("term").alias("t"), F.col("contrib").alias("c")
+                    F.col(key_col).alias("t"), F.col(val_col).alias("c")
                 )
             )
         ),

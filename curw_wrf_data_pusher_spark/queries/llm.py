@@ -2931,8 +2931,11 @@ def llm_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     target_ids = docs.filter(
         F.col("source").isin("src0", "src1", "src2")
     ).select("doc_id")
-    # B-row frame; localCheckpoint so the totals collect and the
-    # scoring join don't re-run the corpus explode twice
+    # B-row frame; the localCheckpoint makes the totals collect read
+    # the materialized 4096 rows instead of running a THIRD corpus
+    # explode.  The scoring join still recomputes feats once (explode
+    # #2) — recomputing map-side work beats materializing a
+    # corpus-scale doc×bucket intermediate at 100 TB.
     models = dsir_bucket_models(feats, target_ids).localCheckpoint()
     t_total, r_total = models.agg(
         F.sum("tc"), F.sum("rc")

@@ -197,9 +197,9 @@ def test_dsir_weights_vs_mirror(spark):
         ), doc_id
         assert g["logw"] == pytest.approx(lw, abs=2e-6), doc_id
     # target docs must out-weigh the off-domain docs
-    assert min(exp[1][4], exp[2][4]) > max(exp[3][4], exp[5][4]) or True
-    assert got[1]["logw"] > got[3]["logw"]
-    assert got[2]["logw"] > got[5]["logw"]
+    assert min(got[1]["logw"], got[2]["logw"]) > max(
+        got[3]["logw"], got[5]["logw"]
+    )
 
 
 def test_dsir_resample_deterministic_and_seeded(spark):
@@ -216,3 +216,64 @@ def test_dsir_resample_deterministic_and_seeded(spark):
     # quartile should dominate the sample
     heavy = sum(1 for d in s1 if d >= 30)
     assert heavy >= 4
+
+
+def _df_counts(df, key, val):
+    return {r[key]: r[val] for r in df.collect()}
+
+
+def test_ngram_count_store_incremental_lifecycle(spark, tmp_path):
+    from curw_wrf_data_pusher_spark.llmops.ngramlm import (
+        compact_ngram_count_store,
+        read_ngram_count_tables,
+        update_ngram_count_store,
+    )
+
+    store = str(tmp_path / "lm_store")
+    b1 = spark.createDataFrame(
+        [(1, "a b c a"), (2, "b c d")], "doc_id long, text string"
+    )
+    b2 = spark.createDataFrame(
+        [(3, "c d e a b"), (4, "a")], "doc_id long, text string"
+    )
+    update_ngram_count_store(b1, store, batch="b1")
+    update_ngram_count_store(b2, store, batch="b2")
+
+    # merge-on-read == one-shot tables over the unioned corpus
+    tri_s, bi_s, uni_s, n_s = read_ngram_count_tables(spark, store)
+    tri_d, bi_d, uni_d, n_d = ngram_count_tables(b1.unionByName(b2))
+    assert n_s == n_d == 13  # 4 + 3 + 5 + 1 tokens
+    assert _df_counts(uni_s, "h", "c1") == _df_counts(uni_d, "h", "c1")
+    assert _df_counts(bi_s, "h", "c2") == _df_counts(bi_d, "h", "c2")
+    assert _df_counts(tri_s, "h", "c3") == _df_counts(tri_d, "h", "c3")
+
+    # snapshot the first read's contents BEFORE replaying (an
+    # overwrite rewrites the partition files, so pre-replay frames
+    # must not be re-collected afterwards — standard store contract)
+    uni_snap = _df_counts(uni_s, "h", "c1")
+    bi_snap = _df_counts(bi_s, "h", "c2")
+    tri_snap = _df_counts(tri_s, "h", "c3")
+
+    # replaying a batch id is idempotent (dynamic partition overwrite)
+    update_ngram_count_store(b2, store, batch="b2")
+    tri_r, bi_r, uni_r, n_r = read_ngram_count_tables(spark, store)
+    assert n_r == n_s
+    assert _df_counts(uni_r, "h", "c1") == uni_snap
+
+    # compaction sums partials; readers see identical tables
+    compacted = str(tmp_path / "lm_store_compacted")
+    compact_ngram_count_store(spark, store, compacted)
+    tri_c, bi_c, uni_c, n_c = read_ngram_count_tables(spark, compacted)
+    assert n_c == n_s
+    assert _df_counts(tri_c, "h", "c3") == tri_snap
+    assert _df_counts(bi_c, "h", "c2") == bi_snap
+    assert _df_counts(uni_c, "h", "c1") == uni_snap
+
+    # scoring from the store == scoring from the direct tables
+    ev = spark.createDataFrame([(9, "a b c x y")], "doc_id long, text string")
+    from_store = stupid_backoff_scores(ev, tri_r, bi_r, uni_r, n_r).collect()
+    direct = stupid_backoff_scores(ev, tri_d, bi_d, uni_d, n_d).collect()
+    key = lambda d: d["doc_id"]  # noqa: E731
+    assert sorted((r.asDict() for r in from_store), key=key) == sorted(
+        (r.asDict() for r in direct), key=key
+    )
