@@ -146,18 +146,24 @@ def update_ngram_count_store(
 
 
 def read_ngram_count_tables(
-    spark, store_path: str
+    spark, store_path: str, exclude_batch: str | None = None
 ) -> tuple[DataFrame, DataFrame, DataFrame, int]:
     """Merge-on-read view of the count store: sums the per-batch
     partials into the same (tri, bi, uni, n_tokens) contract as
     ``ngram_count_tables`` — scoring code cannot tell the difference.
     One uniform (n, h) shuffle over partial rows (type-scale, far
-    below token scale) plus the scalar N aggregate."""
-    merged = (
-        spark.read.parquet(store_path)
-        .groupBy("n", "h")
-        .agg(F.sum("c").alias("c"))
-    )
+    below token scale) plus the scalar N aggregate.
+
+    ``exclude_batch`` drops one batch partition from the view (a
+    partition-pruned filter).  The streaming LM gate passes its OWN
+    batch id here so a replayed micro-batch scores against
+    store-minus-self — without it, a batch that already committed its
+    partials would re-score against a store that includes itself and
+    could route documents differently on replay."""
+    raw = spark.read.parquet(store_path)
+    if exclude_batch is not None:
+        raw = raw.filter(F.col("batch") != exclude_batch)
+    merged = raw.groupBy("n", "h").agg(F.sum("c").alias("c"))
     tri = merged.filter(F.col("n") == 3).select("h", F.col("c").alias("c3"))
     bi = merged.filter(F.col("n") == 2).select("h", F.col("c").alias("c2"))
     uni = merged.filter(F.col("n") == 1).select("h", F.col("c").alias("c1"))

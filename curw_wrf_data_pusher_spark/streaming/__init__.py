@@ -6,14 +6,20 @@ from .file_stream import (
     stream_wrf_push,
     windowed_obs_resample,
 )
-from .quality_monitor import stream_quality_monitor
+from .quality_monitor import (
+    stream_gauge_qc,
+    stream_lm_gate,
+    stream_quality_monitor,
+)
 from .stateful import running_gauge_totals
 
 __all__ = [
     "dedup_within_watermark",
     "running_gauge_totals",
     "session_window_agg",
+    "stream_gauge_qc",
     "stream_ingest_documents",
+    "stream_lm_gate",
     "stream_quality_monitor",
     "stream_stream_join",
     "stream_wrf_push",

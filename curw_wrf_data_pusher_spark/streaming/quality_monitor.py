@@ -255,3 +255,127 @@ def stream_gauge_qc(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_lm_gate(
+    spark: SparkSession,
+    watch_dir: str,
+    store_path: str,
+    out_dir: str,
+    quarantine_dir: str,
+    metrics_dir: str,
+    checkpoint_dir: str,
+    schema: StructType | str,
+    min_avg_q: int = 1,
+    update_store: bool = True,
+    available_now: bool = True,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> StreamingQuery:
+    """Streaming LM fluency gate: per micro-batch, score arriving
+    documents with the stupid-backoff LM against the PERSISTED n-gram
+    count store and route PER DOCUMENT (the CCNet shape — a batch is
+    not all-good or all-bad): docs whose mean per-position nano-score
+    clears ``min_avg_q`` append to the clean corpus, the rest land in
+    quarantine; survivors' count partials then feed the store back
+    (``update_store``), so the gate's language model grows with the
+    corpus it accepts — the incremental LM loop.
+
+    Contracts, all batch-operator-backed (one implementation, two
+    execution modes):
+    - the pass test is EXACT integer arithmetic: ``score_q >=
+      min_avg_q * n_scored`` (no float division);
+    - docs with fewer than 3 tokens have no trigram positions and
+      pass unjudged (NULL score in the routed output) — the gate
+      judges fluency, not length (length gates are
+      ``quality_features``' job);
+    - COLD START: while the store is absent/empty every doc passes
+      unjudged and (with ``update_store``) bootstraps the store;
+    - REPLAY: outputs are batch-id-keyed overwrites AND scoring reads
+      store-minus-self (``read_ngram_count_tables(...,
+      exclude_batch=<own batch>)``), so a redelivered micro-batch
+      whose store commit already landed re-scores against exactly the
+      state it originally saw and re-routes identically.  Any store
+      read error other than missing-input re-raises
+      (``functions.errors.is_missing_input``)."""
+    from pyspark.sql.utils import AnalysisException
+
+    from ..functions.errors import is_missing_input
+    from ..llmops.ngramlm import (
+        read_ngram_count_tables,
+        stupid_backoff_scores,
+        update_ngram_count_store,
+    )
+
+    arrivals = spark.readStream.schema(schema).parquet(watch_dir)
+
+    def _gate(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        batch_key = f"b{batch_id:020d}"
+        tables = None
+        try:
+            tri, bi, uni, n_tokens = read_ngram_count_tables(
+                spark, store_path, exclude_batch=batch_key
+            )
+            if n_tokens > 0:
+                tables = (tri, bi, uni, n_tokens)
+        except AnalysisException as e:
+            if not is_missing_input(e, allow_empty=True):
+                raise
+        n_rows = batch_df.count()
+        if tables is None:
+            # bootstrap: no model yet — everything passes unjudged
+            survivors = batch_df.select(
+                *batch_df.columns,
+                F.lit(None).cast("long").alias("score_q"),
+                F.lit(None).cast("long").alias("n_scored"),
+            )
+            rejected = survivors.limit(0)
+            n_scored_docs = 0
+        else:
+            scores = stupid_backoff_scores(
+                batch_df, *tables, id_col=id_col, text_col=text_col
+            ).select(id_col, "score_q", "n_scored")
+            joined = batch_df.join(scores, id_col, "left")
+            # exact integer pass test; unscored (short) docs pass
+            fail = (
+                F.col("n_scored").isNotNull()
+                & (F.col("score_q") < F.lit(min_avg_q) * F.col("n_scored"))
+            )
+            routed = joined.select(
+                *batch_df.columns, "score_q", "n_scored", fail.alias("__fail")
+            ).localCheckpoint()  # score ONCE; both routes + store read it
+            survivors = routed.filter(~F.col("__fail")).drop("__fail")
+            rejected = routed.filter(F.col("__fail")).drop("__fail")
+            n_scored_docs = routed.filter(
+                F.col("n_scored").isNotNull()
+            ).count()
+        survivors.write.mode("overwrite").parquet(
+            _batch_dir(out_dir, batch_id)
+        )
+        rejected.write.mode("overwrite").parquet(
+            _batch_dir(quarantine_dir, batch_id)
+        )
+        n_rejected = rejected.count()
+        if update_store:
+            update_ngram_count_store(
+                survivors.select(id_col, text_col),
+                store_path,
+                batch=batch_key,
+                id_col=id_col,
+                text_col=text_col,
+            )
+        spark.createDataFrame(
+            [(batch_id, n_rows, n_scored_docs, n_rejected,
+              tables is not None)],
+            "batch_id long, n_rows long, n_scored_docs long, "
+            "n_rejected long, model_available boolean",
+        ).write.mode("overwrite").parquet(_batch_dir(metrics_dir, batch_id))
+
+    writer = arrivals.writeStream.foreachBatch(_gate).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

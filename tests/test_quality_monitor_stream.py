@@ -327,3 +327,110 @@ def test_stream_gauge_qc_equals_batch_operator(spark, tmp_path):
         ).collect())
     )
     assert streamed == batch and len(streamed) == 10
+
+
+# ---------------------------------------------------------------------------
+# Streaming LM fluency gate (stupid backoff vs the persisted n-gram
+# count store): bootstrap pass-through, per-document routing once the
+# model exists, self-training store growth, and batch-route
+# equivalence of the scoring.
+# ---------------------------------------------------------------------------
+
+DOC_SCHEMA = "doc_id long, text string"
+
+
+def _drop_docs(spark, path, rows):
+    spark.createDataFrame(rows, DOC_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+
+
+def _lm_dirs(tmp_path):
+    d = {n: str(tmp_path / n)
+         for n in ("incoming", "clean", "quarantine", "metrics",
+                   "ckpt", "store")}
+    os.makedirs(d["incoming"])
+    return d
+
+
+def test_stream_lm_gate_bootstrap_route_and_self_training(spark, tmp_path):
+    from curw_wrf_data_pusher_spark.llmops.ngramlm import (
+        read_ngram_count_tables,
+        stupid_backoff_scores,
+    )
+    from curw_wrf_data_pusher_spark.streaming.quality_monitor import (
+        stream_lm_gate,
+    )
+
+    d = _lm_dirs(tmp_path)
+    fluent = "the quick brown fox jumps over the lazy dog again and again"
+    # batch 0 (bootstrap: no store yet -> everything passes unjudged)
+    _drop_docs(spark, d["incoming"], [(i, fluent) for i in range(6)])
+    q = stream_lm_gate(
+        spark, d["incoming"], d["store"], d["clean"], d["quarantine"],
+        d["metrics"], d["ckpt"], DOC_SCHEMA, min_avg_q=1,
+    )
+    q.awaitTermination(120)
+
+    clean0 = spark.read.parquet(d["clean"])
+    assert clean0.count() == 6
+    assert clean0.filter(F.col("score_q").isNotNull()).count() == 0
+    store_batches = set(
+        r.batch for r in spark.read.parquet(d["store"])
+        .select("batch").distinct().collect()
+    )
+    assert len(store_batches) == 1  # bootstrap batch committed partials
+
+    # batch 1: five fluent docs + one gibberish doc (no trigram of it
+    # appears in the store -> every position backs off to unseen
+    # unigrams -> score_q == 0 -> rejected)
+    gibberish = "zxq wvu tsr qpo nml kji hgf edc ba"
+    rows = [(100 + i, fluent) for i in range(5)] + [(999, gibberish)]
+    _drop_docs(spark, d["incoming"], rows)
+    q = stream_lm_gate(
+        spark, d["incoming"], d["store"], d["clean"], d["quarantine"],
+        d["metrics"], d["ckpt"], DOC_SCHEMA, min_avg_q=1,
+    )
+    q.awaitTermination(120)
+
+    quar = spark.read.parquet(d["quarantine"])
+    assert [r.doc_id for r in quar.collect()] == [999]
+    assert quar.collect()[0].score_q == 0
+    clean = spark.read.parquet(d["clean"])
+    assert clean.count() == 11  # 6 bootstrap + 5 fluent survivors
+    # batch-1 survivors were genuinely judged (non-null scores)
+    judged = clean.filter(F.col("doc_id") >= 100)
+    assert judged.count() == 5
+    assert all(r.score_q > 0 for r in judged.collect())
+
+    # self-training: the store grew by exactly the survivors' batch
+    store_batches2 = set(
+        r.batch for r in spark.read.parquet(d["store"])
+        .select("batch").distinct().collect()
+    )
+    assert len(store_batches2) == 2 and store_batches < store_batches2
+
+    # batch-route equivalence: scoring batch-1 docs with the BATCH
+    # operator against store-minus-batch-1 reproduces the routing
+    b1_key = sorted(store_batches2 - store_batches)[0]
+    tri, bi, uni, n = read_ngram_count_tables(
+        spark, d["store"], exclude_batch=b1_key
+    )
+    batch1 = spark.createDataFrame(rows, DOC_SCHEMA)
+    scores = {
+        r.doc_id: r.score_q
+        for r in stupid_backoff_scores(batch1, tri, bi, uni, n).collect()
+    }
+    assert scores[999] == 0
+    assert all(scores[100 + i] >= 1 * 10 for i in range(5))
+    stream_scores = {r.doc_id: r.score_q for r in judged.collect()}
+    assert {k: v for k, v in scores.items() if k != 999} == stream_scores
+
+    # metrics: batch 0 had no model, batch 1 did and rejected one doc
+    m = {r.batch_id: r for r in spark.read.parquet(d["metrics"]).collect()}
+    assert len(m) == 2
+    boot = m[min(m)]
+    live = m[max(m)]
+    assert not boot.model_available and boot.n_rejected == 0
+    assert live.model_available and live.n_rejected == 1
+    assert live.n_scored_docs == 6
