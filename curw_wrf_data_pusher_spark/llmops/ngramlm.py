@@ -145,28 +145,53 @@ def update_ngram_count_store(
     )
 
 
+def read_merged_counts(
+    spark, store_path: str, exclude_batch: str | None = None
+) -> DataFrame:
+    """Merge-on-read (n, h, c) view of the count store: ONE uniform
+    (n, h) shuffle summing the per-batch partials (type-scale, far
+    below token scale).
+
+    ``exclude_batch`` drops one batch partition from the view (a
+    partition-pruned filter).  The streaming LM gate passes its OWN
+    batch key here so a replayed micro-batch scores against
+    store-minus-self — without it, a batch that already committed its
+    partials would re-score against a store that includes itself and
+    could route documents differently on replay.  NOTE: compaction
+    folds history into batch='compacted', which makes exclude_batch
+    unable to carve a pre-compaction batch back out — so compact ONLY
+    while no gate is running and its checkpoint has committed every
+    batch whose partials are in the store (the same quiesce-then-swap
+    discipline as the other stores' compaction)."""
+    raw = spark.read.parquet(store_path)
+    if exclude_batch is not None:
+        raw = raw.filter(F.col("batch") != exclude_batch)
+    return raw.groupBy("n", "h").agg(F.sum("c").alias("c"))
+
+
+def split_count_tables(
+    merged: DataFrame,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Split a merged (n, h, c) view into the (tri, bi, uni) frames
+    of the ``ngram_count_tables`` contract."""
+    tri = merged.filter(F.col("n") == 3).select("h", F.col("c").alias("c3"))
+    bi = merged.filter(F.col("n") == 2).select("h", F.col("c").alias("c2"))
+    uni = merged.filter(F.col("n") == 1).select("h", F.col("c").alias("c1"))
+    return tri, bi, uni
+
+
 def read_ngram_count_tables(
     spark, store_path: str, exclude_batch: str | None = None
 ) -> tuple[DataFrame, DataFrame, DataFrame, int]:
     """Merge-on-read view of the count store: sums the per-batch
     partials into the same (tri, bi, uni, n_tokens) contract as
     ``ngram_count_tables`` — scoring code cannot tell the difference.
-    One uniform (n, h) shuffle over partial rows (type-scale, far
-    below token scale) plus the scalar N aggregate.
-
-    ``exclude_batch`` drops one batch partition from the view (a
-    partition-pruned filter).  The streaming LM gate passes its OWN
-    batch id here so a replayed micro-batch scores against
-    store-minus-self — without it, a batch that already committed its
-    partials would re-score against a store that includes itself and
-    could route documents differently on replay."""
-    raw = spark.read.parquet(store_path)
-    if exclude_batch is not None:
-        raw = raw.filter(F.col("batch") != exclude_batch)
-    merged = raw.groupBy("n", "h").agg(F.sum("c").alias("c"))
-    tri = merged.filter(F.col("n") == 3).select("h", F.col("c").alias("c3"))
-    bi = merged.filter(F.col("n") == 2).select("h", F.col("c").alias("c2"))
-    uni = merged.filter(F.col("n") == 1).select("h", F.col("c").alias("c1"))
+    Composes ``read_merged_counts`` + ``split_count_tables`` plus the
+    scalar N aggregate (callers in a hot loop — the streaming gate —
+    persist the merged view themselves so the N collect and the five
+    scoring joins share one store scan)."""
+    merged = read_merged_counts(spark, store_path, exclude_batch)
+    tri, bi, uni = split_count_tables(merged)
     n_tokens = (
         merged.filter(F.col("n") == 1).agg(F.sum("c")).collect()[0][0] or 0
     )
@@ -179,7 +204,14 @@ def compact_ngram_count_store(
     """Fold the per-batch partials into ONE summed partition at a
     fresh path (crash-safe swap, the incremental-store compaction
     pattern).  Counts are additive so compaction SUMS — readers see
-    identical tables before and after."""
+    identical tables before and after.
+
+    Operational contract (same as the other stores): compact only
+    while no writer is running AND every batch whose partials are in
+    the store has committed its stream checkpoint — compaction
+    collapses batch provenance to 'compacted', so a mid-recovery
+    replay could no longer exclude its own partials via
+    ``read_merged_counts(exclude_batch=...)``."""
     (
         spark.read.parquet(store_path)
         .groupBy("n", "h")

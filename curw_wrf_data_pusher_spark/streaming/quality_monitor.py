@@ -271,6 +271,7 @@ def stream_lm_gate(
     available_now: bool = True,
     id_col: str = "doc_id",
     text_col: str = "text",
+    run_id: str | None = None,
 ) -> StreamingQuery:
     """Streaming LM fluency gate: per micro-batch, score arriving
     documents with the stupid-backoff LM against the PERSISTED n-gram
@@ -292,86 +293,147 @@ def stream_lm_gate(
     - COLD START: while the store is absent/empty every doc passes
       unjudged and (with ``update_store``) bootstraps the store;
     - REPLAY: outputs are batch-id-keyed overwrites AND scoring reads
-      store-minus-self (``read_ngram_count_tables(...,
-      exclude_batch=<own batch>)``), so a redelivered micro-batch
+      store-minus-self (``read_merged_counts(...,
+      exclude_batch=<own batch key>)``), so a redelivered micro-batch
       whose store commit already landed re-scores against exactly the
       state it originally saw and re-routes identically.  Any store
       read error other than missing-input re-raises
-      (``functions.errors.is_missing_input``)."""
+      (``functions.errors.is_missing_input``);
+    - STORE KEYS ARE RUN-SCOPED: streaming batch ids restart at 0
+      with a fresh checkpoint, so store partitions key on
+      ``<run_id>-b<batch_id>`` where ``run_id`` defaults to a digest
+      of the checkpoint path — restarting over an existing store with
+      a NEW checkpoint location cannot overwrite or mis-exclude a
+      prior run's partials.  If you clear and reuse the SAME
+      checkpoint path, pass a fresh explicit ``run_id``;
+    - WITHIN-BATCH DEDUP: duplicate ``id_col`` rows in one
+      micro-batch (upstream redelivery) collapse to one before
+      scoring/storing, so a duplicated document cannot double-count
+      into the self-training store.  CROSS-batch exact dedup is the
+      dedup store's job (``llmops.incremental``) — compose it
+      upstream when the feed can replay across batches."""
+    import hashlib
+
     from pyspark.sql.utils import AnalysisException
 
     from ..functions.errors import is_missing_input
     from ..llmops.ngramlm import (
-        read_ngram_count_tables,
+        read_merged_counts,
+        split_count_tables,
         stupid_backoff_scores,
         update_ngram_count_store,
     )
 
+    reserved = {"score_q", "n_scored", "__fail"}
+    field_names = (
+        spark.createDataFrame([], schema).columns
+        if isinstance(schema, str)
+        else [f.name for f in schema.fields]
+    )
+    clash = reserved & set(field_names)
+    if clash:
+        raise ValueError(
+            f"input schema may not contain reserved gate columns {clash} "
+            "(e.g. do not point the gate at its own clean output)"
+        )
+    if run_id is None:
+        run_id = hashlib.md5(checkpoint_dir.encode()).hexdigest()[:8]
+
     arrivals = spark.readStream.schema(schema).parquet(watch_dir)
 
-    def _gate(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
+    def _gate(raw_df: DataFrame, batch_id: int) -> None:
+        if raw_df.isEmpty():
             return
-        batch_key = f"b{batch_id:020d}"
-        tables = None
+        # within-batch redelivery dedup + one materialization: every
+        # downstream action (count, scoring self-join, both route
+        # writes, store update) reads the cached batch, not the files
+        batch_df = raw_df.dropDuplicates([id_col]).persist()
+        merged = None
+        routed = None
         try:
-            tri, bi, uni, n_tokens = read_ngram_count_tables(
-                spark, store_path, exclude_batch=batch_key
+            batch_key = f"{run_id}-b{batch_id:020d}"
+            tables = None
+            n_tokens = 0
+            try:
+                # persist the merged model view: the N collect and the
+                # five scoring joins share ONE store scan per batch
+                merged = read_merged_counts(
+                    spark, store_path, exclude_batch=batch_key
+                ).persist()
+                n_tokens = int(
+                    merged.filter(F.col("n") == 1)
+                    .agg(F.sum("c"))
+                    .collect()[0][0]
+                    or 0
+                )
+                if n_tokens > 0:
+                    tables = split_count_tables(merged)
+            except AnalysisException as e:
+                if not is_missing_input(e, allow_empty=True):
+                    raise
+            n_rows = batch_df.count()
+            if tables is None:
+                # bootstrap: no model yet — everything passes unjudged
+                survivors = batch_df.select(
+                    *batch_df.columns,
+                    F.lit(None).cast("long").alias("score_q"),
+                    F.lit(None).cast("long").alias("n_scored"),
+                )
+                rejected = survivors.limit(0)
+                n_scored_docs = 0
+            else:
+                scores = stupid_backoff_scores(
+                    batch_df, *tables, n_tokens,
+                    id_col=id_col, text_col=text_col,
+                ).select(id_col, "score_q", "n_scored")
+                joined = batch_df.join(scores, id_col, "left")
+                # exact integer pass test; unscored (short) docs pass
+                fail = (
+                    F.col("n_scored").isNotNull()
+                    & (
+                        F.col("score_q")
+                        < F.lit(min_avg_q) * F.col("n_scored")
+                    )
+                )
+                routed = joined.select(
+                    *batch_df.columns, "score_q", "n_scored",
+                    fail.alias("__fail"),
+                ).persist()  # score ONCE; routes + store read the cache
+                survivors = routed.filter(~F.col("__fail")).drop("__fail")
+                rejected = routed.filter(F.col("__fail")).drop("__fail")
+                n_scored_docs = routed.filter(
+                    F.col("n_scored").isNotNull()
+                ).count()
+            survivors.write.mode("overwrite").parquet(
+                _batch_dir(out_dir, batch_id)
             )
-            if n_tokens > 0:
-                tables = (tri, bi, uni, n_tokens)
-        except AnalysisException as e:
-            if not is_missing_input(e, allow_empty=True):
-                raise
-        n_rows = batch_df.count()
-        if tables is None:
-            # bootstrap: no model yet — everything passes unjudged
-            survivors = batch_df.select(
-                *batch_df.columns,
-                F.lit(None).cast("long").alias("score_q"),
-                F.lit(None).cast("long").alias("n_scored"),
+            rejected.write.mode("overwrite").parquet(
+                _batch_dir(quarantine_dir, batch_id)
             )
-            rejected = survivors.limit(0)
-            n_scored_docs = 0
-        else:
-            scores = stupid_backoff_scores(
-                batch_df, *tables, id_col=id_col, text_col=text_col
-            ).select(id_col, "score_q", "n_scored")
-            joined = batch_df.join(scores, id_col, "left")
-            # exact integer pass test; unscored (short) docs pass
-            fail = (
-                F.col("n_scored").isNotNull()
-                & (F.col("score_q") < F.lit(min_avg_q) * F.col("n_scored"))
+            n_rejected = rejected.count()
+            if update_store:
+                update_ngram_count_store(
+                    survivors.select(id_col, text_col),
+                    store_path,
+                    batch=batch_key,
+                    id_col=id_col,
+                    text_col=text_col,
+                )
+            spark.createDataFrame(
+                [(batch_id, n_rows, n_scored_docs, n_rejected,
+                  tables is not None)],
+                "batch_id long, n_rows long, n_scored_docs long, "
+                "n_rejected long, model_available boolean",
+            ).write.mode("overwrite").parquet(
+                _batch_dir(metrics_dir, batch_id)
             )
-            routed = joined.select(
-                *batch_df.columns, "score_q", "n_scored", fail.alias("__fail")
-            ).localCheckpoint()  # score ONCE; both routes + store read it
-            survivors = routed.filter(~F.col("__fail")).drop("__fail")
-            rejected = routed.filter(F.col("__fail")).drop("__fail")
-            n_scored_docs = routed.filter(
-                F.col("n_scored").isNotNull()
-            ).count()
-        survivors.write.mode("overwrite").parquet(
-            _batch_dir(out_dir, batch_id)
-        )
-        rejected.write.mode("overwrite").parquet(
-            _batch_dir(quarantine_dir, batch_id)
-        )
-        n_rejected = rejected.count()
-        if update_store:
-            update_ngram_count_store(
-                survivors.select(id_col, text_col),
-                store_path,
-                batch=batch_key,
-                id_col=id_col,
-                text_col=text_col,
-            )
-        spark.createDataFrame(
-            [(batch_id, n_rows, n_scored_docs, n_rejected,
-              tables is not None)],
-            "batch_id long, n_rows long, n_scored_docs long, "
-            "n_rejected long, model_available boolean",
-        ).write.mode("overwrite").parquet(_batch_dir(metrics_dir, batch_id))
+        finally:
+            # bound executor storage on long-running streams
+            batch_df.unpersist()
+            if merged is not None:
+                merged.unpersist()
+            if routed is not None:
+                routed.unpersist()
 
     writer = arrivals.writeStream.foreachBatch(_gate).option(
         "checkpointLocation", checkpoint_dir

@@ -434,3 +434,71 @@ def test_stream_lm_gate_bootstrap_route_and_self_training(spark, tmp_path):
     assert not boot.model_available and boot.n_rejected == 0
     assert live.model_available and live.n_rejected == 1
     assert live.n_scored_docs == 6
+
+
+def test_stream_lm_gate_reserved_columns_rejected(spark, tmp_path):
+    import pytest
+
+    from curw_wrf_data_pusher_spark.streaming.quality_monitor import (
+        stream_lm_gate,
+    )
+
+    d = _lm_dirs(tmp_path)
+    with pytest.raises(ValueError, match="reserved gate columns"):
+        stream_lm_gate(
+            spark, d["incoming"], d["store"], d["clean"], d["quarantine"],
+            d["metrics"], d["ckpt"], "doc_id long, text string, score_q long",
+        )
+
+
+def test_stream_lm_gate_within_batch_dedup_and_run_scoped_keys(
+    spark, tmp_path
+):
+    from curw_wrf_data_pusher_spark.streaming.quality_monitor import (
+        stream_lm_gate,
+    )
+
+    d = _lm_dirs(tmp_path)
+    text = "alpha beta gamma delta epsilon zeta eta theta"
+    # the same doc_id arrives twice in one micro-batch (upstream
+    # redelivery) -> exactly one survives, counted once in the store
+    _drop_docs(spark, d["incoming"], [(1, text), (1, text), (2, text)])
+    q = stream_lm_gate(
+        spark, d["incoming"], d["store"], d["clean"], d["quarantine"],
+        d["metrics"], d["ckpt"], DOC_SCHEMA,
+    )
+    q.awaitTermination(120)
+
+    clean = spark.read.parquet(d["clean"])
+    assert clean.count() == 2
+    assert clean.filter(F.col("doc_id") == 1).count() == 1
+    store = spark.read.parquet(d["store"])
+    # unigram total == tokens of TWO docs, not three
+    n_uni = store.filter(F.col("n") == 1).agg(F.sum("c")).collect()[0][0]
+    assert n_uni == 2 * len(text.split(" "))
+    run1_batches = {r.batch for r in store.select("batch").distinct().collect()}
+    assert len(run1_batches) == 1
+
+    # restart over the SAME store with a FRESH checkpoint: streaming
+    # batch ids restart at 0, but the run-scoped key must NOT collide
+    # with (or overwrite / mis-exclude) the first run's partition
+    _drop_docs(spark, d["incoming"] + "2", [(10, text)])
+    os.makedirs(d["ckpt"] + "2", exist_ok=True)
+    q = stream_lm_gate(
+        spark, d["incoming"] + "2", d["store"], d["clean"] + "2",
+        d["quarantine"] + "2", d["metrics"] + "2", d["ckpt"] + "2",
+        DOC_SCHEMA,
+    )
+    q.awaitTermination(120)
+
+    store2 = spark.read.parquet(d["store"])
+    batches2 = {r.batch for r in store2.select("batch").distinct().collect()}
+    assert run1_batches < batches2 and len(batches2) == 2
+    # first run's counts intact: total unigram mass grew by doc 10
+    n_uni2 = store2.filter(F.col("n") == 1).agg(F.sum("c")).collect()[0][0]
+    assert n_uni2 == n_uni + len(text.split(" "))
+    # the restarted run scored against the existing model: doc 10 is
+    # the same fluent text, so it was judged (model existed) and passed
+    clean2 = spark.read.parquet(d["clean"] + "2")
+    assert clean2.count() == 1
+    assert clean2.collect()[0].score_q is not None
