@@ -187,6 +187,8 @@ HEADLINE = [
     "llm_media_decode",
     "llm_stupid_backoff",
     "llm_dsir_weights",
+    # count-store merge-on-read serving (build cached per sf/mtime)
+    "llm_ngram_store_topk",
 ]
 
 

@@ -315,6 +315,9 @@ _TAIL = [
                              # (exact-integer backoff chain)
     "llm_dsir_weights",      # DSIR hashed-ngram importance weights
                              # (target-domain data selection)
+    "llm_ngram_store_topk",  # incremental count-store lifecycle:
+                             # two-batch append + merge-on-read ==
+                             # the oracle's one-shot counting
 ]
 
 

@@ -2944,3 +2944,81 @@ def llm_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         feats, models, int(t_total), int(r_total),
         buckets=4096, alpha=1.0, score_scale=6,
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental n-gram count STORE lifecycle, oracle-gated: the Spark
+# side builds the store from TWO batch appends (even/odd doc_ids) into
+# a per-(sf,mtime) cached temp directory, then answers from the
+# MERGE-ON-READ view (read_merged_counts + split_count_tables) — while
+# the oracle computes trigram counts directly over the whole corpus
+# and never sees a store.  A hash match therefore proves
+# two-batch-append + partial-sum-on-read == one-shot counting, the
+# store's core algebra, under the driver's gate (the lifecycle edges —
+# replay idempotence, compaction, store-fed scoring — stay in
+# tests/test_dsir_ngramlm.py).  Top-50 trigrams by (count desc, hash)
+# with the k-bounded array-rank device (no partition-less window).
+@register(
+    "llm_ngram_store_topk",
+    oracle="""
+    WITH toks AS (SELECT string_split(trim(text), ' ') AS t
+                  FROM documents),
+    tri AS (SELECT ('0x' || substr(md5(unnest(list_transform(
+                     range(1, len(t) - 1),
+                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))),
+                   1, 8))::BIGINT AS h
+            FROM toks WHERE len(t) >= 3),
+    c AS (SELECT h, count(*) AS c3 FROM tri GROUP BY h),
+    top AS (SELECT h, c3 FROM c ORDER BY c3 DESC, h LIMIT 50)
+    SELECT row_number() OVER (ORDER BY c3 DESC, h) AS rank, h, c3
+    FROM top
+    """,
+)
+def llm_ngram_store_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from ..llmops.ngramlm import (
+        read_merged_counts,
+        split_count_tables,
+        update_ngram_count_store,
+    )
+    from ..sources.lake import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "text"
+    )
+    # key the cached store on (sf_dir, source mtime), like the PQ
+    # index row: a regenerated dataset rebuilds instead of serving a
+    # stale store; presence of BOTH batch partitions marks a complete
+    # build (a half-built crash leftover rebuilds)
+    src = os.path.join(sf_dir, "documents.parquet")
+    mtime = int(os.stat(src).st_mtime) if os.path.exists(src) else 0
+    tag = f'{sf_dir.strip("/").replace("/", "_")}_{mtime}'
+    store = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_lm_store_{tag}"
+    )
+    if not all(
+        os.path.exists(os.path.join(store, f"batch={b}"))
+        for b in ("even", "odd")
+    ):
+        update_ngram_count_store(
+            docs.filter(F.col("doc_id") % 2 == 0), store, batch="even"
+        )
+        update_ngram_count_store(
+            docs.filter(F.col("doc_id") % 2 == 1), store, batch="odd"
+        )
+    tri, _, _ = split_count_tables(read_merged_counts(spark, store))
+    top = tri.orderBy(F.col("c3").desc(), F.col("h")).limit(50)
+    packed = top.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct((-F.col("c3")).alias("negc"), F.col("h").alias("h"))
+            )
+        ).alias("a")
+    )
+    return packed.select(F.posexplode("a").alias("pos", "s")).select(
+        (F.col("pos") + 1).cast("long").alias("rank"),
+        F.col("s.h").alias("h"),
+        (-F.col("s.negc")).cast("long").alias("c3"),
+    )

@@ -189,6 +189,7 @@ EXPECTED_TAIL = [
     # round-12 continuation additions (rotation candidates round 13)
     "llm_stupid_backoff",
     "llm_dsir_weights",
+    "llm_ngram_store_topk",
 ]
 
 
