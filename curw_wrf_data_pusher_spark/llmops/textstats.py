@@ -407,3 +407,51 @@ def k_anonymity_audit(
         (F.col("n") >= k).alias("k_ok"),
         (F.col("n_sensitive") >= l).alias("l_ok"),
     )
+
+
+def corpus_entropy(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    score_scale: int = 9,
+) -> DataFrame:
+    """Per-group unigram Shannon entropy + type/token counts — the
+    standard corpus-QA diagnostic (low entropy flags templated or
+    collapsed sources; the type count is the tokenizer-budget
+    signal; together with Zipf's ``vocab_topk`` they're the corpus
+    card's lexical row).
+
+    Returns (group, n_tokens, n_types, entropy) with
+    ``entropy = -sum_w p_w ln p_w`` over the group's unigram
+    distribution.  n_tokens/n_types are exact BIGINT; the entropy
+    double folds in hash-sorted order via the shared
+    ``_sorted_fold_sum`` (each |term| <= (ln n)/n-ish, magnitude
+    ~ln(types) <= ~15 — the same reproducible-ln regime as
+    ``ngram_logfreq_scores``).  Tokens hash through the shared
+    32-bit convention so only (group, hash) rows shuffle.
+
+    Scale: one (group, hash) count shuffle (map-side combined,
+    type-scale output), a group-total join (group-cardinality-sized
+    — AQE broadcasts it), one per-group fold."""
+    from .retrieval import _sorted_fold_sum
+    from .textkeys import gram_hash
+
+    tok = docs.select(
+        F.col(group_col).alias("__g"),
+        F.explode(F.split(F.trim(F.col(text_col)), " ")).alias("__w"),
+    ).select("__g", gram_hash("__w").alias("h"))
+    counts = tok.groupBy("__g", "h").agg(F.count("*").alias("c"))
+    totals = counts.groupBy("__g").agg(F.sum("c").alias("n_tokens"))
+    p = F.col("c") / (F.lit(1.0) * F.col("n_tokens"))
+    j = counts.join(totals, "__g").select(
+        "__g",
+        "h",
+        "n_tokens",
+        (-(p * F.log(p))).alias("contrib"),
+    )
+    return j.groupBy("__g").agg(
+        F.max("n_tokens").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_types"),
+        _sorted_fold_sum(score_scale, key_col="h", val_col="contrib")
+        .alias("entropy"),
+    ).withColumnRenamed("__g", group_col)

@@ -318,6 +318,8 @@ _TAIL = [
     "llm_ngram_store_topk",  # incremental count-store lifecycle:
                              # two-batch append + merge-on-read ==
                              # the oracle's one-shot counting
+    "llm_corpus_entropy",    # per-source unigram Shannon entropy +
+                             # type/token counts (corpus-card row)
 ]
 
 

@@ -3022,3 +3022,44 @@ def llm_ngram_store_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s.h").alias("h"),
         (-F.col("s.negc")).cast("long").alias("c3"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-source unigram Shannon entropy + type/token counts — the corpus
+# card's lexical diagnostic (low entropy flags templated/collapsed
+# sources; the type count sizes the tokenizer budget).  Exact BIGINT
+# counts; the entropy double uses the repo's reproducible-ln contract
+# (hash-sorted fold, 9 dp, identical p = c/(1.0*N) expression trees in
+# both engines).  Tail row; tests/test_oracle_parity gates it locally.
+@register(
+    "llm_corpus_entropy",
+    oracle="""
+    WITH tok AS (SELECT source, unnest(string_split(trim(text), ' '))
+                   AS w
+                 FROM documents),
+    hs AS (SELECT source,
+                  ('0x' || substr(md5(w), 1, 8))::BIGINT AS h
+           FROM tok),
+    c AS (SELECT source, h, count(*) AS c FROM hs GROUP BY source, h),
+    n AS (SELECT source, sum(c) AS n_tokens FROM c GROUP BY source),
+    j AS (SELECT c.source, c.h, n.n_tokens,
+                 -((c.c / (1.0 * n.n_tokens))
+                   * ln(c.c / (1.0 * n.n_tokens))) AS contrib
+          FROM c JOIN n USING (source))
+    SELECT source,
+           max(n_tokens)::BIGINT AS n_tokens,
+           count(*)::BIGINT AS n_types,
+           round(list_reduce(list_transform(
+               list_sort(list(struct_pack(t := h, c := contrib))),
+               x -> x.c), (a, b) -> a + b), 9) AS entropy
+    FROM j GROUP BY source
+    """,
+)
+def llm_corpus_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llmops.textstats import corpus_entropy
+    from ..sources.lake import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents")).select(
+        "source", "text"
+    )
+    return corpus_entropy(docs, group_col="source")

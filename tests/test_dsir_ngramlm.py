@@ -277,3 +277,29 @@ def test_ngram_count_store_incremental_lifecycle(spark, tmp_path):
     assert sorted((r.asDict() for r in from_store), key=key) == sorted(
         (r.asDict() for r in direct), key=key
     )
+
+
+def test_corpus_entropy_vs_hand_values(spark):
+    from curw_wrf_data_pusher_spark.llmops.textstats import corpus_entropy
+
+    docs = spark.createDataFrame(
+        [
+            ("A", "a a b b"),          # uniform over 2 types -> ln 2
+            ("B", "x x x"),            # single type -> 0
+            ("C", "p q r s"),          # uniform over 4 types -> ln 4
+            ("C", "p q"),              # second doc, same distribution
+        ],
+        "source string, text string",
+    )
+    got = {
+        r["source"]: r.asDict()
+        for r in corpus_entropy(docs, group_col="source").collect()
+    }
+    assert got["A"]["n_tokens"] == 4 and got["A"]["n_types"] == 2
+    assert got["A"]["entropy"] == pytest.approx(math.log(2), abs=1e-9)
+    assert got["B"]["n_tokens"] == 3 and got["B"]["n_types"] == 1
+    assert abs(got["B"]["entropy"]) == 0.0  # single-type group
+    assert got["C"]["n_tokens"] == 6 and got["C"]["n_types"] == 4
+    # C: counts (2,2,1,1)/6 -> H = ln 6 - (4/6) ln 2
+    expect = math.log(6) - (4 / 6) * math.log(2)
+    assert got["C"]["entropy"] == pytest.approx(expect, abs=1e-9)

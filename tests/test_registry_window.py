@@ -190,6 +190,7 @@ EXPECTED_TAIL = [
     "llm_stupid_backoff",
     "llm_dsir_weights",
     "llm_ngram_store_topk",
+    "llm_corpus_entropy",
 ]
 
 
