@@ -15,6 +15,8 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .textkeys import gram_hash64_sql, gram_hash_sql
+
 #: Fixed universal-hash coefficients (a, b) for MinHash h_j(x) =
 #: (a_j * x + b_j) mod p. Deterministic across runs and engines.
 MINHASH_COEFFS: list[tuple[int, int]] = [
@@ -144,7 +146,7 @@ def minhash_signatures_from_text(
             "transform("
             f"array_distinct(transform(sequence(0, size(__t) - {n}),"
             f" i -> {parts})),"
-            " g -> cast(conv(substring(md5(g), 1, 8), 16, 10) as bigint))"
+            f" g -> {gram_hash_sql('g')})"
         ).alias("__xs"),
     )
     mins = [
@@ -192,14 +194,10 @@ def simhash_from_text(
     simhash_neighbors_banded).  The top bit of a 64-bit signature
     lands in the long's sign bit; everything downstream uses xor /
     bit_count / unsigned shifts, so the sign is just a bit."""
-    if bits <= 32:
-        tok_hash = "cast(conv(substring(md5(t), 1, 8), 16, 10) as bigint)"
-    else:
-        tok_hash = (
-            "shiftleft(cast(conv(substring(md5(t), 1, 8), 16, 10)"
-            " as bigint), 32)"
-            " | cast(conv(substring(md5(t), 9, 8), 16, 10) as bigint)"
-        )
+    # both widths come from textkeys — the ONE cross-engine hash
+    # definition every oracle mirrors (a portability fix applied to a
+    # private copy would silently desync this family's oracle)
+    tok_hash = gram_hash_sql("t") if bits <= 32 else gram_hash64_sql("t")
     hashed = df.select(
         F.col(id_col),
         # backtick-quoted: a text_col with spaces/dots/reserved words

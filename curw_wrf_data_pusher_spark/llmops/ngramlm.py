@@ -18,8 +18,12 @@ nano-units using PURE BIGINT arithmetic —
 
 — so the per-document sum is an exact integer in BOTH engines (Spark
 ``div`` and DuckDB ``//`` are both floor division on non-negative
-BIGINTs; no float enters the oracle-checked path anywhere).  Counts
-top out around 10^7 at sf0.1 so 10^9 * c stays far below 2^63.
+integers; no float enters the oracle-checked path anywhere).  The
+scale*count product widens to DECIMAL(38,0) before the division: at
+100 TB a common token's count reaches ~2.5e13 and 10^9 * c would
+overflow BIGINT (silent wrap with ANSI off, hard error with ANSI on);
+DECIMAL(38,0) holds it exactly and ``div`` still returns the floored
+BIGINT quotient (<= SCALE by construction, since c <= ctx always).
 
 Scale design (the 100 TB story):
 - grams hash map-side to 32-bit ints (the corpus-standard md5
@@ -298,19 +302,32 @@ def stupid_backoff_scores(
             )
             .otherwise(F.lit("uni"))
             .alias("level"),
+            # scale * count widens to DECIMAL(38,0) before the floor
+            # division: a BIGINT multiply wraps (ANSI off) or errors
+            # (ANSI on) once a count exceeds ~9.2e9, which common
+            # tokens DO at 100 TB (~2.5e13 tokens).  DECIMAL holds
+            # scale*c up to 1e38 exactly and `div` still floors to
+            # BIGINT (the quotient is <= SCALE by construction), so
+            # both engines' integer chains stay identical — DuckDB's
+            # HUGEINT multiply is exact the same way.
             F.when(
                 (F.coalesce("c3", F.lit(0)) > 0)
                 & (F.coalesce("ctx2", F.lit(0)) > 0),
-                F.expr(f"{SCALE}L * c3 div ctx2"),
+                F.expr(
+                    f"cast({SCALE} as decimal(38, 0)) * c3 div ctx2"
+                ),
             )
             .when(
                 (F.coalesce("num2", F.lit(0)) > 0)
                 & (F.coalesce("ctx1", F.lit(0)) > 0),
-                F.expr(f"{BI_SCALE}L * num2 div ctx1"),
+                F.expr(
+                    f"cast({BI_SCALE} as decimal(38, 0)) * num2 div ctx1"
+                ),
             )
             .otherwise(
                 F.expr(
-                    f"{UNI_SCALE}L * coalesce(num1, 0L)"
+                    f"cast({UNI_SCALE} as decimal(38, 0))"
+                    f" * coalesce(num1, 0L)"
                     f" div {max(int(n_tokens), 1)}L"
                 )
             )

@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .textkeys import gram_hash_sql
+
 
 def _tokens(text_col: str) -> Column:
     """Whitespace tokens of the trimmed text — the same tokenization
@@ -203,8 +205,7 @@ def ngram_logfreq_scores(
         F.explode(
             F.expr(
                 f"transform(sequence(0, size(__t) - {n}),"
-                f" i -> cast(conv(substring(md5({parts}), 1, 8), 16, 10)"
-                " as bigint))"
+                f" i -> {gram_hash_sql(parts)})"
             )
         ).alias("__gh"),
     )

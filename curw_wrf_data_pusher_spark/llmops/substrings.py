@@ -38,6 +38,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .textkeys import gram_hash_sql
+
 _LONG_MAX = 9223372036854775807
 
 
@@ -74,8 +76,7 @@ def winnow_fingerprints(
         F.col(id_col),
         F.expr(
             f"transform(sequence(0, size(__t) - {k}),"
-            f" i -> cast(conv(substring(md5({gram}), 1, 8), 16, 10)"
-            " as bigint))"
+            f" i -> {gram_hash_sql(gram)})"
         ).alias("__h"),
     )
     # per window start w: left-to-right fold keeping the last (<=)

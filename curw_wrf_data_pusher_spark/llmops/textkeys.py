@@ -24,6 +24,22 @@ def gram_hash_sql(expr: str) -> str:
     return GRAM_HASH_SQL.format(expr=expr)
 
 
+#: 64-bit variant: two 32-bit md5 halves, (hi << 32) | lo.  Two
+#: conv() calls because a single 16-hex conv's unsigned decimal
+#: string overflows the signed bigint cast.  The hi half IS the
+#: shared 32-bit hash, so a portability fix to GRAM_HASH_SQL keeps
+#: both widths in sync.
+GRAM_HASH64_SQL = (
+    "(shiftleft(" + GRAM_HASH_SQL + ", 32)"
+    " | cast(conv(substring(md5({expr}), 9, 8), 16, 10) as bigint))"
+)
+
+
+def gram_hash64_sql(expr: str) -> str:
+    """The portable 64-bit hash around an arbitrary SQL expression."""
+    return GRAM_HASH64_SQL.format(expr=expr)
+
+
 def gram_hash(*cols: str) -> Column:
     """Portable 32-bit gram hash of the space-joined columns: first 8
     md5 hex chars as BIGINT (mirrored in DuckDB as

@@ -2990,24 +2990,44 @@ def llm_ngram_store_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # key the cached store on (sf_dir, source mtime), like the PQ
     # index row: a regenerated dataset rebuilds instead of serving a
-    # stale store; presence of BOTH batch partitions marks a complete
-    # build (a half-built crash leftover rebuilds)
+    # stale store.  Completeness is a COMMIT MARKER, not directory
+    # existence: a crashed or concurrently-running build exposes a
+    # batch partition directory before its write commits, so
+    # directory presence could serve a half-built store.  Builds go
+    # to a pid-private dir, the _COMPLETE sentinel lands after BOTH
+    # batches succeed, and an atomic rename publishes; losing the
+    # publish race just means serving our own complete private build.
     src = os.path.join(sf_dir, "documents.parquet")
     mtime = int(os.stat(src).st_mtime) if os.path.exists(src) else 0
     tag = f'{sf_dir.strip("/").replace("/", "_")}_{mtime}'
     store = os.path.join(
         tempfile.gettempdir(), f"spark_graft_lm_store_{tag}"
     )
-    if not all(
-        os.path.exists(os.path.join(store, f"batch={b}"))
-        for b in ("even", "odd")
-    ):
+    if not os.path.exists(os.path.join(store, "_COMPLETE")):
+        import shutil
+
+        build = f"{store}.build-{os.getpid()}"
+        shutil.rmtree(build, ignore_errors=True)
         update_ngram_count_store(
-            docs.filter(F.col("doc_id") % 2 == 0), store, batch="even"
+            docs.filter(F.col("doc_id") % 2 == 0), build, batch="even"
         )
         update_ngram_count_store(
-            docs.filter(F.col("doc_id") % 2 == 1), store, batch="odd"
+            docs.filter(F.col("doc_id") % 2 == 1), build, batch="odd"
         )
+        with open(os.path.join(build, "_COMPLETE"), "w"):
+            pass
+        if os.path.exists(os.path.join(store, "_COMPLETE")):
+            # another process committed while we built: serve theirs
+            shutil.rmtree(build, ignore_errors=True)
+        else:
+            try:
+                if os.path.isdir(store):
+                    # stale half-build leftover (no _COMPLETE marker)
+                    shutil.rmtree(store)
+                os.rename(build, store)
+            except OSError:
+                # lost the publish race: our build is still complete
+                store = build
     tri, _, _ = split_count_tables(read_merged_counts(spark, store))
     top = tri.orderBy(F.col("c3").desc(), F.col("h")).limit(50)
     packed = top.agg(

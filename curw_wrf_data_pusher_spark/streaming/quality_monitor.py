@@ -33,6 +33,19 @@ def _batch_dir(base: str, batch_id: int) -> str:
     return os.path.join(base, f"batch_id={batch_id}")
 
 
+def _run_batch_dir(base: str, batch_key: str) -> str:
+    """Run-scoped output partition: ``batch=<run_id>-b<batch_id>``.
+
+    Streaming batch ids restart at 0 under a fresh checkpoint, so
+    keying outputs on the bare batch id lets a restarted run silently
+    overwrite a prior run's batch-0..n directories while the count
+    store (already run-scoped) keeps both runs' partials — the
+    accepted corpus and the self-trained LM would diverge.  Keying on
+    the SAME run-scoped key the store uses makes output, quarantine,
+    metrics and store partitions line up one-to-one."""
+    return os.path.join(base, f"batch={batch_key}")
+
+
 def stream_quality_monitor(
     spark: SparkSession,
     watch_dir: str,
@@ -292,26 +305,33 @@ def stream_lm_gate(
       ``quality_features``' job);
     - COLD START: while the store is absent/empty every doc passes
       unjudged and (with ``update_store``) bootstraps the store;
-    - REPLAY: outputs are batch-id-keyed overwrites AND scoring reads
+    - REPLAY: outputs are batch-keyed overwrites AND scoring reads
       store-minus-self (``read_merged_counts(...,
       exclude_batch=<own batch key>)``), so a redelivered micro-batch
       whose store commit already landed re-scores against exactly the
       state it originally saw and re-routes identically.  Any store
       read error other than missing-input re-raises
       (``functions.errors.is_missing_input``);
-    - STORE KEYS ARE RUN-SCOPED: streaming batch ids restart at 0
-      with a fresh checkpoint, so store partitions key on
+    - STORE *AND OUTPUT* KEYS ARE RUN-SCOPED: streaming batch ids
+      restart at 0 with a fresh checkpoint, so store partitions AND
+      the clean/quarantine/metrics output partitions all key on
       ``<run_id>-b<batch_id>`` where ``run_id`` defaults to a digest
-      of the checkpoint path — restarting over an existing store with
-      a NEW checkpoint location cannot overwrite or mis-exclude a
-      prior run's partials.  If you clear and reuse the SAME
-      checkpoint path, pass a fresh explicit ``run_id``;
+      of the checkpoint path — restarting over an existing store +
+      output tree with a NEW checkpoint location can neither
+      overwrite a prior run's batch directories nor mis-exclude its
+      partials (the accepted corpus and the self-trained LM stay in
+      lockstep).  If you clear and reuse the SAME checkpoint path,
+      pass a fresh explicit ``run_id``;
     - WITHIN-BATCH DEDUP: duplicate ``id_col`` rows in one
-      micro-batch (upstream redelivery) collapse to one before
-      scoring/storing, so a duplicated document cannot double-count
-      into the self-training store.  CROSS-batch exact dedup is the
-      dedup store's job (``llmops.incremental``) — compose it
-      upstream when the feed can replay across batches."""
+      micro-batch (upstream redelivery) collapse to ONE
+      DETERMINISTIC representative — the struct-max over the
+      remaining columns — so a replay that re-delivers conflicting
+      rows under one id keeps the same row it kept the first time
+      (an arbitrary-pick dedup could route/store a different
+      duplicate on replay).  A duplicated document cannot
+      double-count into the self-training store.  CROSS-batch exact
+      dedup is the dedup store's job (``llmops.incremental``) —
+      compose it upstream when the feed can replay across batches."""
     import hashlib
 
     from pyspark.sql.utils import AnalysisException
@@ -324,7 +344,10 @@ def stream_lm_gate(
         update_ngram_count_store,
     )
 
-    reserved = {"score_q", "n_scored", "__fail"}
+    # "batch" is reserved too: the run-scoped output partitioning
+    # (batch=<run_id>-b<id>) surfaces it as a partition column when
+    # the clean/quarantine/metrics trees are read back
+    reserved = {"score_q", "n_scored", "__fail", "batch"}
     field_names = (
         spark.createDataFrame([], schema).columns
         if isinstance(schema, str)
@@ -344,10 +367,20 @@ def stream_lm_gate(
     def _gate(raw_df: DataFrame, batch_id: int) -> None:
         if raw_df.isEmpty():
             return
-        # within-batch redelivery dedup + one materialization: every
-        # downstream action (count, scoring self-join, both route
-        # writes, store update) reads the cached batch, not the files
-        batch_df = raw_df.dropDuplicates([id_col]).persist()
+        # within-batch redelivery dedup (DETERMINISTIC representative:
+        # struct-max over the non-id columns, so a replay with
+        # conflicting duplicate rows keeps the same one) + one
+        # materialization: every downstream action (count, scoring
+        # self-join, both route writes, store update) reads the
+        # cached batch, not the files
+        other_cols = [c for c in raw_df.columns if c != id_col]
+        batch_df = (
+            raw_df.groupBy(id_col)
+            .agg(F.max(F.struct(*other_cols)).alias("__rep"))
+            .select(F.col(id_col), "__rep.*")
+            .select(*raw_df.columns)
+            .persist()
+        )
         merged = None
         routed = None
         try:
@@ -405,10 +438,10 @@ def stream_lm_gate(
                     F.col("n_scored").isNotNull()
                 ).count()
             survivors.write.mode("overwrite").parquet(
-                _batch_dir(out_dir, batch_id)
+                _run_batch_dir(out_dir, batch_key)
             )
             rejected.write.mode("overwrite").parquet(
-                _batch_dir(quarantine_dir, batch_id)
+                _run_batch_dir(quarantine_dir, batch_key)
             )
             n_rejected = rejected.count()
             if update_store:
@@ -425,7 +458,7 @@ def stream_lm_gate(
                 "batch_id long, n_rows long, n_scored_docs long, "
                 "n_rejected long, model_available boolean",
             ).write.mode("overwrite").parquet(
-                _batch_dir(metrics_dir, batch_id)
+                _run_batch_dir(metrics_dir, batch_key)
             )
         finally:
             # bound executor storage on long-running streams

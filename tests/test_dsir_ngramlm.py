@@ -303,3 +303,65 @@ def test_corpus_entropy_vs_hand_values(spark):
     # C: counts (2,2,1,1)/6 -> H = ln 6 - (4/6) ln 2
     expect = math.log(6) - (4 / 6) * math.log(2)
     assert got["C"]["entropy"] == pytest.approx(expect, abs=1e-9)
+
+
+def test_stupid_backoff_counts_beyond_bigint_scale(spark):
+    """100 TB-regime counts: scale*count exceeds BIGINT on every
+    backoff level (c3 > 9.2e9 wraps SCALE*c3, num2 > 2.3e10 wraps
+    BI_SCALE*num2, num1 > 5.7e10 wraps UNI_SCALE*num1).  The
+    DECIMAL(38,0) widening keeps the integer chain exact where the
+    old BIGINT multiply silently wrapped (ANSI off) or hard-errored
+    (ANSI on — this session's default, so this test FAILS LOUDLY on a
+    regression either way)."""
+    C3 = 20_000_000_000          # trigram count at ~2.5e13 tokens
+    CTX2 = 60_000_000_000
+    NUM2 = 70_000_000_000
+    CTX1 = 90_000_000_000
+    NUM1 = 80_000_000_000
+    N = 25_000_000_000_000       # ~100 TB of text
+    tri = spark.createDataFrame([(_h("a b c"), C3)], "h long, c3 long")
+    bi = spark.createDataFrame(
+        [(_h("a b"), CTX2), (_h("c d"), NUM2)], "h long, c2 long"
+    )
+    uni = spark.createDataFrame(
+        [(_h("c"), CTX1), (_h("z"), NUM1)], "h long, c1 long"
+    )
+    ev = spark.createDataFrame(
+        [(1, "a b c d"), (2, "x y z")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in stupid_backoff_scores(ev, tri, bi, uni, N).collect()
+    }
+    # doc 1: position (a b c) tri-level, position (b c d) bi-level
+    exp1 = SCALE * C3 // CTX2 + BI_SCALE * NUM2 // CTX1
+    assert (got[1]["n_tri"], got[1]["n_bi"]) == (1, 1)
+    assert got[1]["score_q"] == exp1
+    # doc 2: single position (x y z) backs off to the unigram of "z"
+    exp2 = UNI_SCALE * NUM1 // N
+    assert got[2]["n_uni"] == 1
+    assert got[2]["score_q"] == exp2
+    # sanity: every product genuinely exceeds the BIGINT range the
+    # old arithmetic used
+    assert min(SCALE * C3, BI_SCALE * NUM2, UNI_SCALE * NUM1) > 2**63
+
+
+def test_gram_hash_single_definition():
+    """textkeys declares itself the ONE hash definition every
+    gram-hashing family shares; this pins the contract — a private
+    copy of the conv(substring(md5 expression anywhere else in the
+    package is the silent-desync hazard the docstring warns about."""
+    import pathlib
+
+    import curw_wrf_data_pusher_spark as pkg
+
+    root = pathlib.Path(pkg.__file__).parent
+    offenders = [
+        str(p.relative_to(root))
+        for p in root.rglob("*.py")
+        if p.name != "textkeys.py"
+        and "conv(substring(md5" in p.read_text()
+    ]
+    assert offenders == [], (
+        f"inline gram-hash copies outside textkeys.py: {offenders}"
+    )

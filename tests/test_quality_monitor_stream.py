@@ -502,3 +502,96 @@ def test_stream_lm_gate_within_batch_dedup_and_run_scoped_keys(
     clean2 = spark.read.parquet(d["clean"] + "2")
     assert clean2.count() == 1
     assert clean2.collect()[0].score_q is not None
+
+
+def test_stream_lm_gate_deterministic_duplicate_representative(
+    spark, tmp_path
+):
+    """Conflicting rows under ONE doc_id in a micro-batch collapse to
+    the struct-max representative — deterministic, so a replay that
+    re-delivers the same conflicting pair keeps the same row (an
+    arbitrary dropDuplicates pick could route/store differently)."""
+    from curw_wrf_data_pusher_spark.streaming.quality_monitor import (
+        stream_lm_gate,
+    )
+
+    d = _lm_dirs(tmp_path)
+    lo = "aaa bbb ccc ddd eee"
+    hi = "zzz yyy xxx www vvv"  # struct-max over (text,) keeps this
+    _drop_docs(spark, d["incoming"], [(1, lo), (1, hi)])
+    q = stream_lm_gate(
+        spark, d["incoming"], d["store"], d["clean"], d["quarantine"],
+        d["metrics"], d["ckpt"], DOC_SCHEMA,
+    )
+    q.awaitTermination(120)
+    clean = spark.read.parquet(d["clean"]).collect()
+    assert len(clean) == 1
+    assert clean[0].text == hi
+    # the store counted ONLY the kept representative's tokens
+    n_uni = (
+        spark.read.parquet(d["store"])
+        .filter(F.col("n") == 1).agg(F.sum("c")).collect()[0][0]
+    )
+    assert n_uni == len(hi.split(" "))
+
+
+def test_stream_lm_gate_restart_does_not_overwrite_outputs(
+    spark, tmp_path
+):
+    """Fresh checkpoint over the SAME output tree: streaming batch
+    ids restart at 0, but the run-scoped output keys must keep the
+    first run's batch directories intact (previously batch-id-keyed
+    dirs were silently overwritten while the run-scoped store kept
+    both runs' partials — corpus and LM diverged)."""
+    from curw_wrf_data_pusher_spark.streaming.quality_monitor import (
+        stream_lm_gate,
+    )
+
+    d = _lm_dirs(tmp_path)
+    text = "alpha beta gamma delta epsilon zeta"
+    _drop_docs(spark, d["incoming"], [(1, text), (2, text)])
+    q = stream_lm_gate(
+        spark, d["incoming"], d["store"], d["clean"], d["quarantine"],
+        d["metrics"], d["ckpt"], DOC_SCHEMA,
+    )
+    q.awaitTermination(120)
+    assert spark.read.parquet(d["clean"]).count() == 2
+    assert len(spark.read.parquet(d["metrics"]).collect()) == 1
+
+    # second run: same clean/quarantine/metrics/store dirs, fresh
+    # checkpoint and a fresh incoming feed -> batch id restarts at 0
+    _drop_docs(spark, d["incoming"] + "2", [(10, text)])
+    q = stream_lm_gate(
+        spark, d["incoming"] + "2", d["store"], d["clean"],
+        d["quarantine"], d["metrics"], d["ckpt"] + "2", DOC_SCHEMA,
+    )
+    q.awaitTermination(120)
+
+    clean = spark.read.parquet(d["clean"])
+    assert clean.count() == 3  # run 1's two docs survived the restart
+    assert {r.doc_id for r in clean.collect()} == {1, 2, 10}
+    # one metrics row PER RUN-BATCH, not one overwritten batch-0 row
+    m = spark.read.parquet(d["metrics"]).collect()
+    assert len(m) == 2
+    # output partitions and store partitions share the run-scoped key
+    store_batches = {
+        r.batch for r in spark.read.parquet(d["store"])
+        .select("batch").distinct().collect()
+    }
+    out_batches = {r.batch for r in clean.select("batch").distinct().collect()}
+    assert out_batches == store_batches
+
+
+def test_stream_lm_gate_rejects_batch_column(spark, tmp_path):
+    import pytest
+
+    from curw_wrf_data_pusher_spark.streaming.quality_monitor import (
+        stream_lm_gate,
+    )
+
+    d = _lm_dirs(tmp_path)
+    with pytest.raises(ValueError, match="reserved gate columns"):
+        stream_lm_gate(
+            spark, d["incoming"], d["store"], d["clean"], d["quarantine"],
+            d["metrics"], d["ckpt"], "doc_id long, text string, batch string",
+        )
