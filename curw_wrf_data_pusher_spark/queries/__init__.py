@@ -82,27 +82,16 @@ _TAIL = [
     # only if the budget ever grows:
     "llm_ngram_logfreq",   # corpus-frequency fluency scoring
     "llm_vocab_topk",      # corpus vocabulary top-k (TakeOrdered path)
-    "p13_morton_zorder",   # Z-order layout key (bbox-prunable files)
     "llm_temperature_mix",  # temperature-alpha source rebalancing
     "llm_normalize_text",  # control/WS/case/NFC canonicalization
-    "a15_heavy_hitters",   # exact threshold heavy hitters (MG twin in pytest)
-    "j9_bloom_semi_join",  # bloom-prefiltered exact semi-join
     "llm_train_test_split",  # leakage-safe grouped split + audit
     "llm_source_cap",      # deterministic per-source document cap
-    "a17_mad_outliers",    # median/MAD robust outlier detection
-    "a18_mergeable_rollup",  # incremental-rollup partial-merge algebra
     "llm_setsim_cross",    # cross-corpus exact set-similarity join
-    "a19_histograms",      # equi-width + equi-depth histograms
-    "a20_feature_scaling",  # winsorize / min-max / robust-z scaling
     "llm_token_encode",    # vocabulary token-id encoding with OOV
-    "w8_window_suite",     # ntile/percent_rank/cume_dist/lead/lag
     # round-7 additions still tail-resident (driver-visible if the
     # budget grows; oracle-gated by tests/test_oracle_parity):
     "llm_mix_schedule",    # token-budget mix → llm_budget_sample (head)
                            # covers the budget-allocation family
-    "w11_multi_touch",     # linear/U-shaped attribution → w10_attribution
-                           # (head) covers the attribution family
-    "a21_cohort_retention",  # weekly cohort retention matrix
     # -- round-9 evictions (operator → covering head row) --
     "p4_sql_string_filter",  # P4 where(sql-string) → p2_bbox_filter's
                              # pushed predicate gate; stack/expr string
@@ -111,7 +100,8 @@ _TAIL = [
                              # (utc_to_lk + format_minute in its output)
     "r1_unpivot",            # R1 melt/stack → j1_pivot_sources (R2
                              # inverse) + wrf_e1 long-form pipeline
-    "u3_u4_intersect_except",  # intersect→llm_contamination semi-join;
+    "u3_u4_intersect_except",  # intersect→j9_bloom_semi_join (head
+                               # since r13: exact semi-join);
                                # except→exact-dedup anti-join inside
                                # llm_survivor_corpus_stats
     "w4_sessionize",         # gap-based sessions → w9_funnel (ordered
@@ -123,9 +113,9 @@ _TAIL = [
                               # llm_jaccard_verify AND llm_dedup_clusters
     "llm_cosine_topk_neardup",  # exact cosine top-k → llm_pq_topk's ADC
                                 # scan + llm_ivf_topk exact re-rank path
-    "k11_snapshot_diff",     # snapshot diff → j10_scd2_lookup (temporal
-                             # join) + k12_distribution_drift (full-outer
-                             # join shape, profile.py:210)
+    "k11_snapshot_diff",     # snapshot diff → j6_j7_asof_range (head:
+                             # temporal join) + k12_distribution_drift
+                             # (full-outer join shape, profile.py:210)
     "p17_file_stats",        # footer-verified per-file row counts
                              # (rows-only, like head row p10 — a head
                              # slot would add no hash signal)
@@ -134,9 +124,10 @@ _TAIL = [
     #    decorrelated scalar subquery, forecast skill scores, exact
     #    wide-decimal correlation) earn driver CORRECTNESS rows.
     #    Each eviction's operator keeps a named head row: --
-    "k10_scd2_history",      # SCD2 family → j10_scd2_lookup (head:
-                             # temporal validity semantics); the CDC
-                             # history build stays local-oracle
+    "k10_scd2_history",      # SCD2 family → j6_j7_asof_range (head:
+                             # temporal validity semantics; j10 is the
+                             # r13-evicted tail twin, green r9-r12);
+                             # the CDC history build stays local-oracle
     "llm_survivor_corpus_stats",  # exact-dedup anti-join + survivor
                                   # stats → llm_curate_corpus (head:
                                   # stage-1 exact dedup hash-pinned in
@@ -178,23 +169,25 @@ _TAIL = [
                                    # scalar-agg variant stays
                                    # local-oracle + sf0.1 parity
     "w14_cusum_changepoint",  # sequential-monitoring family →
-                              # w13_seasonal_anomaly (head, same
-                              # robust per-series frame) +
+                              # a17_mad_outliers (head since r13, the
+                              # same robust per-series discipline) +
                               # k12_distribution_drift (head)
     "wrf_e5_skill_correlation",  # forecast-skill family →
-                                 # wrf_e4_skill_scores (head, same
-                                 # paired fcst/obs frame); the exact
-                                 # wide-decimal moment discipline →
+                                 # wrf_e3_hybrid_frame (head: the
+                                 # paired fcst/obs frame; wrf_e4 is
+                                 # the r13-evicted tail twin, green
+                                 # r9-r12); the exact wide-decimal
+                                 # moment discipline →
                                  # a9_o1_percentiles_ranked + a1
     "w10_attribution",       # event-sequence attribution → w9_funnel
                              # (head: ordered per-user sequence
-                             # window); w11_multi_touch stays the
-                             # tail parity twin
+                             # window) + w11_multi_touch (head since
+                             # r13: the multi-touch form)
     "a16_countmin_freq",     # frequency-sketch family →
                              # a23_kmv_distinct + w17_sliding_
                              # distinct_kmv (head sketch rows); exact
-                             # heavy hitters → a15_heavy_hitters (tail
-                             # parity + MG pytest twin)
+                             # heavy hitters → a15_heavy_hitters (head
+                             # since r13; MG pytest twin)
     # -- round-10 second rotation: the two NEW round-10 oracle
     #    families (KMV sliding distinct, BPE pair counting) earn
     #    driver CORRECTNESS rows this round; two compound-redundant
@@ -301,25 +294,96 @@ _TAIL = [
                              # index read, the probe-set pushdown
                              # plan gate stays pytest) + llm_opq_serve
                              # (head: pinned-index serving)
-    # -- round-12 addition (REAL media decode gate — rotation
-    #    candidate for round 13; the mapInPandas binary plumbing is
-    #    head-covered by llm_binary_metadata and the codecs carry
-    #    byte-level ground truth in tests/test_media_codecs.py) --
-    "llm_media_decode",      # real BMP/WAV encode→decode vs the
-                             # oracle's arithmetic header/stride model
-    # -- round-12 continuation additions (rotation candidates for
-    #    round 13; fluency/selection scoring is head-covered by
-    #    llm_quality_classifier + llm_budget_sample, the gram-hash
-    #    count machinery by llm_bpe_pair_counts) --
-    "llm_stupid_backoff",    # distributed count-table LM scoring
-                             # (exact-integer backoff chain)
-    "llm_dsir_weights",      # DSIR hashed-ngram importance weights
-                             # (target-domain data selection)
-    "llm_ngram_store_topk",  # incremental count-store lifecycle:
-                             # two-batch append + merge-on-read ==
-                             # the oracle's one-shot counting
-    "llm_corpus_entropy",    # per-source unigram Shannon entropy +
-                             # type/token counts (corpus-card row)
+    # -- round-13 rotation (judge r12 task 1, the fourth head
+    #    rotation): FIFTEEN never-driver-gated families promoted —
+    #    the five round-12 additions (real media decode, stupid-
+    #    backoff LM, DSIR weights, count-store lifecycle, corpus
+    #    entropy) plus the legacy analytics tail (exact heavy
+    #    hitters, MAD outliers, mergeable rollup, histograms,
+    #    feature scaling, cohort retention, bloom semi-join, Morton
+    #    Z-order, the full window suite, multi-touch attribution).
+    #    Fifteen evictions, every one driver-green in
+    #    CORRECTNESS_r12.json (history noted per entry), each with
+    #    named HEAD covers: --
+    "a14_profile_table",     # one-scan table profiling (green r12) →
+                             # a9_o1_percentiles_ranked (head: exact
+                             # percentile/moment discipline) +
+                             # a19_histograms (head since r13: binned
+                             # distribution profile) +
+                             # a11_a12_cube_gsets (head: multi-column
+                             # grouped aggregates in one pass)
+    "w5_rolling_stats",      # bounded rolling stats (green r12) →
+                             # w15_range_frame (head: RANGE
+                             # time-frame windows) +
+                             # w17_sliding_distinct_kmv (head:
+                             # sliding windows + re-rank)
+    "w6_gap_fill",           # dense-grid gap fill (green r12) →
+                             # w8_window_suite (head since r13:
+                             # lead/lag frame family) +
+                             # s10_window_resample (head: dense
+                             # time-grid construction)
+    "llm_cooccurrence",      # GloVe co-occurrence (green r12) →
+                             # llm_bpe_pair_counts (head: adjacent-
+                             # pair corpus counting) +
+                             # llm_stupid_backoff (head since r13:
+                             # windowed n-gram count tables)
+    "llm_privacy_audit",     # k-anonymity/l-diversity (green r12) →
+                             # llm_text_features (head: per-doc
+                             # extraction/feature family) +
+                             # llm_curate_corpus (head: the gate
+                             # consumer of the same signals)
+    "llm_bm25_tfidf",        # BM25/TF-IDF retrieval (green r12) →
+                             # llm_stupid_backoff (head since r13:
+                             # corpus count tables + per-doc score
+                             # join) + llm_dsir_weights (head since
+                             # r13: hashed-feature log-ratio scoring)
+    "llm_quality_classifier",  # NB quality classifier (green r12) →
+                               # llm_stupid_backoff + llm_dsir_weights
+                               # (head since r13: the same exact-
+                               # integer token log-score chains) +
+                               # llm_text_features (head)
+    "llm_semantic_dedup",    # SemDeDup (green r7-r12) →
+                             # llm_ivf_topk (head: centroid train/
+                             # assign machinery) +
+                             # llm_incremental_neardup (head: banded
+                             # embedding near-dup family)
+    "llm_seq_packing",       # first-fit sequence packing (green
+                             # r2-r12) → llm_budget_sample (head:
+                             # deterministic budget-fold allocation)
+                             # + llm_curate_corpus (head: pipeline
+                             # consumer)
+    "w18_obs_qc",            # WMO obs QC flags (green r12) →
+                             # a17_mad_outliers (head since r13:
+                             # robust per-series outlier flags) +
+                             # w9_funnel (head: ordered per-series
+                             # sequence windows); the live form stays
+                             # pinned by test_streaming's
+                             # stream_gauge_qc retraction suite
+    "llm_binary_metadata",   # multimodal binary plumbing (green
+                             # r2-r12) → llm_media_decode (head since
+                             # r13: the same Arrow-batched binary
+                             # mapInPandas plumbing PLUS real
+                             # BMP/WAV decode against byte-level
+                             # ground truth)
+    "llm_contamination",     # benchmark-contamination n-gram
+                             # semi-join (green r2-r12) →
+                             # j9_bloom_semi_join (head since r13:
+                             # the prefiltered exact semi-join form)
+                             # + llm_substring_dedup (head: n-gram
+                             # span membership machinery)
+    "w13_seasonal_anomaly",  # seasonal robust anomaly (green
+                             # r9-r12) → a17_mad_outliers (head since
+                             # r13: the same median/MAD robust-z
+                             # discipline) + k12_distribution_drift
+                             # (head: the drift-monitor consumer)
+    "j10_scd2_lookup",       # SCD2 as-of lookup (green r9-r12) →
+                             # j6_j7_asof_range (head: temporal as-of
+                             # attach with validity-window semantics)
+    "wrf_e4_skill_scores",   # forecast skill scores (green r9-r12)
+                             # → wrf_e3_hybrid_frame (head: the
+                             # paired fcst/obs frame it scores) +
+                             # a9_o1_percentiles_ranked (head: exact
+                             # wide-decimal moment discipline)
 ]
 
 

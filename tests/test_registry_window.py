@@ -49,6 +49,20 @@ driver-green CORRECTNESS_r11 rows (w16 sliding distinct, a22 HLL
 registers, int8-quantized top-k, winnowing pairs, SimHash neighbors,
 Horvitz-Thompson sample aggs, repetition signals, filtered ANN), each
 with named head covers in ``_TAIL``.
+
+Round-13 rotation (judge r12 task 1, the FOURTH rotation): FIFTEEN
+never-driver-gated families promoted — the five round-12 additions
+(real media decode, stupid-backoff LM scoring, DSIR importance
+weights, n-gram count-store lifecycle, corpus entropy) plus the
+legacy analytics tail (exact heavy hitters a15, MAD outliers a17,
+mergeable rollup a18, histograms a19, feature scaling a20, cohort
+retention a21, bloom semi-join j9, Morton Z-order p13, window suite
+w8, multi-touch attribution w11).  Fifteen evictions, every one
+driver-green in CORRECTNESS_r12.json, each with named head covers in
+``_TAIL`` (a14 profiling, w5 rolling stats, w6 gap fill,
+co-occurrence, privacy audit, BM25/TF-IDF, NB classifier, SemDeDup,
+seq packing, w18 obs QC, binary metadata, contamination, w13
+seasonal anomaly, j10 SCD2 lookup, wrf_e4 skill scores).
 """
 
 from __future__ import annotations
@@ -74,43 +88,43 @@ EXPECTED_HEAD = [
     "j6_j7_asof_range",
     "a11_a12_cube_gsets",
     "p14_p15_json_datetime",
-    "a14_profile_table",
-    "w5_rolling_stats",
-    "w6_gap_fill",
+    "p13_morton_zorder",
+    "a15_heavy_hitters",
+    "j9_bloom_semi_join",
+    "a17_mad_outliers",
+    "a18_mergeable_rollup",
+    "a19_histograms",
+    "a20_feature_scaling",
+    "w8_window_suite",
     "w9_funnel",
+    "a21_cohort_retention",
     "a23_kmv_distinct",
+    "w11_multi_touch",
     "k12_distribution_drift",
-    "j10_scd2_lookup",
-    "w13_seasonal_anomaly",
     "w15_range_frame",
     "q21_fully_late_orders",
     "sql1_cte_window_join",
     "w17_sliding_distinct_kmv",
-    "w18_obs_qc",
     "wrf_e1_push_rows",
     "wrf_e3_hybrid_frame",
     "e2_rfield_contract",
-    "wrf_e4_skill_scores",
     "llm_ivf_topk",
     "llm_text_features",
-    "llm_binary_metadata",
     "llm_dedup_clusters",
     "llm_jaccard_verify",
-    "llm_contamination",
-    "llm_seq_packing",
     "llm_curate_corpus",
-    "llm_bm25_tfidf",
     "llm_substring_dedup",
-    "llm_semantic_dedup",
-    "llm_quality_classifier",
     "llm_setsim_pairs",
     "llm_pq_topk",
     "llm_budget_sample",
     "llm_incremental_neardup",
     "llm_bpe_pair_counts",
     "llm_opq_serve",
-    "llm_cooccurrence",
-    "llm_privacy_audit",
+    "llm_media_decode",
+    "llm_stupid_backoff",
+    "llm_dsir_weights",
+    "llm_ngram_store_topk",
+    "llm_corpus_entropy",
 ]
 
 #: The exact tail (local-mirror-only order).  Each entry's operator is
@@ -131,23 +145,13 @@ EXPECTED_TAIL = [
     "llm_stratified_sample",
     "llm_ngram_logfreq",
     "llm_vocab_topk",
-    "p13_morton_zorder",
     "llm_temperature_mix",
     "llm_normalize_text",
-    "a15_heavy_hitters",
-    "j9_bloom_semi_join",
     "llm_train_test_split",
     "llm_source_cap",
-    "a17_mad_outliers",
-    "a18_mergeable_rollup",
     "llm_setsim_cross",
-    "a19_histograms",
-    "a20_feature_scaling",
     "llm_token_encode",
-    "w8_window_suite",
     "llm_mix_schedule",
-    "w11_multi_touch",
-    "a21_cohort_retention",
     "p4_sql_string_filter",
     "p7_timestamp_shift",
     "r1_unpivot",
@@ -185,12 +189,21 @@ EXPECTED_TAIL = [
     "a26_approx_sample_aggs",
     "llm_repetition_signals",
     "llm_filtered_ann",
-    "llm_media_decode",
-    # round-12 continuation additions (rotation candidates round 13)
-    "llm_stupid_backoff",
-    "llm_dsir_weights",
-    "llm_ngram_store_topk",
-    "llm_corpus_entropy",
+    "a14_profile_table",
+    "w5_rolling_stats",
+    "w6_gap_fill",
+    "llm_cooccurrence",
+    "llm_privacy_audit",
+    "llm_bm25_tfidf",
+    "llm_quality_classifier",
+    "llm_semantic_dedup",
+    "llm_seq_packing",
+    "w18_obs_qc",
+    "llm_binary_metadata",
+    "llm_contamination",
+    "w13_seasonal_anomaly",
+    "j10_scd2_lookup",
+    "wrf_e4_skill_scores",
 ]
 
 
