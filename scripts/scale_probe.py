@@ -189,11 +189,33 @@ def probe_semantic_dedup(spark, sf_dir, factor=1):
     return semantic_dedup(emb, n_clusters=k, threshold=0.35)
 
 
+def probe_semantic_dedup_two_level(spark, sf_dir, factor=1):
+    """SemDeDup through the two-level split (judge r12 task 3): the
+    same √n level-1 prescription as probe_semantic_dedup, but cells
+    above the √n-ish target re-cluster into sub-cells so Σ|cell|²
+    collapses to ~n·target while the assignment expression stays
+    k-literal-sized.  Comparing this row to probe_semantic_dedup at
+    x100 measures exactly what the split buys."""
+    from curw_wrf_data_pusher_spark.llmops.simsearch import (
+        semantic_dedup_two_level,
+    )
+    from curw_wrf_data_pusher_spark.sources.lake import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    k = max(8, int(8 * factor ** 0.5))
+    n = 2000 * factor  # sf0.1 embeddings table x replicas
+    target = max(256, int(n ** 0.5))
+    return semantic_dedup_two_level(
+        emb, n_clusters=k, threshold=0.35, target_cell_size=target
+    )
+
+
 #: probe-local variants (factor-aware); anything else resolves from
 #: the registered query module
 PROBE_FNS = {
     "probe_simhash64_neighbors": probe_simhash64_neighbors,
     "probe_semantic_dedup": probe_semantic_dedup,
+    "probe_semantic_dedup_two_level": probe_semantic_dedup_two_level,
 }
 
 
