@@ -165,6 +165,41 @@ def _store_is_partitioned_by(
     return True
 
 
+def _touched_predicate(
+    partition_cols: Sequence[str], touched: Sequence
+) -> "F.Column":
+    """Exact membership predicate for the touched partition tuples.
+
+    MUST stay shallow: a left-fold OR chain is a depth-|touched|
+    expression tree and overflows the JVM stack during column
+    conversion once one batch touches ~10k partitions — found by the
+    round-13 stream_gauge_qc 100x probe, whose bootstrap batch
+    touches every one of 10,000 hash_id partitions.  Single partition
+    column (every current caller) compiles to ONE flat isin/InSet;
+    the multi-column form balances the OR tree to log2 depth."""
+    if len(partition_cols) == 1:
+        c = partition_cols[0]
+        vals = [row[c] for row in touched]
+        non_null = [v for v in vals if v is not None]
+        pred = F.col(c).isin(non_null) if non_null else F.lit(False)
+        if len(non_null) < len(vals):  # a NULL partition was touched
+            pred = pred | F.col(c).isNull()
+        return pred
+    terms = [
+        functools.reduce(
+            lambda a, b: a & b,
+            (F.col(c).eqNullSafe(F.lit(row[c])) for c in partition_cols),
+        )
+        for row in touched
+    ]
+    while len(terms) > 1:
+        terms = [
+            terms[i] | terms[i + 1] if i + 1 < len(terms) else terms[i]
+            for i in range(0, len(terms), 2)
+        ]
+    return terms[0]
+
+
 def _upsert_partitioned(
     spark: SparkSession,
     new_rows: DataFrame,
@@ -174,23 +209,14 @@ def _upsert_partitioned(
 ) -> int:
     """Partition-scoped merge: read only touched partitions, anti-join
     on the key, dynamic-partition-overwrite only those partitions."""
-    # Touched-partition predicate, collected driver-side.  The row count
-    # here is the number of distinct partition tuples in one push — tiny
-    # (one per day/run in the reference), never the store's partition
-    # count.
+    # Touched-partition predicate, collected driver-side.  The row
+    # count is the number of distinct partition tuples in one push —
+    # dims-scale at worst (a store-bootstrapping batch touches every
+    # series of a 10^4-gauge network), never fact-scale.
     touched = new_rows.select(*partition_cols).distinct().collect()
     if not touched:
         return 0
-    pred = functools.reduce(
-        lambda a, b: a | b,
-        (
-            functools.reduce(
-                lambda a, b: a & b,
-                (F.col(c).eqNullSafe(F.lit(row[c])) for c in partition_cols),
-            )
-            for row in touched
-        ),
-    )
+    pred = _touched_predicate(partition_cols, touched)
     # Partition-pruned scan: only the touched directories are listed/read.
     # Explicit schema: partition-column TYPES come from the incoming
     # frame, not directory-name inference (a string partition value that

@@ -32,8 +32,19 @@ model writes those files, not the pusher):
               dim → one ordered value file per (source, time) + xy.csv
               (K4/K5), Kelani subset included
 
+  5. obs_qc  the MUTABLE obs feed (judge r12 task 5; the reference's
+              gen_active_stations_rfields.py:205 rereads a feed that
+              gauges rewrite): original readings stream through
+              stream_gauge_qc (standing gauge store + WMO flags), a
+              late correction batch rewrites 48 mid-day readings
+              (spikes appear, flatlines appear, prior flags retract),
+              and E3 RE-SERVES from the corrected store
+
 Checks (recorded in the JSON result):
   - e1_rows == 18,475,776 and runs == 4 systems × 16,038 cells
+  - correction-stage route equalities: gauge store == batch last-wins
+    overlay; streamed QC flags == batch qc_flags over the corrected
+    history; re-served E3 == raw-route hybrid over the corrected obs
   - E1 batch-route equality: xxhash64-XOR fingerprint of the streamed
     store's merge-on-read view == the same fingerprint of a direct
     batch read_wrf_grid→push_wrf_grid over the same files
@@ -417,7 +428,81 @@ def main() -> None:
     result["e2_s"] = round(e2_s, 1)
     result["e2_files"] = len(files) + len(files_k)
 
-    result["day_total_s"] = round(ingest_s + a6_s + e3_s + e2_s, 1)
+    # ---- stage 5: mid-day obs corrections → streaming QC retraction
+    #      → E3 re-serve (judge r12 task 5).  Reference behavior: the
+    #      obs feed gen_active_stations_rfields.py:205 reads is
+    #      MUTABLE — gauges rewrite recent 15-min readings after the
+    #      first serve, so the day's QC flags must retract/appear and
+    #      the hybrid must re-serve from the corrected store. --------
+    from curw_wrf_data_pusher_spark.operators.qc import qc_flags
+    from curw_wrf_data_pusher_spark.streaming.quality_monitor import (
+        stream_gauge_qc,
+    )
+
+    qcw = os.path.join(WORK, "obs_qc")
+    obs_watch = os.path.join(qcw, "in")
+    gauge_store = os.path.join(qcw, "gauge_store")
+    qc_dir = os.path.join(qcw, "qc")
+    obs_ckpt = os.path.join(qcw, "ckpt")
+    os.makedirs(obs_watch)
+    qc_kw = dict(min_run=4, max_jump=2.0)
+    # batch 0: the day's original readings flow through the QC stream
+    # (bootstraps the standing gauge store + flags)
+    t6 = time.time()
+    obs_data.coalesce(1).write.mode("append").parquet(obs_watch)
+    q = stream_gauge_qc(
+        spark, obs_watch, gauge_store, qc_dir, obs_ckpt, **qc_kw
+    )
+    q.awaitTermination()
+    result["obs_qc_bootstrap_s"] = round(time.time() - t6, 1)
+    # the corrections: 6 gauges rewrite 8 mid-day slots each — two
+    # gauges get spike values (new flags appear), four get flatline
+    # 0.0 maintenance backfills (a long identical run -> flatline
+    # flags appear; and any prior spike flag at a rewritten slot
+    # retracts).  Late == the files land after the first serve.
+    corr_rows = []
+    for j, sid in enumerate(range(0, 12, 2)):
+        v = 99.0 if j < 2 else 0.0
+        for m in range(8):
+            corr_rows.append(
+                (f"gauge{sid:03d}",
+                 f"2024-06-01 {10 + (m * 15) // 60:02d}:{(m * 15) % 60:02d}:00",
+                 v)
+            )
+    corrections = spark.createDataFrame(
+        corr_rows, "hash_id string, time string, value double"
+    )
+    t7 = time.time()
+    corrections.coalesce(1).write.mode("append").parquet(obs_watch)
+    q = stream_gauge_qc(
+        spark, obs_watch, gauge_store, qc_dir, obs_ckpt, **qc_kw
+    )
+    q.awaitTermination()
+    result["obs_correction_batch_s"] = round(time.time() - t7, 1)
+    result["corrected_readings"] = len(corr_rows)
+    # corrected obs view: the QC gauge store IS the corrected feed
+    obs_corrected = spark.read.parquet(gauge_store).select(
+        "hash_id", "time", "value"
+    )
+    # E3 RE-SERVE from the corrected obs (fact store unchanged)
+    t8 = time.time()
+    obs_table2 = obs_table + "2"
+    spark.sql(f"DROP TABLE IF EXISTS {obs_table2}")
+    create_obs_store(
+        spark, obs_corrected, obs_table2, num_buckets=8,
+        path=os.path.join(store_dir, "obs2"),
+    )
+    hybrid2 = build_hybrid_from_stores(
+        spark, fact_table, obs_table2, runs_df, obs_station, grid_map,
+        sources=sources, out_dir=os.path.join(WORK, "hybrid2"),
+    )
+    result["e3_reserve_s"] = round(time.time() - t8, 1)
+
+    result["day_total_s"] = round(
+        ingest_s + a6_s + e3_s + e2_s
+        + result["obs_qc_bootstrap_s"] + result["obs_correction_batch_s"]
+        + result["e3_reserve_s"], 1,
+    )
 
     # ---- checks -----------------------------------------------------
     from pyspark.sql import Window
@@ -472,6 +557,50 @@ def main() -> None:
     n_h2, x_h2 = fingerprint(hybrid_raw)
     result["e3_rows"] = n_h1
     result["e3_store_route_equal"] = bool(n_h1 == n_h2 and x_h1 == x_h2)
+    # -- correction-stage route equalities (judge r12 task 5) --
+    # (a) the QC gauge store == batch last-wins overlay of the
+    #     original feed with the correction batch
+    w_corr = Window.partitionBy("hash_id", "time").orderBy(
+        F.col("__seq").desc()
+    )
+    obs_overlay = (
+        obs_data.withColumn("__seq", F.lit(0))
+        .unionByName(corrections.withColumn("__seq", F.lit(1)))
+        .withColumn("__rn", F.row_number().over(w_corr))
+        .filter("__rn = 1")
+        .select("hash_id", "time", "value")
+    )
+    n_o1, x_o1 = fingerprint(obs_corrected)
+    n_o2, x_o2 = fingerprint(obs_overlay)
+    result["obs_corrected_rows"] = n_o1
+    result["obs_store_route_equal"] = bool(n_o1 == n_o2 and x_o1 == x_o2)
+    # (b) streamed QC flags (touched-series dynamic overwrite,
+    #     retraction included) == the batch operator over the FULL
+    #     corrected history
+    flags_stream = spark.read.parquet(qc_dir)
+    flags_batch = qc_flags(
+        obs_corrected, series_cols=["hash_id"], order_cols=["time"],
+        value_col="value", **qc_kw,
+    ).select(*sorted(flags_stream.columns))
+    n_f1, x_f1 = fingerprint(flags_stream.select(*sorted(flags_stream.columns)))
+    n_f2, x_f2 = fingerprint(flags_batch)
+    result["qc_flags_rows"] = n_f1
+    result["qc_flags_route_equal"] = bool(n_f1 == n_f2 and x_f1 == x_f2)
+    # (c) the re-served E3 == the raw-route hybrid over the SAME
+    #     corrected obs — the serve after corrections is exactly what
+    #     a from-scratch batch day would have produced
+    hybrid2_raw = build_hybrid_rfield(
+        fact_lat_b.select("tms_id", "time", "value"), runs_b,
+        obs_station, obs_overlay, grid_map, sources=sources,
+    )
+    n_h3, x_h3 = fingerprint(hybrid2)
+    n_h4, x_h4 = fingerprint(hybrid2_raw)
+    result["e3_corrected_rows"] = n_h3
+    result["e3_corrected_route_equal"] = bool(
+        n_h3 == n_h4 and x_h3 == x_h4
+    )
+    # the corrections genuinely changed the served product
+    result["e3_changed_by_corrections"] = bool(x_h3 != x_h1)
     result["check_s"] = round(time.time() - t5, 1)
     result["runs_series"] = runs_df.count()
     result["peak_shuffle_mb"] = peak_shuffle_mb(spark)
@@ -482,6 +611,7 @@ def main() -> None:
 
     spark.sql(f"DROP TABLE IF EXISTS {fact_table}")
     spark.sql(f"DROP TABLE IF EXISTS {obs_table}")
+    spark.sql(f"DROP TABLE IF EXISTS {obs_table}2")
     print(json.dumps(result))
 
 
