@@ -160,6 +160,7 @@ def stream_gauge_qc(
     max_jump=3000,
     level_expr: Column | None = None,
     available_now: bool = True,
+    store_buckets: int | None = None,
 ) -> StreamingQuery:
     """W18's WMO QC flags over the LIVE gauge stream — the reference's
     actual QC target (gen_active_stations_rfields.py:205's 15-min
@@ -194,7 +195,27 @@ def stream_gauge_qc(
     recompute reads only the touched hash_id partitions of the store.
     ``max_jump``/``min_run``/``level_expr`` pass through to
     ``qc_flags`` (use integer centi-units for cross-engine hashing,
-    like the w18 row)."""
+    like the w18 row).
+
+    ``store_buckets`` (round-13 100x probe finding): per-SERIES
+    partition dirs hit the filesystem-metadata wall at the top of the
+    dims range — the 10,000-series probe spent ~20 min per
+    partitioned write committing 10k directories, and a
+    store-bootstrapping batch does three of them.  With
+    ``store_buckets=N`` the store and QC table partition on
+    ``bucket = pmod(xxhash64(hash_id), N)`` instead (NOT an
+    underscore-prefixed name: ``_``-prefixed partition directories
+    read as hidden paths to half the Hadoop/Spark listing stack —
+    found the hard way when a ``__bucket=`` store was mistaken for
+    empty and overwritten): any batch
+    writes at most N directories, and a correction touching k series
+    prunes to ≤k buckets (~k·S/N series' history read — still
+    pruned, amplified only by the bucket width).  Flags equal the
+    per-series layout's exactly (every window partitions by hash_id;
+    the extra ``bucket`` partition column rides along in the QC
+    table; an input schema already containing ``bucket`` is rejected
+    at construction).  Use it above ~2k series; default None keeps the
+    per-series layout and output schema."""
     from pyspark.sql import Window
 
     from ..operators.qc import qc_flags
@@ -203,6 +224,18 @@ def stream_gauge_qc(
     # carry the source file's (mtime, path) so same-batch redeliveries
     # have a total arrival order — one availableNow run after downtime
     # can hold an original AND its correction in a single micro-batch
+    if store_buckets:
+        field_names = (
+            spark.createDataFrame([], schema).columns
+            if isinstance(schema, str)
+            else [f.name for f in schema.fields]
+        )
+        if "bucket" in field_names:
+            raise ValueError(
+                "input schema may not contain 'bucket' when "
+                "store_buckets is set — it becomes the store/QC "
+                "partition column"
+            )
     arrivals = (
         spark.readStream.schema(schema)
         .parquet(watch_dir)
@@ -228,23 +261,32 @@ def stream_gauge_qc(
             .filter(F.col("__rn") == 1)
             .drop("__rn", "__mt", "__fp")
         )
-        # hash_id-partitioned store: the merge touches only the
-        # arriving series' partition dirs (partition col ⊂ key, as
-        # upsert_parquet's scoped merge requires)
+        if store_buckets:
+            part_col = "bucket"
+            deduped = deduped.withColumn(
+                part_col,
+                F.pmod(F.xxhash64("hash_id"), F.lit(store_buckets))
+                .cast("int"),
+            )
+        else:
+            part_col = "hash_id"
+        # partitioned store: the merge touches only the arriving
+        # partitions (partition col is hash_id or a pure function of
+        # it, so upsert_parquet's scoped merge stays key-consistent)
         upsert_parquet(
             spark, deduped, store_dir, keys=["hash_id", "time"],
-            partition_cols=["hash_id"],
+            partition_cols=[part_col],
         )
-        # bounded collect: a gauge network is dims-scale (10²-10⁴
-        # series); the literal isin prunes the store scan to the
-        # touched partitions at PLANNING time (a semi-join would scan
-        # all partitions)
+        # bounded collect: partition values are dims-scale (series)
+        # or store_buckets-scale; the literal isin prunes the store
+        # scan to the touched partitions at PLANNING time (a
+        # semi-join would scan all partitions)
         touched = [
-            r["hash_id"]
-            for r in deduped.select("hash_id").distinct().collect()
+            r[part_col]
+            for r in deduped.select(part_col).distinct().collect()
         ]
         hist = spark.read.parquet(store_dir).filter(
-            F.col("hash_id").isin(touched)
+            F.col(part_col).isin(touched)
         )
         flags = qc_flags(
             hist,
@@ -258,7 +300,7 @@ def stream_gauge_qc(
         (
             flags.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("hash_id")
+            .partitionBy(part_col)
             .parquet(qc_dir)
         )
 

@@ -63,12 +63,25 @@ def _fresh(*names: str) -> dict[str, str]:
     return d
 
 
+def _await(q, timeout: int) -> None:
+    assert q.awaitTermination(timeout), (
+        f"stream did not finish within {timeout}s — the probe number "
+        "would silently measure a timeout, not the batch"
+    )
+
+
 def probe_gauge_qc(spark, factor: int) -> dict:
     from curw_wrf_data_pusher_spark.streaming.quality_monitor import (
         stream_gauge_qc,
     )
 
     n_series, t_points, touched = 100 * factor, 200, 24
+    # the scale layout (round-13 finding): per-series partition dirs
+    # hit the local-FS metadata wall at 10k series — 3 partitioned
+    # writes of 10k dirs per bootstrap batch ran >20 min each; the
+    # bucketed store bounds any batch at <= 256 directories.  Buckets
+    # at BOTH scales so the growth ratio measures the design.
+    buckets = 256
     tag = f"gq{factor}"
     d = _fresh(f"{tag}/in", f"{tag}/store", f"{tag}/qc", f"{tag}/ckpt")
     inc, store, qc, ckpt = (
@@ -98,8 +111,8 @@ def probe_gauge_qc(spark, factor: int) -> dict:
     )
     full.coalesce(max(1, factor)).write.mode("append").parquet(inc)
     t0 = time.perf_counter()
-    q = stream_gauge_qc(spark, inc, store, qc, ckpt)
-    q.awaitTermination(1200)
+    q = stream_gauge_qc(spark, inc, store, qc, ckpt, store_buckets=buckets)
+    _await(q, 3600)
     boot_sec = time.perf_counter() - t0
     # correction batch: 24 series get one late rewrite each (splits
     # the flatline run -> flags retract) — the O(touched) claim
@@ -116,12 +129,13 @@ def probe_gauge_qc(spark, factor: int) -> dict:
     )
     corr.coalesce(1).write.mode("append").parquet(inc)
     t0 = time.perf_counter()
-    q = stream_gauge_qc(spark, inc, store, qc, ckpt)
-    q.awaitTermination(1200)
+    q = stream_gauge_qc(spark, inc, store, qc, ckpt, store_buckets=buckets)
+    _await(q, 3600)
     corr_sec = time.perf_counter() - t0
     n_qc = spark.read.parquet(qc).count()
     return {
         "n_series": n_series,
+        "store_buckets": buckets,
         "store_rows": n_series * t_points,
         "bootstrap_sec": round(boot_sec, 2),
         "correction_batch_sec": round(corr_sec, 2),
@@ -161,7 +175,7 @@ def probe_lm_gate(spark, factor: int) -> dict:
             d[f"{tag}/quar"], d[f"{tag}/metrics"], d[f"{tag}/ckpt"],
             "doc_id long, text string", min_avg_q=1,
         )
-        q.awaitTermination(3600)
+        _await(q, 3600)
         walls.append(round(time.perf_counter() - t0, 2))
     store_rows = spark.read.parquet(d[f"{tag}/store"]).count()
     clean = spark.read.parquet(d[f"{tag}/clean"]).count()

@@ -595,3 +595,45 @@ def test_stream_lm_gate_rejects_batch_column(spark, tmp_path):
             spark, d["incoming"], d["store"], d["clean"], d["quarantine"],
             d["metrics"], d["ckpt"], "doc_id long, text string, batch string",
         )
+
+
+def test_stream_gauge_qc_bucketed_store_equals_per_series(spark, tmp_path):
+    """store_buckets (the round-13 100x-probe layout: per-series
+    partition dirs hit the metadata wall at 10k series) must produce
+    byte-identical flags to the per-series layout — same arrivals,
+    same retraction behavior, the store merely partitioned on
+    pmod(xxhash64(hash_id), N)."""
+    rows1 = [("g1", _ts(i), 5.0) for i in range(4)] + [
+        ("g2", _ts(i), float(i)) for i in range(4)
+    ]
+    rows2 = [("g2", _ts(4), 80.0), ("g1", _ts(1), 9.0), ("g3", _ts(0), 1.0)]
+
+    d1 = {n: str(tmp_path / ("ps_" + n))
+          for n in ("incoming", "store", "qc", "ckpt")}
+    os.makedirs(d1["incoming"])
+    d2 = {n: str(tmp_path / ("bk_" + n))
+          for n in ("incoming", "store", "qc", "ckpt")}
+    os.makedirs(d2["incoming"])
+    for d, kw in ((d1, {}), (d2, {"store_buckets": 4})):
+        _gauge_drop(spark, d["incoming"], rows1)
+        _run_qc(spark, d, **kw)
+        _gauge_drop(spark, d["incoming"], rows2)  # incl. g1 correction
+        _run_qc(spark, d, **kw)
+    cols = ["hash_id", "time", "value", "flatline_flag", "spike_flag"]
+    per_series = sorted(map(tuple, spark.read.parquet(
+        d1["qc"]).select(*cols).collect()))
+    bucketed = sorted(map(tuple, spark.read.parquet(
+        d2["qc"]).select(*cols).collect()))
+    # 10 distinct keys: 8 from batch 1, +g2@ts4 +g3@ts0 (the g1
+    # correction REPLACES its key)
+    assert per_series == bucketed and len(bucketed) == 10
+    # the bucketed store wrote bucket dirs, not per-series dirs
+    bucket_dirs = [
+        p for p in os.listdir(d2["store"]) if p.startswith("bucket=")
+    ]
+    assert bucket_dirs and len(bucket_dirs) <= 4
+    # the g1 retraction really happened in the bucketed layout too:
+    # the correction at _ts(1) split the flatline run below min_run
+    g1 = {r.time: r.flatline_flag for r in spark.read.parquet(d2["qc"])
+          .filter(F.col("hash_id") == "g1").collect()}
+    assert not any(g1.values())
