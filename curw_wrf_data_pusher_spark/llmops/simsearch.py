@@ -888,6 +888,7 @@ def semantic_dedup_two_level(
     vec_col: str = "embedding",
     score_scale: int = 9,
     target_cell_size: int = 4096,
+    persist_intermediate: bool = True,
 ) -> DataFrame:
     """SemDeDup with a TWO-LEVEL cluster split — the 100 TB form that
     keeps comparing hot cells instead of skipping them (the other
@@ -917,7 +918,17 @@ def semantic_dedup_two_level(
     Scale notes: the sub-seed collect is bounded by Σ ceil(|cell| /
     target) <= n/target + n_clusters rows (driver-side metadata, like
     the centroid collect); the sub-assignment join broadcasts the
-    seed table and shuffles only oversized-cell members."""
+    seed table and shuffles only oversized-cell members.
+
+    ``persist_intermediate`` (default True): the refined assignment
+    feeds FOUR plan branches (both sides of the pair self-join and
+    the final verdict join), and Catalyst does not share common
+    subplans across join branches — unpersisted, the k-literal
+    assignment expression AND the sub-assignment shuffle re-execute
+    per branch, which the round-13 100x probe measured as erasing the
+    split's entire pair-count win (185 s ~= the flat form's 188 s).
+    MEMORY_AND_DISK, evicted by the block manager under pressure;
+    pass False for a pure-lazy plan."""
     import math
 
     centroids = _seed_centroids(corpus, n_clusters, id_col, vec_col)
@@ -1004,6 +1015,10 @@ def semantic_dedup_two_level(
     refined = assigned.join(best, ["cluster", id_col], "left").withColumn(
         "subcluster", F.coalesce(F.col("subcluster"), F.lit(0)).cast("long")
     )
+    if persist_intermediate:
+        from pyspark import StorageLevel
+
+        refined = refined.persist(StorageLevel.MEMORY_AND_DISK)
     dropped = _pairwise_dropped(
         refined, ["cluster", "subcluster"], threshold, id_col, score_scale
     )

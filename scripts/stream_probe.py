@@ -38,10 +38,12 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import functions as F  # noqa: E402
 
 from curw_wrf_data_pusher_spark.session import get_spark  # noqa: E402
+from scale_probe import last_stage_id, stage_skew  # noqa: E402
 
 BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 WORK = "/tmp/stream_probe"
@@ -128,10 +130,12 @@ def probe_gauge_qc(spark, factor: int) -> dict:
         )
     )
     corr.coalesce(1).write.mode("append").parquet(inc)
+    mark = last_stage_id(spark)
     t0 = time.perf_counter()
     q = stream_gauge_qc(spark, inc, store, qc, ckpt, store_buckets=buckets)
     _await(q, 3600)
     corr_sec = time.perf_counter() - t0
+    corr_skew = stage_skew(spark, mark)
     n_qc = spark.read.parquet(qc).count()
     return {
         "n_series": n_series,
@@ -139,6 +143,7 @@ def probe_gauge_qc(spark, factor: int) -> dict:
         "store_rows": n_series * t_points,
         "bootstrap_sec": round(boot_sec, 2),
         "correction_batch_sec": round(corr_sec, 2),
+        "correction_skew": corr_skew,
         "touched_series": touched,
         "qc_rows": n_qc,
     }
@@ -166,9 +171,11 @@ def probe_lm_gate(spark, factor: int) -> dict:
     docs = spark.read.parquet(src).select("doc_id", "text")
     n_batches = 4
     walls = []
+    skews = []
     for b in range(n_batches):
         batch = docs.filter(F.col("doc_id") % n_batches == b)
         batch.coalesce(max(1, factor // 8)).write.mode("append").parquet(inc)
+        mark = last_stage_id(spark)
         t0 = time.perf_counter()
         q = stream_lm_gate(
             spark, inc, d[f"{tag}/store"], d[f"{tag}/clean"],
@@ -177,12 +184,14 @@ def probe_lm_gate(spark, factor: int) -> dict:
         )
         _await(q, 3600)
         walls.append(round(time.perf_counter() - t0, 2))
+        skews.append(stage_skew(spark, mark))
     store_rows = spark.read.parquet(d[f"{tag}/store"]).count()
     clean = spark.read.parquet(d[f"{tag}/clean"]).count()
     quar = spark.read.parquet(d[f"{tag}/quar"]).count()
     return {
         "docs_per_batch": docs.count() // n_batches,
         "batch_walls_sec": walls,
+        "batch_skews": skews,
         "batch4_over_batch1": (
             round(walls[-1] / walls[1], 2) if walls[1] else None
         ),  # vs batch 1 (first JUDGED batch; batch 0 is bootstrap)
@@ -197,7 +206,7 @@ PROBES = {"gauge_qc": probe_gauge_qc, "lm_gate": probe_lm_gate}
 
 def main() -> None:
     os.makedirs(WORK, exist_ok=True)
-    spark = get_spark("stream-probe")
+    spark = get_spark("stream-probe", extra_conf={"spark.ui.enabled": "true"})
     results: dict[str, dict] = {}
     for name in ROWS:
         for factor in SCALES:
