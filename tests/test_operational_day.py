@@ -50,6 +50,16 @@ def test_mini_operational_day_checks_hold(tmp_path):
     assert result["e1_history_route_equal"] is True
     assert result["e1_batch_route_equal"] is True
     assert result["e3_store_route_equal"] is True
+    # stage-5 (mutable obs feed) route equalities: gauge store ==
+    # batch last-wins overlay, streamed QC flags == batch qc_flags
+    # over the corrected history, re-served E3 == raw-route hybrid
+    # over the corrected obs — and the corrections genuinely changed
+    # the served product
+    assert result["obs_store_route_equal"] is True
+    assert result["qc_flags_route_equal"] is True
+    assert result["e3_corrected_route_equal"] is True
+    assert result["e3_changed_by_corrections"] is True
+    assert result["corrected_readings"] == 48
     assert result["micro_batches"] == 2  # one per cron cycle
     assert result["e3_rows"] > 0
     assert result["e2_files"] > 0
