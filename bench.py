@@ -365,7 +365,15 @@ R10_CANONICAL = {
 #: to compare a core-15 total across rounds, first divide each side
 #: by its own calibration row (judge r12 task 2: r12 ran on a ~35%
 #: slower box and the raw totals misled).
-R13_CALIBRATION: dict[str, float] = {}  # pinned below after measure
+#: Measured 2026-08-16 on the round-13 box alongside a core-15 of
+#: 26.07 s (local run; the same box's r12 spread was 26.6-31.6 s and
+#: its A/B vs the r10/r11 box showed ~35% machine drift).  To compare
+#: core-15 across rounds: ratio = (core_A / cal_A) / (core_B / cal_B)
+#: per calibration axis.
+R13_CALIBRATION: dict[str, float] = {
+    "spark_xxhash64_200m_rows_sec": 0.206,
+    "python_md5_64mib_sec": 0.109,
+}
 
 #: Named causes for understood core-15 deltas (round-11 verdict,
 #: settled round 12).  Everything else >±15% is box/JIT noise: the
@@ -403,8 +411,10 @@ def _calibration(spark) -> dict[str, float]:
     best_j = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
+        # bit_xor, not sum: xxhash64 spans the full long range and a
+        # 200M-row SUM overflows BIGINT (hard error under ANSI mode)
         spark.range(0, 200_000_000, 1, 32).selectExpr(
-            "sum(xxhash64(id)) as s"
+            "bit_xor(xxhash64(id)) as s"
         ).write.format("noop").mode("overwrite").save()
         best_j = min(best_j, time.perf_counter() - t0)
     blob = b"\x5a" * (8 << 20)
