@@ -93,15 +93,25 @@ def upsert_parquet(
                 spark, new_rows, store_path, keys, list(partition_cols)
             )
 
-    if has_existing:
-        kept = existing.join(
-            new_rows.select(*keys).dropDuplicates(list(keys)),
-            on=list(keys),
-            how="left_anti",
-        )
-        merged = kept.unionByName(new_rows)
-    else:
-        merged = new_rows
+    if not has_existing:
+        # First-write fast path: a fresh store has nothing to merge
+        # and nothing to lose to a non-atomic write — write the batch
+        # directly and skip the staging+rename roundtrip (at 10k
+        # partitions the round-13 gauge-QC probe measured each extra
+        # partitioned write as minutes of commit metadata).
+        writer = new_rows.write.mode("overwrite")
+        if partition_cols:
+            writer = writer.partitionBy(*partition_cols)
+        writer.parquet(store_path)
+        # parquet-footer count of what was just committed
+        return spark.read.parquet(store_path).count()
+
+    kept = existing.join(
+        new_rows.select(*keys).dropDuplicates(list(keys)),
+        on=list(keys),
+        how="left_anti",
+    )
+    merged = kept.unionByName(new_rows)
 
     staging = store_path.rstrip("/") + ".staging"
     if partition_cols:
@@ -117,11 +127,9 @@ def upsert_parquet(
     old_p = jvm.org.apache.hadoop.fs.Path(store_path.rstrip("/") + ".old")
     if fs.exists(old_p):
         fs.delete(old_p, True)
-    if has_existing:
-        fs.rename(store_p, old_p)
+    fs.rename(store_p, old_p)
     fs.rename(staging_p, store_p)
-    if has_existing:
-        fs.delete(old_p, True)
+    fs.delete(old_p, True)
     return n
 
 
@@ -213,26 +221,9 @@ def _upsert_partitioned(
     # count is the number of distinct partition tuples in one push —
     # dims-scale at worst (a store-bootstrapping batch touches every
     # series of a 10^4-gauge network), never fact-scale.
-    # First-write fast path: a store with no data files has nothing to
-    # merge — write the batch directly and skip the staging roundtrip
-    # (halves the partitioned-write cost of a store-bootstrapping
-    # batch; at 10k partitions on the round-13 gauge-QC probe each
-    # partitioned write is minutes of commit metadata).
-    fs, root, _ = _hadoop_fs(spark, store_path)
-    # a partition directory (name contains '=') is data even if the
-    # partition COLUMN name starts with '_' — treating it as hidden
-    # here once mistook a populated store for empty and overwrote it
-    has_data = fs.exists(root) and any(
-        (s.isDirectory() and "=" in s.getPath().getName())
-        or not s.getPath().getName().startswith(("_", "."))
-        for s in fs.listStatus(root)
-    )
-    if not has_data:
-        new_rows.write.mode("overwrite").partitionBy(
-            *partition_cols
-        ).parquet(store_path)
-        # parquet-footer count of what was just committed
-        return spark.read.parquet(store_path).count()
+    # (The first-write fast path lives in upsert_parquet's fresh-store
+    # branch: this function is only entered when the store exists AND
+    # _store_is_partitioned_by saw <col>= data directories.)
     touched = new_rows.select(*partition_cols).distinct().collect()
     if not touched:
         return 0

@@ -29,8 +29,18 @@ from pyspark.sql.streaming import StreamingQuery
 from pyspark.sql.types import StructType
 
 
-def _batch_dir(base: str, batch_id: int) -> str:
-    return os.path.join(base, f"batch_id={batch_id}")
+def _contains_map_type(dt) -> bool:
+    """True when ``dt`` contains a MapType anywhere (maps are not
+    orderable, so they cannot participate in the struct-max dedup)."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    if isinstance(dt, MapType):
+        return True
+    if isinstance(dt, ArrayType):
+        return _contains_map_type(dt.elementType)
+    if isinstance(dt, StructType):
+        return any(_contains_map_type(f.dataType) for f in dt.fields)
+    return False
 
 
 def _run_batch_dir(base: str, batch_key: str) -> str:
@@ -62,6 +72,7 @@ def stream_quality_monitor(
     available_now: bool = True,
     rules: Sequence[tuple[str, Column]] | None = None,
     max_violation_frac: float = 0.0,
+    run_id: str | None = None,
 ) -> StreamingQuery:
     """Watch ``watch_dir`` for parquet drops; per micro-batch compute
     the null fraction of ``value_col`` and its drift (chi², TVD on
@@ -72,9 +83,15 @@ def stream_quality_monitor(
     ``metrics_dir``: (batch_id, n_rows, null_frac, chi2, tvd,
     passed).
 
-    All three sinks are batch-id-partitioned dynamic overwrites, so a
-    redelivered micro-batch replaces its own output instead of
-    duplicating it (same idempotence contract as the ingest store).
+    All three sinks are RUN-SCOPED batch-keyed overwrites
+    (``batch=<run_id>-b<batch_id>``, ``run_id`` defaulting to a digest
+    of the checkpoint path — the same contract as ``stream_lm_gate``):
+    a redelivered micro-batch under the SAME checkpoint replaces its
+    own output instead of duplicating it, while a restarted run with a
+    FRESH checkpoint (whose batch ids restart at 0) gets a new run_id
+    and so cannot silently overwrite a prior run's batch-0..n clean /
+    quarantine / metrics directories.  If you clear and reuse the SAME
+    checkpoint path, pass a fresh explicit ``run_id``.
 
     The reference should be a bounded sample (it participates in
     every batch's percentile aggregation); freeze it with
@@ -88,8 +105,26 @@ def stream_quality_monitor(
     the metrics row carries (n_rule_violations, rules_passed) so the
     dashboard can tell a schema/contract break from a distribution
     shift.  All rules fold into ONE aggregate over one batch scan."""
+    import hashlib
+
     from ..operators.expectations import check_expectations
     from ..operators.profile import distribution_drift
+
+    # "batch" is reserved: the run-scoped output partitioning
+    # (batch=<run_id>-b<id>) surfaces it as a partition column when
+    # the clean/quarantine/metrics trees are read back
+    field_names = (
+        spark.createDataFrame([], schema).columns
+        if isinstance(schema, str)
+        else [f.name for f in schema.fields]
+    )
+    if "batch" in field_names:
+        raise ValueError(
+            "input schema may not contain the reserved column 'batch' "
+            "(it is the gate's run-scoped output partition key)"
+        )
+    if run_id is None:
+        run_id = hashlib.md5(checkpoint_dir.encode()).hexdigest()[:8]
 
     arrivals = spark.readStream.schema(schema).parquet(watch_dir)
 
@@ -128,8 +163,9 @@ def stream_quality_monitor(
             and rules_passed
         )
         target = out_dir if passed else quarantine_dir
+        batch_key = f"{run_id}-b{batch_id:020d}"
         batch_df.write.mode("overwrite").parquet(
-            _batch_dir(target, batch_id)
+            _run_batch_dir(target, batch_key)
         )
         spark.createDataFrame(
             [(batch_id, n_rows, float(null_frac),
@@ -139,7 +175,9 @@ def stream_quality_monitor(
             "batch_id long, n_rows long, null_frac double, "
             "chi2 double, tvd double, n_rule_violations long, "
             "rules_passed boolean, passed boolean",
-        ).write.mode("overwrite").parquet(_batch_dir(metrics_dir, batch_id))
+        ).write.mode("overwrite").parquet(
+            _run_batch_dir(metrics_dir, batch_key)
+        )
 
     writer = arrivals.writeStream.foreachBatch(_gate).option(
         "checkpointLocation", checkpoint_dir
@@ -390,16 +428,33 @@ def stream_lm_gate(
     # (batch=<run_id>-b<id>) surfaces it as a partition column when
     # the clean/quarantine/metrics trees are read back
     reserved = {"score_q", "n_scored", "__fail", "batch"}
-    field_names = (
-        spark.createDataFrame([], schema).columns
+    struct = (
+        spark.createDataFrame([], schema).schema
         if isinstance(schema, str)
-        else [f.name for f in schema.fields]
+        else schema
     )
+    field_names = [f.name for f in struct.fields]
     clash = reserved & set(field_names)
     if clash:
         raise ValueError(
             f"input schema may not contain reserved gate columns {clash} "
             "(e.g. do not point the gate at its own clean output)"
+        )
+    # The within-batch dedup takes max(struct(<non-id cols>)), which
+    # requires every non-id column to be ORDERABLE; a MapType anywhere
+    # in a non-id column would otherwise die per-batch inside the
+    # stream with an opaque AnalysisException — fail fast here instead
+    unorderable = [
+        f.name
+        for f in struct.fields
+        if f.name != id_col and _contains_map_type(f.dataType)
+    ]
+    if unorderable:
+        raise ValueError(
+            "within-batch dedup orders non-id columns, but these are "
+            f"unorderable (contain MapType): {unorderable}; drop or "
+            "re-encode them (e.g. map_entries to a sorted array) "
+            "before the gate"
         )
     if run_id is None:
         run_id = hashlib.md5(checkpoint_dir.encode()).hexdigest()[:8]

@@ -637,3 +637,85 @@ def test_stream_gauge_qc_bucketed_store_equals_per_series(spark, tmp_path):
     g1 = {r.time: r.flatline_flag for r in spark.read.parquet(d2["qc"])
           .filter(F.col("hash_id") == "g1").collect()}
     assert not any(g1.values())
+
+
+def test_quality_monitor_run_scoped_outputs(spark, tmp_path):
+    """Round-13 advice (medium): a restarted run with a FRESH
+    checkpoint restarts batch ids at 0 — bare batch-id output keys
+    let it silently overwrite the prior run's batch-0 clean/
+    quarantine/metrics dirs.  Run-scoped keys (digest of the
+    checkpoint path) keep both runs' outputs."""
+    d = _dirs(tmp_path)
+    ref = _reference(spark)
+
+    _drop(spark, d["incoming"], [(i, float(i % 100)) for i in range(200)])
+    q = stream_quality_monitor(
+        spark, d["incoming"], ref, "v", d["clean"], d["quarantine"],
+        d["metrics"], d["ckpt"], SCHEMA, max_tvd=0.3,
+    )
+    q.awaitTermination(120)
+    assert spark.read.parquet(d["clean"]).count() == 200
+
+    # second run: NEW checkpoint dir, new data, batch ids restart at 0
+    d2_incoming = str(tmp_path / "incoming2")
+    os.makedirs(d2_incoming)
+    _drop(spark, d2_incoming,
+          [(1000 + i, float(i % 100)) for i in range(300)])
+    q = stream_quality_monitor(
+        spark, d2_incoming, ref, "v", d["clean"], d["quarantine"],
+        d["metrics"], str(tmp_path / "ckpt2"), SCHEMA, max_tvd=0.3,
+    )
+    q.awaitTermination(120)
+
+    # BOTH runs' batch-0 outputs survive side by side
+    clean = spark.read.parquet(d["clean"])
+    assert clean.count() == 500
+    assert clean.select("batch").distinct().count() == 2
+    m = spark.read.parquet(d["metrics"]).collect()
+    assert len(m) == 2 and all(r.batch_id == 0 for r in m)
+
+
+def test_quality_monitor_reserved_batch_column(spark, tmp_path):
+    import pytest
+
+    d = _dirs(tmp_path)
+    with pytest.raises(ValueError, match="reserved column 'batch'"):
+        stream_quality_monitor(
+            spark, d["incoming"], _reference(spark), "v", d["clean"],
+            d["quarantine"], d["metrics"], d["ckpt"],
+            "id long, v double, batch string",
+        )
+
+
+def test_stream_lm_gate_unorderable_column_rejected(spark, tmp_path):
+    """Round-13 advice (low): the struct-max within-batch dedup
+    orders every non-id column; a MapType column would die per-batch
+    inside the stream — fail fast at construction instead."""
+    import pytest
+
+    from curw_wrf_data_pusher_spark.streaming.quality_monitor import (
+        stream_lm_gate,
+    )
+
+    d = _lm_dirs(tmp_path)
+    with pytest.raises(ValueError, match="unorderable"):
+        stream_lm_gate(
+            spark, d["incoming"], d["store"], d["clean"], d["quarantine"],
+            d["metrics"], d["ckpt"],
+            "doc_id long, text string, tags map<string,string>",
+        )
+    # nested maps are caught too
+    with pytest.raises(ValueError, match="unorderable"):
+        stream_lm_gate(
+            spark, d["incoming"], d["store"], d["clean"], d["quarantine"],
+            d["metrics"], d["ckpt"],
+            "doc_id long, text string, "
+            "meta struct<inner: map<string, long>>",
+        )
+    # a map on the ID column itself is irrelevant to the dedup order
+    # and arrays/structs without maps stay accepted
+    stream_lm_gate(
+        spark, d["incoming"], d["store"], d["clean"], d["quarantine"],
+        d["metrics"], d["ckpt"],
+        "doc_id long, text string, spans array<struct<a: long, b: long>>",
+    ).stop()
