@@ -77,21 +77,13 @@ _TAIL = [
     # 0.25/2.0/2.5) inside the head window; the full (doc_id, source,
     # copy_id) oracle still runs here and in tests/test_oracle_parity.
     "llm_stratified_sample",
-    # round-6 additions past the full head window — oracle-gated by
-    # tests/test_oracle_parity (the local t2 mirror), driver-visible
-    # only if the budget ever grows:
-    "llm_ngram_logfreq",   # corpus-frequency fluency scoring
-    "llm_vocab_topk",      # corpus vocabulary top-k (TakeOrdered path)
-    "llm_temperature_mix",  # temperature-alpha source rebalancing
-    "llm_normalize_text",  # control/WS/case/NFC canonicalization
-    "llm_train_test_split",  # leakage-safe grouped split + audit
-    "llm_source_cap",      # deterministic per-source document cap
-    "llm_setsim_cross",    # cross-corpus exact set-similarity join
-    "llm_token_encode",    # vocabulary token-id encoding with OOV
-    # round-7 additions still tail-resident (driver-visible if the
-    # budget grows; oracle-gated by tests/test_oracle_parity):
-    "llm_mix_schedule",    # token-budget mix → llm_budget_sample (head)
-                           # covers the budget-allocation family
+    # (round-14, fifth rotation: the round-6/7 never-driver-gated
+    # block that sat here — llm_ngram_logfreq, llm_vocab_topk,
+    # llm_temperature_mix, llm_normalize_text, llm_train_test_split,
+    # llm_source_cap, llm_setsim_cross, llm_token_encode,
+    # llm_mix_schedule — is PROMOTED into the head, retiring the
+    # never-gated ledger to zero; see the round-14 eviction block at
+    # the end of this list)
     # -- round-9 evictions (operator → covering head row) --
     "p4_sql_string_filter",  # P4 where(sql-string) → p2_bbox_filter's
                              # pushed predicate gate; stack/expr string
@@ -158,14 +150,18 @@ _TAIL = [
                              # misses) + k12_distribution_drift (head:
                              # full-outer shape) + u2_j1_outer_dropna
                              # (tail parity)
-    "a3_obs_window_start",   # A3 min − 10 min → q21_fully_late_orders
-                             # (head: timestamp INTERVAL arithmetic as
-                             # a join residual) + a1_pricing_summary
+    "a3_obs_window_start",   # A3 min − 10 min → s10_window_resample
+                             # (head: timestamp INTERVAL/window
+                             # arithmetic) + a1_pricing_summary
                              # (grouped min/agg) + wrf_e1_push_rows
-                             # (timestamp shift + format)
+                             # (timestamp shift + format);
+                             # q21_fully_late_orders is the
+                             # r14-evicted INTERVAL-residual twin
     "q17_small_quantity_revenue",  # decorrelated-subquery family →
-                                   # q21 (NOT EXISTS → anti, head);
-                                   # q4 is its tail parity twin; the
+                                   # j5_get_or_create (anti) +
+                                   # j9_bloom_semi_join (semi), both
+                                   # head; q21/q4 are its tail parity
+                                   # twins (green r13/r11); the
                                    # scalar-agg variant stays
                                    # local-oracle + sf0.1 parity
     "w14_cusum_changepoint",  # sequential-monitoring family →
@@ -181,13 +177,16 @@ _TAIL = [
                                  # a9_o1_percentiles_ranked + a1
     "w10_attribution",       # event-sequence attribution → w9_funnel
                              # (head: ordered per-user sequence
-                             # window) + w11_multi_touch (head since
-                             # r13: the multi-touch form)
+                             # window) + w8_window_suite (head:
+                             # lead/lag frames); w11_multi_touch is
+                             # the r14-evicted tail twin (green r13)
     "a16_countmin_freq",     # frequency-sketch family →
                              # a23_kmv_distinct + w17_sliding_
                              # distinct_kmv (head sketch rows); exact
-                             # heavy hitters → a15_heavy_hitters (head
-                             # since r13; MG pytest twin)
+                             # heavy hitters → llm_vocab_topk (head
+                             # since r14: the same count+top-k shape;
+                             # a15_heavy_hitters is the r14-evicted
+                             # tail twin, green r13; MG pytest twin)
     # -- round-10 second rotation: the two NEW round-10 oracle
     #    families (KMV sliding distinct, BPE pair counting) earn
     #    driver CORRECTNESS rows this round; two compound-redundant
@@ -227,9 +226,13 @@ _TAIL = [
                              # quantile semantics → a9_o1_percentiles_
                              # ranked (head, exact form)
     "q4_order_priority_check",  # EXISTS → semi decorrelation →
-                                # q21_fully_late_orders (head: the
-                                # NOT-EXISTS anti twin of the same
-                                # family, inequality residual incl.)
+                                # j9_bloom_semi_join (head: the exact
+                                # semi-join form) + j5_get_or_create
+                                # (head: the anti form);
+                                # q21_fully_late_orders is the
+                                # r14-evicted NOT-EXISTS tail twin
+                                # (green r13, incl. the inequality
+                                # residual)
     "j8_fuzzy_pairs",        # prefix-filtered similarity-join family
                              # → llm_setsim_pairs (head: rarest-token
                              # prefix candidates + exact verify); the
@@ -384,6 +387,66 @@ _TAIL = [
                              # paired fcst/obs frame it scores) +
                              # a9_o1_percentiles_ranked (head: exact
                              # wide-decimal moment discipline)
+    # -- round-14 rotation (judge r13 task 2, the FIFTH head
+    #    rotation): the NINE remaining never-driver-gated oracle rows
+    #    promoted (llm_ngram_logfreq, llm_vocab_topk,
+    #    llm_temperature_mix, llm_normalize_text,
+    #    llm_train_test_split, llm_source_cap, llm_setsim_cross,
+    #    llm_token_encode, llm_mix_schedule) — the never-gated ledger
+    #    is now EMPTY (p17_file_stats rows-only excepted).  Nine
+    #    evictions, every one driver-green in CORRECTNESS_r13.json,
+    #    each with named HEAD covers: --
+    "a15_heavy_hitters",     # exact heavy hitters (green r13) →
+                             # llm_vocab_topk (head since r14: the
+                             # same groupBy-count + ordered top-k
+                             # shape over corpus tokens) +
+                             # a19_histograms (head: binned frequency
+                             # profile)
+    "a18_mergeable_rollup",  # mergeable partial-agg rollup (green
+                             # r13) → a23_kmv_distinct (head: the
+                             # mergeable sketch-state contract) +
+                             # a11_a12_cube_gsets (head: hierarchical
+                             # grouped aggregates in one pass)
+    "a20_feature_scaling",   # min-max / z-score scaling (green r13)
+                             # → a9_o1_percentiles_ranked (head:
+                             # exact grouped moment discipline) +
+                             # a17_mad_outliers (head: robust
+                             # center/scale normalization)
+    "a21_cohort_retention",  # cohort retention matrix (green r13) →
+                             # w9_funnel (head: ordered per-user
+                             # event-sequence windows) +
+                             # a11_a12_cube_gsets (head: grouped
+                             # matrix aggregation)
+    "p13_morton_zorder",     # Morton Z-order interleave (green r13)
+                             # → j9_bloom_semi_join (head: the same
+                             # shiftleft/mask bitwise expression
+                             # family in the bloom bit math) +
+                             # a9_o1_percentiles_ranked (head: total-
+                             # order ranking discipline)
+    "w11_multi_touch",       # multi-touch attribution (green r13) →
+                             # w9_funnel (head: ordered per-user
+                             # sequences) + w8_window_suite (head:
+                             # the lead/lag frame family)
+    "q21_fully_late_orders",  # NOT-EXISTS → anti decorrelation
+                              # (green r13) → j5_get_or_create (head:
+                              # the anti-join form) +
+                              # j9_bloom_semi_join (head: the exact
+                              # semi-join form) + a1_pricing_summary
+                              # (head: grouped agg + HAVING residual)
+    "sql1_cte_window_join",  # spark.sql CTE + window + join entry
+                             # point (green r13) → w8_window_suite
+                             # (head: the window family) +
+                             # j6_j7_asof_range (head: join+window
+                             # compound); the ANSI-SQL surface stays
+                             # pinned by tests/test_oracle_parity's
+                             # full-registry sweep
+    "llm_corpus_entropy",    # per-source unigram entropy + type/
+                             # token counts (green r13) →
+                             # llm_text_features (head: corpus
+                             # lexical stats) + llm_vocab_topk (head
+                             # since r14: the same unigram count
+                             # tables) + llm_stupid_backoff (head:
+                             # corpus count-table discipline)
 ]
 
 

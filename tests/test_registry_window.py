@@ -63,6 +63,18 @@ driver-green in CORRECTNESS_r12.json, each with named head covers in
 co-occurrence, privacy audit, BM25/TF-IDF, NB classifier, SemDeDup,
 seq packing, w18 obs QC, binary metadata, contamination, w13
 seasonal anomaly, j10 SCD2 lookup, wrf_e4 skill scores).
+
+Round-14 rotation (judge r13 task 2, the FIFTH rotation): the NINE
+remaining never-driver-gated oracle rows promoted — llm_ngram_logfreq,
+llm_vocab_topk, llm_temperature_mix, llm_normalize_text,
+llm_train_test_split, llm_source_cap, llm_setsim_cross,
+llm_token_encode, llm_mix_schedule — retiring the never-gated ledger
+to ZERO (p17_file_stats rows-only excepted).  Nine evictions, every
+one driver-green in CORRECTNESS_r13.json (a15 heavy hitters, a18
+mergeable rollup, a20 feature scaling, a21 cohort retention, p13
+Morton Z-order, w11 multi-touch, q21 NOT-EXISTS decorrelation, sql1
+CTE entry point, llm_corpus_entropy), each with named head covers in
+``_TAIL``.
 """
 
 from __future__ import annotations
@@ -88,22 +100,14 @@ EXPECTED_HEAD = [
     "j6_j7_asof_range",
     "a11_a12_cube_gsets",
     "p14_p15_json_datetime",
-    "p13_morton_zorder",
-    "a15_heavy_hitters",
     "j9_bloom_semi_join",
     "a17_mad_outliers",
-    "a18_mergeable_rollup",
     "a19_histograms",
-    "a20_feature_scaling",
     "w8_window_suite",
     "w9_funnel",
-    "a21_cohort_retention",
     "a23_kmv_distinct",
-    "w11_multi_touch",
     "k12_distribution_drift",
     "w15_range_frame",
-    "q21_fully_late_orders",
-    "sql1_cte_window_join",
     "w17_sliding_distinct_kmv",
     "wrf_e1_push_rows",
     "wrf_e3_hybrid_frame",
@@ -114,8 +118,17 @@ EXPECTED_HEAD = [
     "llm_jaccard_verify",
     "llm_curate_corpus",
     "llm_substring_dedup",
+    "llm_ngram_logfreq",
+    "llm_vocab_topk",
+    "llm_temperature_mix",
+    "llm_normalize_text",
+    "llm_train_test_split",
     "llm_setsim_pairs",
+    "llm_source_cap",
+    "llm_setsim_cross",
+    "llm_token_encode",
     "llm_pq_topk",
+    "llm_mix_schedule",
     "llm_budget_sample",
     "llm_incremental_neardup",
     "llm_bpe_pair_counts",
@@ -124,7 +137,6 @@ EXPECTED_HEAD = [
     "llm_stupid_backoff",
     "llm_dsir_weights",
     "llm_ngram_store_topk",
-    "llm_corpus_entropy",
 ]
 
 #: The exact tail (local-mirror-only order).  Each entry's operator is
@@ -143,15 +155,6 @@ EXPECTED_TAIL = [
     "llm_minhash_signatures",
     "p16_conditional_exprs",
     "llm_stratified_sample",
-    "llm_ngram_logfreq",
-    "llm_vocab_topk",
-    "llm_temperature_mix",
-    "llm_normalize_text",
-    "llm_train_test_split",
-    "llm_source_cap",
-    "llm_setsim_cross",
-    "llm_token_encode",
-    "llm_mix_schedule",
     "p4_sql_string_filter",
     "p7_timestamp_shift",
     "r1_unpivot",
@@ -204,6 +207,15 @@ EXPECTED_TAIL = [
     "w13_seasonal_anomaly",
     "j10_scd2_lookup",
     "wrf_e4_skill_scores",
+    "a15_heavy_hitters",
+    "a18_mergeable_rollup",
+    "a20_feature_scaling",
+    "a21_cohort_retention",
+    "p13_morton_zorder",
+    "w11_multi_touch",
+    "q21_fully_late_orders",
+    "sql1_cte_window_join",
+    "llm_corpus_entropy",
 ]
 
 
