@@ -396,6 +396,68 @@ DELTA_CAUSES = {
 }
 
 
+#: Idle-box best-of-3 minima from the round-13 builder run
+#: (bench_r13.json, same box as R13_CALIBRATION) — the load-pollution
+#: reference (judge r13 task 1): a row whose best-of time exceeds 2x
+#: this value is SUSPECT and is automatically re-run; a row still >2x
+#: after the re-runs is listed in suspect_rows with the loadavg it
+#: saw, and the artifact self-reports publishable=false when that
+#: loadavg was elevated (>= LOAD1_PUBLISH_THRESHOLD).  Rationale for
+#: the threshold: a 1-minute loadavg at or above the core count means
+#: runnable threads exceeded cores for a sustained window — this
+#: process alone cannot hold that with sub-6-second queries, so it is
+#: external multi-tenant contention, which is exactly what polluted
+#: the r12 and r13 driver artifacts (judge had to re-measure both).
+R13_IDLE_MINIMA: dict[str, float] = {
+    "wrf_e1_push_rows": 0.712, "wrf_e3_hybrid_frame": 0.394,
+    "e2_rfield_contract": 1.024, "wrf_e2_rfield_files": 1.752,
+    "a1_pricing_summary": 0.675, "j3_broadcast_lookup": 0.835,
+    "w3_nearest_neighbor": 0.632, "s10_window_resample": 0.517,
+    "llm_dedup_exact": 0.183, "llm_minhash_lsh_pairs": 1.401,
+    "llm_setsim_pairs": 5.971, "llm_curate_pipeline": 2.368,
+    "llm_pq_topk": 3.111, "llm_pq_index_search": 3.153,
+    "llm_incremental_neardup": 3.341,
+    "q3_shipping_priority": 0.415, "j1_pivot_sources": 0.759,
+    "w1_lag_diff": 0.434, "w2_latest_per_series": 0.254,
+    "o1_total_order": 0.129, "llm_quality_features": 0.231,
+    "llm_simhash": 0.18, "llm_cosine_topk": 0.698,
+    "j6_asof_join": 0.743, "llm_dedup_clusters": 1.529,
+    "llm_contamination": 1.148, "llm_seq_packing": 0.548,
+    "llm_winnow_pairs": 1.922, "llm_substring_dedup": 2.129,
+    "llm_semantic_dedup": 3.284, "llm_ngram_logfreq": 2.218,
+    "w5_rolling_stats": 0.99, "llm_vocab_topk": 0.705,
+    "a16_countmin_freq": 2.072, "a18_mergeable_rollup": 0.345,
+    "a19_histograms": 0.667, "k11_snapshot_diff": 0.604,
+    "a23_kmv_distinct": 0.743, "llm_repetition_signals": 1.928,
+    "llm_mix_schedule": 0.278, "llm_pq_lloyd_topk": 3.874,
+    "llm_opq_topk": 5.065, "w15_range_frame": 0.784,
+    "w16_sliding_distinct": 0.929, "w17_sliding_distinct_kmv": 3.517,
+    "llm_bpe_pair_counts": 0.906, "w6_gap_fill": 3.673,
+    "llm_opq_serve": 1.193, "llm_simhash_neighbors": 3.064,
+    "w18_obs_qc": 0.633, "llm_cooccurrence": 1.343,
+    "llm_privacy_audit": 0.261, "llm_media_decode": 0.478,
+    "llm_stupid_backoff": 3.436, "llm_dsir_weights": 3.183,
+    "llm_ngram_store_topk": 0.485, "wrf_s1_ingest_full_d03": 6.072,
+    "wrf_s1_ingest_full_d03_hdf5": 5.662,
+}
+
+#: Suspect rule + publish gate (judge r13 task 1), both documented in
+#: R13_IDLE_MINIMA's comment.  Override via env for other boxes.
+SUSPECT_FACTOR = 2.0
+LOAD1_PUBLISH_THRESHOLD = float(
+    os.environ.get("SPARK_GRAFT_LOAD1_MAX", os.cpu_count() or 32)
+)
+#: extra best-of passes granted to suspect rows before they publish
+SUSPECT_EXTRA_REPS = 2
+
+
+def _load1() -> float:
+    try:
+        return round(os.getloadavg()[0], 2)
+    except OSError:  # platform without getloadavg
+        return -1.0
+
+
 def _calibration(spark) -> dict[str, float]:
     """Fixed machine-speed microbenchmarks, best-of-3 — CONSTANT
     workloads that never change with engine code, so cross-round
@@ -455,9 +517,11 @@ def main() -> None:
     # best-of-3; EXTENDED rows run REPS passes.
     core_reps = max(3, REPS)
     best: dict[str, float] = {}
+    load_at_best: dict[str, float] = {}
 
-    def run_one(rep: int, name: str) -> None:
+    def run_one(rep, name: str) -> None:
         print(f"## bench rep={rep} query={name}", file=sys.stderr)
+        load1 = _load1()  # load BEFORE the run: the box's state, not ours
         t0 = time.perf_counter()
         if name in SINKS:
             SINKS[name](spark, sf_dir)
@@ -467,6 +531,7 @@ def main() -> None:
         dt = time.perf_counter() - t0
         if name not in best or dt < best[name]:
             best[name] = dt
+            load_at_best[name] = load1
 
     for rep in range(core_reps):
         for name in CORE:
@@ -474,6 +539,44 @@ def main() -> None:
         if rep < REPS:
             for name in EXTENDED:
                 run_one(rep, name)
+
+    # LOAD-ROBUSTNESS PASS (judge r13 task 1): any row whose best-of
+    # time exceeds SUSPECT_FACTOR x its idle-box r13 minimum gets
+    # SUSPECT_EXTRA_REPS more attempts before publishing — the r12 and
+    # r13 driver artifacts both carried multi-tenant-contention rows
+    # that a judge then had to re-measure by hand.  Rows still >2x
+    # after the retries are published in suspect_rows with the loadavg
+    # their best rep saw; publishable=false when that loadavg was
+    # elevated (>= LOAD1_PUBLISH_THRESHOLD — see R13_IDLE_MINIMA).
+    def _suspects() -> list[str]:
+        return [
+            n for n, ref in R13_IDLE_MINIMA.items()
+            if n in best and best[n] > SUSPECT_FACTOR * ref
+        ]
+
+    for extra in range(SUSPECT_EXTRA_REPS):
+        sus = _suspects()
+        if not sus:
+            break
+        print(
+            f"## bench load-retry pass={extra} rows={sus} "
+            f"load1={_load1()}", file=sys.stderr,
+        )
+        for name in sus:
+            run_one(f"retry{extra}", name)
+
+    suspect_rows = {
+        n: {
+            "sec": round(best[n], 3),
+            "idle_ref_sec": R13_IDLE_MINIMA[n],
+            "load1_at_best": load_at_best.get(n, -1.0),
+        }
+        for n in _suspects()
+    }
+    worst_suspect_load = max(
+        (r["load1_at_best"] for r in suspect_rows.values()), default=0.0
+    )
+    publishable = worst_suspect_load < LOAD1_PUBLISH_THRESHOLD
 
     core_t = {n: round(best[n], 3) for n in CORE}
     ext_t = {n: round(best[n], 3) for n in EXTENDED}
@@ -510,6 +613,20 @@ def main() -> None:
                 # re-pinned round-13 canonical numbers: divide by
                 # these to normalize cross-round machine drift
                 "calibration_r13_canonical": R13_CALIBRATION,
+                # load-robustness block (judge r13 task 1): per-row
+                # 1-min loadavg sampled immediately before the rep
+                # that produced each row's best time, the publish
+                # gate's threshold, and the rows (if any) still >2x
+                # their idle-box r13 minima after the automatic
+                # retries.  publishable=false means: do not compare
+                # this artifact's absolute times across rounds — a
+                # suspect row's best rep started under external load.
+                "query_load1_at_best": {
+                    n: load_at_best.get(n, -1.0) for n in best
+                },
+                "load1_publish_threshold": LOAD1_PUBLISH_THRESHOLD,
+                "suspect_rows": suspect_rows,
+                "publishable": publishable,
             }
         )
     )

@@ -5,10 +5,26 @@ produces the version-controlled PARITY_SF01_r{N}.json artifact
 with row counts and both engines' wall times).
 
     python scripts/parity_sweep.py [sf_dir] [round] [out_path]
+
+LOAD ROBUSTNESS (judge r13 task 1 — the r12 AND r13 parity artifacts
+both carried multi-tenant-contention rows a judge then re-measured by
+hand): every row records the 1-minute loadavg sampled immediately
+before its timed execution; a row slower than 2x its best prior-round
+artifact time is automatically re-timed up to 2 more times (hashes
+come from the first execution — timing retries cannot change
+correctness); and the sweep REFUSES TO PUBLISH when any still-slow
+row's loadavg was elevated: if a suspect row's load1 >=
+LOAD1_PUBLISH_THRESHOLD (default: the core count — sustained runnable
+threads >= cores cannot be this process alone), the artifact is
+written to ``<out_path>.unpublishable`` and the sweep exits 2.
+Override the threshold with SPARK_GRAFT_LOAD1_MAX, or force the write
+with SPARK_GRAFT_FORCE_PUBLISH=1 (the publishable=false field still
+marks it).
 """
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import sys
@@ -20,6 +36,44 @@ from curw_wrf_data_pusher_spark.queries import ORACLES, QUERIES  # noqa: E402
 from curw_wrf_data_pusher_spark.session import get_spark  # noqa: E402
 from tests.oracle_harness import canonical_hash, duckdb_connection  # noqa: E402
 
+SUSPECT_FACTOR = 2.0
+SUSPECT_EXTRA_REPS = 2
+LOAD1_PUBLISH_THRESHOLD = float(
+    os.environ.get("SPARK_GRAFT_LOAD1_MAX", os.cpu_count() or 32)
+)
+
+
+def _load1() -> float:
+    try:
+        return round(os.getloadavg()[0], 2)
+    except OSError:
+        return -1.0
+
+
+def _prior_round_minima(repo_root: str, sf: float, this_round: int
+                        ) -> dict[str, float]:
+    """Per-query minimum spark_sec across earlier rounds' parity
+    artifacts at the SAME sf — the idle-time reference for the
+    suspect rule.  Missing/foreign-sf artifacts are skipped, so a
+    first sweep at a new sf simply has no suspect rule."""
+    minima: dict[str, float] = {}
+    for path in sorted(glob.glob(os.path.join(repo_root,
+                                              "PARITY_SF*_r*.json"))):
+        try:
+            with open(path) as f:
+                art = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if art.get("sf") != sf or art.get("round", 0) >= this_round:
+            continue
+        for name, row in art.get("results", {}).items():
+            sec = row.get("spark_sec")
+            if sec is None:
+                continue
+            if name not in minima or sec < minima[name]:
+                minima[name] = sec
+    return minima
+
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
@@ -28,6 +82,9 @@ def main() -> None:
         sys.argv[3] if len(sys.argv) > 3
         else f"PARITY_SF01_r{rnd:02d}.json"
     )
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    minima = _prior_round_minima(repo_root, sf, rnd if rnd else 10**9)
     spark = get_spark("parity-sweep")
     con = duckdb_connection(sf_dir)
     results = {}
@@ -41,10 +98,30 @@ def main() -> None:
         # warm).  Correctness hashes come from the timed (second)
         # execution.
         fn(spark, sf_dir).toPandas()
+        load1 = _load1()
         t0 = time.perf_counter()
         sp_df = fn(spark, sf_dir).toPandas()
         sp_sec = round(time.perf_counter() - t0, 2)
-        row = {"spark_rows": len(sp_df), "spark_sec": sp_sec}
+        # automatic re-time of load-suspect rows (best-of): timing
+        # only — the hash below uses sp_df from the first timed run
+        ref = minima.get(name)
+        retries = 0
+        while (ref is not None and sp_sec > SUSPECT_FACTOR * ref
+               and retries < SUSPECT_EXTRA_REPS):
+            retries += 1
+            print(f"## load-retry {retries} {name}: {sp_sec}s vs "
+                  f"prior-round min {ref}s (load1={load1})",
+                  file=sys.stderr)
+            load_r = _load1()
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).toPandas()
+            dt = round(time.perf_counter() - t0, 2)
+            if dt < sp_sec:
+                sp_sec, load1 = dt, load_r
+        row = {"spark_rows": len(sp_df), "spark_sec": sp_sec,
+               "load1": load1}
+        if ref is not None and sp_sec > SUSPECT_FACTOR * ref:
+            row["suspect_vs_prior_min"] = ref
         if name in ORACLES:
             t0 = time.perf_counter()
             du_df = con.execute(ORACLES[name]).df()
@@ -56,18 +133,38 @@ def main() -> None:
             row["match"] = None  # rows-only by design
         results[name] = row
         print(f"{name}: {row}", file=sys.stderr)
+    suspects = {n: r for n, r in results.items()
+                if "suspect_vs_prior_min" in r}
+    worst_suspect_load = max(
+        (r["load1"] for r in suspects.values()), default=0.0
+    )
+    publishable = worst_suspect_load < LOAD1_PUBLISH_THRESHOLD
     artifact = {
-        "sf": float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]),
+        "sf": sf,
         "round": rnd,
         "n_queries": len(QUERIES),
         "n_oracles": len(ORACLES),
         "n_match": n_match,
+        "load1_publish_threshold": LOAD1_PUBLISH_THRESHOLD,
+        "n_suspect_rows": len(suspects),
+        "publishable": publishable,
         "results": results,
     }
+    if not publishable and not os.environ.get("SPARK_GRAFT_FORCE_PUBLISH"):
+        out_path = out_path + ".unpublishable"
     with open(out_path, "w") as f:
         json.dump(artifact, f, indent=1)
     print(json.dumps({k: v for k, v in artifact.items()
                       if k != "results"}))
+    if not publishable:
+        print(
+            f"REFUSING to publish: {len(suspects)} row(s) still >"
+            f"{SUSPECT_FACTOR}x their prior-round minimum after "
+            f"{SUSPECT_EXTRA_REPS} retries, worst load1="
+            f"{worst_suspect_load} >= {LOAD1_PUBLISH_THRESHOLD}; "
+            f"wrote {out_path}", file=sys.stderr,
+        )
+        sys.exit(2)
 
 
 if __name__ == "__main__":
