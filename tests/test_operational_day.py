@@ -40,12 +40,18 @@ def test_mini_operational_day_checks_hold(tmp_path):
     assert proc.returncode == 0, proc.stderr[-3000:]
     result = json.loads(proc.stdout.strip().splitlines()[-1])
     # latest view: 2 systems × 30 cells × (29 + 24 overlap-shifted)
-    assert result["e1_rows"] == result["e1_rows_expected"] == 2 * 30 * 53
-    # raw history keeps every pushed row: 2 runs × 2 sys × 29 × 30
+    # wrf slots, plus the single-run mwrf T5 + dwrf E feeds (29 each)
+    assert (
+        result["e1_rows"]
+        == result["e1_rows_expected"]
+        == 2 * 30 * 53 + 2 * 30 * 29
+    )
+    # raw history keeps every pushed row: (2 runs × 2 sys + mwrf T5
+    # + dwrf E) × 29 × 30
     assert (
         result["e1_history_rows"]
         == result["e1_history_rows_expected"]
-        == 2 * 2 * 29 * 30
+        == (2 * 2 + 2) * 29 * 30
     )
     assert result["e1_history_route_equal"] is True
     assert result["e1_batch_route_equal"] is True
@@ -60,10 +66,16 @@ def test_mini_operational_day_checks_hold(tmp_path):
     assert result["e3_corrected_route_equal"] is True
     assert result["e3_changed_by_corrections"] is True
     assert result["corrected_readings"] == 48
-    assert result["micro_batches"] == 2  # one per cron cycle
+    # one micro-batch per wrf cron cycle + mwrf T5 + dwrf E
+    assert result["micro_batches"] == 4
     assert result["e3_rows"] > 0
     assert result["e2_files"] > 0
-    assert result["micro_batches"] >= 1
+    # K7 archive + K9 retention (judge r13 task 4): every emitted
+    # rfield file is in the tars; every aged raw .nc was swept
+    assert result["k7_archive_complete"] is True
+    assert result["k7_members"] == result["e2_files"] + 4  # + xy/_SUCCESS
+    assert result["k9_swept_all_aged"] is True
+    assert result["k9_removed"] == 2 * 2 + 2  # every ingested .nc
     # the emitted artifacts exist: hybrid CSVs + rfield value files
     hybrid_dir = tmp_path / "opday" / "hybrid"
     for f in ("hybrid_full.csv", "hybrid_fcst.csv", "hybrid_kelani.csv"):
