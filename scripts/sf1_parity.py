@@ -71,7 +71,10 @@ def build_twin(src: str, dst: str) -> None:
 
     def copy(table: str, select_i: str | None = None) -> None:
         out = os.path.join(dst, f"{table}.parquet")
-        if os.path.exists(out):
+        # a crashed prior build may leave a truncated file: rebuild
+        # unless the file exists AND is non-trivial; build to .tmp +
+        # atomic rename so this check is reliable
+        if os.path.exists(out) and os.path.getsize(out) > 64:
             return
         srcp = os.path.join(src, f"{table}.parquet")
         if select_i is None:
@@ -80,50 +83,51 @@ def build_twin(src: str, dst: str) -> None:
             q = " UNION ALL ".join(
                 select_i.format(i=i, src=srcp) for i in range(FACTOR)
             )
-        con.execute(f"COPY ({q}) TO '{out}' (FORMAT PARQUET)")
+        con.execute(f"COPY ({q}) TO '{out}.tmp' (FORMAT PARQUET)")
+        os.replace(out + ".tmp", out)
 
     copy("region")
     copy("nation")
     copy("customer", (
-        "SELECT c_custkey + {i}*" + str(KEYBASE) + " AS c_custkey, c_name,"
+        "SELECT c_custkey + {i}::BIGINT*" + str(KEYBASE) + " AS c_custkey, c_name,"
         " c_nationkey, c_acctbal, c_mktsegment FROM '{src}'"
     ))
     copy("supplier", (
-        "SELECT s_suppkey + {i}*" + str(KEYBASE) + " AS s_suppkey, s_name,"
+        "SELECT s_suppkey + {i}::BIGINT*" + str(KEYBASE) + " AS s_suppkey, s_name,"
         " s_nationkey, s_acctbal FROM '{src}'"
     ))
     copy("part", (
-        "SELECT p_partkey + {i}*" + str(KEYBASE) + " AS p_partkey, p_name,"
+        "SELECT p_partkey + {i}::BIGINT*" + str(KEYBASE) + " AS p_partkey, p_name,"
         " p_brand, p_type, p_size, p_retailprice FROM '{src}'"
     ))
     copy("orders", (
-        "SELECT o_orderkey + {i}*" + str(KEYBASE) + " AS o_orderkey,"
-        " o_custkey + {i}*" + str(KEYBASE) + " AS o_custkey,"
+        "SELECT o_orderkey + {i}::BIGINT*" + str(KEYBASE) + " AS o_orderkey,"
+        " o_custkey + {i}::BIGINT*" + str(KEYBASE) + " AS o_custkey,"
         " o_orderstatus, o_totalprice, o_orderdate, o_orderpriority"
         " FROM '{src}'"
     ))
     copy("lineitem", (
-        "SELECT l_orderkey + {i}*" + str(KEYBASE) + " AS l_orderkey,"
-        " l_partkey + {i}*" + str(KEYBASE) + " AS l_partkey,"
-        " l_suppkey + {i}*" + str(KEYBASE) + " AS l_suppkey,"
+        "SELECT l_orderkey + {i}::BIGINT*" + str(KEYBASE) + " AS l_orderkey,"
+        " l_partkey + {i}::BIGINT*" + str(KEYBASE) + " AS l_partkey,"
+        " l_suppkey + {i}::BIGINT*" + str(KEYBASE) + " AS l_suppkey,"
         " l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax,"
         " l_returnflag, l_linestatus, l_shipdate FROM '{src}'"
     ))
     copy("events", (
-        "SELECT event_id + {i}*" + str(KEYBASE) + " AS event_id,"
+        "SELECT event_id + {i}::BIGINT*" + str(KEYBASE) + " AS event_id,"
         " ts + INTERVAL ({i}) SECOND AS ts,"
-        " user_id + {i}*" + str(KEYBASE) + " AS user_id,"
+        " user_id + {i}::BIGINT*" + str(KEYBASE) + " AS user_id,"
         " event_type, value, props FROM '{src}'"
     ))
     copy("documents", (
-        "SELECT doc_id + {i}*" + str(KEYBASE) + " AS doc_id,"
+        "SELECT doc_id + {i}::BIGINT*" + str(KEYBASE) + " AS doc_id,"
         " CASE WHEN {i} = 0 THEN text ELSE 'r{i} ' || text END AS text,"
         " lang, source,"
         " CAST(length(CASE WHEN {i} = 0 THEN text"
         " ELSE 'r{i} ' || text END) AS BIGINT) AS n_chars FROM '{src}'"
     ))
     out = os.path.join(dst, "embeddings.parquet")
-    if not os.path.exists(out):
+    if not (os.path.exists(out) and os.path.getsize(out) > 64):
         base = pd.read_parquet(os.path.join(src, "embeddings.parquet"))
         parts = []
         for i in range(FACTOR):
@@ -136,7 +140,9 @@ def build_twin(src: str, dst: str) -> None:
                 )
             )
             parts.append(p)
-        pd.concat(parts, ignore_index=True).to_parquet(out, index=False)
+        pd.concat(parts, ignore_index=True).to_parquet(
+            out + ".tmp", index=False)
+        os.replace(out + ".tmp", out)
 
 
 def main() -> None:
