@@ -52,10 +52,13 @@ def _load1() -> float:
 
 def _prior_round_minima(repo_root: str, sf: float, this_round: int
                         ) -> dict[str, float]:
-    """Per-query minimum spark_sec across earlier rounds' parity
-    artifacts at the SAME sf — the idle-time reference for the
-    suspect rule.  Missing/foreign-sf artifacts are skipped, so a
+    """Per-query spark_sec from the LATEST prior round's parity
+    artifact at the SAME sf — the suspect-rule reference (judge r13
+    task 1 prescribes "2x its previous-round value"; the all-time
+    minimum would cross machine generations and flag box drift as
+    contention).  Missing/foreign-sf artifacts are skipped, so a
     first sweep at a new sf simply has no suspect rule."""
+    best_round = -1
     minima: dict[str, float] = {}
     for path in sorted(glob.glob(os.path.join(repo_root,
                                               "PARITY_SF*_r*.json"))):
@@ -64,14 +67,16 @@ def _prior_round_minima(repo_root: str, sf: float, this_round: int
                 art = json.load(f)
         except (OSError, ValueError):
             continue
-        if art.get("sf") != sf or art.get("round", 0) >= this_round:
+        rnd = art.get("round", 0)
+        if art.get("sf") != sf or rnd >= this_round or rnd < best_round:
             continue
-        for name, row in art.get("results", {}).items():
-            sec = row.get("spark_sec")
-            if sec is None:
-                continue
-            if name not in minima or sec < minima[name]:
-                minima[name] = sec
+        rows = {
+            name: row["spark_sec"]
+            for name, row in art.get("results", {}).items()
+            if row.get("spark_sec") is not None
+        }
+        if rows:
+            best_round, minima = rnd, rows
     return minima
 
 
