@@ -189,6 +189,16 @@ HEADLINE = [
     "llm_dsir_weights",
     # count-store merge-on-read serving (build cached per sf/mtime)
     "llm_ngram_store_topk",
+    # added round 14 (NEW rows — compare totals accordingly): the six
+    # fifth-rotation promotions that had no bench row yet join the
+    # measured set (their siblings llm_ngram_logfreq / llm_vocab_topk
+    # / llm_mix_schedule were already here)
+    "llm_normalize_text",
+    "llm_temperature_mix",
+    "llm_train_test_split",
+    "llm_source_cap",
+    "llm_setsim_cross",
+    "llm_token_encode",
 ]
 
 
