@@ -842,8 +842,8 @@ def semantic_dedup(
     hot cell whose |cell|² term defeats the clustering.  SINCE ROUND
     14 an ``"auto"`` run with over-cap cells no longer excludes them:
     it auto-switches to the TWO-LEVEL cluster split
-    (``semantic_dedup_two_level`` with ``target_cell_size`` = the
-    resolved cap), which keeps COMPARING hot cells at
+    (``semantic_dedup_two_level`` at the measured ``~√n`` split
+    target), which keeps COMPARING hot cells at
     O(|cell|²/target) cost — the round-13 100x probe measured the
     split at 14.1x growth / skew 1.06 vs the flat form's 61x / 1.83,
     so the measured-best plan is now the default plan.  The
@@ -870,11 +870,16 @@ def semantic_dedup(
             # SIZE-TRIGGERED TWO-LEVEL SPLIT (round-14 default): same
             # trigger condition as the old exclusion rule (a cell
             # exceeds the auto cap), but the hot cells are split and
-            # compared instead of skipped.  Output schema stays
+            # compared instead of skipped.  The split target is the
+            # MEASURED prescription (~√n, the r13 probe's 14.1x/1.06
+            # plan) — NOT the auto cap: a cap-sized target would
+            # leave (8n/k)²-pair sub-cells, re-creating the hot-cell
+            # blowup one level down.  Output schema stays
             # (id, cluster, is_kept).
+            target = max(256, int(n_rows ** 0.5))
             return semantic_dedup_two_level(
                 corpus, n_clusters, threshold, id_col, vec_col,
-                score_scale, target_cell_size=cap,
+                score_scale, target_cell_size=target,
             ).select(F.col(id_col), F.col("cluster"), F.col("is_kept"))
     elif max_cluster_size is not None:
         ok = (
@@ -1084,8 +1089,9 @@ def semantic_dropped_clusters(
     Since round 14 a default ``"auto"`` run excludes NOTHING (over-cap
     cells auto-switch to the two-level split and stay compared), so
     ``"auto"`` here returns the empty frame; pass the resolved int cap
-    (``_auto_cap(n, n_clusters)``) to list the cells such a run SPLIT
-    instead — the trigger condition is identical."""
+    (``_auto_cap(n, n_clusters)``) to list the cells that TRIGGERED
+    the switch (the split itself then re-clusters every cell above
+    the ~√n target)."""
     centroids = _seed_centroids(corpus, n_clusters, id_col, vec_col)
     assigned = _assigned_frame(
         corpus, centroids, id_col, vec_col, score_scale

@@ -131,17 +131,20 @@ def test_auto_default_splits_degenerate_hot_cell(spark):
     # hot cell no longer escape dedup by melting the cell
     hot_kept = [i for i in range(1200) if out[i].is_kept]
     assert out[0].is_kept and len(hot_kept) < 1200
-    # the auto run equals the explicit two-level split at the same
-    # target (the documented switch contract), modulo the subcluster
-    # column the flat signature projects away
+    # the auto run equals the explicit two-level split at the
+    # documented ~√n target (the measured 14.1x/1.06 prescription —
+    # NOT the cap, which would leave cap-sized sub-cells), modulo the
+    # subcluster column the flat signature projects away
+    target = max(256, int(n ** 0.5))
     two = {r.vec_id: r for r in semantic_dedup_two_level(
-        emb, n_clusters=k, threshold=0.999, target_cell_size=cap
+        emb, n_clusters=k, threshold=0.999, target_cell_size=target
     ).collect()}
     assert {i: (r.cluster, r.is_kept) for i, r in out.items()} == {
         i: (r.cluster, r.is_kept) for i, r in two.items()
     }
     # the accounting companion: "auto" excludes nothing now; the
-    # resolved int cap lists exactly the cells the auto run split
+    # resolved int cap lists exactly the cells that TRIGGERED the
+    # switch
     assert semantic_dropped_clusters(emb, n_clusters=k).count() == 0
     acct = semantic_dropped_clusters(
         emb, n_clusters=k, max_cluster_size=cap
