@@ -141,7 +141,10 @@ LEAK_PATTERNS = [
     r"(?i)(password|passwd|secret|api[_-]?key)\s*[:=]\s*['\"][^'\"]{4,}",
     r"(?i)BEGIN (RSA|OPENSSH|EC) PRIVATE KEY",
     r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}:\d{2,5}\b",  # host:port literals
-    r"(?i)jdbc:mysql://(?!localhost|127\.0\.0\.1)[a-z0-9.-]+",
+    # placeholder hosts (host/example.*/localhost) are fine; a real
+    # dotted production hostname is not
+    r"(?i)jdbc:mysql://(?!localhost|host[/:]|example\.|127\.0\.0\.1)"
+    r"[a-z0-9-]+\.[a-z0-9.-]+",
 ]
 
 
