@@ -248,3 +248,36 @@ def test_two_level_releases_cached_assignment(spark, sf_dir):
     assert out.count() == 400
     # CacheManager empty again: the persisted assignment was released
     assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
+def test_corpus_size_trigger_switches_to_two_level(spark, sf_dir, monkeypatch):
+    """Round-14: the documented corpus-size switch — above
+    SEMDEDUP_TWO_LEVEL_MIN_ROWS a default "auto" run takes the
+    two-level split even with balanced cells (the measured-best plan
+    at 100x); below it the flat exact plan runs (pinned by
+    test_auto_cap_default_matches_none_at_small_scale).  Pinned with
+    a lowered threshold so the test stays oracle-scale fast."""
+    from curw_wrf_data_pusher_spark.llmops import simsearch
+
+    assert simsearch.SEMDEDUP_TWO_LEVEL_MIN_ROWS == 100_000
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < 500
+    )
+    n = emb.count()
+    monkeypatch.setattr(simsearch, "SEMDEDUP_TWO_LEVEL_MIN_ROWS", n - 1)
+    auto = {r.vec_id: (r.cluster, r.is_kept) for r in semantic_dedup(
+        emb, n_clusters=4, threshold=0.35).collect()}
+    target = max(256, int(n ** 0.5))
+    two = {r.vec_id: (r.cluster, r.is_kept)
+           for r in simsearch.semantic_dedup_two_level(
+               emb, n_clusters=4, threshold=0.35, target_cell_size=target
+           ).collect()}
+    assert auto == two
+    # at exactly the threshold (n == MIN_ROWS) the flat plan still runs
+    monkeypatch.setattr(simsearch, "SEMDEDUP_TWO_LEVEL_MIN_ROWS", n)
+    flat = {r.vec_id: (r.cluster, r.is_kept) for r in semantic_dedup(
+        emb, n_clusters=4, threshold=0.35, max_cluster_size=None
+    ).collect()}
+    auto_at = {r.vec_id: (r.cluster, r.is_kept) for r in semantic_dedup(
+        emb, n_clusters=4, threshold=0.35).collect()}
+    assert auto_at == flat
