@@ -343,16 +343,61 @@ def _bench_s1_ingest_full_d03_hdf5(spark, sf_dir: str) -> None:
     _ingest_full_d03(spark, "spark_graft_d03_h5", create_nc4)
 
 
+def _ingest_split_d03(spark, cache_name: str, writer_factory) -> None:
+    import os
+    import tempfile
+
+    base = os.path.join(tempfile.gettempdir(), cache_name)
+    f = os.path.join(base, "wrfX", "d03_RAINNC.nc")
+    if not os.path.exists(f):
+        _build_full_d03(f, writer_factory)
+
+    from curw_wrf_data_pusher_spark.sources.netcdf import (
+        read_wrf_grid_split,
+    )
+
+    df = read_wrf_grid_split(
+        spark, base,
+        bbox={"lat_min": -90, "lat_max": 90,
+              "lon_min": -180, "lon_max": 180},
+        splits_per_file=32,
+    )
+    df.write.format("noop").mode("overwrite").save()
+
+
+def _bench_s1_ingest_split_d03(spark, sf_dir: str) -> None:
+    """Intra-file parallel twin of wrf_s1_ingest_full_d03: 32 tasks
+    per file, each decoding one t-slab through the codecs' lazy
+    hyperslab path (measured r14: 8.3 s -> 0.9 s on this box — the
+    single-task row's intra-day single-core sensitivity is gone
+    because no task carries the whole file)."""
+    from curw_wrf_data_pusher_spark.sources.netcdf3 import NetCDF3Writer
+
+    _ingest_split_d03(spark, "spark_graft_d03_full", NetCDF3Writer)
+
+
+def _bench_s1_ingest_split_d03_hdf5(spark, sf_dir: str) -> None:
+    """HDF5 flavor of the split ingest: each slab inflates ONLY its
+    own (1, h, w) chunks — O(slab) zlib, not O(file)."""
+    from curw_wrf_data_pusher_spark.sources.hdf5 import create_nc4
+
+    _ingest_split_d03(spark, "spark_graft_d03_h5", create_nc4)
+
+
 #: terminal-sink rows: the callable performs (and is timed over) its
 #: own write instead of the noop sink.
 SINKS = {
     "wrf_e2_rfield_files": _bench_rfield_files,
     "wrf_s1_ingest_full_d03": _bench_s1_ingest_full_d03,
     "wrf_s1_ingest_full_d03_hdf5": _bench_s1_ingest_full_d03_hdf5,
+    "wrf_s1_ingest_split_d03": _bench_s1_ingest_split_d03,
+    "wrf_s1_ingest_split_d03_hdf5": _bench_s1_ingest_split_d03_hdf5,
 }
 
 EXTENDED.append("wrf_s1_ingest_full_d03")
 EXTENDED.append("wrf_s1_ingest_full_d03_hdf5")
+EXTENDED.append("wrf_s1_ingest_split_d03")
+EXTENDED.append("wrf_s1_ingest_split_d03_hdf5")
 
 
 #: The round-10 driver-recorded core-15 (BENCH_r10.json) — the last
@@ -449,6 +494,9 @@ R13_IDLE_MINIMA: dict[str, float] = {
     "llm_stupid_backoff": 3.436, "llm_dsir_weights": 3.183,
     "llm_ngram_store_topk": 0.485, "wrf_s1_ingest_full_d03": 6.072,
     "wrf_s1_ingest_full_d03_hdf5": 5.662,
+    # r14 additions, measured idle this box (best-of-3, load1 1.2-1.5)
+    "wrf_s1_ingest_split_d03": 0.85,
+    "wrf_s1_ingest_split_d03_hdf5": 0.88,
 }
 
 #: Suspect rule + publish gate (judge r13 task 1), both documented in

@@ -48,6 +48,8 @@ import zlib
 
 import numpy as np
 
+from .netcdf3 import _leading_range, _rest_key
+
 _SIG = b"\x89HDF\r\n\x1a\n"
 
 # message type ids (spec section IV.A.2)
@@ -330,7 +332,11 @@ class HDF5Reader:
 
         def name_at(off):
             start = heap_data + off
-            end = buf.index(b"\x00", start)
+            # .find, not .index: mmap buffers (read_wrf_grid_split's
+            # range-read path) expose find() only
+            end = buf.find(b"\x00", start)
+            if end < 0:
+                raise ValueError("unterminated link name in local heap")
             return buf[start:end].decode("utf-8")
 
         out = []
@@ -820,43 +826,69 @@ class _H5Var:
             return np.frombuffer(self._fill_raw, dtype=self._dtype)[0]
         return None
 
-    def _alloc(self):
+    def _alloc(self, shape=None):
+        shape = self._shape if shape is None else shape
         fv = self._fill_scalar()
         if fv is not None:
-            return np.full(self._shape, fv, dtype=self._dtype)
-        return np.zeros(self._shape, dtype=self._dtype)
+            return np.full(shape, fv, dtype=self._dtype)
+        return np.zeros(shape, dtype=self._dtype)
 
     def _load(self):
         if self._data is not None:
             return self._data
+        n0 = self._shape[0] if self._shape else 1
+        self._data = self._load_range(0, n0)
+        return self._data
+
+    def _load_range(self, t0: int, t1: int):
+        """Rows ``t0:t1`` along axis 0 without touching the rest of
+        the dataset: chunked layouts SKIP (never inflate) chunks whose
+        axis-0 extent misses the slab, and contiguous layouts read one
+        shifted buffer range.  O(slab) decompress instead of
+        O(variable) — the hyperslab pushdown the netCDF4 C library
+        does natively (wrf_data_pusher.py:181-189)."""
         buf = self._reader._buf
         osz = self._reader._osz
+        full = not self._shape or (t0 == 0 and t1 == self._shape[0])
+        tail = self._shape[1:] if self._shape else ()
+        per = 1
+        for d in tail:
+            per *= d
+        shape = self._shape if full else (t1 - t0,) + tail
         n = 1
-        for d in self._shape:
+        for d in shape:
             n *= d
         kind = self._layout[0] if self._layout else None
         if kind == "compact":
             arr = np.frombuffer(
-                self._layout[1], dtype=self._dtype, count=n
+                self._layout[1], dtype=self._dtype,
+                count=int(np.prod(self._shape, dtype=np.int64))
+                if self._shape else 1,
             ).reshape(self._shape)
+            if not full:
+                arr = arr[t0:t1]
         elif kind == "contiguous":
             addr = self._layout[1]
             if _undef(addr, osz):  # never allocated → all fill
-                arr = self._alloc()
+                arr = self._alloc(shape)
             else:
                 arr = np.frombuffer(
-                    buf, dtype=self._dtype, count=n, offset=addr
-                ).reshape(self._shape)
+                    buf, dtype=self._dtype, count=n,
+                    offset=addr + (0 if full
+                                   else t0 * per * self._dtype.itemsize),
+                ).reshape(shape)
         elif kind == "chunked":
-            arr = self._load_chunked()
+            arr = self._load_chunked(
+                0 if full and self._shape else t0,
+                self._shape[0] if full and self._shape else t1,
+            )
         else:
             raise ValueError(f"dataset {self._name!r}: no data layout")
-        self._data = arr
         return arr
 
-    def _load_chunked(self):
+    def _load_chunked(self, t0: int, t1: int):
         buf = self._reader._buf
-        out = self._alloc()
+        out = self._alloc((t1 - t0,) + self._shape[1:])
         btree, cdims = self._layout[1], self._layout[2]
         rank = len(self._shape)
         if _undef(btree, self._reader._osz):
@@ -880,15 +912,18 @@ class _H5Var:
                 child = c.o()
                 if level > 0:
                     walk(child)
-                else:
+                elif offs[0] < t1 and offs[0] + cdims[0] > t0:
+                    # only intersecting chunks are inflated; the rest
+                    # are never even sliced out of the buffer
                     self._place_chunk(out, child, nbytes, fmask,
-                                      offs, cdims)
+                                      offs, cdims, t0, t1)
             # trailing key ignored
 
         walk(btree)
         return out
 
-    def _place_chunk(self, out, addr, nbytes, fmask, offs, cdims):
+    def _place_chunk(self, out, addr, nbytes, fmask, offs, cdims,
+                     t0, t1):
         raw = self._reader._buf[addr:addr + nbytes]
         itemsize = self._dtype.itemsize
         # filters run last-to-first on read; bit i of the filter mask
@@ -918,23 +953,41 @@ class _H5Var:
         chunk = np.frombuffer(raw, dtype=self._dtype, count=n).reshape(
             cdims
         )
-        # clip edge-overhanging chunks
+        # clip edge-overhanging chunks; axis 0 additionally clips to
+        # the requested [t0, t1) slab and shifts into slab coordinates
         sl_out, sl_in = [], []
-        for off, cd, full in zip(offs, cdims, self._shape):
-            take = min(cd, full - off)
-            sl_out.append(slice(off, off + take))
-            sl_in.append(slice(0, take))
+        for ax, (off, cd, full) in enumerate(
+            zip(offs, cdims, self._shape)
+        ):
+            lo, hi = off, min(off + cd, full)
+            if ax == 0:
+                lo, hi = max(lo, t0), min(hi, t1)
+                sl_out.append(slice(lo - t0, hi - t0))
+            else:
+                sl_out.append(slice(lo, hi))
+            sl_in.append(slice(lo - off, hi - off))
         out[tuple(sl_out)] = chunk[tuple(sl_in)]
 
-    def __getitem__(self, key):
-        arr = self._load()
+    def _mask(self, got):
         fv = self._fill_scalar()
-        got = arr[key]
         if fv is not None and np.issubdtype(self._dtype, np.floating):
             if np.isnan(fv):
                 return np.ma.masked_invalid(got)
             return np.ma.masked_equal(got, fv)
         return got
+
+    def __getitem__(self, key):
+        # hyperslab fast path (mirrors netcdf3._ReadVar.__getitem__):
+        # a leading int/step-1-slice key decodes only rows t0:t1 —
+        # for the (1, ny, nx)-chunked WRF layout that means exactly
+        # the slab's chunks are inflated
+        if self._data is None and self._shape:
+            lead = _leading_range(key, self._shape[0])
+            if lead is not None:
+                t0, t1, as_int, rest = lead
+                slab = self._load_range(t0, t1)
+                return self._mask(slab[_rest_key(as_int, rest)])
+        return self._mask(self._load()[key])
 
     def __array__(self, dtype=None):
         a = self._load()

@@ -67,6 +67,60 @@ def _netcdf_available() -> bool:
         return False
 
 
+def _default_open_dataset():
+    """The ``bytes -> dataset`` opener both ingest routes share:
+    ``netCDF4.Dataset`` when the C stack is installed, else the
+    pure-numpy codecs dispatched by magic — classic CDF-1/2/5 via
+    ``sources/netcdf3`` and netCDF-4/HDF5 via the ``sources/hdf5``
+    subset reader (superblock v0/v2, v1+v2 object headers,
+    contiguous + chunked/deflate/shuffle layouts)."""
+    if _netcdf_available():
+
+        def open_dataset(content: bytes):
+            from netCDF4 import Dataset
+
+            return Dataset("inmem", memory=content)
+
+    else:
+
+        def open_dataset(content: bytes):
+            if content[:8] == b"\x89HDF\r\n\x1a\n":
+                from .hdf5 import open_hdf5
+
+                return open_hdf5(content)
+            from .netcdf3 import open_classic
+
+            return open_classic(content)
+
+    return open_dataset
+
+
+def _local_file_buffer(path: str):
+    """Default ``open_bytes`` for :func:`read_wrf_grid_split`: map a
+    ``binaryFile``-style URI to a buffer the pure-Python codecs can
+    decode.  Local (``file:`` / bare) paths are memory-mapped, so a
+    slab decode only faults in the byte ranges its chunks/records
+    actually occupy — the OS does the range read.  Non-local
+    filesystems need an injected ``open_bytes`` (e.g. an fsspec
+    ``cat_file`` or a ranged object-store GET); executors read from
+    shared storage directly, never through the driver."""
+    import mmap
+
+    p = path
+    if p.startswith("file:"):
+        p = p[5:]
+        while p.startswith("//"):  # file:///abs and file:/abs both appear
+            p = p[1:]
+    elif "://" in p:
+        raise ValueError(
+            "read_wrf_grid_split: no open_bytes given for non-local "
+            f"path {path!r}; pass open_bytes=fn(path)->bytes "
+            "(e.g. fsspec cat_file)"
+        )
+    with open(p, "rb") as f:
+        return mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ)
+
+
 def read_wrf_grid(
     spark: SparkSession,
     path: str,
@@ -109,6 +163,101 @@ def read_wrf_grid(
     )
 
 
+def read_wrf_grid_split(
+    spark: SparkSession,
+    path: str,
+    bbox: dict | None = None,
+    variable: str = "RAINNC",
+    system_from_path: bool = True,
+    t_slice: tuple[int, int] | None = None,
+    splits_per_file: int | None = None,
+    open_dataset=None,
+    open_bytes=None,
+) -> DataFrame:
+    """INTRA-file parallel variant of :func:`read_wrf_grid`: each file
+    is decoded by ``splits_per_file`` tasks, task *k* reading only the
+    time slab ``[k*T/N, (k+1)*T/N)`` via the codecs' lazy hyperslab
+    path (chunked HDF5 inflates only the slab's chunks; classic reads
+    only the slab's records).
+
+    :func:`read_wrf_grid`'s one-task-per-file shape is right when the
+    file count saturates the cluster, but a single multi-GB ``.nc``
+    (or a last straggler file) pins one core AND one Python worker
+    shipping every row.  Splitting moves both the decode and the
+    Arrow transfer onto N workers.  Only the file LISTING goes through
+    ``binaryFile`` (content column pruned — no bytes are read or
+    shuffled); each task opens its file from shared storage via
+    ``open_bytes`` (default: mmap for local paths, so the OS range-
+    reads just the slab's bytes).  The per-slab decode is the same
+    :func:`_grid_arrays` core as every other route, so the outputs
+    cannot drift (pinned by tests/test_netcdf_split.py).
+
+    ``splits_per_file`` defaults to ``sparkContext.defaultParallelism``
+    capped at 32 (a slab per core on one executor wave; more just
+    multiplies header parses).
+    """
+    if splits_per_file is None:
+        splits_per_file = min(32, spark.sparkContext.defaultParallelism)
+    n_splits = max(1, int(splits_per_file))
+    listing = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.nc")
+        .option("recursiveFileLookup", "true")
+        .load(path)
+        .select("path", "modificationTime")
+    )
+    # metadata-only count (content pruned): sizes the repartition so
+    # every (file, slab) pair is its own task
+    n_files = listing.count()
+    if n_files == 0:
+        return spark.createDataFrame([], GRID_SCHEMA)
+    od = open_dataset or _default_open_dataset()
+    ob = open_bytes or _local_file_buffer
+    bbox = bbox or SL_EXTENT
+    splits = listing.withColumn(
+        "split_id", F.explode(F.sequence(F.lit(0), F.lit(n_splits - 1)))
+    ).repartition(n_files * n_splits)
+
+    def decode(batches):
+        import pyarrow as pa
+
+        for b in batches:
+            paths = b.column("path")
+            mtimes = b.column("modificationTime")
+            sids = b.column("split_id")
+            for i in range(b.num_rows):
+                p = paths[i].as_py()
+                k = sids[i].as_py()
+                content = ob(p)
+                ds = od(content)
+                try:
+                    n_t = int(ds.variables["XTIME"].shape[0])
+                finally:
+                    ds.close()
+                lo, hi = t_slice or (0, n_t)
+                hi = min(hi, n_t)
+                span = max(0, hi - lo)
+                t0 = lo + (k * span) // n_splits
+                t1 = lo + ((k + 1) * span) // n_splits
+                if t1 <= t0:
+                    continue
+                out = decode_grid_arrow(
+                    content,
+                    path=p,
+                    mtime=mtimes[i],
+                    bbox=bbox,
+                    variable=variable,
+                    t_slice=(t0, t1),
+                    system_from_path=system_from_path,
+                    open_dataset=od,
+                    pa=pa,
+                )
+                if out is not None:
+                    yield out
+
+    return splits.mapInArrow(decode, schema=GRID_SCHEMA)
+
+
 def decode_grid_frame(
     files: DataFrame,
     bbox: dict | None = None,
@@ -123,27 +272,7 @@ def decode_grid_frame(
     ingest (``streaming/file_stream.stream_wrf_nc_push``), so the
     batch and streaming decode routes cannot drift."""
     if open_dataset is None:
-        if _netcdf_available():
-
-            def open_dataset(content: bytes):
-                from netCDF4 import Dataset
-
-                return Dataset("inmem", memory=content)
-
-        else:
-            # pure-numpy fallback — real .nc byte decode without the
-            # C library: classic CDF-1/2/5 via sources/netcdf3, and
-            # netCDF-4/HDF5 via the sources/hdf5 subset reader
-            # (superblock v0/v2, v1+v2 object headers, contiguous +
-            # chunked/deflate/shuffle layouts)
-            def open_dataset(content: bytes):
-                if content[:8] == b"\x89HDF\r\n\x1a\n":
-                    from .hdf5 import open_hdf5
-
-                    return open_hdf5(content)
-                from .netcdf3 import open_classic
-
-                return open_classic(content)
+        open_dataset = _default_open_dataset()
 
     bbox = bbox or SL_EXTENT
 

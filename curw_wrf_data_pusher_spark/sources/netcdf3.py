@@ -63,6 +63,41 @@ def _pad4(n: int) -> int:
     return (n + 3) & ~3
 
 
+def _leading_range(idx, n: int):
+    """Normalize an indexing key to ``(t0, t1, as_int, rest)`` when its
+    LEADING component is a plain int or a step-1 basic slice — the
+    shapes a hyperslab read can serve without materializing the whole
+    variable (``var[t0:t1, ...]``, ``var[0, :, 0]``, ``var[:]``).
+    Returns ``None`` for anything else (fancy indexing, negative step,
+    ellipsis) so callers fall back to the full decode.  Shared by the
+    classic and HDF5 lazy readers so both prune identically."""
+    lead, rest = (idx[0], idx[1:]) if isinstance(idx, tuple) else (idx, None)
+    if isinstance(lead, (int, np.integer)):
+        t = int(lead)
+        if t < -n or t >= n:
+            raise IndexError(
+                f"index {t} out of bounds for axis 0 with size {n}"
+            )
+        if t < 0:
+            t += n
+        return t, t + 1, True, rest
+    if isinstance(lead, slice):
+        start, stop, step = lead.indices(n)
+        if step != 1:
+            return None
+        return start, max(start, stop), False, rest
+    return None
+
+
+def _rest_key(as_int: bool, rest):
+    """Indexing key that applies a :func:`_leading_range` remainder to
+    the decoded slab: an int lead consumes axis 0 (``slab[0]``); a
+    slice lead keeps it (``slab[:, rest...]``)."""
+    if as_int:
+        return (0,) + rest if rest is not None else 0
+    return (slice(None),) + rest if rest is not None else slice(None)
+
+
 class _Cursor:
     def __init__(self, buf: bytes, wide: bool = False):
         self.buf = buf
@@ -146,29 +181,32 @@ class _ReadVar:
     def shape(self):
         return self._shape
 
-    def _load(self) -> np.ndarray:
-        if self._data is not None:
-            return self._data
+    def _raw_range(self, t0: int, t1: int) -> np.ndarray:
+        """Rows ``t0:t1`` along axis 0, straight from the byte layout:
+        a contiguous C-order variable is one shifted ``frombuffer``;
+        a record variable reads only records ``t0:t1`` at their
+        ``rec_stride`` offsets.  O(slab), not O(variable)."""
         buf = self._reader._buf
+        tail = self._shape[1:]
+        per = int(np.prod(tail, dtype=np.int64)) if tail else 1
         if not self._is_record:
-            count = int(np.prod(self._shape, dtype=np.int64)) if self._shape else 1
-            arr = np.frombuffer(
-                buf, dtype=self._dtype, count=count, offset=self._begin
-            ).reshape(self._shape)
-        else:
-            per_rec = self._shape[1:]
-            count = int(np.prod(per_rec, dtype=np.int64)) if per_rec else 1
-            recs = [
-                np.frombuffer(
-                    buf, dtype=self._dtype, count=count,
-                    offset=self._begin + r * self._rec_stride,
-                ).reshape(per_rec)
-                for r in range(self._rec_count)
-            ]
-            arr = (
-                np.stack(recs) if recs
-                else np.empty((0,) + per_rec, dtype=self._dtype)
-            )
+            return np.frombuffer(
+                buf, dtype=self._dtype, count=(t1 - t0) * per,
+                offset=self._begin + t0 * per * self._dtype.itemsize,
+            ).reshape((t1 - t0,) + tail)
+        recs = [
+            np.frombuffer(
+                buf, dtype=self._dtype, count=per,
+                offset=self._begin + r * self._rec_stride,
+            ).reshape(tail)
+            for r in range(t0, t1)
+        ]
+        return (
+            np.stack(recs) if recs
+            else np.empty((0,) + tail, dtype=self._dtype)
+        )
+
+    def _finish(self, arr: np.ndarray):
         arr = arr.astype(self._dtype.newbyteorder("="))
         fill = self._attrs.get("_FillValue")
         if fill is not None:
@@ -176,10 +214,32 @@ class _ReadVar:
                 arr = np.ma.masked_invalid(arr)
             else:
                 arr = np.ma.masked_equal(arr, fill)
-        self._data = arr
         return arr
 
+    def _load(self) -> np.ndarray:
+        if self._data is not None:
+            return self._data
+        if not self._shape:
+            arr = np.frombuffer(
+                self._reader._buf, dtype=self._dtype, count=1,
+                offset=self._begin,
+            ).reshape(())
+        else:
+            n0 = self._rec_count if self._is_record else self._shape[0]
+            arr = self._raw_range(0, n0)
+        self._data = self._finish(arr)
+        return self._data
+
     def __getitem__(self, idx):
+        # hyperslab fast path: a leading int/step-1-slice key decodes
+        # only rows t0:t1 (the t_slice pushdown lands HERE — without
+        # it `var[t0:t1]` materialized every record first)
+        if self._data is None and self._shape:
+            lead = _leading_range(idx, self._shape[0])
+            if lead is not None:
+                t0, t1, as_int, rest = lead
+                arr = self._finish(self._raw_range(t0, t1))
+                return arr[_rest_key(as_int, rest)]
         return self._load()[idx]
 
     def __array__(self, dtype=None):
