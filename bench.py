@@ -79,7 +79,26 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from curw_wrf_data_pusher_spark.queries import QUERIES, generic, llm  # noqa: E402
+from curw_wrf_data_pusher_spark.queries import (  # noqa: E402
+    QUERIES,
+    analytics,
+    expressions,
+    llm_ann,
+    llm_curation,
+    llm_dedup,
+    llm_filters,
+    llm_lm,
+    relational,
+    sketches,
+    timeseries_sql,
+)
+
+#: the split query modules (former generic.py + llm.py monoliths) —
+#: searched by _resolve for headline names gated out of the registry
+_QUERY_MODULES = (
+    relational, expressions, analytics, sketches, timeseries_sql,
+    llm_dedup, llm_curation, llm_filters, llm_ann, llm_lm,
+)
 from curw_wrf_data_pusher_spark.session import get_spark  # noqa: E402
 
 # Per-query repetitions; the reported time is the MINIMUM across reps,
@@ -208,7 +227,7 @@ def _resolve(name):
     plain (unregistered) module function."""
     if name in QUERIES:
         return QUERIES[name]
-    for mod in (generic, llm):
+    for mod in _QUERY_MODULES:
         fn = getattr(mod, name, None)
         if fn is not None:
             return fn

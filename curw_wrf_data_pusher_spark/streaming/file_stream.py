@@ -195,7 +195,7 @@ def session_window_agg(
     value_col: str = "value",
 ) -> DataFrame:
     """Session-window aggregation — the streaming twin of the batch
-    lag+cumsum sessionization (``queries/generic.py::w4_sessionize``):
+    lag+cumsum sessionization (``queries/relational.py::w4_sessionize``):
     per-key sessions closed by ``gap`` of inactivity, with n_events /
     value total per session.  Works on streaming AND batch frames with
     the same plan.

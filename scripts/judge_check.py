@@ -78,17 +78,11 @@ def section_pytest(fast: bool) -> dict:
 
 def section_spot_set(sf_dir: str) -> dict:
     sys.path.insert(0, REPO)
-    from curw_wrf_data_pusher_spark.queries import QUERIES, generic, llm
+    from curw_wrf_data_pusher_spark.queries import QUERIES
     from curw_wrf_data_pusher_spark.session import get_spark
 
     def resolve(name):
-        if name in QUERIES:
-            return QUERIES[name]
-        for mod in (generic, llm):
-            fn = getattr(mod, name, None)
-            if fn is not None:
-                return fn
-        raise KeyError(name)
+        return QUERIES[name]  # every spot-set row is registered
 
     spark = get_spark("judge-check")
     rows = {}

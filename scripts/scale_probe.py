@@ -31,7 +31,7 @@ import urllib.request
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from curw_wrf_data_pusher_spark.queries import llm  # noqa: E402
+from curw_wrf_data_pusher_spark.queries import QUERIES  # noqa: E402
 from curw_wrf_data_pusher_spark.session import get_spark  # noqa: E402
 
 ROWS = os.environ.get(
@@ -234,7 +234,7 @@ def main() -> None:
                 def fn(s, d, _p=probe_fn, _f=factor):
                     return _p(s, d, factor=_f)
             else:
-                fn = getattr(llm, name)
+                fn = QUERIES[name]
             best = None
             skew = None
             for _ in range(REPS):

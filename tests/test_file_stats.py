@@ -10,7 +10,7 @@ import os
 
 import duckdb
 
-from curw_wrf_data_pusher_spark.queries.generic import p17_file_stats
+from curw_wrf_data_pusher_spark.queries.timeseries_sql import p17_file_stats
 
 
 def test_file_stats_match_parquet_footers(spark, sf_dir):

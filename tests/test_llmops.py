@@ -614,7 +614,7 @@ def test_embedding_neardup_query_has_no_nested_loop_join(spark, sf_dir):
     all-pairs form survives only as the unregistered test oracle).
     The compound row's topk branch deliberately broadcasts the tiny
     query side, so the gate targets the neardup branch."""
-    from curw_wrf_data_pusher_spark.queries.llm import llm_embedding_neardup
+    from curw_wrf_data_pusher_spark.queries.llm_dedup import llm_embedding_neardup
 
     from .test_plans_quality import plan_of
 
@@ -704,7 +704,7 @@ def test_banded_neardup_join_is_shuffled_equi_join(spark, sf_dir):
     max_cell_size: AQE bounds the per-task straggle of a hot cell,
     the cap bounds the intrinsic |cell|² pair count itself — a
     production job wants both."""
-    from curw_wrf_data_pusher_spark.queries.llm import llm_embedding_neardup
+    from curw_wrf_data_pusher_spark.queries.llm_dedup import llm_embedding_neardup
 
     from .test_plans_quality import plan_of
 

@@ -112,7 +112,7 @@ def test_latest_dedup_join_form_broadcasts(spark, sf_dir):
 def test_grouping_sets_single_expand_single_shuffle(spark, sf_dir):
     # the standalone grouping-sets form (driver-gated through the
     # a11_a12_cube_gsets compound, which unions two aggregations)
-    from curw_wrf_data_pusher_spark.queries.generic import a12_grouping_sets
+    from curw_wrf_data_pusher_spark.queries.relational import a12_grouping_sets
 
     plan = plan_of(a12_grouping_sets(spark, sf_dir))
     # grouping sets compile to one map-side Expand + one agg exchange —
