@@ -9,10 +9,14 @@
 Why a DataSource and not just ``read_wrf_grid``: the reader becomes a
 first-class scan node — ``.load()`` composes with every DataFrame op,
 the schema is declared to Catalyst up front (column pruning applies),
-and partition planning is explicit: ONE INPUT PARTITION PER .nc FILE,
-so a 10k-file day fans out across the cluster with no binaryFile
-intermediary and no single-task listing bottleneck beyond the driver
-glob (the same listing every file source performs).
+and partition planning is explicit: ONE INPUT PARTITION PER .nc FILE
+by default, so a 10k-file day fans out across the cluster with no
+binaryFile intermediary and no single-task listing bottleneck beyond
+the driver glob (the same listing every file source performs).  With
+``.option("splits_per_file", N)`` each file becomes N partitions,
+partition k decoding time slab ``[k*T/N, (k+1)*T/N)`` through the
+codecs' lazy hyperslab path — the big-file / straggler remedy
+(``netcdf.read_wrf_grid_split`` is the mapInArrow twin).
 
 Decode is ``sources.netcdf.decode_grid_bytes`` — the same
 ``_grid_arrays`` core the mapInArrow path runs, so the two
@@ -51,9 +55,12 @@ def _default_codec(content: bytes):
 
 
 class _FilePartition(InputPartition):
-    def __init__(self, path: str, mtime_us: int):
+    def __init__(self, path: str, mtime_us: int, split_id: int = 0,
+                 n_splits: int = 1):
         self.path = path
         self.mtime_us = mtime_us
+        self.split_id = split_id
+        self.n_splits = n_splits
 
 
 class WrfGridDataSource(DataSource):
@@ -103,20 +110,50 @@ class WrfGridReader(DataSourceReader):
                 f"{missing})"
             )
         self.t_slice = (int(t0), int(t1)) if t0 is not None else None
+        # splits_per_file > 1: N input partitions per file, partition k
+        # decoding time slab [k*T/N, (k+1)*T/N) through the codecs'
+        # lazy hyperslab path — the DataSource twin of
+        # netcdf.read_wrf_grid_split (one big wrfout no longer pins
+        # one core; route equality is test-pinned)
+        self.splits_per_file = max(
+            1, int(options.get("splits_per_file", "1"))
+        )
         self.codec = codec or _default_codec
 
     def partitions(self):
         files = sorted(
             glob.glob(os.path.join(self.path, "**", "*.nc"), recursive=True)
         )
+        n = self.splits_per_file
         return [
-            _FilePartition(f, os.stat(f).st_mtime_ns // 1000)
+            _FilePartition(f, os.stat(f).st_mtime_ns // 1000, k, n)
             for f in files
+            for k in range(n)
         ]
+
+    def _slab(self, partition: _FilePartition, content) -> tuple | None:
+        """This partition's [t0, t1) within the file (∩ the t0/t1
+        option); None when the slab is empty or covers everything."""
+        if partition.n_splits == 1:
+            return self.t_slice
+        ds = self.codec(content)
+        try:
+            n_t = int(ds.variables["XTIME"].shape[0])
+        finally:
+            ds.close()
+        lo, hi = self.t_slice or (0, n_t)
+        hi = min(hi, n_t)
+        span = max(0, hi - lo)
+        t0 = lo + (partition.split_id * span) // partition.n_splits
+        t1 = lo + ((partition.split_id + 1) * span) // partition.n_splits
+        return (t0, t1)
 
     def read(self, partition: _FilePartition):
         with open(partition.path, "rb") as fh:
             content = fh.read()
+        t_slice = self._slab(partition, content)
+        if t_slice is not None and t_slice[1] <= t_slice[0]:
+            return
         mtime = datetime.fromtimestamp(
             partition.mtime_us / 1e6, tz=timezone.utc
         ).replace(tzinfo=None)
@@ -126,7 +163,7 @@ class WrfGridReader(DataSourceReader):
             mtime=mtime,
             bbox=self.bbox,
             variable=self.variable,
-            t_slice=self.t_slice,
+            t_slice=t_slice,
             system_from_path=self.system_from_path,
             open_dataset=self.codec,
         )

@@ -381,3 +381,51 @@ def test_wrfgrid_datasource_rejects_half_open_t_slice(spark, tmp_path):
             (spark.read.format("wrfgrid").option(opt, "1").load(root)
              .collect())
         assert "must be set together" in str(ei.value)
+
+
+def test_wrfgrid_datasource_splits_per_file(spark, tmp_path):
+    """splits_per_file=N plans N partitions per file, each decoding
+    one t-slab; the union equals the unsplit scan exactly (incl. a
+    t0/t1 option intersected with the slabs, and surplus empty
+    slabs when N > T)."""
+    from curw_wrf_data_pusher_spark.sources.nc_datasource import (
+        register_wrfgrid,
+    )
+
+    cube = np.arange(5 * 4 * 5, dtype="f8").reshape(5, 4, 5)
+    root = _write_file(
+        tmp_path, "d03_RAINNC.nc",
+        _make_nc_bytes(LATS, LONS, [0, 15, 30, 45, 60], cube),
+    )
+    register_wrfgrid(spark, codec=stub_open)
+
+    def scan(**opts):
+        r = spark.read.format("wrfgrid").option("bbox", "6.6,7.4,79.6,81.0")
+        for k, v in opts.items():
+            r = r.option(k, v)
+        return r.load(root)
+
+    key = ["source_file", "t_idx", "y", "x"]
+    cols = ["t_idx", "xtime_min", "y", "x", "rainnc_cum"]
+    base = scan().toPandas()[cols].sort_values(key[1:]).reset_index(drop=True)
+
+    split = scan(splits_per_file="3")
+    assert split.rdd.getNumPartitions() == 3
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(
+        split.toPandas()[cols].sort_values(key[1:]).reset_index(drop=True),
+        base,
+    )
+
+    # N > T: surplus slabs empty, union still exact
+    wide = scan(splits_per_file="9")
+    assert wide.rdd.getNumPartitions() == 9
+    pd.testing.assert_frame_equal(
+        wide.toPandas()[cols].sort_values(key[1:]).reset_index(drop=True),
+        base,
+    )
+
+    # t-slice option intersects the slabs
+    sliced = scan(splits_per_file="4", t0="1", t1="4").toPandas()
+    assert sorted(sliced["t_idx"].unique()) == [1, 2, 3]
