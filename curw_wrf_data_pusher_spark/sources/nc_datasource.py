@@ -125,9 +125,10 @@ class WrfGridReader(DataSourceReader):
             glob.glob(os.path.join(self.path, "**", "*.nc"), recursive=True)
         )
         n = self.splits_per_file
+        stats = [(f, os.stat(f).st_mtime_ns // 1000) for f in files]
         return [
-            _FilePartition(f, os.stat(f).st_mtime_ns // 1000, k, n)
-            for f in files
+            _FilePartition(f, mt, k, n)
+            for f, mt in stats
             for k in range(n)
         ]
 

@@ -214,9 +214,19 @@ def read_wrf_grid_split(
     od = open_dataset or _default_open_dataset()
     ob = open_bytes or _local_file_buffer
     bbox = bbox or SL_EXTENT
+    # one task per (file, slab) — but capped: a 10k-file day at
+    # splits=32 must not plan 320k tasks (scheduler pressure for no
+    # gain; splitting exists for FEW big files / last stragglers,
+    # while many-file days already saturate on file parallelism).
+    # Under the cap each task decodes several slabs sequentially,
+    # which is exactly the one-task-per-file cost it replaces.
+    num_parts = min(
+        n_files * n_splits,
+        max(n_splits, 16 * spark.sparkContext.defaultParallelism),
+    )
     splits = listing.withColumn(
         "split_id", F.explode(F.sequence(F.lit(0), F.lit(n_splits - 1)))
-    ).repartition(n_files * n_splits)
+    ).repartition(num_parts)
 
     def decode(batches):
         import pyarrow as pa
