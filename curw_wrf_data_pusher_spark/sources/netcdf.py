@@ -18,8 +18,10 @@ in-memory and emitting long rows.  Filter/projection pushdown is
 option-driven (variable name, bbox, time slice are applied inside the
 reader before the hyperslab read).  At 100 TB (≈ thousands of daily
 .nc files), the file-level parallelism saturates any executor count;
-per-file output (~4.6 M rows) stays well under a task's memory because
-the reader yields one Arrow batch per timestep block.
+per-file output stays under a task's memory because the decode yields
+capped Arrow batches (``_ARROW_BATCH_ROWS``).  For FEW big files the
+intra-file route (``read_wrf_grid_split``) fans each file across N
+slab tasks instead.
 
 Codec resolution: ``netCDF4`` when installed (all formats); otherwise
 pure-numpy codecs decode real ``.nc`` bytes in-container, dispatched
@@ -56,6 +58,12 @@ SL_EXTENT = {"lat_min": 5.722969, "lat_max": 10.06425,
 #: Kelani basin extent (gen_rfields.py:19).
 KELANI_EXTENT = {"lat_min": 6.6, "lat_max": 7.4,
                  "lon_min": 79.6, "lon_max": 81.0}
+
+#: decode_grid_arrow emits batches of at most this many rows — far
+#: under the ~2 GiB Arrow binary-offset ceiling on the constant
+#: string columns (~240 MB of path strings per batch), and a bound on
+#: the Python->JVM transfer's peak memory.
+_ARROW_BATCH_ROWS = 4_000_000
 
 
 def _netcdf_available() -> bool:
@@ -251,7 +259,7 @@ def read_wrf_grid_split(
                 t1 = lo + ((k + 1) * span) // n_splits
                 if t1 <= t0:
                     continue
-                out = decode_grid_arrow(
+                yield from decode_grid_arrow(
                     content,
                     path=p,
                     mtime=mtimes[i],
@@ -262,8 +270,6 @@ def read_wrf_grid_split(
                     open_dataset=od,
                     pa=pa,
                 )
-                if out is not None:
-                    yield out
 
     return splits.mapInArrow(decode, schema=GRID_SCHEMA)
 
@@ -300,7 +306,7 @@ def decode_grid_frame(
             mtimes = b.column("modificationTime")
             contents = b.column("content")
             for i in range(b.num_rows):
-                out = decode_grid_arrow(
+                yield from decode_grid_arrow(
                     contents[i].as_py(),
                     path=paths[i].as_py(),
                     mtime=mtimes[i],
@@ -311,8 +317,6 @@ def decode_grid_frame(
                     open_dataset=open_dataset,
                     pa=pa,
                 )
-                if out is not None:
-                    yield out
 
     return files.select("path", "modificationTime", "content").mapInArrow(
         decode, schema=GRID_SCHEMA
@@ -368,10 +372,19 @@ def decode_grid_arrow(
     open_dataset,
     pa,
 ):
-    """Arrow twin of :func:`decode_grid_bytes`: one ``RecordBatch``
-    per file, built zero-copy from the decode's numpy columns.
-    ``mtime`` is the input batch's timestamp SCALAR — its Arrow type
-    (us, session tz) is reused verbatim for ``fgt_utc``."""
+    """Arrow twin of :func:`decode_grid_bytes`: GENERATOR of
+    ``RecordBatch``es built zero-copy from the decode's numpy columns
+    (yields nothing when the bbox misses the file's grid).  ``mtime``
+    is the input batch's timestamp SCALAR — its Arrow type (us,
+    session tz) is reused verbatim for ``fgt_utc``.
+
+    Batches are capped at ``_ARROW_BATCH_ROWS`` rows: a single batch
+    over a big-enough file overflows Arrow's 2 GiB binary-offset
+    limit on the constant string columns (a 46 M-row decode of one
+    10x wrfout made ``pa.array`` silently return a ChunkedArray and
+    ``RecordBatch.from_arrays`` throw — caught by the round-14 big-
+    file probe), and bounded batches also bound the transfer's peak
+    memory.  The numeric columns are zero-copy numpy slices."""
     import numpy as np
 
     g = _grid_arrays(
@@ -379,31 +392,37 @@ def decode_grid_arrow(
         open_dataset,
     )
     if g is None:
-        return None
+        return
     n = g["n"]
-    fgt = pa.array(np.full(n, mtime.value, dtype="int64")).cast(
-        mtime.type
-    )
-    return pa.RecordBatch.from_arrays(
-        [
-            pa.array(np.full(n, g["system"], dtype=object)),
-            pa.array(np.full(n, path, dtype=object)),
-            fgt,
-            pa.array(np.full(n, g["epoch_str"], dtype=object)),
-            pa.array(g["t_idx"]),
-            pa.array(g["xtime_min"]),
-            pa.array(g["y"]),
-            pa.array(g["x"]),
-            pa.array(g["latitude"].astype("float64")),
-            pa.array(g["longitude"].astype("float64")),
-            pa.array(g["rainnc_cum"]),
-        ],
-        names=[
-            "wrf_system", "source_file", "fgt_utc", "epoch_str",
-            "t_idx", "xtime_min", "y", "x", "latitude", "longitude",
-            "rainnc_cum",
-        ],
-    )
+    names = [
+        "wrf_system", "source_file", "fgt_utc", "epoch_str",
+        "t_idx", "xtime_min", "y", "x", "latitude", "longitude",
+        "rainnc_cum",
+    ]
+    lat64 = g["latitude"].astype("float64")
+    lon64 = g["longitude"].astype("float64")
+    for lo in range(0, n, _ARROW_BATCH_ROWS):
+        m = min(_ARROW_BATCH_ROWS, n - lo)
+        hi = lo + m
+        fgt = pa.array(np.full(m, mtime.value, dtype="int64")).cast(
+            mtime.type
+        )
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(np.full(m, g["system"], dtype=object)),
+                pa.array(np.full(m, path, dtype=object)),
+                fgt,
+                pa.array(np.full(m, g["epoch_str"], dtype=object)),
+                pa.array(g["t_idx"][lo:hi]),
+                pa.array(g["xtime_min"][lo:hi]),
+                pa.array(g["y"][lo:hi]),
+                pa.array(g["x"][lo:hi]),
+                pa.array(lat64[lo:hi]),
+                pa.array(lon64[lo:hi]),
+                pa.array(g["rainnc_cum"][lo:hi]),
+            ],
+            names=names,
+        )
 
 
 def _grid_arrays(

@@ -235,3 +235,35 @@ def test_classic_slab_reads_only_slab_records(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(clipped.variables["RAINNC"][1:4]), full[1:4]
     )
+
+
+def test_decode_grid_arrow_caps_batch_rows(tmp_path, monkeypatch):
+    """decode_grid_arrow must emit CAPPED batches: one giant batch
+    overflowed Arrow's 2 GiB binary-offset limit on the constant
+    string columns at ~46 M rows (round-14 big-file probe).  Pinned
+    with a tiny cap: the batch row counts obey it and the union is
+    exactly the uncapped decode."""
+    import pyarrow as pa
+
+    import curw_wrf_data_pusher_spark.sources.netcdf as ncmod
+
+    p = str(tmp_path / "cap.nc")
+    _write_grid(p, NetCDF3Writer)
+    content = open(p, "rb").read()
+    mtime = pa.scalar(1718000000000000, type=pa.timestamp("us"))
+    kw = dict(
+        path=p, mtime=mtime, bbox={"lat_min": -90, "lat_max": 90,
+                                   "lon_min": -180, "lon_max": 180},
+        variable="RAINNC", t_slice=None, system_from_path=True,
+        open_dataset=open_classic, pa=pa,
+    )
+    whole = list(ncmod.decode_grid_arrow(content, **kw))
+    assert len(whole) == 1  # default cap far above the fixture size
+
+    monkeypatch.setattr(ncmod, "_ARROW_BATCH_ROWS", 64)
+    capped = list(ncmod.decode_grid_arrow(content, **kw))
+    assert len(capped) == (T_N * H_N * W_N + 63) // 64
+    assert all(b.num_rows <= 64 for b in capped)
+    got = pa.Table.from_batches(capped)
+    want = pa.Table.from_batches(whole)
+    assert got.equals(want)
