@@ -267,3 +267,22 @@ def test_decode_grid_arrow_caps_batch_rows(tmp_path, monkeypatch):
     got = pa.Table.from_batches(capped)
     want = pa.Table.from_batches(whole)
     assert got.equals(want)
+
+
+def test_split_task_cap_engages_and_stays_exact(spark, grid_dir):
+    """Above the 16x-defaultParallelism partition cap, several
+    (file, slab) pairs share a task — the union must stay exact and
+    the plan must not exceed the cap."""
+    from curw_wrf_data_pusher_spark.sources.netcdf import (
+        read_wrf_grid,
+        read_wrf_grid_split,
+    )
+
+    cap = 16 * spark.sparkContext.defaultParallelism
+    n_splits = cap  # 2 files x cap splits = 2x the cap -> cap engages
+    split = read_wrf_grid_split(
+        spark, grid_dir, splits_per_file=n_splits
+    )
+    assert split.rdd.getNumPartitions() == cap
+    base = read_wrf_grid(spark, grid_dir)
+    assert _collect_sorted(split) == _collect_sorted(base)
