@@ -137,7 +137,7 @@ def test_split_rejects_remote_path_without_open_bytes():
     )
 
     with pytest.raises(ValueError, match="open_bytes"):
-        _local_file_buffer("s3://bucket/f.nc")
+        _local_file_buffer("hdfs://nameservice/f.nc")
 
 
 def test_local_file_buffer_mmap_decodes(tmp_path):
