@@ -162,12 +162,26 @@ def test_local_file_buffer_mmap_decodes(tmp_path):
 # --- codec-level lazy hyperslab ------------------------------------
 
 
-@pytest.mark.parametrize("factory,opener", [
-    (NetCDF3Writer, open_classic), (create_nc4, open_hdf5),
+@pytest.mark.parametrize("factory,opener,big", [
+    (NetCDF3Writer, open_classic, False),
+    (create_nc4, open_hdf5, False),   # small grid → CONTIGUOUS layout
+    (create_nc4, open_hdf5, True),    # big grid → CHUNKED (1,h,w) layout
 ])
-def test_lazy_slab_matches_full_load(tmp_path, factory, opener):
+def test_lazy_slab_matches_full_load(tmp_path, factory, opener, big):
     p = str(tmp_path / "lazy.nc")
-    _write_grid(p, factory)
+    if big:
+        # above NC4Writer's 1 KiB chunking threshold: the lazy read
+        # goes through _load_chunked's slab placement, whose VALUES
+        # this pins (the call-count test alone doesn't)
+        global H_N, W_N
+        h0, w0 = H_N, W_N
+        H_N, W_N = 24, 30
+        try:
+            _write_grid(p, factory)
+        finally:
+            H_N, W_N = h0, w0
+    else:
+        _write_grid(p, factory)
     content = open(p, "rb").read()
     full = np.asarray(opener(content).variables["RAINNC"][:])
     for key in (
