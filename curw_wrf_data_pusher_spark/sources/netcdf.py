@@ -247,29 +247,39 @@ def read_wrf_grid_split(
                 p = paths[i].as_py()
                 k = sids[i].as_py()
                 content = ob(p)
-                ds = od(content)
                 try:
-                    n_t = int(ds.variables["XTIME"].shape[0])
+                    ds = od(content)
+                    try:
+                        n_t = int(ds.variables["XTIME"].shape[0])
+                    finally:
+                        ds.close()
+                    lo, hi = t_slice or (0, n_t)
+                    hi = min(hi, n_t)
+                    span = max(0, hi - lo)
+                    t0 = lo + (k * span) // n_splits
+                    t1 = lo + ((k + 1) * span) // n_splits
+                    if t1 <= t0:
+                        continue
+                    yield from decode_grid_arrow(
+                        content,
+                        path=p,
+                        mtime=mtimes[i],
+                        bbox=bbox,
+                        variable=variable,
+                        t_slice=(t0, t1),
+                        system_from_path=system_from_path,
+                        open_dataset=od,
+                        pa=pa,
+                    )
                 finally:
-                    ds.close()
-                lo, hi = t_slice or (0, n_t)
-                hi = min(hi, n_t)
-                span = max(0, hi - lo)
-                t0 = lo + (k * span) // n_splits
-                t1 = lo + ((k + 1) * span) // n_splits
-                if t1 <= t0:
-                    continue
-                yield from decode_grid_arrow(
-                    content,
-                    path=p,
-                    mtime=mtimes[i],
-                    bbox=bbox,
-                    variable=variable,
-                    t_slice=(t0, t1),
-                    system_from_path=system_from_path,
-                    open_dataset=od,
-                    pa=pa,
-                )
+                    # under the task-count cap one task decodes many
+                    # slabs — release each mapping promptly instead
+                    # of letting mmaps pile up until GC (every output
+                    # column is a copy by construction; pinned by
+                    # test_local_file_buffer_mmap_decodes equality)
+                    close = getattr(content, "close", None)
+                    if close is not None:
+                        close()
 
     return splits.mapInArrow(decode, schema=GRID_SCHEMA)
 
