@@ -18,6 +18,8 @@ import hashlib
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .fastlit import dlit
+
 
 def _dot(a: Column, b: Column) -> Column:
     """Order-stable left-fold dot product in double precision."""
@@ -181,8 +183,8 @@ def _nearest_centroid_expr(
         *[
             F.struct(
                 (
-                    _dot(vec, F.array(*[F.lit(v) for v in c]))
-                    / _norm(F.array(*[F.lit(v) for v in c]))
+                    _dot(vec, dlit(c))
+                    / _norm(dlit(c))
                 ).alias("score"),
                 F.lit(i).alias("idx"),
             )
@@ -344,7 +346,7 @@ def _banded_replicas(
         F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
     )).withColumn("nrm", _norm(F.col("vec")))
     for i, (p, pn) in enumerate(zip(pivots, pnorms)):
-        plane = F.array(*[F.lit(v) for v in p])
+        plane = dlit(p)
         cosv = _dot(F.col("vec"), plane) / (F.col("nrm") * F.lit(pn))
         base = base.withColumn(
             f"ang{i}",
@@ -647,7 +649,7 @@ def lsh_bucket_topk(
     def signature(vec: Column) -> Column:
         sig = F.lit(0).cast("long")
         for p, row in enumerate(planes):
-            plane = F.array(*[F.lit(v) for v in row])
+            plane = dlit(row)
             sig = sig + F.when(_dot(vec, plane) >= 0, F.lit(2**p)).otherwise(0)
         return sig
 
@@ -708,7 +710,7 @@ def _cluster_assign_expr(
     SMALLEST centroid index — encoded as array_max over
     (cos, -index) structs so one lexicographic max does both."""
     def lit_vec(c: list[float]) -> Column:
-        return F.array(*[F.lit(x) for x in c])
+        return dlit(c)
 
     scored = F.array(
         *[
