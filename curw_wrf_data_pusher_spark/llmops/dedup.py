@@ -560,6 +560,19 @@ def _simhash_scan_arrow(
     exploded = _simhash_block_explode(
         sig_df, id_col, sig_col, widths, starts
     )
+    # Pin the group shuffle to the cluster's task parallelism: AQE
+    # coalesces this exchange by BYTES (exploded rows are ~24 B each)
+    # while the per-group work is Σm² popcounts in the Python worker —
+    # at sf0.1 the ~150-group shuffle coalesced to 2 tasks and the
+    # kernel ran near-serially (stage task_time 21 s, executor cpu
+    # 1.8 s: the JVM just waits on Python).  Same key as the groupBy
+    # below, so no extra exchange; explicit repartition counts are
+    # left alone by AQE.  Scale-adaptive: defaultParallelism grows
+    # with the cluster, and at corpus scale each partition holds many
+    # groups so the byte skew stays immaterial.
+    exploded = exploded.repartition(
+        sig_df.sparkSession.sparkContext.defaultParallelism, "blk", "val"
+    )
 
     def scan(pdf: "pd.DataFrame") -> "pd.DataFrame":
         # module-level lazy LUT: referenced by name, so the 512 KB
@@ -744,53 +757,63 @@ def verify_candidates(
     min_jaccard: float = 0.8,
 ) -> DataFrame:
     """Exact Jaccard verification restricted to candidate pairs — the
-    second half of the LSH dedup pipeline.  The shingle join fans out
+    second half of the LSH dedup pipeline.  The set join fans out
     only over |candidates| (near-linear after banding), never all
     pairs.
 
-    The shingle-side joins carry ``shuffle_hash`` hints — the
-    anti-broadcast pin.  The round-11 100× probe caught the un-pinned
-    failure: the shingle frames sit on a localCheckpoint scan with NO
-    Exchange underneath, so AQE never measures them and static
-    planning broadcast the gigabyte-scale token table at 500k docs —
-    the build OOM'd the driver ("Not enough memory to build and
-    broadcast").  A shuffle-hash join partitions both sides by key
-    and builds per-partition maps (bounded at any corpus size, no
-    sorts), and measured FASTER than both the broadcast plan at sf0.1
-    (4.6 s vs 5.2 s) and the all-merge fallback at 100× (126 s vs
-    298 s).  The size-frame joins stay un-hinted: they sit above
-    Exchanges, so AQE measures their true size and decides safely.
-    Hints change strategy only; results are identical."""
-    sizes = shingle_df.groupBy(id_col).agg(F.count("*").alias("sz"))
-    a = shingle_df.select(
-        F.col(id_col).alias("id_a"), F.col("shingle").alias("sh_a")
+    ``shingle_df`` must hold DISTINCT (id, shingle) rows — set
+    semantics, which every producer in this package (``shingles``,
+    ``token_sets``) already guarantees via ``array_distinct``.
+
+    SET-ARRAY FORM (optimization round 14; results identical): each
+    doc's distinct shingles are grouped into ONE array row, the
+    candidate list joins the two arrays by id, and the intersection
+    is computed inline with ``array_intersect``.  The previous form
+    exploded each pair into |set| shingle rows (a pairs×set_size
+    row fan-out), equi-joined on (id, shingle), and re-aggregated by
+    pair — three corpus-fan-out operators whose per-row overhead
+    dominated the bench row (measured: verify was ~3 s of the 5 s
+    setsim_join at sf0.1; this form cuts the pair shuffle row count
+    by the mean set size and deletes the groupBy-pair exchange).
+    Shuffle BYTES are unchanged (a pair still meets both its sets
+    exactly once) and the per-doc array is the same payload the
+    MinHash signature path already carries.
+
+    Join-strategy safety (the round-11 100× probe lesson — an
+    un-measurable localCheckpoint-backed side was statically
+    broadcast at 500k docs and OOM'd the build): the set-array frame
+    now sits ABOVE its groupBy Exchange, so AQE decides broadcast vs
+    shuffle from MEASURED sizes — broadcast while genuinely small,
+    shuffle-join once it isn't.  No static hint needed; a hint here
+    would actually pin the slower plan at oracle scale."""
+    # Pin the set-aggregation exchange to the configured shuffle
+    # partition count (same key as the groupBy → no extra exchange):
+    # the downstream per-pair array_intersect is compute-dense but
+    # byte-light, and AQE's byte-target coalescing collapsed it to 3
+    # tasks at sf0.1 (13M string hashes near-serial).  The static
+    # count is the same ceiling today's plan starts from — this only
+    # opts the one compute-dense exchange out of coalescing.
+    n_shuffle = int(
+        shingle_df.sparkSession.conf.get("spark.sql.shuffle.partitions")
     )
-    b = shingle_df.select(
-        F.col(id_col).alias("__rid"), F.col("shingle").alias("sh_b")
+    sets_ = shingle_df.repartition(n_shuffle, id_col).groupBy(id_col).agg(
+        F.collect_list("shingle").alias("__sh"),
+        F.count("*").alias("sz"),
     )
-    inter = (
-        candidates.hint("shuffle_hash").join(a, on="id_a")
-        .join(
-            b.hint("shuffle_hash"),
-            (F.col("id_b") == F.col("__rid"))
-            & (F.col("sh_a") == F.col("sh_b")),
-        )
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("inter"))
-    )
-    # `sizes` has one row PER DOCUMENT — corpus cardinality, so a
-    # broadcast HINT here would OOM executors at 100 TB (round-6 judge
-    # finding 1).  Un-hinted is safe: both sides sit above Exchanges,
-    # so AQE decides from MEASURED sizes — broadcast while genuinely
-    # small, shuffle once it isn't.
     out = (
-        inter.join(
-            sizes.select(F.col(id_col).alias("id_a"),
+        candidates.join(
+            sets_.select(F.col(id_col).alias("id_a"),
+                         F.col("__sh").alias("__sa"),
                          F.col("sz").alias("sz_a")), "id_a"
         )
         .join(
-            sizes.select(F.col(id_col).alias("id_b"),
+            sets_.select(F.col(id_col).alias("id_b"),
+                         F.col("__sh").alias("__sb"),
                          F.col("sz").alias("sz_b")), "id_b"
+        )
+        .withColumn(
+            "inter",
+            F.size(F.array_intersect("__sa", "__sb")).cast("long"),
         )
         .withColumn(
             "jaccard",

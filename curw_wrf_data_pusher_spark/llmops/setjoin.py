@@ -315,39 +315,37 @@ def setsim_join_between(
         .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    sz_a = tok_a.groupBy(id_col).agg(F.count("*").alias("sz_a"))
-    sz_b = tok_b.groupBy(id_col).agg(F.count("*").alias("sz_b"))
-    ta = tok_a.select(
-        F.col(id_col).alias("id_a"), F.col(token_col).alias("__ta")
+    # set-array verify, same rewrite (and same AQE-measurability
+    # argument) as dedup.verify_candidates: the per-side set arrays
+    # sit above their groupBy Exchanges, AQE picks broadcast vs
+    # shuffle from measured sizes, and the intersection is computed
+    # inline instead of via a pairs×set_size row fan-out + re-agg.
+    # same compute-density partition pin as dedup.verify_candidates
+    # (AQE's byte-target coalescing would run the per-pair intersect
+    # near-serially at oracle scale)
+    n_shuffle = int(
+        tok_a.sparkSession.conf.get("spark.sql.shuffle.partitions")
     )
-    tb = tok_b.select(
-        F.col(id_col).alias("__rid"), F.col(token_col).alias("__tb")
+    sets_a = tok_a.repartition(n_shuffle, id_col).groupBy(id_col).agg(
+        F.collect_list(token_col).alias("__sa"),
+        F.count("*").alias("sz_a"),
     )
-    # shuffle_hash hints on the checkpoint-backed token sides (no
-    # Exchange beneath them → AQE can't measure, static stats
-    # underestimate, and the planner broadcast the gigabyte token
-    # table at the 100× probe and OOM'd the build) — see
-    # dedup.verify_candidates for the full account
-    inter = (
-        cand.hint("shuffle_hash").join(ta, on="id_a")
-        .join(
-            tb.hint("shuffle_hash"),
-            (F.col("id_b") == F.col("__rid"))
-            & (F.col("__ta") == F.col("__tb")),
-        )
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("inter"))
+    sets_b = tok_b.repartition(n_shuffle, id_col).groupBy(id_col).agg(
+        F.collect_list(token_col).alias("__sb"),
+        F.count("*").alias("sz_b"),
     )
-    # sz_a / sz_b are one row PER DOCUMENT — never broadcast a frame
-    # whose cardinality grows with the corpus (round-6 judge finding 2).
     out = (
-        inter.join(
-            sz_a.select(F.col(id_col).alias("id_a"), "sz_a"),
+        cand.join(
+            sets_a.select(F.col(id_col).alias("id_a"), "__sa", "sz_a"),
             "id_a",
         )
         .join(
-            sz_b.select(F.col(id_col).alias("id_b"), "sz_b"),
+            sets_b.select(F.col(id_col).alias("id_b"), "__sb", "sz_b"),
             "id_b",
+        )
+        .withColumn(
+            "inter",
+            F.size(F.array_intersect("__sa", "__sb")).cast("long"),
         )
         .withColumn(
             "jaccard",

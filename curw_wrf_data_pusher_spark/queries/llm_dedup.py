@@ -655,7 +655,12 @@ def llm_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def llm_simhash_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..llmops.dedup import simhash_neighbors_banded
 
-    sig = llm_simhash(spark, sf_dir)
+    # the signature frame feeds TWO consumers (the banded scan and the
+    # final left join) — without materialization the md5-per-token +
+    # 32-way sum aggregation subtree executes twice per run (measured:
+    # two ~equal heavy stages in the event log).  Same lazy
+    # localCheckpoint device as setsim_join's token frame.
+    sig = llm_simhash(spark, sf_dir).localCheckpoint(eager=False)
     pairs = simhash_neighbors_banded(sig, radius=6)
     # near-dup relation is symmetric: each (a, b) pair contributes to
     # both endpoints' neighbourhood stats
