@@ -189,10 +189,13 @@ def opq_train(
     dim = m * len(books[0][0])
     R = np.eye(dim, dtype=np.float64)
     for _ in range(n_iters):
-        rotated = rotate_vectors(corpus, R.tolist(), vec_col=vec_col)
+        # rotation fused into the Lloyd sweep's Arrow pass (one
+        # Python boundary per sweep instead of two; bit-identical to
+        # refining rotate_vectors(corpus, R) — pq._fused_rotation)
         books = refine_codebooks(
-            rotated, books, n_iters=lloyd_iters,
+            corpus, books, n_iters=lloyd_iters,
             id_col=id_col, vec_col=vec_col, score_scale=score_scale,
+            rotation=R.tolist(),
         )
         S = _xtc_partials(
             corpus, R.tolist(), books, vec_col, score_scale
@@ -205,9 +208,9 @@ def opq_train(
     # alternation step (Ge et al. §4; each half-step is
     # non-increasing, so the monotonicity contract is preserved)
     books = refine_codebooks(
-        rotate_vectors(corpus, R.tolist(), vec_col=vec_col),
-        books, n_iters=lloyd_iters,
+        corpus, books, n_iters=lloyd_iters,
         id_col=id_col, vec_col=vec_col, score_scale=score_scale,
+        rotation=R.tolist(),
     )
     return R.tolist(), books
 
@@ -228,17 +231,26 @@ def opq_topk(
     """OPQ ADC top-k: train (or reuse) the rotation + codebooks, then
     run the standard PQ ADC scan over the rotated corpus with rotated
     queries — the serving plan is IDENTICAL to ``pq_topk`` (corpus
-    never shuffles; per-query distance tables broadcast)."""
-    from .pq import pq_topk
+    never shuffles; per-query distance tables broadcast).  The corpus
+    rotation is fused into the encode's Arrow pass (one Python
+    boundary instead of two; bit-identical — pq._fused_rotation);
+    the bounded query side keeps its own rotate stage."""
+    from ..sources.lake import spread
+    from .pq import adc_topk_over_codes, pq_encode_arrow
 
     if rotation is None or books is None:
         rotation, books = opq_train(
             corpus, m=m, k_sub=k_sub, n_iters=n_iters,
             id_col=id_col, vec_col=vec_col, score_scale=score_scale,
         )
-    return pq_topk(
-        rotate_vectors(corpus, rotation, vec_col=vec_col),
-        rotate_vectors(queries, rotation, vec_col=vec_col),
-        m=m, k_sub=k_sub, k=k, id_col=id_col, vec_col=vec_col,
-        score_scale=score_scale, books=books,
+    codes = spread(
+        pq_encode_arrow(
+            corpus, books, id_col, vec_col, score_scale,
+            rotation=rotation,
+        )
+    )
+    return adc_topk_over_codes(
+        codes, rotate_vectors(queries, rotation, vec_col=vec_col),
+        books, k=k, id_col=id_col, vec_col=vec_col,
+        score_scale=score_scale,
     )

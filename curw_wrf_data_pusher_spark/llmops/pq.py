@@ -198,12 +198,28 @@ def _spark_round(x: float, scale: int) -> float:
     return float(Decimal(repr(x)).quantize(q, rounding=ROUND_HALF_UP))
 
 
+def _fused_rotation(corpus: DataFrame, rotation, vec_col: str):
+    """(R, out_dt) for rotating INSIDE an Arrow kernel with results
+    bit-identical to a separate ``rotate_vectors`` stage: the same
+    BLAS ``V @ R`` followed by the same element-dtype round-trip
+    (a float32 column's rotated values re-quantize to float32 before
+    the consumer widens back to float64 — exactly what happens when
+    the rotated frame is written through the Arrow boundary)."""
+    import numpy as np
+
+    R = np.asarray(rotation, dtype=np.float64)
+    elem = corpus.schema[vec_col].dataType.elementType.simpleString()
+    out_dt = np.float64 if elem == "double" else np.float32
+    return R, out_dt
+
+
 def pq_encode_arrow(
     corpus: DataFrame,
     books: list[list[list[float]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     score_scale: int = 9,
+    rotation=None,
 ) -> DataFrame:
     """Arrow/numpy PQ encoding — the PRODUCTION twin of ``pq_encode``.
 
@@ -236,7 +252,12 @@ def pq_encode_arrow(
       rounded order is provably the unrounded order.
 
     ``tests/test_pq.py`` pins code-for-code equality of the two
-    encoders on the real embeddings table."""
+    encoders on the real embeddings table.
+
+    ``rotation`` fuses an OPQ rotation into the SAME Arrow pass
+    (guide §4: one Python boundary instead of two) with results
+    bit-identical to ``pq_encode_arrow(rotate_vectors(corpus, R))``
+    — see ``_fused_rotation`` for the dtype round-trip contract."""
     import numpy as np
     import pandas as pd
 
@@ -245,6 +266,10 @@ def pq_encode_arrow(
     k_sub = len(books[0])
     cents = [np.asarray(books[s], dtype=np.float64) for s in range(m)]
     grid = 10.0 ** (-score_scale)
+    rot = (
+        _fused_rotation(corpus, rotation, vec_col)
+        if rotation is not None else None
+    )
     out_schema = T.StructType(
         [corpus.schema[id_col]]
         + [T.StructField(f"code_{s}", T.IntegerType(), False) for s in range(m)]
@@ -255,6 +280,9 @@ def pq_encode_arrow(
             if not len(pdf):
                 continue
             V = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            if rot is not None:
+                R, out_dt = rot
+                V = (V @ R).astype(out_dt).astype(np.float64)
             out = {id_col: pdf[id_col].to_numpy()}
             for s in range(m):
                 sub = V[:, s * d_sub:(s + 1) * d_sub]
@@ -434,6 +462,7 @@ def refine_codebooks(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     score_scale: int = 9,
+    rotation=None,
 ) -> list[list[list[float]]]:
     """Lloyd (k-means) refinement of PQ codebooks — the production
     upgrade over raw seeds (measured on the test corpus: recall@5
@@ -458,13 +487,22 @@ def refine_codebooks(
     The result is NOT SQL-oracle-reproducible (iterative refinement);
     downstream search quality is pinned by the numpy-mirror pytest
     instead.  Feed the result to ``pq_encode`` / ``pq_topk`` — their
-    plan shape is independent of where the codebooks came from."""
+    plan shape is independent of where the codebooks came from.
+
+    ``rotation`` fuses an OPQ rotation into the assignment pass
+    (guide §4: one Python boundary per sweep instead of two),
+    bit-identical to refining ``rotate_vectors(corpus, R)`` — see
+    ``_fused_rotation``."""
     import numpy as np
     import pandas as pd
 
     m = len(books)
     d_sub = len(books[0][0])
     k_sub = len(books[0])
+    rot = (
+        _fused_rotation(corpus, rotation, vec_col)
+        if rotation is not None else None
+    )
     stat_schema = T.StructType(
         [
             T.StructField("__s", T.IntegerType(), False),
@@ -484,6 +522,9 @@ def refine_codebooks(
                 if not len(pdf):
                     continue
                 V = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+                if rot is not None:
+                    R, out_dt = rot
+                    V = (V @ R).astype(out_dt).astype(np.float64)
                 out = {
                     "__s": [], "__c": [], "__n": [],
                     **{f"__sum_{j}": [] for j in range(d_sub)},
