@@ -94,19 +94,37 @@ def ngram_count_tables(
     (trigram counts keyed h123, bigram counts keyed h12, unigram
     counts keyed h1, total token count N).
 
-    Three uniform-hash groupBys with map-side partial aggregation;
-    the scalar N is the only driver-side value (one count())."""
+    ONE union pass over the tokenized train split feeds one
+    map-side-combined (n, h) groupBy, and the type-scale result is
+    localCheckpointed: the five downstream scoring joins consume tri
+    once and bi/uni twice each, and Catalyst shares no common
+    subplans across join branches — unmaterialized, each branch
+    re-ran its own scan + tokenize + md5 + aggregate over the corpus
+    (measured 5 redundant corpus passes on the llm_stupid_backoff
+    plan).  The scalar N is exactly sum(c | n=1) — one unigram
+    instance per token, and hash collisions merge counts without
+    changing the sum — so it reads off the checkpoint instead of a
+    fourth corpus pass."""
     tok = _tokens(train, id_col, text_col)
-    uni = _gram_hash_stream(tok, 1).groupBy("h").agg(
-        F.count("*").alias("c1")
+    merged = (
+        _gram_hash_stream(tok, 1)
+        .select(F.lit(1).alias("n"), "h")
+        .unionByName(
+            _gram_hash_stream(tok, 2).select(F.lit(2).alias("n"), "h")
+        )
+        .unionByName(
+            _gram_hash_stream(tok, 3).select(F.lit(3).alias("n"), "h")
+        )
+        .groupBy("n", "h")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=False)
     )
-    bi = _gram_hash_stream(tok, 2).groupBy("h").agg(
-        F.count("*").alias("c2")
+    # first action — materializes the checkpoint the joins then reuse
+    n_tokens = (
+        merged.filter(F.col("n") == 1).select(F.sum("c")).collect()[0][0]
+        or 0
     )
-    tri = _gram_hash_stream(tok, 3).groupBy("h").agg(
-        F.count("*").alias("c3")
-    )
-    n_tokens = tok.select(F.sum(F.size("__t"))).collect()[0][0] or 0
+    tri, bi, uni = split_count_tables(merged)
     return tri, bi, uni, int(n_tokens)
 
 
@@ -269,7 +287,14 @@ def stupid_backoff_scores(
         _gram_hash("p.g23").alias("h23"),
         _gram_hash("p.g2").alias("h2"),
         _gram_hash("p.g3").alias("h3"),
-    )
+        # checkpointed: both consumers (the type distinct and the
+        # final join-back) otherwise re-run tokenize + 5 md5s per
+        # position over the whole eval split.  The row is 6 fixed
+        # ints (~48 B/position) — materializing once is cheaper than
+        # the second hashing pass (same trade setsim_join makes for
+        # its token frame); lazy, so the single final action both
+        # fills and reads it.
+    ).localCheckpoint(eager=False)
     # TYPE-level score table: distinct key tuples join the count
     # tables once, positions then join back by tuple (token instances
     # shuffle twice total regardless of table count).
