@@ -522,18 +522,26 @@ def sliding_distinct_kmv(
         *gcols, F.col("__b").alias("__t")
     ).distinct()
     merged = contrib.join(existing, [*gcols, "__t"], "left_semi")
-    w = Window.partitionBy(*gcols, "__t").orderBy("h")
-    sk = (
-        merged.select(*gcols, "__t", "h")
-        .distinct()
-        .withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
+    # Per target the candidate pool is ≤ (window/bucket)·k hashes —
+    # BOUNDED — so the distinct + row_number-rank + sort-aggregate
+    # tail (one Exchange per step) collapses into ONE per-target
+    # object-hash aggregate: collect_set dedups (map-side partials
+    # shrink the shuffle), array_sort ranks the bounded set, and the
+    # estimate reads min(|set|, k) and the k-th smallest directly.
+    # Bit-identical to the windowed form: least(size, k) == the old
+    # count of rank≤k rows, element_at(sorted, n) == max(kept k).
+    agg = merged.groupBy(*gcols, "__t").agg(
+        F.array_sort(F.collect_set("h")).alias("__hs")
     )
-    est = kmv_estimate(sk, [*gcols, "__t"], k=k)
-    return est.select(
+    n = F.least(F.size("__hs"), F.lit(k))
+    hk = F.element_at("__hs", n)
+    est = F.when(n < k, n.cast("double")).otherwise(
+        F.lit(float(k - 1)) / _hash_frac(hk)
+    )
+    return agg.select(
         *gcols,
         F.date_format(
             F.col("__t").cast("timestamp"), "yyyy-MM-dd HH:mm:ss"
         ).alias("bucket_t"),
-        "est_distinct",
+        est.alias("est_distinct"),
     )
