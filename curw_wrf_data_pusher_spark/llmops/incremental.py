@@ -259,6 +259,15 @@ def neardup_batch_drops(
         new_docs.select(F.col(id_col).alias("doc_id"), F.col(text_col)),
         text_col=text_col, id_col="doc_id", n=n,
     )
+    # The probe consumes sig_new in FOUR branches (band explode,
+    # a-side verify, in-batch candidates, in-batch verify) and
+    # Catalyst shares no subplans across branches — without
+    # materialization each branch re-runs the shingle explode + md5 +
+    # 8-way min aggregation over the batch TEXT.  The signature frame
+    # is id + k longs (~80 B/doc, batch-sized — never corpus-sized),
+    # so the checkpoint is cheap at any scale; lazy, first action
+    # fills it.
+    sig_new = sig_new.localCheckpoint(eager=False)
     return _neardup_drops(
         sig_new, store_sigs, bands, rows_per_band, threshold, in_batch,
         max_bucket_size,
@@ -283,7 +292,8 @@ def neardup_filter_batch(
     sig_new = minhash_signatures_from_text(
         new_docs.select(F.col(id_col).alias("doc_id"), F.col(text_col)),
         text_col=text_col, id_col="doc_id", n=n,
-    )
+    ).localCheckpoint(eager=False)  # same 4-branch reuse as above,
+    # plus the final signature left-join — batch-sized
     drops = _neardup_drops(
         sig_new, store_sigs, bands, rows_per_band, threshold, in_batch,
         max_bucket_size,

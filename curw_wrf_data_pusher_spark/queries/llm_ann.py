@@ -433,8 +433,21 @@ def llm_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load_table(spark, sf_dir, "documents"))
     batch = docs.filter(F.col("doc_id") % 4 == 0)
     corpus = docs.filter(F.col("doc_id") % 4 != 0)
-    store_sigs = minhash_signatures_from_text(corpus)
-    drops = neardup_batch_drops(batch, store_sigs, threshold=0.5)
+    # Hermetic twin of read_neardup_store: the store signatures are
+    # DERIVED from corpus text here, and both probe sides (band
+    # explode + b-side verify) consume them — materialize the ~80 B/doc
+    # signature frame once instead of re-running the corpus shingle
+    # pass per branch.  (Production reads these from parquet, where
+    # the scan is the cheap path and no checkpoint is wanted.)
+    store_sigs = minhash_signatures_from_text(corpus).localCheckpoint(
+        eager=False
+    )
+    # drops feeds BOTH the output union and the survivor anti-join —
+    # checkpoint the verified-match rows (bounded: matches only) so
+    # the whole candidate/verify join pipeline runs once.
+    drops = neardup_batch_drops(
+        batch, store_sigs, threshold=0.5
+    ).localCheckpoint(eager=False)
     survivors = batch.join(
         drops.select("doc_id").distinct(), "doc_id", "left_anti"
     ).select(
