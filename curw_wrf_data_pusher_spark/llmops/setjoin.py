@@ -165,10 +165,21 @@ def prefix_candidates(
         "               greatest(members[i].id, members[j].id) AS id_b)"
         "   END), p -> p IS NOT NULL)))"
     )
+    # Pin the pair-dedup exchange (same (id_a, id_b) key the
+    # dropDuplicates aggregate needs → no extra exchange) to the
+    # configured shuffle partition count: the verify stage that READS
+    # this exchange is compute-dense (per-pair array_intersect against
+    # the AQE-broadcast set arrays) but byte-light, and AQE's
+    # byte-target coalescing collapsed it to ONE near-serial task at
+    # sf0.1.  Scale-adaptive — the pin is the ceiling AQE starts from.
+    n_shuffle = int(
+        tok_df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
     return (
         grouped.filter(F.size("members") >= 2)
         .select(F.explode(pair_expr).alias("p"))
         .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        .repartition(n_shuffle, "id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
 
@@ -309,10 +320,18 @@ def setsim_join_between(
         "          ELSE members[i].id END AS id_b)"
         "   END), p -> p IS NOT NULL)))"
     )
+    # same pair-dedup exchange pin as prefix_candidates: the verify
+    # stage reading this exchange runs the per-pair array_intersect
+    # against the broadcast set arrays, and byte-target coalescing
+    # serialized it (measured: one 2.3 CPU-s task at sf0.1)
+    n_shuffle = int(
+        tok_a.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
     cand = (
         grouped.filter(F.size("members") >= 2)
         .select(F.explode(pair_expr).alias("p"))
         .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        .repartition(n_shuffle, "id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
     # set-array verify, same rewrite (and same AQE-measurability
