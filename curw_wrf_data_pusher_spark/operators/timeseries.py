@@ -11,15 +11,16 @@ fills the holes — pandas' ``resample().interpolate()``, re-expressed
 as distributed DataFrame ops.
 
 Scale (per-key series over a 100 TB event log):
-- the grid is GENERATED map-side from each key's (min, max) aggregate
-  row via ``sequence``+``explode`` — never materialized on the driver,
-  never a cross join against a calendar table;
-- one aggregation shuffle (per-key min/max), one equi-join shuffle
-  (grid ⟕ observed), one window shuffle (per-key neighbor scan); all
-  keyed on the series key — no global windows, no driver loops;
-- neighbor lookup is the last/first IGNORE NULLS window pair, so each
-  gap finds its bracketing observations in one pass regardless of gap
-  length (no iterative self-joins).
+- the grid is GENERATED map-side via ``sequence``+``explode`` — never
+  materialized on the driver, never a cross join against a calendar
+  table;
+- ONE shuffle total (the per-key ``lead`` window over the OBSERVED
+  series); the dense grid is emitted per consecutive-observation span
+  with both bracketing neighbors already attached, so the window cost
+  scales with observations, not with the densified grid — no global
+  windows, no joins, no driver loops;
+- each gap finds its bracketing observations from its span row
+  regardless of gap length (no iterative self-joins).
 
 Both fill methods are closed-form over the bracketing neighbors, so
 the whole operator is oracle-expressible; ``w6_gap_fill`` hash-pins
@@ -58,13 +59,24 @@ def gap_fill(
     construction (the grid spans min..max of OBSERVED slots), so
     linear/ffill never see a one-sided gap.
 
+    SPAN FORM (optimization round 14; results identical for the
+    contract's non-null values): every gap slot's bracketing
+    neighbors are, by construction, a CONSECUTIVE observed pair — so
+    one ``lead`` window over the OBSERVED series attaches each
+    observation's successor, and the dense grid is generated map-side
+    per span ``[t0, t1)`` with both neighbors already in the row.
+    The previous form densified FIRST and scanned for neighbors with
+    two ignore-nulls windows over the exploded grid: at sf0.1 that
+    double window over 1.05 M grid rows was 48 executor-CPU-s of the
+    query's 61 — 11× the observed rows (and unboundedly more for
+    sparse series at 100 TB).  This form windows 95 k observed rows
+    and deletes the grid⟕series join outright; the interpolation
+    expression tree is unchanged, so fills agree bit-for-bit.
+
     Output: (*key_cols, slot_col, value_filled, is_gap)."""
     if method not in ("linear", "ffill", "none"):
         raise ValueError(f"unknown fill method: {method!r}")
     keys = [F.col(k) for k in key_cols]
-    span = series.groupBy(*keys).agg(
-        F.min(slot_col).alias("__mn"), F.max(slot_col).alias("__mx")
-    )
     try:
         n_shuffle = int(
             series.sparkSession.conf.get("spark.sql.shuffle.partitions")
@@ -73,67 +85,52 @@ def gap_fill(
         # some platforms set a non-numeric value (e.g. "auto");
         # fall back to the cluster's default parallelism for the pin
         n_shuffle = series.sparkSession.sparkContext.defaultParallelism
-    grid = span.select(
-        *keys,
-        F.explode(
-            F.sequence(F.col("__mn"), F.col("__mx"), F.lit(step))
-        ).alias(slot_col),
-    ).repartition(n_shuffle, *key_cols, slot_col)
-    j = grid.join(
-        series.select(*keys, F.col(slot_col), F.col(value_col)),
-        [*key_cols, slot_col],
-        "left",
-    )
-    # Pin the grid and window exchanges to the CONFIGURED shuffle
-    # partitions: the densified frame is many times the pre-explode
-    # bytes AQE measured at the span shuffle (the classic
-    # explode-inflation blind spot), so AQE coalesces the join and
-    # window stages to ~1 partition at small scale and serializes
-    # the sorts (measured 3.0 s vs 1.3 s warm at sf0.1 over the
-    # 1.05M-row grid).  Explicit-numPartitions repartitions are
-    # exempt from AQE coalescing, and the conf is the knob real
-    # clusters already size to the executor count; the window's
-    # hash(user keys) requirement is satisfied by this exchange, so
-    # no extra shuffle is introduced beyond the pinned widths.
-    j = j.repartition(n_shuffle, *keys)
+    # Pin the window exchange to the CONFIGURED shuffle partitions:
+    # the stage reading it explodes each span into its grid slots
+    # (the classic explode-inflation AQE blind spot — coalescing is
+    # blind to the post-explode row count), and the pin is the same
+    # ceiling the plan starts from; the window's hash(keys)
+    # requirement is satisfied by this exchange, so no extra shuffle.
     w = Window.partitionBy(*keys).orderBy(slot_col)
-    obs = F.when(
-        F.col(value_col).isNotNull(),
-        F.struct(
-            F.col(slot_col).alias("t"), F.col(value_col).alias("x")
-        ),
+    spans = series.repartition(n_shuffle, *key_cols).select(
+        *keys,
+        F.col(slot_col).alias("__t0"),
+        F.col(value_col).alias("__x0"),
+        F.lead(slot_col).over(w).alias("__t1"),
+        F.lead(value_col).over(w).alias("__x1"),
     )
-    prev = F.last(obs, ignorenulls=True).over(
-        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # span [t0, t1) slot grid, map-side; the key's last observation
+    # (lead NULL) contributes exactly its own slot
+    g = spans.select(
+        *keys,
+        "__t0", "__x0", "__t1", "__x1",
+        F.explode(
+            F.sequence(
+                F.col("__t0"),
+                F.coalesce(F.col("__t1") - step, F.col("__t0")),
+                F.lit(step),
+            )
+        ).alias(slot_col),
     )
-    # Forward neighbor via a DESCENDING-ordered growing frame, not
-    # currentRow..unboundedFollowing: Spark's UnboundedFollowing frame
-    # re-evaluates the aggregate from scratch per row (O(n^2) per key —
-    # 37.7 s at sf0.1 vs <1 s for every sibling window query), while the
-    # unboundedPreceding..currentRow frame updates incrementally (O(n)).
-    # Ordering by slot DESC makes "last non-null up to current" exactly
-    # "nearest observation at slot >= current".  Same partition keys, so
-    # the window Exchange is reused — the rewrite costs one extra sort.
-    w_desc = Window.partitionBy(*keys).orderBy(F.col(slot_col).desc())
-    nxt = F.last(obs, ignorenulls=True).over(
-        w_desc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    observed = F.col(slot_col) == F.col("__t0")
     if method == "linear":
-        fill = prev["x"] + (nxt["x"] - prev["x"]) * (
-            (F.col(slot_col) - prev["t"]).cast("double")
-            / (nxt["t"] - prev["t"]).cast("double")
+        # same expression tree as the windowed form (a + (b-a) * (dt/dT)
+        # with both differences cast to double) — bit-identical fills
+        fill = F.col("__x0") + (F.col("__x1") - F.col("__x0")) * (
+            (F.col(slot_col) - F.col("__t0")).cast("double")
+            / (F.col("__t1") - F.col("__t0")).cast("double")
         )
     elif method == "ffill":
-        fill = prev["x"]
+        fill = F.col("__x0")
     else:
         fill = F.lit(None).cast("double")
-    return j.select(
+    return g.select(
         *keys,
         F.col(slot_col),
-        F.when(F.col(value_col).isNotNull(), F.col(value_col))
-        .otherwise(fill)
-        .alias("value_filled"),
-        F.col(value_col).isNull().alias("is_gap"),
+        F.when(observed, F.col("__x0")).otherwise(fill).alias(
+            "value_filled"
+        ),
+        (~observed).alias("is_gap"),
     )
 
 
