@@ -201,8 +201,12 @@ def llm_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def llm_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..llmops.textstats import repetition_signals
+    from ..sources.lake import spread
 
-    docs = load_table(spark, sf_dir, "documents").select(
+    # spread: the operator is deliberately map-side (one scan, zero
+    # shuffles), so a single-file scan's one partition serializes all
+    # of its explode/lambda work — measured 3 near-serial tasks
+    docs = spread(load_table(spark, sf_dir, "documents")).select(
         "doc_id", _wrap_8_tokens().alias("text")
     )
     return repetition_signals(docs)

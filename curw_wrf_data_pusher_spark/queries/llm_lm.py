@@ -50,8 +50,11 @@ from .registry import register
 )
 def llm_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..llmops.textstats import cooccurrence_counts
+    from ..sources.lake import spread
 
-    docs = load_table(spark, sf_dir, "documents")
+    # spread: the pair expansion is map-side, so the single-file
+    # scan's one partition serialized it (measured 4 tasks total)
+    docs = spread(load_table(spark, sf_dir, "documents"))
     return cooccurrence_counts(docs, window=4).orderBy(
         F.desc("cnt"), "a", "b"
     ).limit(50)
