@@ -449,7 +449,14 @@ def llm_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load_table(spark, sf_dir, "documents")).select(
         "doc_id", "text"
     )
-    fps = winnow_fingerprints(docs, k=3, window=4)
+    # fps feeds BOTH output branches (fp rows + the pair expansion);
+    # without materialization each branch re-runs the per-window
+    # rightmost-minimum lambda fold over every document's grams.  The
+    # fingerprint frame is 3 ints/row at ~2/(window+1) of the gram
+    # count — far below text scale, cheap to checkpoint anywhere.
+    fps = winnow_fingerprints(docs, k=3, window=4).localCheckpoint(
+        eager=False
+    )
     fp_rows = fps.select(
         F.lit("fp").alias("op"),
         F.col("doc_id").alias("id_a"),
