@@ -446,10 +446,21 @@ def remove_duplicated_lines(
             F.md5(F.trim(F.col("__line"))),
         ),
     )
+    # derive the hot set from the SAME `lines` frame rather than a
+    # second corpus_hot_lines(docs) explode: __lh is non-null exactly
+    # for qualifying lines, so the (id, __lh) multiset matches
+    # corpus_hot_lines' input and the hot set is identical — but the
+    # two branches now share one subtree, and the exchange under it
+    # (e.g. the exact-dedup text shuffle when `docs` is a dedup stage)
+    # is reused instead of re-executed per branch
     hot = (
-        corpus_hot_lines(
-            docs, id_col, text_col, min_line_chars, min_dup_count
-        )
+        lines.filter(F.col("__lh").isNotNull())
+        .select(F.col(id_col), "__lh")
+        .distinct()
+        .groupBy("__lh")
+        .agg(F.count("*").alias("__docs"))
+        .filter(F.col("__docs") >= min_dup_count)
+        .select("__lh")
         if hot_lines is None
         else hot_lines
     )

@@ -277,6 +277,29 @@ def corpus_hot_windows(
     ).select(F.col("window_hash").alias("__wh"))
 
 
+def flagged_window_starts(
+    occurrences: DataFrame,
+    hot_windows: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document sorted array of corpus-repeated window starts, as
+    (id, __ss) — the shared decision frame of the repeated-substring
+    pass.  ``size(__ss)`` is each document's duplicate-window count
+    (one flagged (id, start) row per element, by construction), so a
+    stats+removal consumer derives the count from THIS frame instead
+    of running a second occ⋉hot semi-join + groupBy over the full
+    occurrence stream (Catalyst shares no subplans across branches).
+
+    Scale: rows are (id, int array) at ~2 longs per flagged window —
+    tiny next to the occurrence stream; safe to localCheckpoint and
+    fan out to any number of consumers."""
+    return (
+        occurrences.join(hot_windows, "__wh", "left_semi")
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("__start")).alias("__ss"))
+    )
+
+
 def remove_duplicate_spans(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -286,6 +309,7 @@ def remove_duplicate_spans(
     cross_doc: bool = False,
     hot_windows: DataFrame | None = None,
     occurrences: DataFrame | None = None,
+    flagged_starts: DataFrame | None = None,
 ) -> DataFrame:
     """Exact repeated-substring removal at token-window granularity
     (the distributed re-expression of Lee et al.'s suffix-array dedup):
@@ -307,28 +331,28 @@ def remove_duplicate_spans(
     start arrays back to the full rows where an array expression drops
     covered tokens.  No UDFs; the only non-uniform key is id.
 
-    ``hot_windows`` / ``occurrences``: precomputed frames (see
-    ``corpus_hot_windows`` / ``token_window_occurrences``) so a
+    ``hot_windows`` / ``occurrences`` / ``flagged_starts``:
+    precomputed frames (see ``corpus_hot_windows`` /
+    ``token_window_occurrences`` / ``flagged_window_starts``) so a
     stats+removal pass shares one definition of each.
 
     Returns every input column with ``text_col`` rewritten."""
-    occ = (
-        token_window_occurrences(docs, id_col, text_col, l_tokens)
-        if occurrences is None
-        else occurrences
-    )
-    hot = (
-        corpus_hot_windows(
-            docs, id_col, text_col, l_tokens, min_count, cross_doc, occ
+    if flagged_starts is not None:
+        starts = flagged_starts
+    else:
+        occ = (
+            token_window_occurrences(docs, id_col, text_col, l_tokens)
+            if occurrences is None
+            else occurrences
         )
-        if hot_windows is None
-        else hot_windows
-    )
-    starts = (
-        occ.join(hot, "__wh", "left_semi")
-        .groupBy(id_col)
-        .agg(F.sort_array(F.collect_list("__start")).alias("__ss"))
-    )
+        hot = (
+            corpus_hot_windows(
+                docs, id_col, text_col, l_tokens, min_count, cross_doc, occ
+            )
+            if hot_windows is None
+            else hot_windows
+        )
+        starts = flagged_window_starts(occ, hot, id_col)
     keep_expr = (
         f"array_join(filter(transform(sequence(0, size(__t) - 1),"
         f" p -> IF(exists(__ss, s -> s <= p AND p < s + {l_tokens}),"

@@ -202,6 +202,41 @@ def test_injected_occurrences_and_hot_windows_equivalent(spark):
     assert sorted(map(tuple, derived)) == sorted(map(tuple, injected))
 
 
+def test_flagged_starts_path_equivalent(spark):
+    """The shared flagged-starts frame reproduces the derived path
+    exactly, and size(__ss) equals the per-doc flagged-window count
+    the former second occ⋉hot branch computed (the llm_substring_dedup
+    restructure relies on both)."""
+    from curw_wrf_data_pusher_spark.llmops.substrings import (
+        flagged_window_starts,
+    )
+
+    texts = [f"pre {SPAN} post{i} extra words here" for i in range(3)]
+    texts.append("no repeated window in this document at all zzz")
+    docs = _docs(spark, texts)
+    occ = token_window_occurrences(docs)
+    hot = corpus_hot_windows(docs, occurrences=occ)
+    starts = flagged_window_starts(occ, hot)
+
+    derived = remove_duplicate_spans(docs).collect()
+    via_starts = remove_duplicate_spans(
+        docs, flagged_starts=starts
+    ).collect()
+    assert sorted(map(tuple, derived)) == sorted(map(tuple, via_starts))
+
+    counts = {
+        r.doc_id: r.n
+        for r in occ.join(hot, "__wh", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    sizes = {
+        r["doc_id"]: len(r["__ss"]) for r in starts.collect()
+    }
+    assert counts == sizes and counts  # non-trivial corpus
+
+
 def test_remove_spans_preserves_other_columns_and_schema(spark):
     docs = spark.createDataFrame(
         [(1, f"x {SPAN} y", "web"), (2, f"z {SPAN} q", "books")],
