@@ -49,10 +49,19 @@ def countmin_build(
     col: str,
     depth: int = CMS_DEPTH,
     width: int = CMS_WIDTH,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Build the sketch over a column WITH multiplicity: one stream
     occurrence per input row.  Returns the sparse cell table
-    (row int, col long, cnt long), ≤ depth×width rows."""
+    (row int, col long, cnt long), ≤ depth×width rows.
+
+    ``weight_col``: treat each row as that many stream occurrences
+    (the standard weighted CMS update — the sketch is linear, so
+    building from a pre-aggregated (item, count) frame is cell-for-
+    cell identical to hashing every occurrence).  A caller that
+    already counts items (e.g. for an exact top-k alongside the
+    sketch) should pass its count frame here: the depth md5s are then
+    computed once per DISTINCT item instead of once per occurrence."""
     item = F.col(col).cast("string")
     cells = F.array(
         *[
@@ -63,12 +72,20 @@ def countmin_build(
             for i in range(depth)
         ]
     )
+    weight = (
+        [F.col(weight_col).alias("__w")] if weight_col is not None else []
+    )
+    agg = (
+        F.sum("__w").cast("long")
+        if weight_col is not None
+        else F.count("*")
+    )
     return (
-        df.select(F.explode(cells).alias("cell"))
+        df.select(F.explode(cells).alias("cell"), *weight)
         .groupBy(
             F.col("cell.r").alias("row"), F.col("cell.c").alias("col")
         )
-        .agg(F.count("*").alias("cnt"))
+        .agg(agg.alias("cnt"))
     )
 
 

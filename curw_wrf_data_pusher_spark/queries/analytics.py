@@ -178,13 +178,16 @@ def a16_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("token")
         )
     )
-    sketch = countmin_build(tok, "token", width=64)
-    top = (
-        tok.groupBy("token")
-        .agg(F.count("*").alias("exact_cnt"))
-        .orderBy(F.desc("exact_cnt"), "token")
-        .limit(50)
-    )
+    # one shared per-token count frame: the exact top-50 needs it
+    # anyway, and the sketch is linear, so building weighted from the
+    # counts is cell-identical while hashing each DISTINCT bigram once
+    # instead of every occurrence (4 md5s per occurrence -> per token);
+    # both branches read the identical counts subtree, so its exchange
+    # is reused instead of re-exploding the corpus per branch
+    counts = tok.groupBy("token").agg(F.count("*").alias("exact_cnt"))
+    sketch = countmin_build(counts, "token", width=64,
+                            weight_col="exact_cnt")
+    top = counts.orderBy(F.desc("exact_cnt"), "token").limit(50)
     return countmin_lookup(sketch, top, "token", width=64)
 
 

@@ -64,6 +64,19 @@ def test_cms_never_undercounts_and_is_tight_without_collisions(
     assert sum(est16.values()) > sum(exact.values())  # collisions occurred
 
 
+def test_cms_weighted_build_equals_occurrence_build(spark, stream):
+    """Linearity: building from a pre-aggregated (item, count) frame
+    with weight_col is cell-for-cell identical to hashing every
+    occurrence (the a16 shared-counts restructure relies on this)."""
+    counts = stream.groupBy("item").agg(F.count("*").alias("n"))
+    weighted = countmin_build(counts, "item", width=16, weight_col="n")
+    plain = countmin_build(stream, "item", width=16)
+    w = {(r.row, r.col): r.cnt for r in weighted.collect()}
+    p = {(r.row, r.col): r.cnt for r in plain.collect()}
+    assert w == p and w
+    assert dict(weighted.dtypes)["cnt"] == "bigint"
+
+
 def test_cms_merge_equals_single_build(spark, stream):
     a = stream.filter(F.crc32(F.col("item")) % 2 == 0)
     b = stream.filter(F.crc32(F.col("item")) % 2 == 1)
