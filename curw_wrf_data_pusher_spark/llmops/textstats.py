@@ -249,12 +249,25 @@ def repetition_signals(
       no 2-gram.
 
     Entirely map-side (one scan, zero shuffles).  Intermediate arrays
-    (lines, tokens, grams, per-distinct counts) are materialized as
-    projection columns BEFORE any lambda consumes them — referencing
-    an un-aliased array expression inside a lambda makes Catalyst
-    re-evaluate it per element (the O(n²)-splits trap documented on
-    ``dup_ngram_ratio_expr``)."""
+    (lines, tokens, grams) are materialized as projection columns
+    BEFORE any lambda consumes them — referencing an un-aliased array
+    expression inside a lambda makes Catalyst re-evaluate it per
+    element (the O(n²)-splits trap documented on
+    ``dup_ngram_ratio_expr``).
+
+    Per-document cost is O(n log n): duplicate-line chars and the top
+    2-gram are computed over the SORTED line/gram arrays — a line's
+    duplicate-ness is a neighbor test (equal to its predecessor or
+    successor), a gram run's count is the distance between adjacent
+    run starts — not a per-distinct ``filter`` rescan of the full
+    array.  That earlier form was O(distinct × n) per document,
+    quadratic on long repetitive documents, exactly the docs this
+    filter targets (probe: 64 docs × 20k tokens, 5k vocab — 21.2 s
+    rescanning vs 1.5 s sorted).  Long sums are order-insensitive and
+    array_min over (−count, gram) run structs keeps the exact tie
+    rule, so results are bit-identical to the rescanning form."""
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    _zero = F.lit(0).cast("long")
     staged = df.select(
         F.col(id_col),
         F.col(text_col).alias("__txt"),
@@ -271,41 +284,59 @@ def repetition_signals(
             ),
         ).otherwise(F.array().cast("array<string>")),
     ).withColumn(
-        "__linestats",
-        F.transform(
-            F.array_distinct("__lines"),
-            lambda d: F.struct(
-                d.alias("line"),
-                F.size(
-                    F.filter(F.col("__lines"), lambda x: x == d)
-                ).cast("long").alias("cnt"),
-            ),
-        ),
+        "__slines", F.array_sort("__lines")
     ).withColumn(
-        # (-cnt, gram): array_min picks highest count, ties to the
-        # lexicographically smallest gram
-        "__gramstats",
-        F.transform(
-            F.array_distinct("__grams"),
-            lambda g: F.struct(
-                (-F.size(F.filter(F.col("__grams"), lambda x: x == g)))
-                .cast("long").alias("neg"),
-                g.alias("gram"),
+        "__sgrams", F.array_sort("__grams")
+    ).withColumn(
+        # 0-based indexes where a new equal-run starts in the sorted
+        # gram array (F.get is 0-based and NULL out of bounds, so
+        # index 0 starts a run via the null-safe inequality)
+        "__gstarts",
+        F.filter(
+            F.sequence(F.lit(0), F.size("__sgrams") - 1),
+            lambda i: ~F.get(F.col("__sgrams"), i - 1).eqNullSafe(
+                F.get(F.col("__sgrams"), i)
             ),
         ),
     )
     n_lines = F.size("__lines").cast("long")
     n_line_chars = F.aggregate(
-        F.col("__lines"), F.lit(0).cast("long"),
+        F.col("__lines"), _zero,
         lambda acc, x: acc + F.length(x).cast("long"),
     )
+    # chars inside lines occurring >= 2x: a sorted line is part of a
+    # duplicate run iff it equals its predecessor or successor
     dup_chars = F.aggregate(
-        F.col("__linestats"), F.lit(0).cast("long"),
-        lambda acc, s: acc + F.when(
-            s["cnt"] >= 2, s["cnt"] * F.length(s["line"]).cast("long")
-        ).otherwise(F.lit(0).cast("long")),
+        F.transform(
+            F.col("__slines"),
+            lambda x, i: F.when(
+                (F.get(F.col("__slines"), i - 1) == x)
+                | (F.get(F.col("__slines"), i + 1) == x),
+                F.length(x).cast("long"),
+            ).otherwise(_zero),
+        ),
+        _zero,
+        lambda acc, x: acc + x,
     )
-    top = F.array_min("__gramstats")
+    # (-cnt, gram) per run — count is the gap to the next run start;
+    # array_min picks highest count, ties to the smallest gram
+    top = F.array_min(
+        F.transform(
+            F.col("__gstarts"),
+            lambda s, k: F.struct(
+                (
+                    -(
+                        F.coalesce(
+                            F.get(F.col("__gstarts"), k + 1),
+                            F.size("__sgrams"),
+                        )
+                        - s
+                    ).cast("long")
+                ).alias("neg"),
+                F.get(F.col("__sgrams"), s).alias("gram"),
+            ),
+        )
+    )
     top_cnt = (-top["neg"]).cast("long")
     return staged.select(
         F.col(id_col),

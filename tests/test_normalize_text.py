@@ -97,6 +97,62 @@ def test_repetition_signals_on_synthetic_doc(spark):
     assert r3.dup_line_frac == 0.0
 
 
+def test_repetition_signals_matches_python_mirror(spark):
+    """Randomized corpora: the sorted-run formulation (neighbor-test
+    dup chars, run-gap top gram) equals a brute-force Python mirror —
+    including the array_min tie rule (highest count, then smallest
+    gram) the rescanning form pinned."""
+    import random
+
+    from curw_wrf_data_pusher_spark.llmops.textstats import (
+        repetition_signals,
+    )
+
+    rng = random.Random(1414)
+    texts = []
+    for _ in range(40):
+        n_ln = rng.randint(1, 6)
+        lines = [
+            " ".join(
+                rng.choice("aa bb cc dd".split())
+                for _ in range(rng.randint(1, 12))
+            )
+            for _ in range(n_ln)
+        ]
+        # force some exact duplicate lines
+        if n_ln >= 2 and rng.random() < 0.5:
+            lines[-1] = lines[0]
+        texts.append("\n".join(lines))
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in repetition_signals(docs).collect()}
+    for i, t in enumerate(texts):
+        lines = t.split("\n")
+        from collections import Counter
+
+        lc = Counter(lines)
+        dup_chars = sum(c * len(x) for x, c in lc.items() if c >= 2)
+        n_line_chars = sum(len(x) for x in lines)
+        toks = t.strip().split()
+        grams = [
+            f"{toks[j]} {toks[j + 1]}" for j in range(len(toks) - 1)
+        ] if len(toks) >= 2 else []
+        r = got[i]
+        assert r.n_lines == len(lines)
+        assert abs(r.dup_line_frac - (1 - len(lc) / len(lines))) < 1e-12
+        if n_line_chars:
+            assert abs(r.dup_line_char_frac - dup_chars / n_line_chars) < 1e-12
+        if grams:
+            gc = Counter(grams)
+            best = min((-c, g) for g, c in gc.items())
+            assert r.top_2gram == best[1]
+            exp = (-best[0]) * len(best[1]) / len(t)
+            assert abs(r.top_2gram_char_frac - exp) < 1e-12
+        else:
+            assert r.top_2gram is None
+
+
 def test_cooccurrence_window_and_symmetry(spark):
     """Hand-computed ±2 window: pairs count once per unordered
     occurrence, never beyond the window, case/whitespace-normalized."""
