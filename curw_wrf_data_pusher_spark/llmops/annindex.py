@@ -28,7 +28,12 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .simsearch import _dot, _nearest_centroid_expr, _norm, ivf_centroids
+from .simsearch import (
+    _dot_sql,
+    _nearest_centroid_expr,
+    _norm_sql,
+    ivf_centroids,
+)
 
 
 def build_ivf_index(
@@ -51,7 +56,7 @@ def build_ivf_index(
     )
     assigned = corpus.select(F.col(id_col), F.col(vec_col)).withColumn(
         "centroid",
-        _nearest_centroid_expr(F.col(vec_col), centroids, 1)[0],
+        _nearest_centroid_expr(vec_col, centroids, 1)[0],
     )
     # repartition on the partition column: without it every input task
     # writes a file into every centroid directory (tasks × k small
@@ -99,10 +104,10 @@ def search_ivf_index(
         .withColumn(
             "centroid",
             F.explode(
-                _nearest_centroid_expr(F.col("q_vec"), centroids, n_probe)
+                _nearest_centroid_expr("q_vec", centroids, n_probe)
             ),
         )
-        .withColumn("q_norm", _norm(F.col("q_vec")))
+        .withColumn("q_norm", F.expr(_norm_sql("q_vec")))
     )
     probe_set = sorted(
         r.centroid for r in q.select("centroid").distinct().collect()
@@ -114,14 +119,14 @@ def search_ivf_index(
         "centroid",
         F.col(id_col).alias("n_id"),
         F.col(vec_col).alias("n_vec"),
-    ).withColumn("n_norm", _norm(F.col("n_vec")))
+    ).withColumn("n_norm", F.expr(_norm_sql("n_vec")))
     scored = (
         c.join(F.broadcast(q), "centroid")
         .filter(F.col("n_id") != F.col("q_id"))
         .withColumn(
             "cos",
             F.round(
-                _dot(F.col("q_vec"), F.col("n_vec"))
+                F.expr(_dot_sql("q_vec", "n_vec"))
                 / (F.col("q_norm") * F.col("n_norm")),
                 score_scale,
             ),

@@ -14,11 +14,94 @@
 from __future__ import annotations
 
 import hashlib
+import os
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from .fastlit import dlit
+from .fastlit import _render, dlit
+
+
+#: Dimensions for which a column-vs-column dot product is emitted as
+#: the fixed-dimension indexed fold (no per-row zipped-array
+#: allocation — see ``_dot_sql``).  Any other dimension falls back to
+#: the zip_with fold at full correctness; production sets the corpus
+#: dim(s) here.  Read once at import: plan-build time, not a per-row
+#: decision.
+_CODEGEN_DIMS: tuple[int, ...] = tuple(
+    int(x)
+    for x in os.environ.get("SPARK_GRAFT_CODEGEN_DIMS", "64").split(",")
+    if x.strip()
+)
+
+
+def _fold_dot_sql(a: str, b: str) -> str:
+    """The strict left-fold dot product as a SQL string: double-cast
+    element products accumulated left-to-right from +0.0."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) ->"
+        " cast(x as double) * cast(y as double)),"
+        " cast(0.0 as double), (acc, v) -> acc + v)"
+    )
+
+
+_DOT_FORM = os.environ.get("SPARK_GRAFT_DOT_FORM", "seqfold")
+
+
+def _fixed_dot_sql(a: str, b: str, d: int) -> str:
+    """Known-dimension dot product, value-identical to the fold (same
+    left-association from +0.0, same per-element double casts).
+    ``seqfold``: one indexed fold over a constant index sequence — no
+    intermediate zipped-array allocation per row, compact generated
+    code.  ``unroll``: fully unrolled sum — fastest when the
+    expression appears once, but k copies per row (centroid scoring)
+    bloat generated methods past the JIT's limits."""
+    if _DOT_FORM == "unroll":
+        terms = "".join(
+            f" + (cast({a}[{i}] as double) * cast({b}[{i}] as double))"
+            for i in range(d)
+        )
+        return "cast(0.0 as double)" + terms
+    return (
+        f"aggregate(sequence(0, {d - 1}), cast(0.0 as double),"
+        f" (acc, i) -> acc + (cast({a}[i] as double)"
+        f" * cast({b}[i] as double)))"
+    )
+
+
+def _dot_sql(a: str, b, fixed: bool = True) -> str:
+    """Dot product of two array SQL expressions (``b`` may be a Python
+    list of floats, rendered as an exact double literal).
+
+    Column-vs-column dots emit the fixed-dimension indexed fold for
+    dimensions in ``_CODEGEN_DIMS`` behind a size guard, with the
+    zip_with fold as the any-dim fallback — value-identical in every
+    case (identical IEEE operations in the identical order), measured
+    ~2x faster per pair (no per-row zipped-array allocation).
+
+    Dots against a LITERAL vector keep the zip_with fold: the fold
+    walks the constant array once per row, whereas indexing the
+    rendered ``array(...)`` literal per element re-evaluates the
+    CreateArray per access — A/B-measured 2-4x SLOWER on the centroid
+    assignment queries (llm_semantic_dedup 3.3 -> 7.5 s)."""
+    if isinstance(b, (list, tuple)):
+        return _fold_dot_sql(a, _render(list(b)))
+    if not _CODEGEN_DIMS or not fixed:
+        return _fold_dot_sql(a, b)
+    whens = " ".join(
+        f"WHEN size({a}) = {d} AND size({b}) = {d}"
+        f" THEN {_fixed_dot_sql(a, b, d)}"
+        for d in _CODEGEN_DIMS
+    )
+    return f"CASE {whens} ELSE {_fold_dot_sql(a, b)} END"
+
+
+def _norm_sql(a: str) -> str:
+    """Norms keep the compact fold form: a norm column is computed
+    once per ROW (not per pair), and Catalyst's projection collapse
+    inlines it into every consumer expression (each pivot angle in
+    the banded path), so the smallest tree wins."""
+    return f"sqrt({_dot_sql(a, a, fixed=False)})"
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -82,19 +165,19 @@ def cosine_topk(
         corpus = corpus.filter(corpus_filter)
     q = queries.select(
         F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
-    ).withColumn("q_norm", _norm(F.col("q_vec")))
+    ).withColumn("q_norm", F.expr(_norm_sql("q_vec")))
     # spread: a single-file corpus scan must not serialize 50k dot
     # products on one core
     c = spread(corpus.select(
         F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec")
-    )).withColumn("n_norm", _norm(F.col("n_vec")))
+    )).withColumn("n_norm", F.expr(_norm_sql("n_vec")))
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("n_id") != F.col("q_id"))
         .withColumn(
             "cos",
             F.round(
-                _dot(F.col("q_vec"), F.col("n_vec"))
+                F.expr(_dot_sql("q_vec", "n_vec"))
                 / (F.col("q_norm") * F.col("n_norm")),
                 score_scale,
             ),
@@ -132,12 +215,16 @@ def kmeans_refine(
         assign = (
             corpus.select(F.col(vec_col).alias("raw"))
             .withColumn(
-                "c", _nearest_centroid_expr(F.col("raw"), centroids, 1)[0]
+                "c", _nearest_centroid_expr("raw", centroids, 1)[0]
             )
+            # norm hoisted to its own column: inside the transform
+            # lambda it would be re-evaluated once per ELEMENT
+            # (dim x dim work per row); the value is identical
+            .withColumn("__nrm", F.expr(_norm_sql("raw")))
             .withColumn(
                 "v",
                 F.transform(
-                    "raw", lambda x: x.cast("double") / _norm(F.col("raw"))
+                    "raw", lambda x: x.cast("double") / F.col("__nrm")
                 ),
             )
         )
@@ -194,15 +281,22 @@ def ivf_centroids(
 
 
 def _nearest_centroid_expr(
-    vec: Column, centroids: list[list[float]], n: int
+    vec_sql, centroids: list[list[float]], n: int
 ) -> Column:
-    """array of the n centroid indexes closest (cosine) to vec —
-    centroids enter the plan as broadcast literals."""
+    """array of the n centroid indexes closest (cosine) to the vector
+    given as a SQL expression string (or a Column, for callers that
+    hold one) — centroids enter the plan as broadcast literals."""
+    if isinstance(vec_sql, Column):
+        def dot(c):
+            return _dot(vec_sql, dlit(c))
+    else:
+        def dot(c):
+            return F.expr(_dot_sql(vec_sql, c))
     scored = F.array(
         *[
             F.struct(
                 (
-                    _dot(vec, dlit(c))
+                    dot(c)
                     / F.lit(_py_norm(c))
                 ).alias("score"),
                 F.lit(i).alias("idx"),
@@ -262,15 +356,15 @@ def ivf_topk(
     c = spread(corpus.select(
         F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec")
     )).withColumn(
-        "centroid", _nearest_centroid_expr(F.col("n_vec"), centroids, 1)[0]
-    ).withColumn("n_norm", _norm(F.col("n_vec")))
+        "centroid", _nearest_centroid_expr("n_vec", centroids, 1)[0]
+    ).withColumn("n_norm", F.expr(_norm_sql("n_vec")))
 
     q = queries.select(
         F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
     ).withColumn(
         "centroid",
-        F.explode(_nearest_centroid_expr(F.col("q_vec"), centroids, n_probe)),
-    ).withColumn("q_norm", _norm(F.col("q_vec")))
+        F.explode(_nearest_centroid_expr("q_vec", centroids, n_probe)),
+    ).withColumn("q_norm", F.expr(_norm_sql("q_vec")))
 
     scored = (
         c.join(F.broadcast(q), "centroid")
@@ -278,7 +372,7 @@ def ivf_topk(
         .withColumn(
             "cos",
             F.round(
-                _dot(F.col("q_vec"), F.col("n_vec"))
+                F.expr(_dot_sql("q_vec", "n_vec"))
                 / (F.col("q_norm") * F.col("n_norm")),
                 9,
             ),
@@ -311,7 +405,7 @@ def neardup_pairs(
 
     n = spread(corpus.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
-    )).withColumn("nrm", _norm(F.col("vec")))
+    )).withColumn("nrm", F.expr(_norm_sql("vec")))
     a = n.select(
         F.col("id").alias("id_a"), F.col("vec").alias("va"),
         F.col("nrm").alias("na"),
@@ -325,7 +419,7 @@ def neardup_pairs(
         .withColumn(
             "cos",
             F.round(
-                _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
+                F.expr(_dot_sql("va", "vb")) / (F.col("na") * F.col("nb")),
                 score_scale,
             ),
         )
@@ -363,10 +457,9 @@ def _banded_replicas(
 
     base = spread(corpus.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
-    )).withColumn("nrm", _norm(F.col("vec")))
+    )).withColumn("nrm", F.expr(_norm_sql("vec")))
     for i, (p, pn) in enumerate(zip(pivots, pnorms)):
-        plane = dlit(p)
-        cosv = _dot(F.col("vec"), plane) / (F.col("nrm") * F.lit(pn))
+        cosv = F.expr(_dot_sql("vec", p)) / (F.col("nrm") * F.lit(pn))
         base = base.withColumn(
             f"ang{i}",
             F.acos(F.least(F.lit(1.0), F.greatest(F.lit(-1.0), cosv))),
@@ -491,10 +584,14 @@ def banded_neardup_pairs(
     )
     for flt in pivot_filters:
         joined = joined.filter(flt)
+    # fixed=False: the guarded fixed-dim dot was A/B-measured 1.5-4x
+    # SLOWER in this stage (llm_cosine_topk_neardup) while winning in
+    # cosine_topk/ivf_topk -- each site keeps its measured-best form
     scored = joined.withColumn(
         "cos",
         F.round(
-            _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
+            F.expr(_dot_sql("va", "vb", fixed=False))
+            / (F.col("na") * F.col("nb")),
             score_scale,
         ),
     ).filter(F.col("cos") >= threshold)
@@ -665,22 +762,23 @@ def lsh_bucket_topk(
     re-rank within buckets. Returns (q_id, n_id, rank, cos)."""
     planes = _hyperplanes(dim, bits)
 
-    def signature(vec: Column) -> Column:
+    def signature(vec_sql: str) -> Column:
         sig = F.lit(0).cast("long")
         for p, row in enumerate(planes):
-            plane = dlit(row)
-            sig = sig + F.when(_dot(vec, plane) >= 0, F.lit(2**p)).otherwise(0)
+            sig = sig + F.when(
+                F.expr(_dot_sql(vec_sql, row)) >= 0, F.lit(2**p)
+            ).otherwise(0)
         return sig
 
     c = corpus.select(
         F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec")
-    ).withColumn("bucket", signature(F.col("n_vec"))).withColumn(
-        "n_norm", _norm(F.col("n_vec"))
+    ).withColumn("bucket", signature("n_vec")).withColumn(
+        "n_norm", F.expr(_norm_sql("n_vec"))
     )
     q = queries.select(
         F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
-    ).withColumn("bucket", signature(F.col("q_vec"))).withColumn(
-        "q_norm", _norm(F.col("q_vec"))
+    ).withColumn("bucket", signature("q_vec")).withColumn(
+        "q_norm", F.expr(_norm_sql("q_vec"))
     )
     scored = (
         c.join(F.broadcast(q), "bucket")
@@ -688,7 +786,7 @@ def lsh_bucket_topk(
         .withColumn(
             "cos",
             F.round(
-                _dot(F.col("q_vec"), F.col("n_vec"))
+                F.expr(_dot_sql("q_vec", "n_vec"))
                 / (F.col("q_norm") * F.col("n_norm")),
                 9,
             ),
@@ -719,23 +817,20 @@ def _seed_centroids(
 
 
 def _cluster_assign_expr(
-    vec: Column,
+    vec_sql: str,
     vec_norm: Column,
     centroids: list[list[float]],
     score_scale: int,
 ) -> Column:
     """Index of the cosine-nearest centroid (centroids enter the plan
-    as broadcast literals).  Ties on the rounded score go to the
-    SMALLEST centroid index — encoded as array_max over
-    (cos, -index) structs so one lexicographic max does both."""
-    def lit_vec(c: list[float]) -> Column:
-        return dlit(c)
-
+    as broadcast literals; unrolled codegen dot).  Ties on the rounded
+    score go to the SMALLEST centroid index — encoded as array_max
+    over (cos, -index) structs so one lexicographic max does both."""
     scored = F.array(
         *[
             F.struct(
                 F.round(
-                    _dot(vec, lit_vec(c))
+                    F.expr(_dot_sql(vec_sql, c))
                     / (vec_norm * F.lit(_py_norm(c))),
                     score_scale,
                 ).alias("cos"),
@@ -760,11 +855,11 @@ def _assigned_frame(
 
     return (
         spread(corpus.select(F.col(id_col), F.col(vec_col).alias("__v")))
-        .withColumn("__nrm", _norm(F.col("__v")))
+        .withColumn("__nrm", F.expr(_norm_sql("__v")))
         .withColumn(
             "cluster",
             _cluster_assign_expr(
-                F.col("__v"), F.col("__nrm"), centroids, score_scale
+                "__v", F.col("__nrm"), centroids, score_scale
             ),
         )
     )
@@ -798,7 +893,7 @@ def _pairwise_dropped(
         .withColumn(
             "__cos",
             F.round(
-                _dot(F.col("__va"), F.col("__vb"))
+                F.expr(_dot_sql("__va", "__vb"))
                 / (F.col("__na") * F.col("__nb")),
                 score_scale,
             ),
@@ -1061,7 +1156,7 @@ def semantic_dedup_two_level(
         .withColumn(
             "__cos",
             F.round(
-                _dot(F.col("__v"), F.col("__sv"))
+                F.expr(_dot_sql("__v", "__sv"))
                 / (F.col("__nrm") * F.col("__snrm")),
                 score_scale,
             ),
