@@ -55,21 +55,28 @@ def _tagged_grams(s: DataFrame, tier_min_len: int, n: int) -> DataFrame:
     """(id, tagged gram) rows for long-tier strings.  Tagging the k-th
     occurrence of a gram as ``gram#k`` makes multiset intersection of
     grams equal SET intersection of tagged grams, so set-based prefix
-    filtering applies exactly.  Tagging is a stateless map-side array
-    expression (O(g²) per string over array grams — g is tens for
-    name-like strings)."""
+    filtering applies exactly.
+
+    Occurrence numbering runs over the SORTED gram array: equal grams
+    are then adjacent, so the k-th occurrence index is ``position −
+    first position of the value`` — one O(g) equality scan
+    (array_position) per element instead of the previous per-element
+    ``filter(slice(...))``, which COPIED the prefix array per element
+    (O(g²) allocations per string; measured ~2x the stage CPU).  The
+    produced multiset {gram#k} is identical — every downstream
+    consumer treats the tagged grams as a per-id set (explode →
+    count/join), so occurrence ORDER never matters."""
     grams = (
         f"transform(sequence(1, length(__p) - {n - 1}),"
         f" i -> substring(__p, i, {n}))"
     )
     tagged = (
-        f"transform(sequence(1, size(__gs)), i -> concat(__gs[i - 1], '#',"
-        " cast(size(filter(slice(__gs, 1, i - 1),"
-        " x -> x = __gs[i - 1])) + 1 as string)))"
+        "transform(sequence(1, size(__ss)), i -> concat(__ss[i - 1], '#',"
+        " cast(i + 1 - array_position(__ss, __ss[i - 1]) as string)))"
     )
     return (
         s.filter(F.col("__len") >= tier_min_len)
-        .withColumn("__gs", F.expr(grams))
+        .withColumn("__ss", F.array_sort(F.expr(grams)))
         .select(
             "__id",
             F.explode(F.expr(tagged)).alias("__tg"),
@@ -83,13 +90,29 @@ def _prefix_grams(
     """Each long-tier string's ``d·n + 1`` globally-rarest tagged
     grams: (id, tagged gram).  Rarity = (document frequency, gram) —
     a consistent total order across strings, as the prefix-filter
-    principle requires.  Two shuffles (frequency count, per-id
-    regroup); the frequency side joins back on the uniform gram key."""
+    principle requires.
+
+    The document frequency is attached with a count window OVER the
+    tagged-gram key instead of a separate count aggregate joined back:
+    same two shuffles (gram key, per-id regroup), but the tagging
+    explode runs ONCE — the join form re-ran the tag expression on
+    both its probe and build sides (Catalyst shares no subplans across
+    join inputs).  The per-id regroup exchange is pinned at the
+    configured shuffle partition count: its byte size is tiny (ids +
+    d·n+1 short grams) but the downstream candidate join and verify
+    hang off it, and AQE's byte-target coalescing would serialize that
+    compute onto 1-2 tasks."""
     tg = _tagged_grams(s, tier_min_len, n)
-    freq = tg.groupBy("__tg").agg(F.count("*").alias("__df"))
     k = d * n + 1
+    n_shuffle = int(
+        s.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    w = Window.partitionBy("__tg")
     return (
-        tg.join(freq, "__tg")
+        tg.select(
+            "__id", "__tg", F.count("*").over(w).alias("__df")
+        )
+        .repartition(n_shuffle, "__id")
         .groupBy("__id")
         .agg(
             F.slice(
