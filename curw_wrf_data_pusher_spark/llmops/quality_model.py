@@ -101,10 +101,17 @@ def train_quality_nb(
         n_buckets=n_buckets,
         carry=("__y",),
     )
+    # counts is <= n_buckets rows and feeds TWO consumers: the class-
+    # totals collect below (an action at fit time) and the weights
+    # frame broadcast at scoring time.  Without the checkpoint each
+    # consumer re-ran the full corpus tokenize+hash+aggregate (two of
+    # the query's three heavy scans); with it the totals action
+    # materializes the bounded frame once and the broadcast reads it
+    # back.
     counts = tok.groupBy("bucket").agg(
         F.sum(F.when(F.col("__y"), 1).otherwise(0)).alias("n_pos"),
         F.sum(F.when(F.col("__y"), 0).otherwise(1)).alias("n_neg"),
-    )
+    ).localCheckpoint(eager=False)
     # bounded metadata: token totals per class + document counts per
     # class (4 longs) — the standard "collect only aggregates" pattern
     t_pos, t_neg = counts.agg(
