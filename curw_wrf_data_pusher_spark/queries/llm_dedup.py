@@ -432,8 +432,12 @@ def llm_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # text_features' map-side select: still one scan, zero shuffles.
     from ..llmops.curation import PII_PATTERNS, redact_pii
     from ..llmops.textstats import text_features
+    from ..sources.lake import spread
 
-    docs = load_table(spark, sf_dir, "documents")
+    # spread: the feature projection is map-side only (regex + lang
+    # scoring per row), so a single-file scan would serialize all of
+    # it on one core (no-op on wide inputs — the 100 TB shape)
+    docs = spread(load_table(spark, sf_dir, "documents"))
     aug = docs.withColumn(
         "pii_text",
         F.concat(
