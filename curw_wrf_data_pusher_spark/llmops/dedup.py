@@ -110,6 +110,57 @@ def minhash_signatures(
     return hashed.groupBy(id_col).agg(*aggs)
 
 
+def shingle_sets(
+    shingle_df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document shingle-set frame: (id, __sh array, sz).
+
+    The set-array aggregation ``verify_candidates`` builds internally,
+    exposed so a compound consumer (e.g. the jaccard-verify row, whose
+    three branches each need the shingle relation in some form) can
+    build it ONCE and derive sizes / signatures / the long format from
+    the same frame instead of re-running the tokenize+explode pass per
+    consumer.  Repartition-pinned on the grouping key (no extra
+    exchange) so the compute-dense downstream intersections stay out
+    of AQE byte-coalescing — same rationale as verify_candidates."""
+    n_shuffle = int(
+        shingle_df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    return (
+        shingle_df.repartition(n_shuffle, id_col)
+        .groupBy(id_col)
+        .agg(
+            F.collect_list("shingle").alias("__sh"),
+            F.count("*").alias("sz"),
+        )
+    )
+
+
+def minhash_signatures_from_sets(
+    sets_df: DataFrame,
+    id_col: str = "doc_id",
+    coeffs: Sequence[tuple[int, int]] = tuple(MINHASH_COEFFS),
+    prime: int = MINHASH_PRIME,
+) -> DataFrame:
+    """MinHash signatures from a prebuilt ``shingle_sets`` frame —
+    value-identical to ``minhash_signatures_from_text`` (same distinct
+    gram set per doc, same gram hash, same (a·x+b) mod p minima;
+    ``array_min`` is order-insensitive, so the collect_list order is
+    irrelevant).  For callers that already materialized the set frame:
+    turns the signature build into a map-side pass over ~corpus-sized
+    arrays instead of a second tokenize+hash pass over raw text."""
+    hashed = sets_df.select(
+        F.col(id_col),
+        F.expr(f"transform(__sh, g -> {gram_hash_sql('g')})").alias("__xs"),
+    )
+    mins = [
+        f"array_min(transform(__xs, x -> ({a}L * x + {b}L) % {prime}L))"
+        f" as mh_{j}"
+        for j, (a, b) in enumerate(coeffs)
+    ]
+    return hashed.selectExpr(f"`{id_col}`", *mins)
+
+
 def minhash_signatures_from_text(
     df: DataFrame,
     text_col: str = "text",
@@ -330,14 +381,23 @@ def ngram_jaccard_pairs(
     shingle_df: DataFrame,
     id_col: str = "doc_id",
     min_jaccard: float = 0.5,
+    sizes_df: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard over pairs sharing ≥1 shingle.
 
     Jaccard = |A∩B| / (|A|+|B|-|A∩B|) computed on integer counts
     (exact, engine-portable).  Scale: this is the quadratic baseline —
     at 100 TB, run it only on LSH candidate pairs (compose with
-    lsh_candidate_pairs); kept standalone as the correctness oracle."""
-    sizes = shingle_df.groupBy(id_col).agg(F.count("*").alias("sz"))
+    lsh_candidate_pairs); kept standalone as the correctness oracle.
+
+    ``sizes_df``: optional prebuilt (id, sz) per-doc set sizes (e.g.
+    projected off a ``shingle_sets`` frame) — skips the groupBy(id)
+    shuffle of the shingle table this function otherwise pays."""
+    sizes = (
+        sizes_df
+        if sizes_df is not None
+        else shingle_df.groupBy(id_col).agg(F.count("*").alias("sz"))
+    )
     a = shingle_df.alias("a")
     b = shingle_df.alias("b")
     inter = (
@@ -755,6 +815,7 @@ def verify_candidates(
     candidates: DataFrame,
     id_col: str = "doc_id",
     min_jaccard: float = 0.8,
+    sets_df: DataFrame | None = None,
 ) -> DataFrame:
     """Exact Jaccard verification restricted to candidate pairs — the
     second half of the LSH dedup pipeline.  The set join fans out
@@ -786,19 +847,17 @@ def verify_candidates(
     shuffle from MEASURED sizes — broadcast while genuinely small,
     shuffle-join once it isn't.  No static hint needed; a hint here
     would actually pin the slower plan at oracle scale."""
-    # Pin the set-aggregation exchange to the configured shuffle
-    # partition count (same key as the groupBy → no extra exchange):
-    # the downstream per-pair array_intersect is compute-dense but
-    # byte-light, and AQE's byte-target coalescing collapsed it to 3
-    # tasks at sf0.1 (13M string hashes near-serial).  The static
-    # count is the same ceiling today's plan starts from — this only
-    # opts the one compute-dense exchange out of coalescing.
-    n_shuffle = int(
-        shingle_df.sparkSession.conf.get("spark.sql.shuffle.partitions")
-    )
-    sets_ = shingle_df.repartition(n_shuffle, id_col).groupBy(id_col).agg(
-        F.collect_list("shingle").alias("__sh"),
-        F.count("*").alias("sz"),
+    # ``sets_df``: optional prebuilt/materialized ``shingle_sets``
+    # frame — compound consumers that also need sizes/signatures off
+    # the same sets pass it in so the tokenize+explode+regroup pass
+    # runs once, not once per consumer.  The default builds it here
+    # (repartition-pinned: the set-aggregation exchange must stay out
+    # of AQE byte-coalescing because the downstream per-pair
+    # array_intersect is compute-dense but byte-light — it collapsed
+    # to 3 near-serial tasks at sf0.1; the static count is the same
+    # ceiling today's plan starts from).
+    sets_ = sets_df if sets_df is not None else shingle_sets(
+        shingle_df, id_col
     )
     out = (
         candidates.join(

@@ -766,18 +766,38 @@ _MH_AGREE = " + ".join(
     """,
 )
 def llm_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..llmops.dedup import estimated_jaccard_pairs
-    from ..sources.lake import spread
+    from ..llmops.dedup import (
+        estimated_jaccard_pairs,
+        minhash_signatures_from_sets,
+        shingle_sets,
+        verify_candidates,
+    )
 
+    # One tokenize+shingle pass serves all three branches: the per-doc
+    # set frame is materialized once (lazy localCheckpoint) and sizes
+    # (allpairs), the long format (allpairs self-join), the MinHash
+    # signatures (banding + estimator) and the exact verify all derive
+    # from it.  Before: each union branch re-ran its own corpus pass —
+    # the shingle explode fed 3 separate Exchanges and the signature
+    # subtree built twice (Catalyst shares no subplans across union
+    # branches).  Signatures (8 longs/doc) and the bounded candidate
+    # list are checkpointed too: each feeds two consumers.  Values are
+    # bit-identical (same distinct gram set per doc; gram hash and
+    # (a·x+b) mod p minima are order-insensitive) — oracle-verified.
     docs = load_table(spark, sf_dir, "documents")
-    sig = minhash_signatures_from_text(spread(docs))
-    cand = lsh_candidate_pairs(sig, bands=4, rows_per_band=2)
-    allp = llm_ngram_jaccard(spark, sf_dir).select(
+    sets_ = shingle_sets(shingles(docs)).localCheckpoint(eager=False)
+    sh = sets_.select("doc_id", F.explode("__sh").alias("shingle"))
+    sizes = sets_.select("doc_id", "sz")
+    sig = minhash_signatures_from_sets(sets_).localCheckpoint(eager=False)
+    cand = lsh_candidate_pairs(
+        sig, bands=4, rows_per_band=2
+    ).localCheckpoint(eager=False)
+    allp = ngram_jaccard_pairs(sh, min_jaccard=0.5, sizes_df=sizes).select(
         F.lit("allpairs").alias("stage"), "id_a", "id_b", "jaccard"
     )
-    verified = llm_dedup_pipeline(spark, sf_dir).select(
-        F.lit("lsh_verified").alias("stage"), "id_a", "id_b", "jaccard"
-    )
+    verified = verify_candidates(
+        sh, cand, min_jaccard=0.7, sets_df=sets_
+    ).select(F.lit("lsh_verified").alias("stage"), "id_a", "id_b", "jaccard")
     # the cheap pre-rank between banding and exact verify: only the
     # k-long signatures are re-joined, never the shingle fan-out
     est = estimated_jaccard_pairs(sig, cand).select(
