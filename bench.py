@@ -325,6 +325,20 @@ def _build_full_d03(path: str, writer_factory) -> None:
 
 
 def _ingest_full_d03(spark, cache_name: str, writer_factory) -> None:
+    """Round-15 change (VERDICT r14 item 3, guide §6 I/O parallelism):
+    the full-file rows now RIDE THE SPLIT-SLAB READER.  Until r14 they
+    decoded each file in ONE task via ``read_wrf_grid`` — at 289
+    timesteps that pinned a single core (and one Python worker
+    shipping every row) for the whole 4.6M-cell decode, which made the
+    pair the largest bench mass (6.8 + 4.0 s) measuring nothing the
+    split rows don't.  The split reader is row-identical (pinned by
+    tests/test_netcdf_split.py equality against read_wrf_grid); these
+    rows keep their names and their meaning — full operational-size
+    ingest through the pure-Python codecs — with the production task
+    layout.  ``splits_per_file=None`` derives the slab count from
+    ``defaultParallelism`` (honours $SPARK_GRAFT_CPUS, so the
+    driver's low-core scaling run measures a real layout, not a
+    32-slab constant); the _split twins keep their pinned 32."""
     import os
     import tempfile
 
@@ -333,12 +347,15 @@ def _ingest_full_d03(spark, cache_name: str, writer_factory) -> None:
     if not os.path.exists(f):
         _build_full_d03(f, writer_factory)
 
-    from curw_wrf_data_pusher_spark.sources.netcdf import read_wrf_grid
+    from curw_wrf_data_pusher_spark.sources.netcdf import (
+        read_wrf_grid_split,
+    )
 
-    df = read_wrf_grid(
+    df = read_wrf_grid_split(
         spark, base,
         bbox={"lat_min": -90, "lat_max": 90,
               "lon_min": -180, "lon_max": 180},
+        splits_per_file=None,
     )
     df.write.format("noop").mode("overwrite").save()
 
@@ -535,6 +552,57 @@ def _load1() -> float:
         return -1.0
 
 
+def _parse_cpu_per_query(log_dir: str) -> dict[str, float]:
+    """Per-query executor-CPU seconds from the Spark event log
+    (round-15, VERDICT r14 item 4): wall time at sf0.1 is stage-launch
+    bound (the r14 scaling block showed every headline 8-core/32-core
+    ratio ≈ 1), so CPU-bound optimization wins are invisible in wall
+    seconds — the event log's ``Executor CPU Time`` is the signal that
+    transfers to the 100 TB regime.  Jobs are labelled
+    ``bench:<name>:rep=<r>`` by ``run_one``; a query's published value
+    is the MINIMUM across reps of its per-rep CPU total (same best-of
+    convention as the wall numbers).  Pure measurement addition — the
+    timed action and the wall methodology are unchanged."""
+    import glob
+    from collections import defaultdict
+
+    stage_to_label: dict[int, str] = {}
+    per_rep: dict[tuple[str, str], float] = defaultdict(float)
+    paths = [
+        p
+        for p in glob.glob(os.path.join(log_dir, "**", "*"), recursive=True)
+        if not os.path.isdir(p) and "appstatus" not in p
+    ]
+    for path in paths:
+        with open(path, errors="replace") as fh:
+            for line in fh:
+                try:
+                    ev = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                k = ev.get("Event")
+                if k == "SparkListenerJobStart":
+                    label = (ev.get("Properties") or {}).get(
+                        "spark.job.description", ""
+                    )
+                    for sid in ev.get("Stage IDs", []):
+                        stage_to_label[sid] = label
+                elif k == "SparkListenerTaskEnd":
+                    label = stage_to_label.get(ev.get("Stage ID"), "")
+                    if not label.startswith("bench:"):
+                        continue
+                    _, name, rep = label.split(":", 2)
+                    m = ev.get("Task Metrics") or {}
+                    per_rep[(name, rep)] += (
+                        m.get("Executor CPU Time", 0) / 1e9
+                    )
+    best: dict[str, float] = {}
+    for (name, _rep), cpu in per_rep.items():
+        if name not in best or cpu < best[name]:
+            best[name] = cpu
+    return {n: round(v, 3) for n, v in best.items()}
+
+
 def _calibration(spark) -> dict[str, float]:
     """Fixed machine-speed microbenchmarks, best-of-3 — CONSTANT
     workloads that never change with engine code, so cross-round
@@ -570,9 +638,22 @@ def _calibration(spark) -> dict[str, float]:
 
 
 def main() -> None:
+    import tempfile
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    spark = get_spark("bench")
+    # event log for the per-query executor-CPU block (measurement-only
+    # addition; see _parse_cpu_per_query) — negligible driver-side cost
+    evlog_dir = tempfile.mkdtemp(prefix="bench-evlog-")
+    spark = get_spark(
+        "bench",
+        extra_conf={
+            "spark.eventLog.enabled": "true",
+            "spark.eventLog.dir": f"file://{evlog_dir}",
+            "spark.eventLog.compress": "false",
+            "spark.eventLog.rolling.enabled": "false",
+        },
+    )
 
     # untimed warmup: JVM/codegen/parquet-reader init shouldn't be
     # attributed to whichever query happens to run first.
@@ -599,6 +680,7 @@ def main() -> None:
     def run_one(rep, name: str) -> None:
         print(f"## bench rep={rep} query={name}", file=sys.stderr)
         load1 = _load1()  # load BEFORE the run: the box's state, not ours
+        spark.sparkContext.setJobDescription(f"bench:{name}:rep={rep}")
         t0 = time.perf_counter()
         if name in SINKS:
             SINKS[name](spark, sf_dir)
@@ -606,6 +688,7 @@ def main() -> None:
             df = _resolve(name)(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
         dt = time.perf_counter() - t0
+        spark.sparkContext.setJobDescription(None)
         if name not in best or dt < best[name]:
             best[name] = dt
             load_at_best[name] = load1
@@ -654,6 +737,15 @@ def main() -> None:
         (r["load1_at_best"] for r in suspect_rows.values()), default=0.0
     )
     publishable = worst_suspect_load < LOAD1_PUBLISH_THRESHOLD
+
+    # flush + parse the event log for per-query executor-CPU (the
+    # sf0.1 wall numbers are latency-bound; CPU is the 100 TB signal)
+    spark.stop()
+    time.sleep(1.0)
+    try:
+        cpu_sec = _parse_cpu_per_query(evlog_dir)
+    except Exception:  # measurement add-on must never fail the bench
+        cpu_sec = {}
 
     core_t = {n: round(best[n], 3) for n in CORE}
     ext_t = {n: round(best[n], 3) for n in EXTENDED}
@@ -704,9 +796,43 @@ def main() -> None:
                 "load1_publish_threshold": LOAD1_PUBLISH_THRESHOLD,
                 "suspect_rows": suspect_rows,
                 "publishable": publishable,
+                # per-query executor-CPU seconds (min across reps) from
+                # the event log — VERDICT r14 item 4: wall at sf0.1 is
+                # latency-bound, CPU is what transfers to 100 TB
+                "cpu_sec": cpu_sec,
             }
         )
     )
+    # FINAL COMPACT LINE (VERDICT r14 item 1 — bench contract repair):
+    # the rich line above has grown past the driver's 2000-char tail
+    # capture, which silently cost round 14 its round-over-round
+    # geomean (PERF_r14 prev_bench_ok=false: BENCH_r13.json's tail
+    # truncates the line's FRONT — BENCH_r13.json carries parsed=null).
+    # Printing a compact record LAST guarantees any tail window ends
+    # with a complete, parseable JSON line carrying the same
+    # metric/value/unit/queries/sf contract.  DELIBERATELY minimal
+    # (~700 chars, deterministic): the scoreboard "queries" map is the
+    # pinned core-15 exactly as in the rich line, so a driver that
+    # sums it still reconstructs "value"; a full per-row compact map
+    # would sit at ~1.9k chars — flaky against the 2k window — and the
+    # extended seconds remain available in the rich line, which the
+    # driver parses from full stdout when it runs the bench itself
+    # (BENCH_r14.json parsed it fine; only the cross-round tail
+    # re-parse was broken).
+    compact = {
+        "metric": (
+            "core-15 headline wall time "
+            "(best-of-%d, SURVEY E1-E3 + LLM flagships)" % core_reps
+        ),
+        "value": core_total,
+        "unit": "sec",
+        "queries": core_t,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "extended_total": ext_total,
+        "grand_total": round(core_total + ext_total, 3),
+        "publishable": publishable,
+    }
+    print(json.dumps(compact, separators=(",", ":")))
 
 
 if __name__ == "__main__":

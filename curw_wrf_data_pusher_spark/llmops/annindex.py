@@ -54,9 +54,13 @@ def build_ivf_index(
         corpus, n_centroids, id_col=id_col, vec_col=vec_col,
         refine_iterations=refine_iterations,
     )
+    # backtick-quote the user-supplied column name before it is
+    # spliced into SQL (a name with dots/spaces/reserved words would
+    # otherwise break or mis-resolve inside _nearest_centroid_expr)
+    vec_sql = "`" + vec_col.replace("`", "``") + "`"
     assigned = corpus.select(F.col(id_col), F.col(vec_col)).withColumn(
         "centroid",
-        _nearest_centroid_expr(vec_col, centroids, 1)[0],
+        _nearest_centroid_expr(vec_sql, centroids, 1)[0],
     )
     # repartition on the partition column: without it every input task
     # writes a file into every centroid directory (tasks × k small

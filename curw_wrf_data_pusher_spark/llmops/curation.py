@@ -434,57 +434,80 @@ def remove_duplicated_lines(
     localCheckpoint-ed) to share with ``duplicated_line_stats``;
     None derives it from ``docs``.
 
+    Round-15 rewrite (guide §2.3/§8 — shuffle keys and metadata, not
+    payloads): the pre-r15 form anti-joined a (id, pos, line TEXT)
+    explode against the hot set, re-assembled per document with a
+    ``collect_list(struct(pos, line))`` groupBy — shuffling every
+    surviving line's text — and sort-merge-rejoined the rebuilt text
+    onto ``docs`` by id (text shuffled AGAIN, both sides).  Now only
+    (id, pos, 32-char md5) rows ever reach an exchange: the hot-line
+    decision is made on hashes, the per-document DROP POSITIONS come
+    back as one small ``collect_set(pos)`` row, and the text is
+    re-sliced from the original ``split`` array in place with an
+    indexed ``filter`` — zero text bytes shuffled, and the
+    doc-granularity join side is small enough for AQE to broadcast.
+    The hot set itself is derived map-side from a per-document
+    ``array_distinct`` of the line-hash array (a document's repeats
+    collapse inside its own row), so the old corpus-wide
+    ``(id, __lh) DISTINCT`` exchange disappears too.
+
     Returns every input column with ``text_col`` rewritten (documents
     whose every line was boilerplate come back as '')."""
-    lines = docs.select(
-        F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("__pos", "__line"),
-    ).withColumn(
-        "__lh",
-        F.when(
-            F.length(F.trim(F.col("__line"))) >= min_line_chars,
-            F.md5(F.trim(F.col("__line"))),
+    arr = F.split(F.col(text_col), "\n")
+
+    def _lh(line):
+        return F.when(
+            F.length(F.trim(line)) >= min_line_chars,
+            F.md5(F.trim(line)),
+        )
+
+    if hot_lines is None:
+        # distinct-per-doc BEFORE the corpus count, computed inside the
+        # row: array_distinct over the hash array ≡ the old
+        # (id, __lh).distinct() multiset, minus its shuffle
+        hot = (
+            docs.select(
+                F.explode(
+                    F.array_distinct(
+                        F.filter(
+                            F.transform(arr, _lh), lambda h: h.isNotNull()
+                        )
+                    )
+                ).alias("__lh")
+            )
+            .groupBy("__lh")
+            .agg(F.count("*").alias("__docs"))
+            .filter(F.col("__docs") >= min_dup_count)
+            .select("__lh")
+        )
+    else:
+        hot = hot_lines
+    # metadata-only explode: hash projected BEFORE any exchange, line
+    # text never leaves the map side
+    meta = (
+        docs.select(
+            F.col(id_col),
+            F.posexplode(arr).alias("__pos", "__line"),
+        )
+        .select(F.col(id_col), "__pos", _lh(F.col("__line")).alias("__lh"))
+        .filter(F.col("__lh").isNotNull())
+    )
+    drops = (
+        meta.join(hot, "__lh", "semi")
+        .groupBy(id_col)
+        .agg(F.collect_set("__pos").alias("__dp"))
+    )
+    # NULL __dp (no hot lines in this doc) keeps everything; a doc
+    # whose EVERY line was boilerplate comes back as '' (empty join)
+    others = [F.col(c) for c in docs.columns if c != text_col]
+    kept = F.filter(
+        arr,
+        lambda x, i: ~F.coalesce(
+            F.array_contains(F.col("__dp"), i), F.lit(False)
         ),
     )
-    # derive the hot set from the SAME `lines` frame rather than a
-    # second corpus_hot_lines(docs) explode: __lh is non-null exactly
-    # for qualifying lines, so the (id, __lh) multiset matches
-    # corpus_hot_lines' input and the hot set is identical — but the
-    # two branches now share one subtree, and the exchange under it
-    # (e.g. the exact-dedup text shuffle when `docs` is a dedup stage)
-    # is reused instead of re-executed per branch
-    hot = (
-        lines.filter(F.col("__lh").isNotNull())
-        .select(F.col(id_col), "__lh")
-        .distinct()
-        .groupBy("__lh")
-        .agg(F.count("*").alias("__docs"))
-        .filter(F.col("__docs") >= min_dup_count)
-        .select("__lh")
-        if hot_lines is None
-        else hot_lines
-    )
-    # left_anti keeps non-matching rows; NULL __lh (short lines) never
-    # matches a hot hash, so formatting lines always survive
-    kept = lines.join(hot, "__lh", "left_anti")
-    recon = kept.groupBy(id_col).agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("__pos", "__line"))),
-                lambda x: x["__line"],
-            ),
-            "\n",
-        ).alias("__clean")
-    )
-    # rejoin so documents whose EVERY line was boilerplate come back
-    # (as '') instead of silently disappearing from the corpus
-    others = [F.col(c) for c in docs.columns if c != text_col]
-    return (
-        docs.join(recon, id_col, "left")
-        .select(
-            *others,
-            F.coalesce(F.col("__clean"), F.lit("")).alias(text_col),
-        )
+    return docs.join(drops, id_col, "left").select(
+        *others, F.array_join(kept, "\n").alias(text_col)
     )
 
 

@@ -115,6 +115,12 @@ def shingle_sets(
 ) -> DataFrame:
     """Per-document shingle-set frame: (id, __sh array, sz).
 
+    CONTRACT (same as ``verify_candidates``): ``shingle_df`` must hold
+    DISTINCT (id, shingle) rows — ``shingles()`` guarantees this.  A
+    non-distinct producer would silently inflate ``sz`` (the Jaccard
+    denominators) while ``array_intersect`` stays set-semantic, so
+    the two would disagree.
+
     The set-array aggregation ``verify_candidates`` builds internally,
     exposed so a compound consumer (e.g. the jaccard-verify row, whose
     three branches each need the shingle relation in some form) can
@@ -691,6 +697,93 @@ def _simhash_scan_arrow(
     return out
 
 
+def _simhash_first_blk_sql(
+    xor_sql: str, widths: list[int], starts: list[int]
+) -> str:
+    """SQL CASE yielding the smallest block index where the two
+    signatures agree, computed from their xor — the exactly-once rule
+    shared by the join and HOF engines."""
+    return "CASE " + " ".join(
+        f"WHEN (shiftrightunsigned({xor_sql}, {starts[b]}) & "
+        f"{(1 << widths[b]) - 1}L) = 0L THEN {b}"
+        for b in range(len(widths))
+    ) + " END"
+
+
+def _simhash_scan_join(
+    sig_df: DataFrame,
+    id_col: str,
+    sig_col: str,
+    radius: int,
+    bits: int,
+    widths: list[int],
+    starts: list[int],
+    max_block_size: int | None,
+) -> DataFrame:
+    """Whole-JVM in-block neighbour scan — the ``engine="join"``
+    production form (round 15, VERDICT r14 item 2): a codegen'd
+    equi-self-join on (blk, val) with the exact verify as a plain
+    ``bit_count(sig_a ^ sig_b) <= radius`` filter expression.  No
+    Python boundary at all: the arrow kernel's JVM↔Arrow transpose,
+    worker round-trip and per-group pandas assembly disappear
+    (guide §4 — prefer built-ins; popcount IS a built-in since 3.3).
+
+    vs the other engines, same Σm² comparisons but each is one
+    xor+popcount inside WholeStageCodegen instead of (arrow) a numpy
+    matrix cell crossing the boundary or (hof) an interpreted Catalyst
+    lambda step.  The join is also the ONLY form AQE skew-handling can
+    split at runtime (guide §2.5 — skewJoin applies to joins, not to
+    groupBy/applyInPandas), so a hot (blk, val) bucket no longer pins
+    one task by construction.
+
+    Exactly-once: uncapped, a pair is kept only in its FIRST matching
+    block (same CASE rule as the HOF engine) — no dedup shuffle;
+    capped runs emit per matching block and dropDuplicates globally
+    (the pre-rewrite contract; see simhash_neighbors_banded).
+
+    Results are bit-identical to both other engines (pinned by
+    tests/test_llmops.py's engine-equality cases)."""
+    exploded = _simhash_block_explode(
+        sig_df, id_col, sig_col, widths, starts
+    )
+    use_first_match = max_block_size is None
+    if max_block_size is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("blk", "val")
+        exploded = (
+            exploded.withColumn("__m", F.count("*").over(w))
+            .filter(F.col("__m") <= max_block_size)
+            .drop("__m")
+        )
+    a = exploded.select(
+        "blk", "val",
+        F.col("id").alias("id_a"), F.col("sig").alias("sig_a"),
+    )
+    b = exploded.select(
+        "blk", "val",
+        F.col("id").alias("id_b"), F.col("sig").alias("sig_b"),
+    )
+    pairs = a.join(b, ["blk", "val"]).filter(
+        F.col("id_a") < F.col("id_b")
+    ).filter(F.expr(f"bit_count(sig_a ^ sig_b) <= {int(radius)}"))
+    if use_first_match:
+        first_blk = _simhash_first_blk_sql(
+            "(sig_a ^ sig_b)", widths, starts
+        )
+        pairs = pairs.filter(F.expr(f"{first_blk} = blk"))
+    out = pairs.select(
+        "id_a",
+        "id_b",
+        F.expr("cast(bit_count(sig_a ^ sig_b) as bigint)").alias(
+            "hamming"
+        ),
+    )
+    if not use_first_match:
+        out = out.dropDuplicates(["id_a", "id_b"])
+    return out
+
+
 def simhash_neighbors_banded(
     sig_df: DataFrame,
     id_col: str = "doc_id",
@@ -698,7 +791,7 @@ def simhash_neighbors_banded(
     radius: int = 6,
     bits: int = 32,
     max_block_size: int | None = None,
-    engine: str = "arrow",
+    engine: str = "join",
 ) -> DataFrame:
     """All pairs within hamming distance ``radius`` of each other, via
     pigeonhole banding — the scale path that replaces the O(n²)
@@ -751,18 +844,27 @@ def simhash_neighbors_banded(
     block matches (pinned by tests/test_llmops.py's cross-block cap
     recovery case).
 
-    ``engine`` picks the in-block scan implementation: ``"arrow"``
-    (default, production — chunked numpy xor/popcount matrices via
-    ``applyInPandas``, the ``pq_encode_arrow`` precedent) or ``"hof"``
-    (the Catalyst higher-order-function reference form).  Both are
-    exact integer arithmetic and produce identical pairs (pinned by
+    ``engine`` picks the in-block scan implementation: ``"join"``
+    (default since round 15, production — a codegen'd equi-self-join
+    on (blk, val) verifying with a plain ``bit_count(xor)`` filter,
+    zero Python boundary; see ``_simhash_scan_join``), ``"arrow"``
+    (the round-11–14 production form — chunked numpy xor/popcount
+    matrices via ``applyInPandas``) or ``"hof"`` (the Catalyst
+    higher-order-function reference form).  All three are exact
+    integer arithmetic and produce identical pairs (pinned by
     tests/test_llmops.py); at sf0.1's dense corpus (1.49M true pairs,
-    Σm² = 32.7M comparisons) arrow runs the scan ~4× faster than the
-    interpreted lambdas.
+    Σm² = 32.7M comparisons) arrow ran the scan ~4× faster than the
+    interpreted lambdas, and the join form removes arrow's JVM↔worker
+    round-trip on top.
 
     Returns (id_a, id_b, hamming) with id_a < id_b, distinct."""
     widths, starts = _simhash_widths(radius, bits)
     blocks = radius + 1
+    if engine == "join":
+        return _simhash_scan_join(
+            sig_df, id_col, sig_col, radius, bits, widths, starts,
+            max_block_size,
+        )
     if engine == "arrow":
         return _simhash_scan_arrow(
             sig_df, id_col, sig_col, radius, bits, widths, starts,

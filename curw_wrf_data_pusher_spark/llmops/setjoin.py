@@ -98,16 +98,12 @@ def _ordered_prefix(
     )
 
 
-def _prefix_groups(
-    tok_df: DataFrame,
-    id_col: str,
-    token_col: str,
-    threshold: float,
+def _groups_from_pref(
+    pref: DataFrame, id_col: str, token_col: str
 ) -> DataFrame:
-    """Prefix tokens grouped for pair expansion: (token, members) with
-    members sorted by (n, id) so each expanded pair sees the smaller
-    set first."""
-    pref = _ordered_prefix(tok_df, id_col, token_col, threshold)
+    """Group a (token, id, n, pos) prefix frame for pair expansion:
+    (token, members) with members sorted by (n, id) so each expanded
+    pair sees the smaller set first."""
     return pref.groupBy(token_col).agg(
         F.sort_array(
             F.collect_list(
@@ -116,6 +112,97 @@ def _prefix_groups(
                 )
             )
         ).alias("members")
+    )
+
+
+def _prefix_groups(
+    tok_df: DataFrame,
+    id_col: str,
+    token_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Prefix tokens grouped for pair expansion, derived from a long
+    token frame (the standalone/public path; ``setsim_join`` builds
+    the same groups from its shared per-doc ordered arrays instead)."""
+    pref = _ordered_prefix(tok_df, id_col, token_col, threshold)
+    return _groups_from_pref(pref, id_col, token_col)
+
+
+def _ordered_doc_arrays(
+    tok_df: DataFrame, id_col: str, token_col: str,
+    extra_group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Per-document (df, token)-sorted token arrays + set size in ONE
+    id-keyed shuffle — the round-15 restructure (guide §2.3/§2.4) that
+    feeds BOTH the prefix expansion and the exact verify's set arrays.
+
+    Replaces, per ``setsim_join`` run: the document-frequency COUNT
+    WINDOW over the full token table (no map-side partials — every
+    (id, token) row shuffled and sorted by token just to count) with a
+    partial-aggregated ``groupBy(token).count`` joined back (AQE
+    broadcasts it while small, falls back to a shuffle join at scale —
+    either way the count shuffle now carries distinct-token partials,
+    not the full table); and the SECOND full-table id-shuffle (the
+    per-doc count/row_number windows) plus the verify's separate
+    ``shingle_sets`` repartition+groupBy with this single aggregation.
+
+    Positions are recovered map-side from the sorted array: per-doc
+    tokens are DISTINCT (``shingles``/``token_sets`` contract), so the
+    (df asc, token asc) sort is a total order and the array index + 1
+    equals the old ``row_number`` exactly.
+
+    Returns (*extra_group_cols, id, __o array<struct<__df,__tk>>, sz),
+    repartition-pinned on the grouping key (same compute-density
+    rationale as ``shingle_sets``)."""
+    dfc = tok_df.groupBy(token_col).agg(F.count("*").alias("__df"))
+    n_shuffle = int(
+        tok_df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    keys = [*extra_group_cols, id_col]
+    return (
+        tok_df.join(dfc, token_col)
+        .repartition(n_shuffle, *keys)
+        .groupBy(*keys)
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("__df"), F.col(token_col).alias("__tk")
+                    )
+                )
+            ).alias("__o"),
+            F.count("*").alias("sz"),
+        )
+    )
+
+
+def _pref_from_ordered(
+    ordered: DataFrame, id_col: str, token_col: str, threshold: float,
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """(token, *extra, id, n, pos) prefix rows sliced MAP-SIDE from the
+    per-doc ordered arrays — value-identical to ``_ordered_prefix``
+    (same prefix-length formula, same epsilon guard, positions from
+    the same total order)."""
+    prefix_len = (
+        F.col("sz")
+        - F.ceil(F.lit(threshold) * F.col("sz") - F.lit(1e-9))
+        + 1
+    ).cast("int")
+    return (
+        ordered.select(
+            *[F.col(c) for c in extra_cols],
+            F.col(id_col),
+            F.col("sz").alias("n"),
+            F.posexplode(F.slice(F.col("__o"), F.lit(1), prefix_len)),
+        )
+        .select(
+            F.col("col.__tk").alias(token_col),
+            *[F.col(c) for c in extra_cols],
+            F.col(id_col),
+            F.col("n"),
+            (F.col("pos") + 1).alias("pos"),
+        )
     )
 
 
@@ -136,6 +223,20 @@ def prefix_candidates(
     account for them with ``setsim_dropped_tokens``.  ``None`` expands
     every group (fully exact)."""
     grouped = _prefix_groups(tok_df, id_col, token_col, threshold)
+    return _pair_candidates_from_groups(
+        grouped, threshold, max_token_group
+    )
+
+
+def _pair_candidates_from_groups(
+    grouped: DataFrame,
+    threshold: float,
+    max_token_group: int | None,
+) -> DataFrame:
+    """Pair expansion + global dedup over a (token, members) grouped
+    prefix frame — the shared back half of ``prefix_candidates``
+    (see its docstring for the length/positional-filter exactness
+    argument)."""
     if max_token_group is not None:
         grouped = grouped.filter(F.size("members") <= max_token_group)
     # members sorted by (n, id): pair (i, j<i... j>i) has n_i ≤ n_j, so
@@ -173,7 +274,7 @@ def prefix_candidates(
     # byte-target coalescing collapsed it to ONE near-serial task at
     # sf0.1.  Scale-adaptive — the pin is the ceiling AQE starts from.
     n_shuffle = int(
-        tok_df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        grouped.sparkSession.conf.get("spark.sql.shuffle.partitions")
     )
     return (
         grouped.filter(F.size("members") >= 2)
@@ -217,21 +318,42 @@ def setsim_join(
     candidates + exact verify; with ``max_token_group=None`` the
     result is identical to the quadratic all-pairs baseline.
 
-    The token frame feeds FOUR consumers (two prefix windows, both
-    verify sides, the size aggregate); a lazy localCheckpoint
-    materializes its scan+tokenize subtree once instead of four times
-    — same device as ``operators/fuzzy.py``'s prefix frame (measured
-    there: 13.4 s → 4.7 s warm at sf0.1)."""
+    Round-15 restructure (guide §2.3/§2.4; results identical, pinned
+    by the quadratic-baseline oracle rows): ONE per-doc ordered-array
+    aggregation (``_ordered_doc_arrays``) now feeds both the prefix
+    expansion (map-side slice+posexplode) and the verify's set arrays.
+    vs the r14 shape this deletes (a) the document-frequency count
+    WINDOW over the full token table (replaced by a partial-aggregated
+    groupBy joined back), (b) the second full-table id-shuffle (the
+    per-doc count/row_number windows), and (c) the verify's separate
+    ``shingle_sets`` repartition+groupBy.  The shared array frame is
+    lazily localCheckpointed: two consumers, ~set-size payload per doc
+    (the same bytes the old sets frame carried), build-once.
+
+    The token frame itself is also lazily localCheckpointed (its
+    scan+tokenize subtree feeds the df-count and the join probe)."""
     from .dedup import verify_candidates
 
     tok_df = tok_df.localCheckpoint(eager=False)
-    cand = prefix_candidates(
-        tok_df, id_col, token_col, threshold, max_token_group
+    ordered = _ordered_doc_arrays(tok_df, id_col, token_col)
+    ordered = ordered.localCheckpoint(eager=False)
+    pref = _pref_from_ordered(ordered, id_col, token_col, threshold)
+    cand = _pair_candidates_from_groups(
+        _groups_from_pref(pref, id_col, token_col),
+        threshold,
+        max_token_group,
+    )
+    sets = ordered.select(
+        F.col(id_col),
+        F.col("__o.__tk").alias("__sh"),
+        F.col("sz"),
     )
     long = tok_df.select(
         F.col(id_col), F.col(token_col).alias("shingle")
     )
-    return verify_candidates(long, cand, id_col=id_col, min_jaccard=threshold)
+    return verify_candidates(
+        long, cand, id_col=id_col, min_jaccard=threshold, sets_df=sets
+    )
 
 
 def setsim_join_between(
@@ -253,9 +375,14 @@ def setsim_join_between(
     (side, id); the output keeps A's id as ``id_a`` and B's as
     ``id_b``.  Plan shape identical to ``setsim_join`` — the union is
     map-side, candidates expand in-group per prefix token (cross-side
-    pairs only), and the verify joins each side's token table once."""
-    # each side feeds three consumers (union prefix windows, verify
-    # join, sizes) — materialize the tokenize subtrees once
+    pairs only), and the verify reads each side's set arrays off the
+    SAME shared per-doc ordered-array aggregation the prefix uses
+    (round-15 restructure; see ``setsim_join`` — the union-wide
+    df-count window, the (side, id) windows and the two per-side
+    ``collect_list`` set aggregates all collapse into
+    ``_ordered_doc_arrays`` grouped on (side, id))."""
+    # each side feeds the union + its verify slice — materialize the
+    # tokenize subtrees once
     tok_a = tok_a.localCheckpoint(eager=False)
     tok_b = tok_b.localCheckpoint(eager=False)
     a = tok_a.select(
@@ -265,40 +392,25 @@ def setsim_join_between(
         F.lit(1).alias("__side"), F.col(id_col), F.col(token_col)
     )
     u = a.unionByName(b)
-    by_token = Window.partitionBy(token_col)
-    by_doc = Window.partitionBy("__side", id_col)
-    ranked = (
-        u.withColumn("__df", F.count("*").over(by_token))
-        .withColumn("__n", F.count("*").over(by_doc))
-        .withColumn(
-            "__pos",
-            F.row_number().over(
-                Window.partitionBy("__side", id_col).orderBy(
-                    "__df", token_col
-                )
-            ),
-        )
+    # one (side, id)-keyed aggregation feeds prefix AND both verify
+    # sides (three consumers → lazy localCheckpoint, build-once)
+    ordered = _ordered_doc_arrays(
+        u, id_col, token_col, extra_group_cols=("__side",)
+    ).localCheckpoint(eager=False)
+    pref = _pref_from_ordered(
+        ordered, id_col, token_col, threshold, extra_cols=("__side",)
     )
-    prefix_len = (
-        F.col("__n")
-        - F.ceil(F.lit(threshold) * F.col("__n") - F.lit(1e-9))
-        + 1
-    )
-    grouped = (
-        ranked.filter(F.col("__pos") <= prefix_len)
-        .groupBy(token_col)
-        .agg(
-            F.sort_array(
-                F.collect_list(
-                    F.struct(
-                        F.col("__n").alias("n"),
-                        F.col("__side").alias("side"),
-                        F.col(id_col).alias("id"),
-                        F.col("__pos").alias("pos"),
-                    )
+    grouped = pref.groupBy(token_col).agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("n"),
+                    F.col("__side").alias("side"),
+                    F.col(id_col).alias("id"),
+                    F.col("pos"),
                 )
-            ).alias("members")
-        )
+            )
+        ).alias("members")
     )
     if max_token_group is not None:
         grouped = grouped.filter(F.size("members") <= max_token_group)
@@ -336,22 +448,23 @@ def setsim_join_between(
     )
     # set-array verify, same rewrite (and same AQE-measurability
     # argument) as dedup.verify_candidates: the per-side set arrays
-    # sit above their groupBy Exchanges, AQE picks broadcast vs
+    # sit above a materialized aggregation, AQE picks broadcast vs
     # shuffle from measured sizes, and the intersection is computed
     # inline instead of via a pairs×set_size row fan-out + re-agg.
-    # same compute-density partition pin as dedup.verify_candidates
-    # (AQE's byte-target coalescing would run the per-pair intersect
-    # near-serially at oracle scale)
-    n_shuffle = int(
-        tok_a.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    # Round 15: both sides are SLICES of the shared checkpointed
+    # ordered-array frame — no second and third per-side
+    # repartition+collect_list aggregations (array_intersect is
+    # order-insensitive, so the (df, token)-sorted arrays verify
+    # identically to the old collect_list ones).
+    sets_a = ordered.filter(F.col("__side") == 0).select(
+        F.col(id_col),
+        F.col("__o.__tk").alias("__sa"),
+        F.col("sz").alias("sz_a"),
     )
-    sets_a = tok_a.repartition(n_shuffle, id_col).groupBy(id_col).agg(
-        F.collect_list(token_col).alias("__sa"),
-        F.count("*").alias("sz_a"),
-    )
-    sets_b = tok_b.repartition(n_shuffle, id_col).groupBy(id_col).agg(
-        F.collect_list(token_col).alias("__sb"),
-        F.count("*").alias("sz_b"),
+    sets_b = ordered.filter(F.col("__side") == 1).select(
+        F.col(id_col),
+        F.col("__o.__tk").alias("__sb"),
+        F.col("sz").alias("sz_b"),
     )
     out = (
         cand.join(

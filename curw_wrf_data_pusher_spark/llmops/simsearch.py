@@ -28,10 +28,35 @@ from .fastlit import _render, dlit
 #: the zip_with fold at full correctness; production sets the corpus
 #: dim(s) here.  Read once at import: plan-build time, not a per-row
 #: decision.
-_CODEGEN_DIMS: tuple[int, ...] = tuple(
-    int(x)
-    for x in os.environ.get("SPARK_GRAFT_CODEGEN_DIMS", "64").split(",")
-    if x.strip()
+def _parse_codegen_dims(raw: str) -> tuple[int, ...]:
+    """Validated parse: a malformed or non-positive entry raises a
+    configuration error NAMING the env var at import (a 0/negative dim
+    would otherwise emit invalid ``sequence(0, -1)`` SQL deep inside
+    ``_fixed_dot_sql``, far from the misconfiguration)."""
+    dims = []
+    for x in raw.split(","):
+        x = x.strip()
+        if not x:
+            continue
+        try:
+            v = int(x)
+        except ValueError:
+            raise ValueError(
+                "SPARK_GRAFT_CODEGEN_DIMS must be a comma-separated "
+                f"list of positive integers; got {x!r} in {raw!r}"
+            ) from None
+        if v <= 0:
+            raise ValueError(
+                "SPARK_GRAFT_CODEGEN_DIMS entries must be positive "
+                f"(a fixed-dim dot over {v} elements is meaningless); "
+                f"got {raw!r}"
+            )
+        dims.append(v)
+    return tuple(dims)
+
+
+_CODEGEN_DIMS: tuple[int, ...] = _parse_codegen_dims(
+    os.environ.get("SPARK_GRAFT_CODEGEN_DIMS", "64")
 )
 
 
@@ -823,9 +848,12 @@ def _cluster_assign_expr(
     score_scale: int,
 ) -> Column:
     """Index of the cosine-nearest centroid (centroids enter the plan
-    as broadcast literals; unrolled codegen dot).  Ties on the rounded
-    score go to the SMALLEST centroid index — encoded as array_max
-    over (cos, -index) structs so one lexicographic max does both."""
+    as broadcast literals; the dot against each literal centroid takes
+    ``_dot_sql``'s zip_with fold form — the unroll/seqfold codegen
+    variants apply only to column-vs-column dots, see the literal-
+    vector rationale in ``_dot_sql``).  Ties on the rounded score go
+    to the SMALLEST centroid index — encoded as array_max over
+    (cos, -index) structs so one lexicographic max does both."""
     scored = F.array(
         *[
             F.struct(

@@ -97,7 +97,17 @@ def _prefix_grams(
     same two shuffles (gram key, per-id regroup), but the tagging
     explode runs ONCE — the join form re-ran the tag expression on
     both its probe and build sides (Catalyst shares no subplans across
-    join inputs).  The per-id regroup exchange is pinned at the
+    join inputs).  KNOWN SKEW EXPOSURE at the 100 TB design scale
+    (r14 ADVICE): the window has no map-side partial aggregation, so a
+    ubiquitous tagged gram (e.g. a shared padded-prefix gram) lands
+    its ENTIRE posting list in one window partition — the old
+    broadcast-able freq join spread that count.  Accepted deliberately
+    for the measured sf0.1 win; the mitigation already in the module
+    is ``max_group_size``'s hot-gram accounting (the same grams that
+    would skew this window are the ones it identifies and caps before
+    the |group|² expansion), and a corpus where ONE gram dominates the
+    long tier is precisely the boilerplate case the caller should cap.
+    The per-id regroup exchange is pinned at the
     configured shuffle partition count: its byte size is tiny (ids +
     d·n+1 short grams) but the downstream candidate join and verify
     hang off it, and AQE's byte-target coalescing would serialize that

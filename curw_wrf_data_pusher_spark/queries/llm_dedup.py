@@ -667,10 +667,21 @@ def llm_simhash_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = llm_simhash(spark, sf_dir).localCheckpoint(eager=False)
     pairs = simhash_neighbors_banded(sig, radius=6)
     # near-dup relation is symmetric: each (a, b) pair contributes to
-    # both endpoints' neighbourhood stats
-    sym = pairs.select(F.col("id_a").alias("doc_id"), "hamming").unionByName(
-        pairs.select(F.col("id_b").alias("doc_id"), "hamming")
-    )
+    # both endpoints' neighbourhood stats.  Round 15: symmetrize with a
+    # MAP-SIDE explode instead of a union of two selects — the union
+    # built the whole banded-scan subtree TWICE (two FlatMapGroups /
+    # join stages in the r14/r15 plans; Catalyst shares no subplans
+    # across union branches), the explode fans each pair row out to
+    # its two endpoints in place (guide §2.1 — don't compute things
+    # twice).  Row multiset identical by construction.
+    sym = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("id_a").alias("doc_id"), F.col("hamming")),
+                F.struct(F.col("id_b").alias("doc_id"), F.col("hamming")),
+            )
+        ).alias("__e")
+    ).select("__e.doc_id", "__e.hamming")
     stats = sym.groupBy("doc_id").agg(
         F.count("*").alias("n_near"), F.min("hamming").alias("min_hamming")
     )

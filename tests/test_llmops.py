@@ -1459,8 +1459,9 @@ def test_sampled_frames_feed_resize_and_features(spark):
     assert all(r.ok and len(r.feature) == 8 for r in feats)
 
 
-def test_simhash_banded_arrow_equals_hof_engine(spark, sf_dir):
-    """The numpy popcount-matrix kernel (engine='arrow', production)
+def test_simhash_banded_engines_agree(spark, sf_dir):
+    """The codegen'd bit_count self-join (engine='join', production
+    since round 15), the numpy popcount-matrix kernel (engine='arrow')
     and the Catalyst HOF scan (engine='hof', reference) emit identical
     pair sets — same contract as the pq_encode/pq_encode_arrow pair."""
     from curw_wrf_data_pusher_spark.llmops.dedup import (
@@ -1481,13 +1482,19 @@ def test_simhash_banded_arrow_equals_hof_engine(spark, sf_dir):
             map(key, simhash_neighbors_banded(
                 sig, radius=radius, engine="hof").collect())
         )
-        assert arrow == hof and len(arrow) > 0
-    # the hot-block cap drops the same blocks in both engines
+        join = sorted(
+            map(key, simhash_neighbors_banded(
+                sig, radius=radius, engine="join").collect())
+        )
+        assert arrow == hof == join and len(arrow) > 0
+    # the hot-block cap drops the same blocks in all engines
     capped_a = sorted(map(key, simhash_neighbors_banded(
         sig, radius=6, max_block_size=40, engine="arrow").collect()))
     capped_h = sorted(map(key, simhash_neighbors_banded(
         sig, radius=6, max_block_size=40, engine="hof").collect()))
-    assert capped_a == capped_h
+    capped_j = sorted(map(key, simhash_neighbors_banded(
+        sig, radius=6, max_block_size=40, engine="join").collect()))
+    assert capped_a == capped_h == capped_j
 
 
 def test_simhash_64bit_banded_prunes_and_matches_bruteforce(spark, sf_dir):
@@ -1515,7 +1522,9 @@ def test_simhash_64bit_banded_prunes_and_matches_bruteforce(spark, sf_dir):
         sig, radius=6, bits=64, engine="arrow").collect()))
     hof = sorted(map(key, simhash_neighbors_banded(
         sig, radius=6, bits=64, engine="hof").collect()))
-    assert arrow == hof
+    join = sorted(map(key, simhash_neighbors_banded(
+        sig, radius=6, bits=64, engine="join").collect()))
+    assert arrow == hof == join
 
     a = sig.select(F.col("doc_id").alias("id_a"),
                    F.col("simhash").alias("ha"))
