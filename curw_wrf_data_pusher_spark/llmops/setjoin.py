@@ -253,15 +253,27 @@ def _pair_candidates_from_groups(
     # generation events.  Measured on the sf0.1 corpus at t=0.5:
     # 310k → far fewer candidates feeding the exact verify.
     t_ratio = threshold / (1.0 + threshold)
+    # CAST(... AS DOUBLE) on the spliced thresholds is load-bearing: a
+    # bare SQL literal like 0.5 parses as DECIMAL, and this expression
+    # tree is INTERPRETED (higher-order functions have no codegen), so
+    # every pair evaluation paid a BigDecimal multiply plus a
+    # Decimal.toDouble that goes through Double.parseDouble — observed
+    # as the entire stack of a hot-group straggler (skew_probe_r15).
+    # Values are unchanged: the decimal path converted to double
+    # before the 1e-9-guarded comparisons anyway, and the product's
+    # ulp-level rounding difference is absorbed by that epsilon
+    # (oracle rows re-verified).
     pair_expr = F.expr(
         "flatten(transform(sequence(0, size(members) - 2),"
         " i -> filter(transform(sequence(i + 1, size(members) - 1),"
         # epsilon on the length bound for the same float-safety reason
         # as the prefix length: never prune a boundary-exact pair
-        f" j -> CASE WHEN members[i].n >= {threshold!r} * members[j].n - 1e-9"
+        " j -> CASE WHEN members[i].n >="
+        f"   CAST({threshold!r} AS DOUBLE) * members[j].n - 1e-9"
         "   AND 1 + least(members[i].n - members[i].pos,"
         "                 members[j].n - members[j].pos)"
-        f"      >= ceil({t_ratio!r} * (members[i].n + members[j].n) - 1e-9)"
+        f"      >= ceil(CAST({t_ratio!r} AS DOUBLE)"
+        "               * (members[i].n + members[j].n) - 1e-9)"
         "   THEN struct(least(members[i].id, members[j].id) AS id_a,"
         "               greatest(members[i].id, members[j].id) AS id_b)"
         "   END), p -> p IS NOT NULL)))"
@@ -417,14 +429,19 @@ def setsim_join_between(
     # length filter + PPJoin positional filter — same exactness
     # argument as prefix_candidates (see its inline comment)
     t_ratio = threshold / (1.0 + threshold)
+    # CAST(... AS DOUBLE) on the spliced thresholds: same
+    # decimal-literal interpreted-eval trap as prefix_candidates (see
+    # the comment there)
     pair_expr = F.expr(
         "flatten(transform(sequence(0, size(members) - 2),"
         " i -> filter(transform(sequence(i + 1, size(members) - 1),"
         " j -> CASE WHEN members[i].side <> members[j].side"
-        f"  AND members[i].n >= {threshold!r} * members[j].n - 1e-9"
+        f"  AND members[i].n >="
+        f"   CAST({threshold!r} AS DOUBLE) * members[j].n - 1e-9"
         "   AND 1 + least(members[i].n - members[i].pos,"
         "                 members[j].n - members[j].pos)"
-        f"      >= ceil({t_ratio!r} * (members[i].n + members[j].n) - 1e-9)"
+        f"      >= ceil(CAST({t_ratio!r} AS DOUBLE)"
+        "               * (members[i].n + members[j].n) - 1e-9)"
         "   THEN struct("
         "     CASE WHEN members[i].side = 0 THEN members[i].id"
         "          ELSE members[j].id END AS id_a,"

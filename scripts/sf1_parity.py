@@ -58,6 +58,12 @@ CANDIDATES = [
     "llm_winnow_pairs",
     "llm_substring_dedup",
     "llm_cosine_topk_neardup",
+    # round 15 (VERDICT r14 item 7): the two named rows the r14 twin
+    # sweep was missing — the cross-corpus setsim form (same rewrite
+    # as llm_setsim_pairs, different pair machinery) and the 20k-token
+    # repetition rewrite (additive; existing rows unchanged)
+    "llm_setsim_cross",
+    "llm_repetition_signals",
 ]
 
 
