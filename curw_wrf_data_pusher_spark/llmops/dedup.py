@@ -942,13 +942,25 @@ def verify_candidates(
     exactly once) and the per-doc array is the same payload the
     MinHash signature path already carries.
 
-    Join-strategy safety (the round-11 100× probe lesson — an
-    un-measurable localCheckpoint-backed side was statically
-    broadcast at 500k docs and OOM'd the build): the set-array frame
-    now sits ABOVE its groupBy Exchange, so AQE decides broadcast vs
-    shuffle from MEASURED sizes — broadcast while genuinely small,
-    shuffle-join once it isn't.  No static hint needed; a hint here
-    would actually pin the slower plan at oracle scale."""
+    Join-strategy safety (round-11 AND round-15 100× probe lessons):
+    BOTH verify joins carry an explicit SHUFFLE_HASH hint on the
+    sets side.  Leaving the choice to the planner OOM'd twice at
+    500k docs, through two different holes — r11: an un-measurable
+    localCheckpoint-backed sets side was statically broadcast; r15:
+    with the sets side estimated huge (checkpoint-carried stats),
+    the planner statically broadcast the CANDIDATES side instead,
+    whose static size estimate through its Generate→aggregate chain
+    stays small no matter how many pairs the explode actually
+    produces (12.5M pairs ≈ a >1 GB build — the r15 100× probe's
+    `Not enough memory to build and broadcast`).  AQE cannot demote
+    a statically-planned broadcast join, so no measured-size
+    mechanism rescues either hole.  Nothing in this join fits a
+    broadcast at the 100 TB design scale anyway (both sides are
+    corpus-cardinality), so the scale-safe strategy is pinned: a
+    shuffled hash join building the bounded per-partition sets side
+    (AQE skew-split still applies to it).  Cost at oracle scale is
+    one id-keyed exchange per side — measured ≤0.1 s per affected
+    sf0.1 row."""
     # ``sets_df``: optional prebuilt/materialized ``shingle_sets``
     # frame — compound consumers that also need sizes/signatures off
     # the same sets pass it in so the tokenize+explode+regroup pass
@@ -965,12 +977,14 @@ def verify_candidates(
         candidates.join(
             sets_.select(F.col(id_col).alias("id_a"),
                          F.col("__sh").alias("__sa"),
-                         F.col("sz").alias("sz_a")), "id_a"
+                         F.col("sz").alias("sz_a")).hint("shuffle_hash"),
+            "id_a",
         )
         .join(
             sets_.select(F.col(id_col).alias("id_b"),
                          F.col("__sh").alias("__sb"),
-                         F.col("sz").alias("sz_b")), "id_b"
+                         F.col("sz").alias("sz_b")).hint("shuffle_hash"),
+            "id_b",
         )
         .withColumn(
             "inter",

@@ -463,16 +463,18 @@ def setsim_join_between(
         .repartition(n_shuffle, "id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    # set-array verify, same rewrite (and same AQE-measurability
-    # argument) as dedup.verify_candidates: the per-side set arrays
-    # sit above a materialized aggregation, AQE picks broadcast vs
-    # shuffle from measured sizes, and the intersection is computed
-    # inline instead of via a pairs×set_size row fan-out + re-agg.
-    # Round 15: both sides are SLICES of the shared checkpointed
-    # ordered-array frame — no second and third per-side
-    # repartition+collect_list aggregations (array_intersect is
-    # order-insensitive, so the (df, token)-sorted arrays verify
-    # identically to the old collect_list ones).
+    # set-array verify, same rewrite as dedup.verify_candidates: the
+    # intersection is computed inline instead of via a pairs×set_size
+    # row fan-out + re-agg.  Round 15: both sides are SLICES of the
+    # shared checkpointed ordered-array frame — no second and third
+    # per-side repartition+collect_list aggregations (array_intersect
+    # is order-insensitive, so the (df, token)-sorted arrays verify
+    # identically to the old collect_list ones).  SHUFFLE_HASH pins on
+    # the sets sides for the same reason as verify_candidates (see its
+    # docstring): the planner statically broadcast the CANDIDATES side
+    # at the r15 100× probe (its size estimate through the
+    # Generate→aggregate chain stays small regardless of actual pair
+    # count) and AQE cannot demote a static broadcast.
     sets_a = ordered.filter(F.col("__side") == 0).select(
         F.col(id_col),
         F.col("__o.__tk").alias("__sa"),
@@ -485,11 +487,13 @@ def setsim_join_between(
     )
     out = (
         cand.join(
-            sets_a.select(F.col(id_col).alias("id_a"), "__sa", "sz_a"),
+            sets_a.select(F.col(id_col).alias("id_a"), "__sa", "sz_a")
+            .hint("shuffle_hash"),
             "id_a",
         )
         .join(
-            sets_b.select(F.col(id_col).alias("id_b"), "__sb", "sz_b"),
+            sets_b.select(F.col(id_col).alias("id_b"), "__sb", "sz_b")
+            .hint("shuffle_hash"),
             "id_b",
         )
         .withColumn(

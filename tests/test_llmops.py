@@ -524,6 +524,44 @@ def test_simhash_neighbors_query_has_no_nested_loop_join(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_verify_join_strategy_pinned(spark, sf_dir):
+    """The exact-verify joins (candidates x per-doc set arrays) must be
+    SHUFFLED HASH joins, never broadcast: the r11 and r15 100x probes
+    each OOM'd a planner-chosen broadcast through a different hole
+    (r11: un-measurable checkpoint-backed sets side broadcast; r15:
+    the CANDIDATES side statically broadcast because its size estimate
+    through the Generate->aggregate chain stays small regardless of
+    the actual pair count — 12.5M pairs at 500k docs).  AQE cannot
+    demote a static broadcast, so the strategy is pinned at the
+    source (verify_candidates and the setsim_join_between inline
+    verify)."""
+    from curw_wrf_data_pusher_spark.llmops.dedup import shingles
+    from curw_wrf_data_pusher_spark.llmops.setjoin import (
+        setsim_join,
+        setsim_join_between,
+    )
+    from curw_wrf_data_pusher_spark.sources.lake import load_table
+
+    from .test_plans_quality import plan_of
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = shingles(docs)
+    for df in (
+        setsim_join(tok, token_col="shingle", threshold=0.5),
+        setsim_join_between(
+            shingles(docs.filter(F.col("doc_id") % 2 == 0)),
+            shingles(docs.filter(F.col("doc_id") % 2 == 1)),
+            token_col="shingle",
+            threshold=0.5,
+        ),
+    ):
+        plan = plan_of(df)
+        # the two id-keyed verify joins (one per side) — the df-count
+        # join deeper in the tree may legitimately broadcast (its
+        # count side sits above a measured exchange)
+        assert plan.count("ShuffledHashJoin") >= 2
+
+
 def test_lsh_hot_bucket_cap(spark):
     """A template-heavy corpus (many identical docs → one hot bucket)
     must have its |bucket|² pair explosion capped by max_bucket_size,
